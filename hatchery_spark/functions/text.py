@@ -1,0 +1,150 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All are pure pyspark.sql.functions expressions (JVM-side, whole-stage codegen) —
+no Python on the hot path. Each returns a Column usable in select/withColumn.
+
+Reference ties:
+  * slug()        — deterministic content hash slug, same pattern as the
+                    reference's sha256 object slug
+                    (/root/reference/source/falcon_data_replicator/client.go:200-204)
+  * schema_hint() — path→schema-hint parse, generalizing
+                    /root/reference/source/falcon_data_replicator/client.go:185-198
+  * sink_object_name() — the reference's partitioned object naming
+                    (/root/reference/destination/gcs/client.go:31-54)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small English stopword set for quality scoring / language heuristics
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(F.split(text, r"\s+")).cast("int")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: word pieces + digits + punctuation runs.
+
+    A regex segmentation similar in spirit to GPT-style pre-tokenizers:
+    letter runs (split every 4 chars ≈ subword pieces), digit runs, punct.
+    """
+    pieces = F.regexp_extract_all(
+        text, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("int")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("int")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring (codegen-safe)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("int")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are (english) stopwords, rounded to 4dp."""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    hits = None
+    for w in STOPWORDS:
+        h = _occurrences(lowered, f" {w} ")
+        hits = h if hits is None else hits + h
+    return F.round(hits / F.greatest(token_count(text), F.lit(1)), 4)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation, rounded to 4dp."""
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.round(punct / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence −
+    punctuation noise. Deterministic, order-free, rounded to 4dp."""
+    n = F.length(text)
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0)) * 0.4
+    stop_term = F.least(stopword_ratio(text) * 4, F.lit(1.0)) * 0.4
+    punct_term = (F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))) * 0.2
+    return F.round(length_term + stop_term + punct_term, 4)
+
+
+def lang_id(text: Column) -> Column:
+    """Tiny n-gram/stopword language heuristic: en/de/es/fr/unknown.
+
+    Scores marker-word hits per language; ties → 'unknown'. This is the
+    vectorized-heuristic pattern (real models would be a pandas_udf over a
+    broadcast model); deterministic and SQL-expressible for the oracle.
+    """
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    markers = {
+        "en": ("the", "and", "is"),
+        "de": ("der", "und", "ist"),
+        "es": ("el", "que", "es"),
+        "fr": ("le", "et", "est"),
+    }
+    scores = {}
+    for lang, words in markers.items():
+        s = None
+        for w in words:
+            h = _occurrences(lowered, f" {w} ")
+            s = h if s is None else s + h
+        scores[lang] = s
+    best = F.greatest(*scores.values())
+    result = F.lit("unknown")
+    # deterministic priority order on ties: en > de > es > fr resolved by
+    # checking in reverse so earlier langs win
+    for lang in ("fr", "es", "de", "en"):
+        result = F.when((best > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def slug(col: Column, length: int = 8) -> Column:
+    """Deterministic content-hash slug: first `length` hex chars of sha256."""
+    return F.substring(F.sha2(col, 256), 1, length)
+
+
+def fingerprint64(text: Column) -> Column:
+    """64-bit document fingerprint (xxhash64 of the text) for cheap exact-dup
+    candidate bucketing at scale. NOT for the DuckDB oracle (no xxhash there)."""
+    return F.xxhash64(text)
+
+
+def schema_hint(path: Column) -> Column:
+    """Path → schema hint: 'data/...' → data; 'fdrv2/x/<p3>/...' → fdrv2_<p3>;
+    else 'unknown'."""
+    p1 = F.split_part(path, F.lit("/"), F.lit(1))
+    p3 = F.split_part(path, F.lit("/"), F.lit(3))
+    return (
+        F.when(p1 == "data", F.lit("data"))
+        .when(p1 == "fdrv2", F.concat(F.lit("fdrv2_"), p3))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def sink_object_name(
+    prefix: str, hint: Column, ts: Column, slug_col: Column, seq: Column, ext: str = "parquet"
+) -> Column:
+    """prefix + hint/ + yyyy/MM/dd/HH/ + yyyyMMdd'T'HHmmss + _slug + _%04d(seq) + .ext"""
+    return F.concat(
+        F.lit(prefix),
+        hint,
+        F.lit("/"),
+        F.date_format(ts, "yyyy/MM/dd/HH"),
+        F.lit("/"),
+        F.date_format(ts, "yyyyMMdd'T'HHmmss"),
+        F.lit("_"),
+        slug_col,
+        F.lit("_"),
+        F.format_string("%04d", seq),
+        F.lit("."),
+        F.lit(ext),
+    )

@@ -1,0 +1,72 @@
+"""Vectorized grok/regex parse stage.
+
+Extracts hatchery-style audit fields (actor, action, resource, severity) from the
+`text` column into NEW columns only — `text` itself is never touched, preserving
+the byte-equality invariant of the reference's passthrough copy
+(/root/reference/pipe.go:34-50, io.Copy at :40).
+
+Two interchangeable engines, equal by construction (tested):
+  * "native"  — `regexp_extract` per field. JVM-side, whole-stage-codegen'd; the
+                default and the fast path at 100 TB (no Python exchange at all).
+  * "pandas"  — one Arrow-vectorized `pandas_udf` applying a single compiled regex
+                via `pandas.Series.str.extract` (named groups → struct). This is
+                the north-star-named API surface and the template for parses that
+                outgrow regexp_extract (multi-pattern grok, lookbehinds, etc.).
+                No per-row Python either way.
+
+Non-matching rows (prose) yield NULL fields; severity later falls back to the
+catalog default — mirroring the `schemaHint = "unknown"` branch of the reference
+(/root/reference/source/falcon_data_replicator/client.go:195-198).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# One pattern, four capture groups. \S+ keeps it linear-time (no backtracking blowup).
+AUDIT_PATTERN = r"\[(debug|info|warn|error|critical)\] actor=(\S+) action=(\S+) resource=(\S+)"
+# Same pattern with named groups for the pandas engine.
+AUDIT_PATTERN_NAMED = (
+    r"\[(?P<severity>debug|info|warn|error|critical)\]"
+    r" actor=(?P<actor>\S+) action=(?P<action>\S+) resource=(?P<resource>\S+)"
+)
+
+PARSED_FIELDS = ("actor", "action", "resource", "severity")
+
+_PARSE_SCHEMA = T.StructType(
+    [T.StructField(f, T.StringType(), True) for f in PARSED_FIELDS]
+)
+
+
+def _native_field(group: int) -> Column:
+    # regexp_extract returns '' on no-match; normalize to NULL.
+    return F.nullif(F.regexp_extract(F.col("text"), AUDIT_PATTERN, group), F.lit(""))
+
+
+@pandas_udf(_PARSE_SCHEMA)
+def _parse_audit_pandas(text: pd.Series) -> pd.DataFrame:
+    # Series.str.extract runs the compiled regex C-side over the whole Arrow
+    # batch; named groups become DataFrame columns (NaN → NULL on no-match).
+    out = text.str.extract(AUDIT_PATTERN_NAMED)
+    return out[list(PARSED_FIELDS)]
+
+
+def parse_turns(df: DataFrame, engine: str = "native") -> DataFrame:
+    """Append actor/action/resource/severity columns parsed from `text`."""
+    if engine == "native":
+        return df.withColumns(
+            {
+                "actor": _native_field(2),
+                "action": _native_field(3),
+                "resource": _native_field(4),
+                "severity": _native_field(1),
+            }
+        )
+    if engine == "pandas":
+        parsed = _parse_audit_pandas(F.col("text"))
+        return df.withColumns({f: parsed.getField(f) for f in PARSED_FIELDS})
+    raise ValueError(f"unknown parse engine: {engine!r}")

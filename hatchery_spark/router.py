@@ -1,0 +1,98 @@
+"""Tag-based router: fan rows out to per-destination sinks.
+
+Rebuilds the reference's pipeline wiring — selector-chosen streams each running
+source→pipe→destination in parallel (/root/reference/hatchery.go:37-77) — as
+per-route filtered writes over ONE shared, cached, parsed+enriched DataFrame:
+
+  * route selection (which routes run)   = config-side selectors (config.py)
+  * row routing (which rows go to a sink) = each route's SQL predicate, evaluated
+    by Catalyst → the filter is pushed as far down as the plan allows
+  * fan-out = a loop of write ACTIONS over the cached DF. The scan+parse+enrich
+    work is paid once (persist), each route pays only its filter+write. On a
+    cluster, routes can also be submitted from a driver thread pool (Spark's
+    scheduler interleaves jobs); sequential actions over a cached DF are the
+    simple, predictable default.
+
+A row matching k route predicates is written k times (one per sink) — identical
+to the reference, where multiple streams may select overlapping data. A row
+matching none is dropped (no catch-all unless configured).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hatchery_spark.config import RouteConfig
+
+# Salt bucket count for splitting whale conversations across write tasks.
+DEFAULT_SALT_BUCKETS = 8
+
+
+def route_matches(df: DataFrame, route: RouteConfig) -> DataFrame:
+    """Rows matching one route's predicate, tagged with its route_id."""
+    return df.filter(F.expr(route.predicate)).withColumn("route_id", F.lit(route.route_id))
+
+
+def routed_union(df: DataFrame, routes: Sequence[RouteConfig]) -> DataFrame:
+    """All routed rows as one DataFrame (row duplicated per matching route).
+
+    This is the parity surface: routed-row equality and per-sink counts are
+    defined over this union. unionByName keeps it schema-safe.
+    """
+    parts = [route_matches(df, r) for r in routes]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def sink_counts(df: DataFrame, routes: Sequence[RouteConfig]) -> DataFrame:
+    """Per-sink aggregate counts: groupBy(route_id).count().
+
+    Partial (map-side) aggregation + final merge is Catalyst's job; route_id
+    cardinality == len(routes), so the shuffle is a few rows per task.
+    """
+    return (
+        routed_union(df, routes)
+        .groupBy("route_id")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+    )
+
+
+def ordered_for_sink(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Stable turn ordering with whale-skew protection before a sink write.
+
+    repartition on (conv_id, salt) — salt splits a whale conversation across up
+    to `salt_buckets` tasks so one hot conv_id cannot stall the write stage —
+    then sortWithinPartitions(conv_id, turn_idx) so every output file is ordered
+    by the parity key. NOT a global orderBy: a total sort of 10^12 rows is a
+    needless range-shuffle; the invariant only requires per-file ordering.
+    """
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(salt_buckets))
+    return df.repartition(F.col("conv_id"), salt).sortWithinPartitions(
+        "conv_id", "turn_idx"
+    )
+
+
+def write_route(
+    df: DataFrame,
+    route: RouteConfig,
+    base_path: str,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> str:
+    """Write one route's rows to its sink; returns the sink path.
+
+    Sink layout <base>/<route_id>/dt=YYYY-MM-DD/ mirrors the reference's
+    time-partitioned object naming (prefix/schemaHint/yyyy/MM/dd/...,
+    /root/reference/destination/gcs/client.go:31-54) via partition directories:
+    parity is defined on content, not object names.
+    """
+    sink = route.sink_path or f"{base_path}/{route.route_id}"
+    matched = ordered_for_sink(route_matches(df, route), salt_buckets)
+    out = matched.withColumn("dt", F.to_date("ts"))
+    if route.sink_format == "json":
+        out.write.mode("overwrite").partitionBy("dt").option("compression", "gzip").json(sink)
+    else:
+        out.write.mode("overwrite").partitionBy("dt").parquet(sink)
+    return sink

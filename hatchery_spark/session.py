@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local mode is the test harness; the configs are chosen so the same plan holds on a
+multi-executor cluster: AQE on (runtime coalesce + skew-join splitting), Arrow on
+(vectorized pandas-UDF exchange), shuffle partitions sized to cores locally but
+overridable for the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hatchery_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    cpus: local parallelism (defaults to $SPARK_GRAFT_CPUS or 32). On a real
+    cluster this function is bypassed by spark-submit's own session; every knob
+    here is also safe cluster-side.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # locally: match cores. On a 1000-executor cluster you want
+        # O(2-3x total cores); pass it explicitly there.
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # long transcript text values: keep Arrow batches bounded so a batch of
+        # wide rows fits executor memory at 100 TB scale
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
