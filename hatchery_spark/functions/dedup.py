@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
@@ -64,10 +65,17 @@ def char_shingles(text: Column, k: int = 5) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """Array of `num_hashes` minhash values: min over shingles of seeded xxhash64."""
+    """Array of `num_hashes` minhash values.
+
+    Each shingle string is hashed ONCE (xxhash64); the hash family is then
+    `xxhash64(base_hash, seed_i)` over the resulting longs — fixed-width
+    re-hashing, so adding hash functions never re-reads shingle bytes.
+    (No affine `a·h+b` family: ANSI mode makes long overflow throw.)
+    """
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
     mins = [
-        F.array_min(F.transform(shingles, lambda s, seed=seed: F.xxhash64(s, F.lit(seed))))
-        for seed in range(num_hashes)
+        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)
     ]
     return F.array(*mins)
 
@@ -191,7 +199,7 @@ def ngram_jaccard_pairs(
 
 # ---------------------------------------------------------------- simhash
 
-@pandas_udf("long")
+@pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow batch, numpy inner loop).
 
@@ -210,8 +218,10 @@ def simhash64(text: pd.Series) -> pd.Series:
 
         acc = np.zeros(64, dtype=np.int64)
         for tok in toks:
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            bits = (h >> np.arange(64)) & 1
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
             acc += np.where(bits == 1, 1, -1)
         bits_out = (acc > 0).astype(np.uint64)
         val = np.uint64(0)

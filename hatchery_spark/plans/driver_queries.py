@@ -1,0 +1,609 @@
+"""Driver-contract query catalog: (Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+Every operator claimed in SURVEY.md §2 gets a named query here. The Spark side
+exercises the real package code paths (parse_turns, enrich_turns, routed_union,
+…); the oracle side is independent ANSI SQL over the same parquet views (the
+driver pre-registers: region nation customer supplier part orders lineitem
+events documents embeddings).
+
+The transcripts input (BASELINE.json input_hint shape) is derived
+deterministically from `events` (FIXTURES.md §6) with SQL that parses
+identically in Spark (ANSI) and DuckDB, so both engines compute the exact same
+table before the pipeline stages run on it.
+
+Dialect rules kept throughout (verified by scripts/check_oracles.py):
+  * no xxhash64 / date_format in oracle SQL (DuckDB lacks them) — strftime there
+  * DuckDB regexp_replace needs the 'g' flag to replace all
+  * floats are round()ed before they reach a hashed output column
+  * every computed column is aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hatchery_spark.config import RouteConfig, select_by_tag, select_routes
+from hatchery_spark.enrich import enrich_turns
+from hatchery_spark.functions.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    simhash_candidates,
+)
+from hatchery_spark.functions.similarity import cosine_topk, embedding_near_dup, lsh_topk
+from hatchery_spark.functions.text import (
+    lang_id,
+    punct_ratio,
+    quality_score,
+    schema_hint,
+    sink_object_name,
+    slug,
+    stopword_ratio,
+    token_count,
+)
+from hatchery_spark.parse import AUDIT_PATTERN, parse_turns
+from hatchery_spark.router import routed_union, sink_counts
+from hatchery_spark.timerange import ticks_df, window_filter
+
+# ----------------------------------------------------------------------------
+# transcripts derivation (neutral SQL — identical text runs in Spark and DuckDB)
+# ----------------------------------------------------------------------------
+
+TRANSCRIPTS_SQL = """
+SELECT
+  concat('conv-', cast(user_id AS string)) AS conv_id,
+  cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+  CASE event_type WHEN 'signup' THEN 'system' WHEN 'error' THEN 'tool'
+       WHEN 'purchase' THEN 'assistant' ELSE 'user' END AS role,
+  CASE WHEN event_id % 37 = 0 THEN
+    concat('free form turn ', cast(event_id AS string), ' with no audit payload')
+  ELSE
+    concat('[',
+      CASE WHEN value < 10 THEN 'debug' WHEN value < 50 THEN 'info'
+           WHEN value < 100 THEN 'warn' WHEN value < 200 THEN 'error'
+           ELSE 'critical' END,
+      '] actor=user', cast(user_id AS string), '@example.com action=',
+      event_type, '_event resource=doc:/r', cast(event_id % 1000 AS string),
+      ' ip=10.0.', cast(user_id % 256 AS string), '.', cast(event_id % 256 AS string))
+  END AS text,
+  event_type AS tool,
+  ts
+FROM {events}
+"""
+
+# service catalog for the events-derived transcripts ('view' absent → miss path)
+EVENTS_CATALOG = [
+    ("signup", "system", "identity", "idp", "warn"),
+    ("click", "user", "webapp", "chat", "info"),
+    ("purchase", "assistant", "billing", "commerce", "info"),
+    ("error", "tool", "edr_agent", "edr", "debug"),
+]
+CATALOG_SCHEMA = "tool string, role string, service string, category string, default_severity string"
+
+EVENT_ROUTES = [
+    RouteConfig("evt-errors", tags=("security", "alerts"),
+                predicate="severity IN ('error','critical')"),
+    RouteConfig("evt-commerce", tags=("commerce",), predicate="category = 'commerce'"),
+    RouteConfig("evt-auth", tags=("security", "audit"),
+                predicate="action IN ('signup_event','click_event')"),
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_events")
+    return spark.sql(TRANSCRIPTS_SQL.format(events="hs_events"))
+
+
+def events_catalog(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(EVENTS_CATALOG, schema=CATALOG_SCHEMA)
+
+
+def enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return enrich_turns(parse_turns(transcripts(spark, sf_dir)), events_catalog(spark))
+
+
+# ----------------------------------------------------------------------------
+# oracle CTE prefix shared by the pipeline queries
+# ----------------------------------------------------------------------------
+
+_CATALOG_VALUES = ", ".join(
+    f"('{t}','{r}','{s}','{c}','{d}')" for t, r, s, c, d in EVENTS_CATALOG
+)
+
+ORACLE_PIPELINE_CTE = f"""
+WITH transcripts AS ({TRANSCRIPTS_SQL.format(events="events")}),
+parsed AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts,
+    nullif(regexp_extract(text, '{AUDIT_PATTERN}', 2), '') AS actor,
+    nullif(regexp_extract(text, '{AUDIT_PATTERN}', 3), '') AS action,
+    nullif(regexp_extract(text, '{AUDIT_PATTERN}', 4), '') AS resource,
+    nullif(regexp_extract(text, '{AUDIT_PATTERN}', 1), '') AS severity
+  FROM transcripts
+),
+catalog AS (
+  SELECT * FROM (VALUES {_CATALOG_VALUES})
+    AS t(tool, role, service, category, default_severity)
+),
+enriched AS (
+  SELECT p.tool, p.role, p.conv_id, p.turn_idx, p.text, p.ts,
+         p.actor, p.action, p.resource,
+         coalesce(p.severity, c.default_severity, 'unknown') AS severity,
+         coalesce(c.service, 'unknown') AS service,
+         coalesce(c.category, 'unknown') AS category
+  FROM parsed p LEFT JOIN catalog c ON p.tool = c.tool AND p.role = c.role
+),
+routed AS (
+  SELECT e.*, 'evt-errors' AS route_id FROM enriched e
+    WHERE severity IN ('error','critical')
+  UNION ALL
+  SELECT e.*, 'evt-commerce' AS route_id FROM enriched e
+    WHERE category = 'commerce'
+  UNION ALL
+  SELECT e.*, 'evt-auth' AS route_id FROM enriched e
+    WHERE action IN ('signup_event','click_event')
+)
+"""
+
+
+# ----------------------------------------------------------------------------
+# pipeline queries (events-derived transcripts)
+# ----------------------------------------------------------------------------
+
+def q_transcripts_view(spark, sf_dir):
+    return transcripts(spark, sf_dir)
+
+
+def q_parse(spark, sf_dir):
+    return parse_turns(transcripts(spark, sf_dir))
+
+
+def q_parse_pandas(spark, sf_dir):
+    """Same parse via the Arrow pandas_udf engine (north-star API surface)."""
+    return parse_turns(transcripts(spark, sf_dir), engine="pandas")
+
+
+def q_enrich(spark, sf_dir):
+    return enriched(spark, sf_dir)
+
+
+def q_route_fanout(spark, sf_dir):
+    return routed_union(enriched(spark, sf_dir), EVENT_ROUTES)
+
+
+def q_sink_counts(spark, sf_dir):
+    return sink_counts(enriched(spark, sf_dir), EVENT_ROUTES)
+
+
+def q_select_by_tag(spark, sf_dir):
+    routes = select_routes(EVENT_ROUTES, [select_by_tag("security")])
+    return routed_union(enriched(spark, sf_dir), routes)
+
+
+def q_run_summary(spark, sf_dir):
+    """Flagship: per-sink counts + ts bounds over the full fan-out."""
+    return (
+        routed_union(enriched(spark, sf_dir), EVENT_ROUTES)
+        .groupBy("route_id")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+    )
+
+
+def q_time_window(spark, sf_dir):
+    return window_filter(
+        transcripts(spark, sf_dir), "2024-01-15 00:00:00", "24 hours"
+    ).select("conv_id", "turn_idx", "ts")
+
+
+def q_ticks(spark, sf_dir):
+    return ticks_df(spark, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "6 hours")
+
+
+def q_cursor_extract(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("cursor_k"),
+    )
+
+
+def q_schema_hint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("data/x/"), F.col("source")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("fdrv2/x/"), F.col("source")))
+        .otherwise(F.concat(F.lit("raw/x/"), F.col("source")))
+    )
+    return docs.select(
+        "doc_id", path.alias("path"), schema_hint(path).alias("hint")
+    )
+
+
+def q_slug(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", slug(F.col("text")).alias("slug"))
+
+
+def q_sink_names(spark, sf_dir):
+    t = transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        sink_object_name(
+            "logs/", F.col("tool"), F.col("ts"), slug(F.col("text")), F.col("turn_idx")
+        ).alias("object_name"),
+    )
+
+
+# ----------------------------------------------------------------------------
+# generic relational coverage (TPC-H-ish tables)
+# ----------------------------------------------------------------------------
+
+def q_agg_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_segment_revenue(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_window_first_events(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_topk_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def q_setop_purchasers_no_error(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    purchasers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    error_users = ev.filter("event_type = 'error'").select("user_id").distinct()
+    return purchasers.exceptAll(error_users)
+
+
+def q_distinct_event_days(spark, sf_dir):
+    # dates travel as strings: DuckDB DATE and Spark DATE render differently
+    # through pandas, which would false-negative the driver's value hash
+    ev = load(spark, sf_dir, "events")
+    return ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct()
+
+
+# ----------------------------------------------------------------------------
+# training-data ops (documents / embeddings)
+# ----------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        stopword_ratio(F.col("text")).alias("stop_ratio"),
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+# rows-only checks (no SQL-expressible oracle)
+
+def q_minhash_neardup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(500)
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def q_simhash_candidates(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").limit(500)
+    return simhash_candidates(docs)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=5)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(500)
+    return embedding_near_dup(emb, threshold=0.9)
+
+
+def q_media_features(spark, sf_dir):
+    from hatchery_spark.functions.multimodal import extract_media_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, n=64)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "sha8", "decode_status"
+    )
+
+
+# ----------------------------------------------------------------------------
+# oracle SQL
+# ----------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         concat(' ', lower(text), ' ') AS padded,
+         greatest(cast(len(string_split(text, ' ')) AS int), 1) AS n_tok,
+         greatest(length(text), 1) AS n_chr
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text, n_tok, n_chr,
+    ( cast((length(padded) - length(replace(padded, ' the ', ''))) / 5 AS int)
+    + cast((length(padded) - length(replace(padded, ' a ', ''))) / 3 AS int)
+    + cast((length(padded) - length(replace(padded, ' and ', ''))) / 5 AS int)
+    + cast((length(padded) - length(replace(padded, ' of ', ''))) / 4 AS int)
+    + cast((length(padded) - length(replace(padded, ' to ', ''))) / 4 AS int)
+    + cast((length(padded) - length(replace(padded, ' in ', ''))) / 4 AS int)
+    + cast((length(padded) - length(replace(padded, ' is ', ''))) / 4 AS int)
+    + cast((length(padded) - length(replace(padded, ' it ', ''))) / 4 AS int)
+    + cast((length(padded) - length(replace(padded, ' that ', ''))) / 6 AS int)
+    + cast((length(padded) - length(replace(padded, ' for ', ''))) / 5 AS int)
+    ) AS stop_hits,
+    (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS punct_n
+  FROM t
+)
+SELECT doc_id,
+  round(stop_hits / n_tok, 4) AS stop_ratio,
+  round(punct_n / n_chr, 4) AS punct_ratio,
+  round(
+      least(length(text) / 500.0, 1.0) * 0.4
+    + least(round(stop_hits / n_tok, 4) * 4, 1.0) * 0.4
+    + (1.0 - least(round(punct_n / n_chr, 4) * 5, 1.0)) * 0.2
+  , 4) AS quality
+FROM hits
+"""
+
+_LANG_ORACLE = """
+WITH t AS (
+  SELECT doc_id, concat(' ', lower(text), ' ') AS s FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    ( cast((length(s) - length(replace(s, ' the ', ''))) / 5 AS int)
+    + cast((length(s) - length(replace(s, ' and ', ''))) / 5 AS int)
+    + cast((length(s) - length(replace(s, ' is ', ''))) / 4 AS int)) AS en,
+    ( cast((length(s) - length(replace(s, ' der ', ''))) / 5 AS int)
+    + cast((length(s) - length(replace(s, ' und ', ''))) / 5 AS int)
+    + cast((length(s) - length(replace(s, ' ist ', ''))) / 5 AS int)) AS de,
+    ( cast((length(s) - length(replace(s, ' el ', ''))) / 4 AS int)
+    + cast((length(s) - length(replace(s, ' que ', ''))) / 5 AS int)
+    + cast((length(s) - length(replace(s, ' es ', ''))) / 4 AS int)) AS es,
+    ( cast((length(s) - length(replace(s, ' le ', ''))) / 4 AS int)
+    + cast((length(s) - length(replace(s, ' et ', ''))) / 4 AS int)
+    + cast((length(s) - length(replace(s, ' est ', ''))) / 5 AS int)) AS fr
+  FROM t
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(en, de, es, fr) > 0 AND en = greatest(en, de, es, fr) THEN 'en'
+    WHEN greatest(en, de, es, fr) > 0 AND de = greatest(en, de, es, fr) THEN 'de'
+    WHEN greatest(en, de, es, fr) > 0 AND es = greatest(en, de, es, fr) THEN 'es'
+    WHEN greatest(en, de, es, fr) > 0 AND fr = greatest(en, de, es, fr) THEN 'fr'
+    ELSE 'unknown'
+  END AS lang_guess
+FROM scores
+"""
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, cast(embedding AS double[]) AS qv
+  FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+c AS (SELECT vec_id, cast(embedding AS double[]) AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    round(list_dot_product(c.cv, q.qv)
+      / (sqrt(list_dot_product(c.cv, c.cv)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+    AS cosine
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def oracle_catalog() -> dict[str, str]:
+    p = ORACLE_PIPELINE_CTE
+    return {
+        "pipeline_transcripts_view": p + "SELECT * FROM transcripts",
+        "pipeline_parse": p + "SELECT * FROM parsed",
+        "pipeline_parse_pandas": p + "SELECT * FROM parsed",
+        "pipeline_enrich": p + "SELECT * FROM enriched",
+        "pipeline_route_fanout": p + "SELECT * FROM routed",
+        "pipeline_sink_counts": p
+        + "SELECT route_id, count(*) AS row_count FROM routed GROUP BY route_id",
+        "pipeline_select_by_tag": p
+        + "SELECT * FROM routed WHERE route_id IN ('evt-errors','evt-auth')",
+        "pipeline_run_summary": p
+        + """SELECT route_id, count(*) AS row_count, min(ts) AS min_ts,
+                    max(ts) AS max_ts, count(DISTINCT conv_id) AS n_convs
+             FROM routed GROUP BY route_id""",
+        "pipeline_time_window": p
+        + """SELECT conv_id, turn_idx, ts FROM transcripts
+             WHERE ts BETWEEN TIMESTAMP '2024-01-14 00:00:00'
+                          AND TIMESTAMP '2024-01-15 00:00:00'""",
+        "pipeline_ticks": """
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-02 00:00:00',
+                                          INTERVAL 6 HOUR)) AS tick""",
+        "pipeline_cursor_extract": """
+            SELECT event_id, cast(json_extract_string(props, '$.k') AS int) AS cursor_k
+            FROM events""",
+        "pipeline_schema_hint": """
+            WITH t AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN concat('data/x/', source)
+                     WHEN doc_id % 3 = 1 THEN concat('fdrv2/x/', source)
+                     ELSE concat('raw/x/', source) END AS path
+              FROM documents)
+            SELECT doc_id, path,
+              CASE WHEN split_part(path, '/', 1) = 'data' THEN 'data'
+                   WHEN split_part(path, '/', 1) = 'fdrv2'
+                     THEN concat('fdrv2_', split_part(path, '/', 3))
+                   ELSE 'unknown' END AS hint
+            FROM t""",
+        "pipeline_slug": "SELECT doc_id, substring(sha256(text), 1, 8) AS slug FROM documents",
+        "pipeline_sink_names": p
+        + """SELECT conv_id, turn_idx,
+               concat('logs/', tool, '/', strftime(ts, '%Y/%m/%d/%H'), '/',
+                      strftime(ts, '%Y%m%dT%H%M%S'), '_',
+                      substring(sha256(text), 1, 8), '_',
+                      printf('%04d', turn_idx), '.parquet') AS object_name
+             FROM transcripts""",
+        "rel_agg_pricing": _Q1_ORACLE,
+        "rel_join_segment_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "rel_window_first_events": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS int) AS rn
+              FROM events) t
+            WHERE rn <= 3""",
+        "rel_topk_users": """
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 10""",
+        "rel_setop_purchasers_no_error": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
+        "rel_distinct_event_days": "SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events",
+        "doc_token_count": """
+            SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS n_tokens
+            FROM documents""",
+        "doc_text_quality": _QUALITY_ORACLE,
+        "doc_lang_id": _LANG_ORACLE,
+        "doc_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text""",
+        "emb_cosine_topk": _TOPK_ORACLE,
+    }
+
+
+def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # pipeline operators
+        "pipeline_transcripts_view": q_transcripts_view,
+        "pipeline_parse": q_parse,
+        "pipeline_parse_pandas": q_parse_pandas,
+        "pipeline_enrich": q_enrich,
+        "pipeline_route_fanout": q_route_fanout,
+        "pipeline_sink_counts": q_sink_counts,
+        "pipeline_select_by_tag": q_select_by_tag,
+        "pipeline_run_summary": q_run_summary,
+        "pipeline_time_window": q_time_window,
+        "pipeline_ticks": q_ticks,
+        "pipeline_cursor_extract": q_cursor_extract,
+        "pipeline_schema_hint": q_schema_hint,
+        "pipeline_slug": q_slug,
+        "pipeline_sink_names": q_sink_names,
+        # generic relational operators
+        "rel_agg_pricing": q_agg_pricing,
+        "rel_join_segment_revenue": q_join_segment_revenue,
+        "rel_window_first_events": q_window_first_events,
+        "rel_topk_users": q_topk_users,
+        "rel_setop_purchasers_no_error": q_setop_purchasers_no_error,
+        "rel_distinct_event_days": q_distinct_event_days,
+        # training-data ops
+        "doc_token_count": q_token_count,
+        "doc_text_quality": q_text_quality,
+        "doc_lang_id": q_lang_id,
+        "doc_exact_dedup": q_exact_dedup,
+        "emb_cosine_topk": q_embedding_topk,
+        # rows-only (non-SQL-expressible: seeded-hash / pandas-UDF internals)
+        "doc_minhash_neardup": q_minhash_neardup,
+        "doc_simhash_candidates": q_simhash_candidates,
+        "emb_lsh_topk": q_lsh_topk,
+        "emb_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
+    }

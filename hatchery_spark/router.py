@@ -41,10 +41,16 @@ def routed_union(df: DataFrame, routes: Sequence[RouteConfig]) -> DataFrame:
     """All routed rows as one DataFrame (row duplicated per matching route).
 
     This is the parity surface: routed-row equality and per-sink counts are
-    defined over this union. unionByName keeps it schema-safe.
+    defined over it. Implemented as a SINGLE-PASS fan-out — every route
+    predicate is evaluated once per row and matching route_ids explode out —
+    rather than a union of k filtered scans, which would re-read the input k
+    times. Multiset-identical to the union formulation (rows matching no route
+    drop; rows matching k routes appear k times).
     """
-    parts = [route_matches(df, r) for r in routes]
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    match_tags = F.array_compact(
+        F.array(*[F.when(F.expr(r.predicate), F.lit(r.route_id)) for r in routes])
+    )
+    return df.withColumn("route_id", F.explode(match_tags))
 
 
 def sink_counts(df: DataFrame, routes: Sequence[RouteConfig]) -> DataFrame:

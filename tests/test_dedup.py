@@ -1,0 +1,70 @@
+import pytest
+from pyspark.sql import functions as F
+
+from hatchery_spark.functions import dedup as dd
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (3, "completely different text about spark dataframes and shuffle partitions"),
+    (4, "another unrelated document mentioning broadcast joins and aqe settings"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = dd.exact_dedup(docs)
+    rows = {r.doc_id: r.dup_count for r in out.collect()}
+    assert rows == {0: 2, 2: 1, 3: 1, 4: 1}
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcdef",)], "text string")
+    sh = df.select(dd.char_shingles(F.col("text"), 3).alias("s")).first().s
+    assert sorted(sh) == ["abc", "bcd", "cde", "def"]
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = dd.minhash_dedup(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always found
+    assert (0, 2) in got or (1, 2) in got  # near dup found
+    # unrelated docs never paired
+    assert not any(3 in p or 4 in p for p in got if p not in {(3, 4)})
+
+
+def test_minhash_exact_dup_jaccard_is_one(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dd.minhash_dedup(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_simhash_deterministic_and_groups_dups(spark, docs):
+    sh = docs.select("doc_id", dd.simhash64(F.col("text")).alias("s")).collect()
+    vals = {r.doc_id: r.s for r in sh}
+    assert vals[0] == vals[1]  # identical text → identical simhash
+    cands = {(r.id_a, r.id_b) for r in dd.simhash_candidates(docs).collect()}
+    assert (0, 1) in cands
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 3)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.ngram_jaccard for r in dd.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 3)] == 0.0
+
+
+def test_bucket_cap_applies(spark):
+    # 60 identical docs all share every band bucket; cap 10 drops those buckets
+    many = spark.createDataFrame(
+        [(i, "same text everywhere for all docs") for i in range(60)],
+        "doc_id long, text string",
+    )
+    capped = dd.minhash_lsh_candidates(many, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = dd.minhash_lsh_candidates(many, max_bucket=1000)
+    assert uncapped.count() == 60 * 59 // 2

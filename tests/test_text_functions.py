@@ -1,0 +1,72 @@
+from pyspark.sql import functions as F
+
+from hatchery_spark.functions import text as tx
+
+
+def _one(spark, s, col):
+    return spark.createDataFrame([(s,)], "text string").select(col.alias("r")).first().r
+
+
+def test_token_count(spark):
+    assert _one(spark, "a b  c", tx.token_count(F.col("text"))) == 3
+    assert _one(spark, "hello", tx.token_count(F.col("text"))) == 1
+
+
+def test_stopword_ratio(spark):
+    # "the cat is here" → stopwords: the, is → 2/4
+    assert _one(spark, "the cat is here", tx.stopword_ratio(F.col("text"))) == 0.5
+    assert _one(spark, "cat dog", tx.stopword_ratio(F.col("text"))) == 0.0
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "ab!!", tx.punct_ratio(F.col("text"))) == 0.5
+
+
+def test_quality_monotone_in_substance(spark):
+    low = _one(spark, "!!! ??? !!!", tx.quality_score(F.col("text")))
+    high = _one(
+        spark,
+        "the quick brown fox jumps over the lazy dog and it is a good day for running in the park " * 6,
+        tx.quality_score(F.col("text")),
+    )
+    assert high > low
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat and the dog is here", tx.lang_id(F.col("text"))) == "en"
+    assert _one(spark, "der hund und die katze ist da", tx.lang_id(F.col("text"))) == "de"
+    assert _one(spark, "el perro dice que es bueno", tx.lang_id(F.col("text"))) == "es"
+    assert _one(spark, "le chien et le chat est là", tx.lang_id(F.col("text"))) == "fr"
+    assert _one(spark, "xyzzy plugh", tx.lang_id(F.col("text"))) == "unknown"
+
+
+def test_slug_deterministic(spark):
+    a = _one(spark, "payload", tx.slug(F.col("text")))
+    b = _one(spark, "payload", tx.slug(F.col("text")))
+    assert a == b and len(a) == 8 and all(c in "0123456789abcdef" for c in a)
+
+
+def test_schema_hint(spark):
+    col = tx.schema_hint(F.col("text"))
+    assert _one(spark, "data/foo/bar", col) == "data"
+    assert _one(spark, "fdrv2/x/aidmaster/f.gz", col) == "fdrv2_aidmaster"
+    assert _one(spark, "other/path", col) == "unknown"
+
+
+def test_sink_object_name(spark):
+    df = spark.createDataFrame(
+        [("2025-06-01 13:04:05", "hint", "s", 7)],
+        "ts string, hint string, slugv string, seq int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = df.select(
+        tx.sink_object_name(
+            "pre/", F.col("hint"), F.col("ts"), F.col("slugv"), F.col("seq"), "json"
+        ).alias("r")
+    ).first().r
+    assert r == "pre/hint/2025/06/01/13/20250601T130405_s_0007.json"
+
+
+def test_fingerprint64_stable(spark):
+    df = spark.createDataFrame([("x",), ("x",), ("y",)], "text string")
+    vals = [r.f for r in df.select(tx.fingerprint64(F.col("text")).alias("f")).collect()]
+    assert vals[0] == vals[1] != vals[2]
