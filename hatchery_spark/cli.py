@@ -1,0 +1,142 @@
+"""CLI entry point: spark-submit-able main with the reference's flag semantics.
+
+Rebuilds /root/reference/cli.go:14-109 as argparse:
+  -i/--route-ids, -t/--tags, -a/--all   → selectors (O1–O3)
+  --start/--end/--tick                  → time-range tick loop (O7)
+  --run-ts / --window                   → per-run as-of time + lookback (O8/O27)
+Plus Spark-side knobs the reference doesn't need: --input (table path),
+--out, --manifest, --parse-engine, --streaming/--checkpoint.
+
+Packaging: `python -m hatchery_spark ...` locally, or on a cluster
+  spark-submit --py-files hatchery_spark.zip -m hatchery_spark.cli ...
+(build the zip with scripts/package.sh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from datetime import datetime, timedelta
+
+from hatchery_spark.config import (
+    DEFAULT_ROUTES,
+    RouteConfig,
+    select_all,
+    select_by_id,
+    select_by_tag,
+)
+from hatchery_spark.lineage import ManifestStore
+from hatchery_spark.pipeline import run_pipeline
+from hatchery_spark.session import get_spark
+from hatchery_spark.timerange import generate_ticks
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="hatchery_spark", description=__doc__)
+    p.add_argument("-i", "--route-ids", nargs="*", default=[], help="select routes by ID")
+    p.add_argument("-t", "--tags", nargs="*", default=[], help="select routes by tag")
+    p.add_argument("-a", "--all", action="store_true", help="select all routes")
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--out", required=True, help="sink base directory")
+    p.add_argument("--routes-json", help="route config JSON file (defaults to built-ins)")
+    p.add_argument("--manifest", help="manifest dir for resume (default <out>/_manifest)")
+    p.add_argument("--run-ts", help="logical as-of time 'YYYY-mm-dd HH:MM:SS'")
+    p.add_argument("--window", help="lookback window, e.g. '10 minutes'")
+    p.add_argument("--start", help="tick loop start (RFC3339-ish)")
+    p.add_argument("--end", help="tick loop end")
+    p.add_argument("--tick", type=int, default=0, help="tick seconds (0 = single shot)")
+    p.add_argument("--parse-engine", choices=["native", "pandas"], default="native")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--streaming", action="store_true", help="Structured Streaming mode")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir")
+    return p.parse_args(argv)
+
+
+def load_routes(path: str | None) -> list[RouteConfig]:
+    if path is None:
+        return list(DEFAULT_ROUTES)
+    with open(path) as f:
+        raw = json.load(f)
+    return [
+        RouteConfig(
+            route_id=r["route_id"],
+            tags=tuple(r.get("tags", ())),
+            predicate=r.get("predicate", "true"),
+            sink_path=r.get("sink_path"),
+            sink_format=r.get("sink_format", "parquet"),
+        )
+        for r in raw
+    ]
+
+
+def build_selectors(args: argparse.Namespace):
+    sels = []
+    if args.route_ids:
+        sels.append(select_by_id(*args.route_ids))
+    if args.tags:
+        sels.append(select_by_tag(*args.tags))
+    if args.all or not sels:
+        sels.append(select_all())
+    return sels
+
+
+def _parse_dt(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    routes = load_routes(args.routes_json)
+    selectors = build_selectors(args)
+    spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
+                      shuffle_partitions=args.shuffle_partitions)
+
+    if args.streaming:
+        from hatchery_spark.streaming.stream import run_streaming_pipeline
+
+        if not args.checkpoint:
+            print("--streaming requires --checkpoint", file=sys.stderr)
+            return 2
+        run_streaming_pipeline(
+            spark, args.input, routes, args.out, args.checkpoint
+        )
+        return 0
+
+    df = spark.read.parquet(args.input)
+    manifest = ManifestStore(args.manifest or f"{args.out}/_manifest")
+
+    if args.start and args.end:
+        ticks = list(
+            generate_ticks(_parse_dt(args.start), _parse_dt(args.end),
+                           timedelta(seconds=args.tick))
+        )
+    else:
+        ticks = [None]
+
+    for tick in ticks:
+        run_ts = (
+            tick.strftime("%Y-%m-%d %H:%M:%S")
+            if tick is not None
+            else (args.run_ts or "1970-01-01 00:00:00")
+        )
+        res = run_pipeline(
+            spark, df, routes, args.out,
+            run_ts=run_ts,
+            selectors=selectors,
+            window=args.window,
+            manifest=manifest,
+            parse_engine=args.parse_engine,
+        )
+        print(json.dumps({
+            "run_ts": res.run_ts,
+            "counts": res.counts,
+            "skipped": res.skipped,
+            "sinks": res.sinks,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

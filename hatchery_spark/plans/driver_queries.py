@@ -199,6 +199,22 @@ def q_run_summary(spark, sf_dir):
     )
 
 
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation rollup over the transcripts payload (agent-transcript
+    analytics: turns, span, distinct tools, error turns)."""
+    t = parse_turns(transcripts(spark, sf_dir))
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn_idx"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.countDistinct("tool").alias("n_tools"),
+        F.sum(
+            F.when(F.col("severity").isin("error", "critical"), 1).otherwise(0)
+        ).alias("n_error_turns"),
+    )
+
+
 def q_time_window(spark, sf_dir):
     return window_filter(
         transcripts(spark, sf_dir), "2024-01-15 00:00:00", "24 hours"
@@ -506,6 +522,13 @@ def oracle_catalog() -> dict[str, str]:
         + """SELECT route_id, count(*) AS row_count, min(ts) AS min_ts,
                     max(ts) AS max_ts, count(DISTINCT conv_id) AS n_convs
              FROM routed GROUP BY route_id""",
+        "pipeline_conv_stats": p
+        + """SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
+                    min(ts) AS first_ts, max(ts) AS last_ts,
+                    count(DISTINCT tool) AS n_tools,
+                    cast(sum(CASE WHEN severity IN ('error','critical') THEN 1 ELSE 0 END)
+                         AS bigint) AS n_error_turns
+             FROM parsed GROUP BY conv_id""",
         "pipeline_time_window": p
         + """SELECT conv_id, turn_idx, ts FROM transcripts
              WHERE ts BETWEEN TIMESTAMP '2024-01-14 00:00:00'
@@ -581,6 +604,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_sink_counts,
         "pipeline_select_by_tag": q_select_by_tag,
         "pipeline_run_summary": q_run_summary,
+        "pipeline_conv_stats": q_conv_stats,
         "pipeline_time_window": q_time_window,
         "pipeline_ticks": q_ticks,
         "pipeline_cursor_extract": q_cursor_extract,

@@ -47,7 +47,15 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode = single JVM: the driver heap IS executor memory. Size it
+        # to the host (the 128 GiB sandbox) — undersizing shows up as massive
+        # GC variance on string-heavy stages.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"))
+        # codegen for wide projections (long format_string/regexp chains) can
+        # exceed the JVM's 8000-bytecode JIT ceiling; without this flag such
+        # methods run interpreted FOREVER (~50x slower) instead of warming up
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

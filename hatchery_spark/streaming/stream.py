@@ -1,0 +1,130 @@
+"""Structured Streaming mode: the same stage functions under readStream.
+
+The reference is a cron-batch puller (docs/usage.md; tick loop
+/root/reference/pkg/config/range.go:62-75), so batch is the primary mode; this
+module gives the streaming equivalent with identical stage semantics:
+
+  readStream(transcripts dir) → parse → enrich → foreachBatch fan-out
+                                         (one filtered write per route per batch)
+
+  * checkpointing: Spark's offset/commit log per query — the streaming analog
+    of the manifest store's ack-after-write (delete-after-write,
+    /root/reference/source/falcon_data_replicator/client.go:217-224).
+  * trigger(availableNow=True) = catch-up batch parity (one run drains all
+    available input then stops) — the streaming analog of a single tick.
+  * watermark + tumbling window for per-window sink counts (late-data-safe).
+
+Batch and streaming share parse/enrich/route code; only the sink loop differs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hatchery_spark.config import RouteConfig, validate_routes
+from hatchery_spark.datagen import service_catalog_df
+from hatchery_spark.enrich import enrich_turns
+from hatchery_spark.parse import parse_turns
+from hatchery_spark.router import route_matches
+from hatchery_spark.pipeline import TRANSCRIPT_COLUMNS
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcripts_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def route_fanout_batch_writer(
+    routes: Sequence[RouteConfig], out_dir: str, catalog: DataFrame
+):
+    """foreachBatch function: parse → enrich → per-route append write.
+
+    Runs per micro-batch on the driver; each route's write is an independent
+    action over the persisted batch (same shape as the batch router).
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = enrich_turns(parse_turns(batch_df), catalog)
+        enriched.persist()
+        try:
+            for route in routes:
+                (
+                    route_matches(enriched, route)
+                    .withColumn("dt", F.to_date("ts"))
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .partitionBy("dt")
+                    .parquet(f"{out_dir}/{route.route_id}")
+                )
+        finally:
+            enriched.unpersist()
+
+    return _write
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    routes: Sequence[RouteConfig],
+    out_dir: str,
+    checkpoint_dir: str,
+    catalog: DataFrame | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and for availableNow: await) the streaming fan-out query."""
+    validate_routes(routes)
+    if catalog is None:
+        catalog = service_catalog_df(spark)
+    stream = read_transcripts_stream(spark, input_path, max_files_per_trigger)
+    writer = (
+        stream.select(*TRANSCRIPT_COLUMNS)
+        .writeStream.foreachBatch(route_fanout_batch_writer(routes, out_dir, catalog))
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime=processing_time).start()
+
+
+def windowed_sink_counts(
+    stream: DataFrame,
+    routes: Sequence[RouteConfig],
+    catalog: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-(event-time window, route) counts with late-data watermarking.
+
+    Stateful streaming aggregation: watermark bounds state retention so the
+    job runs forever without unbounded memory.
+    """
+    from hatchery_spark.router import routed_union
+
+    enriched = enrich_turns(parse_turns(stream), catalog)
+    routed = routed_union(enriched, routes)
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "route_id")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "route_id",
+            "row_count",
+        )
+    )

@@ -37,8 +37,10 @@ spark = get_spark(f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=max(cpus, 8
 spark.range(1000).count()  # JVM warm-up
 df = spark.read.parquet(input_path)
 n = df.count()  # also warms the page cache so both runs read warm
+q = sink_counts(prepare(df, service_catalog_df(spark)), DEFAULT_ROUTES)
+q.collect()  # warm-up: JIT-compile the generated stage before timing
 t0 = time.perf_counter()
-counts = sink_counts(prepare(df, service_catalog_df(spark)), DEFAULT_ROUTES).collect()
+counts = q.collect()
 dt = time.perf_counter() - t0
 print("RESULT " + json.dumps({{
     "cpus": cpus, "rows": n, "sec": round(dt, 3),

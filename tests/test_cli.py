@@ -1,0 +1,57 @@
+import json
+import subprocess
+import sys
+
+import pytest
+
+from hatchery_spark.cli import build_selectors, load_routes, parse_args
+from hatchery_spark.config import DEFAULT_ROUTES, select_routes
+from hatchery_spark.datagen import transcripts_df
+
+
+def test_selector_building():
+    args = parse_args(["--input", "x", "--out", "y", "-i", "sec-alerts"])
+    sel = build_selectors(args)
+    chosen = select_routes(DEFAULT_ROUTES, sel)
+    assert [r.route_id for r in chosen] == ["sec-alerts"]
+
+    args = parse_args(["--input", "x", "--out", "y", "-t", "security"])
+    chosen = select_routes(DEFAULT_ROUTES, build_selectors(args))
+    assert {r.route_id for r in chosen} == {"sec-alerts", "auth-audit"}
+
+    args = parse_args(["--input", "x", "--out", "y", "-a"])
+    assert len(select_routes(DEFAULT_ROUTES, build_selectors(args))) == len(DEFAULT_ROUTES)
+
+
+def test_routes_json_roundtrip(tmp_path):
+    p = tmp_path / "routes.json"
+    p.write_text(
+        json.dumps(
+            [
+                {"route_id": "r1", "tags": ["x"], "predicate": "severity = 'error'"},
+                {"route_id": "r2", "sink_format": "json"},
+            ]
+        )
+    )
+    routes = load_routes(str(p))
+    assert routes[0].route_id == "r1" and routes[0].tags == ("x",)
+    assert routes[1].predicate == "true" and routes[1].sink_format == "json"
+
+
+@pytest.mark.slow
+def test_cli_end_to_end_subprocess(spark, tmp_path):
+    """Full spark-submit-style invocation in a fresh interpreter."""
+    inp = str(tmp_path / "in")
+    transcripts_df(spark, 2000, seed=5).write.mode("overwrite").parquet(inp)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "hatchery_spark",
+            "--input", inp, "--out", str(tmp_path / "out"),
+            "--run-ts", "2025-06-04 00:00:00", "--cpus", "4", "-t", "security",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(res["counts"]) == {"sec-alerts", "auth-audit"}
+    assert all(n > 0 for n in res["counts"].values())
