@@ -331,6 +331,103 @@ def q_distinct_event_days(spark, sf_dir):
     return ev.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct()
 
 
+def q_rollup_pricing(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.cube("event_type", F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_semi_join_customers(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_anti_join_customers(spark, sf_dir):
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_pivot_user_events(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.lpad("p_type", 20, "_").alias("padded"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("repl"),
+        F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+        F.length("p_name").alias("len"),
+        F.reverse(F.col("p_brand")).alias("rev"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+def q_datetime_funcs(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("trunc_h"),
+        (F.unix_timestamp("ts")).alias("epoch_s"),
+    )
+
+
+def q_having_active_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("l_extendedprice"), 2).alias("mn"),
+        F.round(F.max("l_extendedprice"), 2).alias("mx"),
+    )
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """Per-partition lineage summary (rows-only: partition ids are physical)."""
+    from hatchery_spark.lineage import partition_metrics
+
+    return partition_metrics(transcripts(spark, sf_dir))
+
+
 # ----------------------------------------------------------------------------
 # training-data ops (documents / embeddings)
 # ----------------------------------------------------------------------------
@@ -581,6 +678,51 @@ def oracle_catalog() -> dict[str, str]:
             EXCEPT
             SELECT DISTINCT user_id FROM events WHERE event_type = 'error'""",
         "rel_distinct_event_days": "SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events",
+        "rel_rollup_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "rel_cube_events": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
+            FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""",
+        "rel_semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "rel_anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+        "rel_pivot_user_events": """
+            SELECT user_id,
+              cast(count(*) FILTER (WHERE event_type = 'click') AS bigint) AS click,
+              cast(count(*) FILTER (WHERE event_type = 'view') AS bigint) AS view,
+              cast(count(*) FILTER (WHERE event_type = 'purchase') AS bigint) AS purchase,
+              cast(count(*) FILTER (WHERE event_type = 'signup') AS bigint) AS signup,
+              cast(count(*) FILTER (WHERE event_type = 'error') AS bigint) AS error
+            FROM events GROUP BY user_id""",
+        "rel_string_funcs": """
+            SELECT p_partkey, upper(p_name) AS up, lower(p_brand) AS lo,
+                   lpad(p_type, 20, '_') AS padded, substring(p_name, 2, 5) AS sub,
+                   replace(p_name, 'a', '@') AS repl,
+                   concat_ws('|', p_brand, p_type) AS joined,
+                   cast(length(p_name) AS int) AS len, reverse(p_brand) AS rev,
+                   trim('  x  ') AS trimmed
+            FROM part""",
+        "rel_datetime_funcs": """
+            SELECT event_id, cast(year(ts) AS int) AS y, cast(month(ts) AS int) AS mo,
+                   cast(day(ts) AS int) AS d, cast(hour(ts) AS int) AS h,
+                   cast(minute(ts) AS int) AS mi,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
+                   cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
+            FROM events""",
+        "rel_having_active_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id HAVING count(*) >= 10""",
+        "rel_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(min(l_extendedprice), 2) AS mn,
+                   round(max(l_extendedprice), 2) AS mx
+            FROM lineitem GROUP BY l_returnflag""",
         "doc_token_count": """
             SELECT doc_id, cast(len(string_split(text, ' ')) AS int) AS n_tokens
             FROM documents""",
@@ -618,6 +760,15 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_topk_users": q_topk_users,
         "rel_setop_purchasers_no_error": q_setop_purchasers_no_error,
         "rel_distinct_event_days": q_distinct_event_days,
+        "rel_rollup_pricing": q_rollup_pricing,
+        "rel_cube_events": q_cube_events,
+        "rel_semi_join_customers": q_semi_join_customers,
+        "rel_anti_join_customers": q_anti_join_customers,
+        "rel_pivot_user_events": q_pivot_user_events,
+        "rel_string_funcs": q_string_funcs,
+        "rel_datetime_funcs": q_datetime_funcs,
+        "rel_having_active_users": q_having_active_users,
+        "rel_percentiles": q_percentiles,
         # training-data ops
         "doc_token_count": q_token_count,
         "doc_text_quality": q_text_quality,
@@ -630,4 +781,5 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_lsh_topk,
         "emb_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "pipeline_lineage_metrics": q_lineage_metrics,
     }

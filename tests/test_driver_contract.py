@@ -35,6 +35,7 @@ def test_rows_only_queries_documented():
         "emb_lsh_topk",
         "emb_near_dup",
         "media_features",
+        "pipeline_lineage_metrics",
     }
 
 
