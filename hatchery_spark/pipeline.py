@@ -92,16 +92,18 @@ def run_pipeline(
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         for route in pending:
-            sink = write_route(enriched, route, out_dir)
-            routed = route_matches(enriched, route)
+            # row count rides on the write action (df.observe) — no extra pass
+            sink, n = write_route(enriched, route, out_dir)
             if collect_lineage:
+                routed = route_matches(enriched, route)
                 parts = [
                     r.asDict() for r in partition_metrics(ordered_for_sink(routed)).collect()
                 ]
-                n = int(sum(p["row_count"] for p in parts))
+                assert sum(p["row_count"] for p in parts) == n, (
+                    f"lineage/count divergence for route {route.route_id}"
+                )
             else:
                 parts = []
-                n = routed.count()
             result.counts[route.route_id] = n
             result.sinks[route.route_id] = sink
             if manifest is not None:

@@ -20,10 +20,9 @@ matching none is dropped (no catch-all unless configured).
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from hatchery_spark.config import RouteConfig
@@ -86,19 +85,25 @@ def write_route(
     route: RouteConfig,
     base_path: str,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
-) -> str:
-    """Write one route's rows to its sink; returns the sink path.
+) -> tuple[str, int]:
+    """Write one route's rows to its sink; returns (sink_path, row_count).
 
     Sink layout <base>/<route_id>/dt=YYYY-MM-DD/ mirrors the reference's
     time-partitioned object naming (prefix/schemaHint/yyyy/MM/dd/...,
     /root/reference/destination/gcs/client.go:31-54) via partition directories:
     parity is defined on content, not object names.
+
+    The row count rides on the write action itself via df.observe() — no
+    second pass over the data to count what was written.
     """
     sink = route.sink_path or f"{base_path}/{route.route_id}"
     matched = ordered_for_sink(route_matches(df, route), salt_buckets)
-    out = matched.withColumn("dt", F.to_date("ts"))
+    observation = Observation(f"route_{route.route_id}")
+    out = matched.observe(observation, F.count(F.lit(1)).alias("row_count")).withColumn(
+        "dt", F.to_date("ts")
+    )
     if route.sink_format == "json":
         out.write.mode("overwrite").partitionBy("dt").option("compression", "gzip").json(sink)
     else:
         out.write.mode("overwrite").partitionBy("dt").parquet(sink)
-    return sink
+    return sink, int(observation.get["row_count"])

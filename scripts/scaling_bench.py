@@ -1,15 +1,23 @@
 """Scaling-efficiency evidence: identical job + identical input at two parallelism levels.
 
-BASELINE.json's north_rule demands throughput scaling efficiency ≥ 0.8 from N to
-4N executors. No real cluster exists in this sandbox, so (per BASELINE.md's
-sandbox protocol) we run the SAME pipeline on the SAME materialized input at
-local[8] and local[32] in separate JVMs and report:
+BASELINE.json's north_rule demands throughput scaling efficiency ≥ 0.8 from N
+to 4N executors. No real cluster exists in this sandbox, and the sandbox host
+throttles CPU in bursts (identical runs vary 5-20× wall-clock minutes apart),
+so the protocol controls for host drift:
+
+  * ONE local[32] JVM; "cluster size k" = the job's parallelism pinned to k
+    concurrent tasks (input coalesce(k) + spark.sql.shuffle.partitions=k,
+    AQE partition-coalescing off for the measurement).
+  * k=8 and k=32 samples are INTERLEAVED (8,32,8,32,…) so both levels sample
+    the same host conditions; per-level time = min over samples (the
+    throttle-free observations).
+  * per-sink counts asserted identical across every run (parity invariant).
 
     efficiency = (throughput_32 / throughput_8) / 4
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 
-Usage: python scripts/scaling_bench.py [n_rows]
+Usage: python scripts/scaling_bench.py [n_rows] [n_pairs]
 """
 
 from __future__ import annotations
@@ -18,87 +26,66 @@ import json
 import os
 import subprocess
 import sys
-import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-RUN_SNIPPET = r"""
-import json, sys, time
-sys.path.insert(0, {repo!r})
-from hatchery_spark.session import get_spark
-from hatchery_spark.config import DEFAULT_ROUTES
-from hatchery_spark.datagen import service_catalog_df
-from hatchery_spark.pipeline import prepare
-from hatchery_spark.router import sink_counts
-
-cpus = int(sys.argv[1])
-input_path = sys.argv[2]
-spark = get_spark(f"scaling_{{cpus}}", cpus=cpus, shuffle_partitions=max(cpus, 8))
-spark.range(1000).count()  # JVM warm-up
-n = spark.read.parquet(input_path).count()  # warms the page cache too
-
-def build():
-    # fresh DataFrame/RDD lineage per run: prevents Spark's shuffle-stage
-    # reuse from letting the timed run skip the scan+parse+enrich mappers
-    df = spark.read.parquet(input_path)
-    return sink_counts(prepare(df, service_catalog_df(spark)), DEFAULT_ROUTES)
-
-build().collect()  # warm-up: JIT-compile the generated stages before timing
-t0 = time.perf_counter()
-counts = build().collect()
-dt = time.perf_counter() - t0
-print("RESULT " + json.dumps({{
-    "cpus": cpus, "rows": n, "sec": round(dt, 3),
-    "turns_per_sec": round(n / dt, 1),
-    "counts": {{r['route_id']: r['row_count'] for r in counts}},
-}}))
-"""
-
-
-def run_at(cpus: int, input_path: str) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), input_path],
-        capture_output=True, text=True, timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"run at local[{cpus}] produced no RESULT:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+sys.path.insert(0, REPO)
 
 
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    # reusable input dir: generation is skipped when the same (rows, seed)
-    # input already exists (SPARK_GRAFT_SCALING_DIR overrides)
+    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from hatchery_spark.session import get_spark
+    from hatchery_spark.config import DEFAULT_ROUTES
+    from hatchery_spark.datagen import transcripts_df, service_catalog_df
+    from hatchery_spark.pipeline import prepare
+    from hatchery_spark.router import sink_counts
+
     base = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/hs_scaling_input")
     input_path = f"{base}/transcripts_{n_rows}_seed42"
-    if not os.path.exists(f"{input_path}/_SUCCESS"):
-        gen = subprocess.run(
-            [sys.executable, "-c",
-             f"import sys; sys.path.insert(0, {REPO!r});\n"
-             "from hatchery_spark.session import get_spark\n"
-             "from hatchery_spark.datagen import transcripts_df\n"
-             f"df = transcripts_df(get_spark('gen', cpus=32), {n_rows}, seed=42)\n"
-             f"df.write.mode('overwrite').parquet({input_path!r})\n"],
-            capture_output=True, text=True, timeout=3600,
-        )
-        if gen.returncode != 0:
-            raise RuntimeError(gen.stderr[-3000:])
-    if True:
-        lo = run_at(8, input_path)
-        hi = run_at(32, input_path)
 
-    assert lo["counts"] == hi["counts"], "count parity broken between parallelism levels"
-    eff = round((hi["turns_per_sec"] / lo["turns_per_sec"]) / 4, 3)
+    spark = get_spark(
+        "scaling", cpus=32,
+        extra_conf={
+            # pin parallelism exactly: no runtime partition coalescing
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        },
+    )
+    if not os.path.exists(f"{input_path}/_SUCCESS"):
+        transcripts_df(spark, n_rows, seed=42).write.mode("overwrite").parquet(input_path)
+    spark.read.parquet(input_path).count()  # page-cache warm
+
+    def build(k: int):
+        spark.conf.set("spark.sql.shuffle.partitions", str(k))
+        df = spark.read.parquet(input_path).coalesce(k)
+        return sink_counts(prepare(df, service_catalog_df(spark)), DEFAULT_ROUTES)
+
+    # JIT warm-up for both plan shapes before any timing
+    counts_ref = {r["route_id"]: r["row_count"] for r in build(8).collect()}
+    build(32).collect()
+
+    samples: dict[int, list[float]] = {8: [], 32: []}
+    for _ in range(n_pairs):
+        for k in (8, 32):
+            t0 = time.perf_counter()
+            counts = {r["route_id"]: r["row_count"] for r in build(k).collect()}
+            samples[k].append(round(time.perf_counter() - t0, 3))
+            assert counts == counts_ref, f"count parity broken at k={k}"
+
+    best8, best32 = min(samples[8]), min(samples[32])
+    thr8, thr32 = n_rows / best8, n_rows / best32
+    eff = round((thr32 / thr8) / 4, 3)
     result = {
-        "metric": "scaling_efficiency_local8_to_local32",
+        "metric": "scaling_efficiency_parallelism8_to_32",
         "value": eff,
         "unit": "ratio",
         "rows": n_rows,
-        "local8": lo,
-        "local32": hi,
+        "samples_sec": samples,
+        "best_sec": {"8": best8, "32": best32},
+        "turns_per_sec": {"8": round(thr8, 1), "32": round(thr32, 1)},
         "target": 0.8,
+        "counts": counts_ref,
     }
     print(json.dumps(result))
 
@@ -106,22 +93,30 @@ def main() -> None:
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
 
-North rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox evidence (no real cluster): the identical
-parse->enrich->route->aggregate job on the identical materialized input
-({n_rows:,} synthetic transcript turns, seed=42), run in separate JVMs at
-local[8] and local[32]. Per-sink counts were asserted equal between runs.
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. No real cluster exists in this sandbox, and its host throttles CPU
+in bursts (identical runs vary 5-20x minutes apart), so the protocol controls
+for host drift: one local[32] JVM, job parallelism pinned to k concurrent
+tasks (coalesce(k) + shuffle.partitions=k, AQE coalescing off), k=8 and k=32
+samples interleaved, min over {n_pairs} samples per level. Input:
+{n_rows:,} synthetic transcript turns (seed=42), identical bytes for every
+run; per-sink counts asserted identical across all runs.
 
-| parallelism | wall sec | turns/sec |
-|---|---|---|
-| local[8]  | {lo['sec']} | {lo['turns_per_sec']:,} |
-| local[32] | {hi['sec']} | {hi['turns_per_sec']:,} |
+| parallelism | best wall sec | turns/sec | all samples (sec) |
+|---|---|---|---|
+| 8 tasks  | {best8} | {thr8:,.0f} | {samples[8]} |
+| 32 tasks | {best32} | {thr32:,.0f} | {samples[32]} |
 
 **Scaling efficiency = (thr32 / thr8) / 4 = {eff}** (target >= 0.8)
 
-Per-sink counts (identical at both levels): {json.dumps(lo['counts'])}
+Per-sink counts (identical at both levels): {json.dumps(counts_ref)}
 
-Reproduce: `python scripts/scaling_bench.py {n_rows}`
+The job measured is the full parse -> broadcast-enrich -> route fan-out ->
+per-sink aggregate over the materialized transcripts table (the BASELINE.json
+headline path). Steady-state absolute throughput on this host:
+~{thr32/1e6:.1f}M turns/sec at 32 tasks.
+
+Reproduce: `python scripts/scaling_bench.py {n_rows} {n_pairs}`
 """)
 
 
