@@ -421,6 +421,24 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_error_burst(spark, sf_dir):
+    """Grouped-agg pandas UDAF: longest error/critical run per conversation."""
+    from hatchery_spark.functions.udx import conv_error_burst
+
+    return conv_error_burst(parse_turns(transcripts(spark, sf_dir)))
+
+
+def q_kv_explode(spark, sf_dir):
+    """UDTF lateral explode of audit lines into (key, value) rows."""
+    from hatchery_spark.functions.udx import ParseKVPairs
+
+    spark.udtf.register("hs_parse_kv", ParseKVPairs)
+    transcripts(spark, sf_dir).filter("turn_idx = 0").createOrReplaceTempView("hs_t0")
+    return spark.sql(
+        "SELECT t.conv_id, kv.key, kv.value FROM hs_t0 t, LATERAL hs_parse_kv(t.text) kv"
+    )
+
+
 def q_lineage_metrics(spark, sf_dir):
     """Per-partition lineage summary (rows-only: partition ids are physical)."""
     from hatchery_spark.lineage import partition_metrics
@@ -619,6 +637,26 @@ def oracle_catalog() -> dict[str, str]:
         + """SELECT route_id, count(*) AS row_count, min(ts) AS min_ts,
                     max(ts) AS max_ts, count(DISTINCT conv_id) AS n_convs
              FROM routed GROUP BY route_id""",
+        "pipeline_error_burst": p
+        + """, flags AS (
+              SELECT conv_id, turn_idx,
+                CASE WHEN severity IN ('error','critical') THEN 1 ELSE 0 END AS f
+              FROM parsed
+            ), grp AS (
+              SELECT conv_id, f,
+                row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                - row_number() OVER (PARTITION BY conv_id, f ORDER BY turn_idx) AS g
+              FROM flags
+            ), runs AS (
+              SELECT conv_id, count(*) AS run_len FROM grp WHERE f = 1
+              GROUP BY conv_id, g
+            ), best AS (
+              SELECT conv_id, max(run_len) AS mx FROM runs GROUP BY conv_id
+            ), sizes AS (
+              SELECT conv_id, count(*) AS n FROM parsed GROUP BY conv_id
+            )
+            SELECT s.conv_id, round(coalesce(b.mx, 0) * 1.0 / s.n, 4) AS burst
+            FROM sizes s LEFT JOIN best b ON s.conv_id = b.conv_id""",
         "pipeline_conv_stats": p
         + """SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx,
                     min(ts) AS first_ts, max(ts) AS last_ts,
@@ -782,4 +820,6 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "pipeline_lineage_metrics": q_lineage_metrics,
+        "pipeline_error_burst": q_error_burst,
+        "pipeline_kv_explode": q_kv_explode,
     }

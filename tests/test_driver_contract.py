@@ -36,6 +36,7 @@ def test_rows_only_queries_documented():
         "emb_near_dup",
         "media_features",
         "pipeline_lineage_metrics",
+        "pipeline_kv_explode",
     }
 
 
