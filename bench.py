@@ -55,9 +55,14 @@ def main() -> None:
         t0 = time.perf_counter()
         fn()
         cold[name] = round(time.perf_counter() - t0, 3)
-        t1 = time.perf_counter()
-        fn()
-        warm[name] = round(time.perf_counter() - t1, 3)
+        # steady state = min of 2 warm runs (the sandbox host throttles CPU in
+        # bursts; a single sample can be 10-20x off)
+        best = float("inf")
+        for _ in range(2):
+            t1 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t1)
+        warm[name] = round(best, 3)
 
     work = tempfile.mkdtemp(prefix="hs_bench_")
     try:

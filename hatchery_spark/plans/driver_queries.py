@@ -215,6 +215,42 @@ def q_conv_stats(spark, sf_dir):
     )
 
 
+def q_conv_reconstruct(spark, sf_dir):
+    """Rebuild full conversation text in turn order (ordered aggregation) —
+    the canonical transcripts materialization for training-data export."""
+    t = transcripts(spark, sf_dir)
+    ordered_turns = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    return t.groupBy("conv_id").agg(
+        F.concat_ws("\n", F.transform(ordered_turns, lambda s: s.text)).alias("conv_text"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization: new session when >30 min idle per user."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in parquet; unix_micros wants TIMESTAMP — session TZ
+    # is UTC so the cast is a pure reinterpretation, matching DuckDB epoch_us
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = us - F.lag(us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)).alias("session_id"),
+    )
+
+
+def q_bpe_tokens(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    from hatchery_spark.functions.text import bpe_ish_token_count
+
+    return docs.select("doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces"))
+
+
 def q_time_window(spark, sf_dir):
     return window_filter(
         transcripts(spark, sf_dir), "2024-01-15 00:00:00", "24 hours"
@@ -664,6 +700,29 @@ def oracle_catalog() -> dict[str, str]:
                     cast(sum(CASE WHEN severity IN ('error','critical') THEN 1 ELSE 0 END)
                          AS bigint) AS n_error_turns
              FROM parsed GROUP BY conv_id""",
+        "pipeline_conv_reconstruct": p
+        + """SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS conv_text,
+                    count(*) AS n_turns
+             FROM transcripts GROUP BY conv_id""",
+        "rel_sessionize": """
+            WITH o AS (
+              SELECT user_id, event_id,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new,
+                ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+              cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
+            FROM o""",
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+              cast(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS int)
+                AS n_pieces
+            FROM documents""",
         "pipeline_time_window": p
         + """SELECT conv_id, turn_idx, ts FROM transcripts
              WHERE ts BETWEEN TIMESTAMP '2024-01-14 00:00:00'
@@ -785,6 +844,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_select_by_tag": q_select_by_tag,
         "pipeline_run_summary": q_run_summary,
         "pipeline_conv_stats": q_conv_stats,
+        "pipeline_conv_reconstruct": q_conv_reconstruct,
+        "rel_sessionize": q_sessionize,
+        "doc_bpe_tokens": q_bpe_tokens,
         "pipeline_time_window": q_time_window,
         "pipeline_ticks": q_ticks,
         "pipeline_cursor_extract": q_cursor_extract,
