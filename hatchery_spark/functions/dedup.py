@@ -231,6 +231,77 @@ def simhash64(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def resolve_duplicate_groups(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, canonical_id).
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each round, a node adopts the smallest label among itself + neighbors;
+    converged when no label changes. Rounds are bounded by the component
+    diameter (near-dup clusters are shallow: exact-dup stars converge in 1-2).
+
+    Each iteration is one join + one min-aggregate — the standard large-graph
+    CC shape on Spark (label frames are small relative to the corpus: only
+    nodes that appear in a pair). The result assigns every paired doc its
+    component's minimum id; docs in no pair are implicitly their own canonical.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    edges = edges.persist()
+    labels = labels.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates: keep only rows that are their group's canonical
+    (minimum id per connected component) or belong to no pair at all."""
+    groups = resolve_duplicate_groups(pairs)
+    losers = groups.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    return df.join(
+        losers.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -123,6 +123,62 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: coarse quantize to centroid cells, probe the n_probe
+    nearest cells per query, exact cosine within probed cells.
+
+    Centroids are chosen deterministically (the n_centroids lowest-id corpus
+    vectors — at production scale swap in a k-means sample; the plumbing is
+    identical). Cell assignment is a broadcast argmax over the tiny centroid
+    set; the candidate join shuffles on the int cell id only. Corpus cell
+    assignments would be precomputed/persisted in a real index build.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    centroids = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in c.orderBy(id_col).limit(n_centroids).collect()
+    ]
+
+    def best_cells(vec, n: int):
+        """Array of the n nearest centroid ids for a vector column."""
+        scored = F.array(
+            *[
+                F.struct(
+                    _cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+                    F.lit(cid).alias("cell"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda s: s.cell)
+
+    cells_c = c.withColumn("cell", F.element_at(best_cells(F.col("_cv"), 1), 1))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("cell", F.explode(best_cells(F.col("_qv"), n_probe)))
+    scored = cells_c.join(q, on="cell").withColumn(
+        "cosine", F.round(_cosine(F.col("_cv"), F.col("_qv")), 4)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

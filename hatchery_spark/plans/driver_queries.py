@@ -531,6 +531,25 @@ def q_simhash_candidates(spark, sf_dir):
     return simhash_candidates(docs)
 
 
+def q_dedup_resolve(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical keep decision."""
+    from hatchery_spark.functions.dedup import resolve_duplicate_groups
+
+    docs = load(spark, sf_dir, "documents").limit(500)
+    pairs = minhash_dedup(docs, threshold=0.4)
+    return resolve_duplicate_groups(pairs)
+
+
+def q_ivf_topk(spark, sf_dir):
+    from hatchery_spark.functions.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5)
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
@@ -878,6 +897,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: seeded-hash / pandas-UDF internals)
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_candidates": q_simhash_candidates,
+        "doc_dedup_resolve": q_dedup_resolve,
+        "emb_ivf_topk": q_ivf_topk,
         "emb_lsh_topk": q_lsh_topk,
         "emb_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,

@@ -1,0 +1,59 @@
+from pyspark.sql import functions as F
+
+from hatchery_spark.functions.dedup import dedup_keep_canonical, resolve_duplicate_groups
+from hatchery_spark.functions.similarity import ivf_topk, cosine_topk
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11 → two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.canonical_id for r in resolve_duplicate_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_merge_via_bridge(spark):
+    # two stars bridged by one edge → single component labeled by global min
+    pairs = spark.createDataFrame(
+        [(5, 6), (5, 7), (20, 21), (20, 22), (7, 22)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.canonical_id for r in resolve_duplicate_groups(pairs).collect()}
+    assert set(got.values()) == {5}
+
+
+def test_keep_canonical_drops_losers(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [0, 1, 3, 4, 6, 7]  # 2 and 5 collapse into 1
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    ).cache()
+    queries = df.filter("vec_id IN (0, 50, 100)").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(df, queries, k=5, n_centroids=16, n_probe=8).collect()
+    }
+    # probing half the cells must recover a solid majority of true neighbors;
+    # self-match must always be found (query's own cell is probed first)
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+    assert all((q, q) in approx for q in (0, 50, 100))
+    df.unpersist()

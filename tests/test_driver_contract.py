@@ -37,6 +37,8 @@ def test_rows_only_queries_documented():
         "media_features",
         "pipeline_lineage_metrics",
         "pipeline_kv_explode",
+        "doc_dedup_resolve",
+        "emb_ivf_topk",
     }
 
 
