@@ -382,6 +382,22 @@ def q_cube_events(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_ev_gs")
+    return spark.sql(
+        """SELECT event_type, cast(user_id % 10 AS int) AS bucket, count(*) AS n
+           FROM hs_ev_gs
+           GROUP BY GROUPING SETS ((event_type), (bucket), (event_type, bucket))"""
+    )
+
+
+def q_intersect_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    clickers = ev.filter("event_type = 'click'").select("user_id").distinct()
+    purchasers = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    return clickers.intersect(purchasers)
+
+
 def q_semi_join_customers(spark, sf_dir):
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
@@ -800,6 +816,15 @@ def oracle_catalog() -> dict[str, str]:
         "rel_cube_events": """
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS d, count(*) AS n
             FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m-%d'))""",
+        "rel_grouping_sets": """
+            SELECT event_type, cast(user_id % 10 AS int) AS bucket, count(*) AS n
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (cast(user_id % 10 AS int)),
+                                    (event_type, cast(user_id % 10 AS int)))""",
+        "rel_intersect_users": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'""",
         "rel_semi_join_customers": """
             SELECT c_custkey, c_name FROM customer
             WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
@@ -881,6 +906,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_distinct_event_days": q_distinct_event_days,
         "rel_rollup_pricing": q_rollup_pricing,
         "rel_cube_events": q_cube_events,
+        "rel_grouping_sets": q_grouping_sets,
+        "rel_intersect_users": q_intersect_users,
         "rel_semi_join_customers": q_semi_join_customers,
         "rel_anti_join_customers": q_anti_join_customers,
         "rel_pivot_user_events": q_pivot_user_events,
