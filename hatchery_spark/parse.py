@@ -55,6 +55,37 @@ def _parse_audit_pandas(text: pd.Series) -> pd.DataFrame:
     return out[list(PARSED_FIELDS)]
 
 
+# grok-style pattern set: tried in order, first match wins per field.
+# Each pattern must expose the same 4 capture groups (severity, actor,
+# action, resource). Pattern 2 handles a legacy "sev=... user=... op=... obj=..."
+# layout as the multi-format example.
+AUDIT_PATTERNS = (
+    AUDIT_PATTERN,
+    r"sev=(debug|info|warn|error|critical) user=(\S+) op=(\S+) obj=(\S+)",
+)
+
+
+def multi_pattern_parse(df: DataFrame, patterns: tuple[str, ...] = AUDIT_PATTERNS) -> DataFrame:
+    """Grok-pattern-set parse: coalesce of per-pattern extractions.
+
+    Every pattern is evaluated vectorized (regexp_extract, JVM codegen); for
+    each field the first pattern that matched supplies the value. This is how
+    a mixed-format log table (multiple SaaS sources in one stream — the
+    reference's multi-source topology) parses in one pass.
+    """
+
+    def field(group: int):
+        per_pattern = [
+            F.nullif(F.regexp_extract(F.col("text"), p, group), F.lit(""))
+            for p in patterns
+        ]
+        return F.coalesce(*per_pattern)
+
+    return df.withColumns(
+        {"actor": field(2), "action": field(3), "resource": field(4), "severity": field(1)}
+    )
+
+
 def parse_turns(df: DataFrame, engine: str = "native") -> DataFrame:
     """Append actor/action/resource/severity columns parsed from `text`."""
     if engine == "native":

@@ -199,6 +199,40 @@ def q_run_summary(spark, sf_dir):
     )
 
 
+def q_multi_pattern_parse(spark, sf_dir):
+    """Grok pattern-set parse: a second legacy layout is synthesized for half
+    the prose rows, and the pattern set must pick up both formats."""
+    from hatchery_spark.parse import multi_pattern_parse
+
+    t = transcripts(spark, sf_dir)
+    # rewrite some prose rows into the legacy 'sev= user= op= obj=' layout
+    legacy = F.concat(
+        F.lit("sev=info user=legacy"),
+        F.col("conv_id"),
+        F.lit(" op=migrated obj=archive:/x"),
+    )
+    t2 = t.withColumn(
+        "text",
+        F.when(
+            ~F.col("text").startswith("[") & (F.col("turn_idx") % 2 == 0), legacy
+        ).otherwise(F.col("text")),
+    )
+    return multi_pattern_parse(t2)
+
+
+def q_quality_filter(spark, sf_dir):
+    """Corpus quality gate: keep docs above a quality floor in allowed langs."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            quality_score(F.col("text")).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & F.col("lang").isin("en", "de", "es"))
+    )
+
+
 def q_conv_stats(spark, sf_dir):
     """Per-conversation rollup over the transcripts payload (agent-transcript
     analytics: turns, span, distinct tools, error turns)."""
@@ -592,6 +626,8 @@ def q_media_features(spark, sf_dir):
 # oracle SQL
 # ----------------------------------------------------------------------------
 
+_LEGACY_PATTERN = r"sev=(debug|info|warn|error|critical) user=(\S+) op=(\S+) obj=(\S+)"
+
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
@@ -708,6 +744,29 @@ def oracle_catalog() -> dict[str, str]:
         + """SELECT route_id, count(*) AS row_count, min(ts) AS min_ts,
                     max(ts) AS max_ts, count(DISTINCT conv_id) AS n_convs
              FROM routed GROUP BY route_id""",
+        "pipeline_multi_pattern_parse": p
+        + f"""SELECT conv_id, turn_idx, role, text, tool, ts,
+               coalesce(nullif(regexp_extract(text, '{AUDIT_PATTERN}', 2), ''),
+                        nullif(regexp_extract(text, '{_LEGACY_PATTERN}', 2), '')) AS actor,
+               coalesce(nullif(regexp_extract(text, '{AUDIT_PATTERN}', 3), ''),
+                        nullif(regexp_extract(text, '{_LEGACY_PATTERN}', 3), '')) AS action,
+               coalesce(nullif(regexp_extract(text, '{AUDIT_PATTERN}', 4), ''),
+                        nullif(regexp_extract(text, '{_LEGACY_PATTERN}', 4), '')) AS resource,
+               coalesce(nullif(regexp_extract(text, '{AUDIT_PATTERN}', 1), ''),
+                        nullif(regexp_extract(text, '{_LEGACY_PATTERN}', 1), '')) AS severity
+             FROM (
+               SELECT conv_id, turn_idx, role,
+                 CASE WHEN NOT starts_with(text, '[') AND turn_idx % 2 = 0
+                      THEN concat('sev=info user=legacy', conv_id,
+                                  ' op=migrated obj=archive:/x')
+                      ELSE text END AS text,
+                 tool, ts
+               FROM transcripts) t""",
+        "doc_quality_filter": f"""
+            SELECT q.doc_id, d.lang, q.quality
+            FROM ({_QUALITY_ORACLE.replace('stop_ratio', '_sr').replace('punct_ratio', '_pr')}) q
+            JOIN documents d ON q.doc_id = d.doc_id
+            WHERE q.quality >= 0.5 AND d.lang IN ('en', 'de', 'es')""",
         "pipeline_error_burst": p
         + """, flags AS (
               SELECT conv_id, turn_idx,
@@ -887,6 +946,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_sink_counts,
         "pipeline_select_by_tag": q_select_by_tag,
         "pipeline_run_summary": q_run_summary,
+        "pipeline_multi_pattern_parse": q_multi_pattern_parse,
+        "doc_quality_filter": q_quality_filter,
         "pipeline_conv_stats": q_conv_stats,
         "pipeline_conv_reconstruct": q_conv_reconstruct,
         "rel_sessionize": q_sessionize,

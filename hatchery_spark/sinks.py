@@ -1,0 +1,91 @@
+"""Table-format abstraction: parquet today, Iceberg when a catalog is present.
+
+BASELINE.json's north_star names an Iceberg transcripts table; this sandbox
+ships no Iceberg runtime jars, so the Iceberg path is feature-flagged on the
+session actually having an Iceberg catalog configured (detected, not assumed).
+The parquet layout mirrors Iceberg's partition-transform behavior
+(days(ts) → dt=YYYY-MM-DD directories), so switching formats changes the
+commit protocol, not the data layout.
+
+The reference analog is the Destination factory
+(/root/reference/types.go:14) — one writer implementation per storage backend
+behind one interface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IcebergUnavailable(RuntimeError):
+    """Raised when the Iceberg path is requested without a configured catalog."""
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff an Iceberg SparkCatalog is configured AND its classes load."""
+    conf = spark.conf
+    try:
+        catalogs = [
+            k
+            for k in spark.sparkContext.getConf().getAll()
+            if k[0].startswith("spark.sql.catalog.") and "iceberg" in k[1].lower()
+        ]
+    except Exception:
+        catalogs = []
+    if not catalogs:
+        return False
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    target: str,
+    table_format: str = "parquet",
+    mode: str = "overwrite",
+    partition_col: str = "dt",
+) -> None:
+    """Write a time-partitioned table in the chosen format.
+
+    parquet: `target` is a path; dt partition directories (zstd).
+    iceberg: `target` is a catalog table name; appends via writeTo with a
+             days(ts)-equivalent layout. Requires a configured catalog.
+    """
+    spark = df.sparkSession
+    if partition_col not in df.columns:
+        df = df.withColumn(partition_col, F.to_date("ts"))
+    if table_format == "parquet":
+        df.write.mode(mode).partitionBy(partition_col).parquet(target)
+        return
+    if table_format == "iceberg":
+        if not iceberg_available(spark):
+            raise IcebergUnavailable(
+                "iceberg format requested but no Iceberg catalog is configured "
+                "(set spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+                "and ship the iceberg-spark-runtime jar)"
+            )
+        writer = df.writeTo(target).using("iceberg")
+        if mode == "overwrite":
+            writer.createOrReplace()
+        else:
+            writer.append()
+        return
+    raise ValueError(f"unknown table_format: {table_format!r}")
+
+
+def read_table(
+    spark: SparkSession, target: str, table_format: str = "parquet"
+) -> DataFrame:
+    if table_format == "parquet":
+        return spark.read.parquet(target)
+    if table_format == "iceberg":
+        if not iceberg_available(spark):
+            raise IcebergUnavailable("no Iceberg catalog configured")
+        return spark.read.table(target)
+    raise ValueError(f"unknown table_format: {table_format!r}")
