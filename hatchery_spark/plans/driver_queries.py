@@ -199,6 +199,44 @@ def q_run_summary(spark, sf_dir):
     )
 
 
+def q_asof_last_event(spark, sf_dir):
+    """As-of join: each turn enriched with the user's most recent event type."""
+    from hatchery_spark.operators.joins import as_of_join
+    from pyspark.sql import Window as W
+
+    t = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("key"),
+        "ts",
+        "event_type",
+        "event_id",
+    )
+    # dedupe exact (key, ts) collisions deterministically (max event_id wins)
+    w = W.partitionBy("key", "ts").orderBy(F.desc("event_id"))
+    ev1 = (
+        ev.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn", "event_id")
+    )
+    out = as_of_join(
+        t.withColumnRenamed("conv_id", "key"), ev1, "key", value_cols=["event_type"]
+    )
+    return out.select(
+        F.col("key").alias("conv_id"), "turn_idx", F.col("event_type").alias("last_event_type")
+    )
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Range join: events falling inside 90-minute windows every 6 hours."""
+    from hatchery_spark.operators.joins import range_join_binned
+    from hatchery_spark.timerange import ticks_df
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts")
+    windows = ticks_df(spark, "2024-01-01 00:00:00", "2024-01-30 18:00:00", "6 hours").select(
+        F.col("tick").alias("window_start"),
+        (F.col("tick") + F.expr("interval 90 minutes")).alias("window_end"),
+    )
+    return range_join_binned(ev, windows).select("event_id", "window_start")
+
+
 def q_multi_pattern_parse(spark, sf_dir):
     """Grok pattern-set parse: a second legacy layout is synthesized for half
     the prose rows, and the pattern set must pick up both formats."""
@@ -744,6 +782,28 @@ def oracle_catalog() -> dict[str, str]:
         + """SELECT route_id, count(*) AS row_count, min(ts) AS min_ts,
                     max(ts) AS max_ts, count(DISTINCT conv_id) AS n_convs
              FROM routed GROUP BY route_id""",
+        "pipeline_asof_last_event": p
+        + """, r AS (
+              SELECT key, ts, event_type FROM (
+                SELECT concat('conv-', cast(user_id AS string)) AS key, ts, event_type,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events) x
+              WHERE rn = 1
+            )
+            SELECT t.conv_id, t.turn_idx, r.event_type AS last_event_type
+            FROM transcripts t
+            ASOF LEFT JOIN r ON t.conv_id = r.key AND t.ts >= r.ts""",
+        "rel_range_join_windows": """
+            WITH w AS (
+              SELECT tick AS window_start, tick + INTERVAL 90 MINUTE AS window_end
+              FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                  TIMESTAMP '2024-01-30 18:00:00',
+                                                  INTERVAL 6 HOUR)) AS tick)
+            )
+            SELECT e.event_id, w.window_start
+            FROM events e JOIN w
+              ON e.ts BETWEEN w.window_start AND w.window_end""",
         "pipeline_multi_pattern_parse": p
         + f"""SELECT conv_id, turn_idx, role, text, tool, ts,
                coalesce(nullif(regexp_extract(text, '{AUDIT_PATTERN}', 2), ''),
@@ -946,6 +1006,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sink_counts": q_sink_counts,
         "pipeline_select_by_tag": q_select_by_tag,
         "pipeline_run_summary": q_run_summary,
+        "pipeline_asof_last_event": q_asof_last_event,
+        "rel_range_join_windows": q_range_join_windows,
         "pipeline_multi_pattern_parse": q_multi_pattern_parse,
         "doc_quality_filter": q_quality_filter,
         "pipeline_conv_stats": q_conv_stats,

@@ -1,0 +1,100 @@
+from pyspark.sql import functions as F
+
+from hatchery_spark.operators.joins import as_of_join, range_join_binned
+
+
+def _ts(s):
+    return F.to_timestamp(F.lit(s))
+
+
+def test_as_of_basic(spark):
+    left = spark.createDataFrame(
+        [("k1", "2025-01-01 10:00:00", 1),
+         ("k1", "2025-01-01 12:00:00", 2),
+         ("k2", "2025-01-01 11:00:00", 3)],
+        "key string, ts string, turn int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k1", "2025-01-01 09:00:00", "v9"),
+         ("k1", "2025-01-01 11:30:00", "v1130"),
+         ("k3", "2025-01-01 00:00:00", "other")],
+        "key string, ts string, val string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.turn: r.val for r in as_of_join(left, right, "key").collect()}
+    assert out == {1: "v9", 2: "v1130", 3: None}
+
+
+def test_as_of_inclusive_equal_ts(spark):
+    left = spark.createDataFrame(
+        [("k", "2025-01-01 10:00:00", 1)], "key string, ts string, turn int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2025-01-01 10:00:00", "same_ts")], "key string, ts string, val string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert as_of_join(left, right, "key").first().val == "same_ts"
+
+
+def test_as_of_tolerance(spark):
+    left = spark.createDataFrame(
+        [("k", "2025-01-01 10:00:00", 1)], "key string, ts string, turn int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("k", "2025-01-01 07:00:00", "stale")], "key string, ts string, val string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert as_of_join(left, right, "key").first().val == "stale"
+    assert as_of_join(left, right, "key", tolerance="1 hour").first().val is None
+
+
+def test_as_of_matches_naive_join(spark):
+    """Window formulation must equal the quadratic argmax formulation."""
+    from hatchery_spark.datagen import transcripts_df
+
+    left = transcripts_df(spark, 500, n_convs=20, seed=41).select(
+        F.col("conv_id").alias("key"), "ts", "turn_idx"
+    )
+    right = transcripts_df(spark, 100, n_convs=20, seed=42).select(
+        F.col("conv_id").alias("key"), "ts", F.col("text").alias("val")
+    ).dropDuplicates(["key", "ts"])
+    fast = {
+        (r.key, r.turn_idx): r.val for r in as_of_join(left, right, "key").collect()
+    }
+    naive = (
+        left.alias("l")
+        .join(right.alias("r"), (F.col("l.key") == F.col("r.key"))
+              & (F.col("r.ts") <= F.col("l.ts")), "left")
+        .groupBy("l.key", "l.turn_idx", "l.ts")
+        .agg(F.max_by("r.val", "r.ts").alias("val"))
+    )
+    want = {(r.key, r.turn_idx): r.val for r in naive.collect()}
+    assert fast == want
+
+
+def test_range_join_binned_matches_naive(spark):
+    from hatchery_spark.timerange import ticks_df
+
+    events = spark.createDataFrame(
+        [(i, f"2025-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 30), (3, 0), (5, 59), (6, 0), (11, 30), (23, 45)]
+        )],
+        "event_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # maintenance windows: 90 minutes starting every 6 hours
+    windows = (
+        ticks_df(spark, "2025-01-01 00:00:00", "2025-01-01 18:00:00", "6 hours")
+        .select(
+            F.col("tick").alias("window_start"),
+            (F.col("tick") + F.expr("interval 90 minutes")).alias("window_end"),
+        )
+    )
+    got = {
+        (r.event_id, str(r.window_start))
+        for r in range_join_binned(events, windows).collect()
+    }
+    naive = {
+        (r.event_id, str(r.window_start))
+        for r in events.join(
+            windows,
+            F.col("ts").between(F.col("window_start"), F.col("window_end")),
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
