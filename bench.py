@@ -8,10 +8,15 @@ Protocol notes:
   * The synthetic transcripts input is MATERIALIZED to parquet once and the
     pipeline is measured reading it — matching how a 100 TB job reads a table,
     and keeping datagen expressions out of the measured plan.
-  * Each measured query runs once as warm-up, then the timed run. Spark's
+  * Each measured query runs once as warm-up, then timed runs. Spark's
     generated code needs one execution to JIT; steady-state throughput is the
     metric that matters for a long-lived cluster job (cold timings are
     reported under "cold_queries" for transparency).
+  * THROTTLE ROBUSTNESS: this host throttles CPU in bursts (identical runs
+    vary 10-20×). Every warm sample is bracketed by a ~1 s pure-JVM CPU probe;
+    a sample only counts as CLEAN if its probe is within 1.3× of the best
+    probe seen. warm = min over clean samples (min over all, plus a
+    "throttled" flag, if no clean window was found).
   * Scaling-efficiency evidence (local[8] vs local[32]) comes from
     scripts/scaling_bench.py → BENCH/BASELINE.md.
 """
@@ -50,19 +55,38 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    throttled: list[str] = []
 
-    def measure(name: str, fn) -> None:
+    def probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 300_000_000, 1, CPUS).select(
+            F.avg(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        ).collect()
+        return time.perf_counter() - t0
+
+    probe()  # JIT the probe plan itself
+    best_probe = min(probe() for _ in range(3))
+
+    def measure(name: str, fn, reps: int = 2, max_tries: int = 5) -> None:
+        nonlocal best_probe
         t0 = time.perf_counter()
         fn()
         cold[name] = round(time.perf_counter() - t0, 3)
-        # steady state = min of 2 warm runs (the sandbox host throttles CPU in
-        # bursts; a single sample can be 10-20x off)
-        best = float("inf")
-        for _ in range(2):
+        clean_samples, all_samples = [], []
+        for _ in range(max_tries):
+            p = probe()
+            best_probe = min(best_probe, p)
             t1 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t1)
-        warm[name] = round(best, 3)
+            dt = time.perf_counter() - t1
+            all_samples.append(dt)
+            if p <= 1.3 * best_probe:
+                clean_samples.append(dt)
+            if len(clean_samples) >= reps:
+                break
+        if not clean_samples:
+            throttled.append(name)
+        warm[name] = round(min(clean_samples or all_samples), 3)
 
     work = tempfile.mkdtemp(prefix="hs_bench_")
     try:
@@ -79,21 +103,31 @@ def main() -> None:
         measure(
             "pipeline_synthetic_agg",
             lambda: sink_counts(prepare(syn, cat), DEFAULT_ROUTES).collect(),
+            reps=3, max_tries=7,
         )
         turns_per_sec = round(SYN_ROWS / warm["pipeline_synthetic_agg"], 1)
 
-        def full_write(tag):
+        def full_write(tag, parallel=1):
             run_pipeline(
                 spark, syn, DEFAULT_ROUTES, f"{work}/sinks_{tag}",
                 run_ts="2025-06-04 00:00:00", collect_lineage=False,
+                max_parallel_routes=parallel,
             )
 
+        # writes are disk-bound on this host (~15-40 MB/s): one cold + one warm
+        # sample each; sequential vs 4-way-concurrent route actions compared
         t0 = time.perf_counter()
         full_write("a")
         cold["pipeline_synthetic_write"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         full_write("b")
         warm["pipeline_synthetic_write"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        full_write("c", parallel=4)
+        warm["pipeline_synthetic_write_parallel"] = round(time.perf_counter() - t0, 3)
+        cold["pipeline_synthetic_write_parallel"] = warm[
+            "pipeline_synthetic_write_parallel"
+        ]
 
         # --- pipeline over the driver's events-derived transcripts ----------
         measure(
@@ -136,6 +170,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": warm,
                 "cold_queries": cold,
+                "throttled_queries": throttled,
+                "best_probe_sec": round(best_probe, 3),
                 "sf": sf,
                 "cpus": CPUS,
                 "synthetic_rows": SYN_ROWS,

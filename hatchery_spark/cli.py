@@ -47,6 +47,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--end", help="tick loop end")
     p.add_argument("--tick", type=int, default=0, help="tick seconds (0 = single shot)")
     p.add_argument("--parse-engine", choices=["native", "pandas"], default="native")
+    p.add_argument(
+        "--table-format", choices=["parquet", "iceberg"], default="parquet",
+        help="input table format; iceberg expects a catalog table name in --input",
+    )
+    p.add_argument(
+        "--max-parallel-routes", type=int, default=1,
+        help="route write actions submitted concurrently from a driver pool",
+    )
     p.add_argument("--cpus", type=int, default=None, help="local[N] parallelism")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--streaming", action="store_true", help="Structured Streaming mode")
@@ -104,7 +112,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    df = spark.read.parquet(args.input)
+    from hatchery_spark.sinks import read_table
+
+    df = read_table(spark, args.input, table_format=args.table_format)
     manifest = ManifestStore(args.manifest or f"{args.out}/_manifest")
 
     if args.start and args.end:
@@ -128,6 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             window=args.window,
             manifest=manifest,
             parse_engine=args.parse_engine,
+            max_parallel_routes=args.max_parallel_routes,
         )
         print(json.dumps({
             "run_ts": res.run_ts,

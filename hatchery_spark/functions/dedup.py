@@ -24,7 +24,7 @@ counted and reported, not silently dropped.
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import partial, reduce
 
 import numpy as np
 import pandas as pd
@@ -64,6 +64,10 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
+def _seeded_rehash(seed: int, h: Column) -> Column:
+    return F.xxhash64(h, F.lit(seed))
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     """Array of `num_hashes` minhash values.
 
@@ -71,10 +75,15 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     `xxhash64(base_hash, seed_i)` over the resulting longs — fixed-width
     re-hashing, so adding hash functions never re-reads shingle bytes.
     (No affine `a·h+b` family: ANSI mode makes long overflow throw.)
+
+    The seed is bound with functools.partial, NOT a `lambda h, i=i:` default —
+    PySpark passes the ARRAY INDEX as the second argument of any two-parameter
+    transform lambda, which would silently override the captured seed and
+    collapse the whole family to one function.
     """
     base = F.transform(shingles, lambda s: F.xxhash64(s))
     mins = [
-        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        F.array_min(F.transform(base, partial(_seeded_rehash, i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -201,34 +210,29 @@ def ngram_jaccard_pairs(
 
 @pandas_udf(T.LongType())
 def simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow batch, numpy inner loop).
+    """64-bit SimHash over whitespace tokens, batch-vectorized end to end.
 
-    Per doc: hash each token to 64 bits (deterministic, seedless), sum ±1 per
-    bit weighted by token frequency, sign → bit.
+    Per doc: hash each token to 64 bits, sum ±1 per bit weighted by token
+    frequency, sign → bit. The whole Arrow batch is processed with three
+    vectorized primitives — pandas str.split/explode (C), one
+    pd.util.hash_array call over ALL tokens of the batch (vectorized siphash
+    with a fixed key → deterministic across processes/executors), and 64
+    np.bincount reductions — no per-token or per-row Python.
     """
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        if not t:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        # stable 64-bit token hashes via python hash of md5 digest slice
-        import hashlib
-
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        bits_out = (acc > 0).astype(np.uint64)
-        val = np.uint64(0)
-        for b in range(64):
-            val |= bits_out[b] << np.uint64(b)
-        out[i] = np.int64(val)
-    return pd.Series(out)
+    n = len(text)
+    toks = text.fillna("").astype(str).str.split()
+    flat = toks.reset_index(drop=True).explode()
+    flat = flat.dropna()
+    if len(flat) == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    doc_idx = flat.index.to_numpy(dtype=np.int64)
+    hashes = pd.util.hash_array(flat.to_numpy(dtype=object), categorize=False)
+    out = np.zeros(n, dtype=np.uint64)
+    for b in range(64):
+        sign = (((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2) - 1
+        acc = np.bincount(doc_idx, weights=sign, minlength=n)
+        out |= (acc > 0).astype(np.uint64) << np.uint64(b)
+    return pd.Series(out.view(np.int64))
 
 
 def resolve_duplicate_groups(
@@ -239,33 +243,48 @@ def resolve_duplicate_groups(
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, canonical_id).
 
-    Iterative min-label propagation: every node starts labeled with itself;
-    each round, a node adopts the smallest label among itself + neighbors;
-    converged when no label changes. Rounds are bounded by the component
-    diameter (near-dup clusters are shallow: exact-dup stars converge in 1-2).
+    Iterative min-label propagation with a pointer-doubling shortcut: every
+    node starts labeled with itself; each round, a node adopts the smallest
+    label among itself + neighbors, then labels are rewritten to their label's
+    label (label-of-label). The shortcut makes effective propagation distance
+    grow geometrically, so rounds scale with log(component diameter) rather
+    than the diameter itself — long near-dup chains converge in a few rounds.
 
-    Each iteration is one join + one min-aggregate — the standard large-graph
-    CC shape on Spark (label frames are small relative to the corpus: only
-    nodes that appear in a pair). The result assigns every paired doc its
-    component's minimum id; docs in no pair are implicitly their own canonical.
+    Each iteration is two joins + a min-aggregate — the standard large-graph CC
+    shape on Spark (label frames are small relative to the corpus: only nodes
+    that appear in a pair). The result assigns every paired doc its component's
+    minimum id; docs in no pair are implicitly their own canonical.
+
+    Raises RuntimeError if labels have not converged after max_iterations —
+    an unconverged labeling silently splits components, so it is never
+    returned.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # localCheckpoint (eager) rather than persist: iterative self-joins grow
+    # the LOGICAL plan geometrically per round even when results are cached,
+    # and driver-side analysis becomes the bottleneck; checkpointing truncates
+    # lineage so every round plans against a flat scan. Label frames are tiny
+    # relative to the corpus (only paired nodes), so executor-local storage is
+    # the right tradeoff; swap for checkpoint() on an unreliable cluster.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
-    edges = edges.persist()
-    labels = labels.persist()
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -274,7 +293,22 @@ def resolve_duplicate_groups(
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.persist()
+        # pointer doubling: label ← label(label). labels is keyed by node and a
+        # label is always some node's id, so the self-join resolves one more hop
+        # — propagation distance grows geometrically with rounds.
+        parent = stepped.select(
+            F.col("node").alias("_pnode"), F.col("label").alias("_plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped.label == parent._pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -282,11 +316,16 @@ def resolve_duplicate_groups(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iterations} rounds; "
+            "raise max_iterations (rounds grow with log of component diameter)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
@@ -303,17 +342,25 @@ def dedup_keep_canonical(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit band of the simhash (Hamming≤3 ⇒ ≥1 band equal)."""
+    """Near-dup candidates: equal `band_bits`-bit band of the simhash.
+
+    64/band_bits bands ⇒ any pair at Hamming distance ≤ 64/band_bits − 1 is
+    guaranteed caught (pigeonhole). The default 8 bands catch Hamming ≤ 7 —
+    near-identical docs land well inside that.
+    """
+    assert 64 % band_bits == 0
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
     sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
     bands = [
         sh.select(
             F.col(id_col),
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("_sim", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            F.shiftrightunsigned("_sim", band_bits * b).bitwiseAND(F.lit(mask)).alias("band_val"),
         )
-        for b in range(4)
+        for b in range(n_bands)
     ]
     allb = reduce(lambda a, b: a.unionByName(b), bands)
     a = allb.select(F.col(id_col).alias("id_a"), "band", "band_val")

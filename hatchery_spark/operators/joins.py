@@ -17,8 +17,20 @@ custom-operator rule (a)) — no Pandas UDFs, no per-key explosion:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_INTERVAL_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def interval_seconds(interval: str) -> int:
+    """Parse 'N unit' (e.g. '2 hours', '30 minutes') into whole seconds."""
+    m = re.fullmatch(r"\s*(\d+)\s+(second|minute|hour|day|week)s?\s*", interval)
+    if not m:
+        raise ValueError(f"unsupported interval: {interval!r}")
+    return int(m.group(1)) * _INTERVAL_UNITS[m.group(2)]
 
 
 def as_of_join(
@@ -91,18 +103,32 @@ def range_join_binned(
     Returns events ⋈ intervals rows where start <= ts <= end. Both sides key
     on their bin(s): intervals explode to every bin they overlap, events map
     to one bin — the join is a plain hash join on the bin timestamp.
+
+    The bin grid is floor(epoch / W) * W with W = bin_width seconds, derived
+    identically on BOTH sides — any bin_width puts events and interval bins on
+    the same grid (a fixed date_trunc here would silently drop matches for
+    widths that don't divide its unit).
     """
+    w = interval_seconds(bin_width)
+
+    def to_bin(col):
+        # cast: parquet TIMESTAMP_NTZ → TIMESTAMP is a pure reinterpretation
+        # under the session's fixed UTC timezone
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(col.cast("timestamp")) / w) * w
+        )
+
     iv_bins = intervals.withColumn(
         "_bin",
         F.explode(
             F.sequence(
-                F.date_trunc("hour", F.col(start_col)),
-                F.date_trunc("hour", F.col(end_col)),
-                F.expr(f"interval {bin_width}"),
+                to_bin(F.col(start_col)),
+                to_bin(F.col(end_col)),
+                F.expr(f"interval {w} seconds"),
             )
         ),
     )
-    ev_bins = events.withColumn("_bin", F.date_trunc("hour", F.col(event_ts)))
+    ev_bins = events.withColumn("_bin", to_bin(F.col(event_ts)))
     return (
         ev_bins.join(iv_bins, on="_bin")
         .filter(F.col(event_ts).between(F.col(start_col), F.col(end_col)))

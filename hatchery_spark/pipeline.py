@@ -10,6 +10,7 @@ gives crash-resume at route granularity (ack-after-write semantics,
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -22,10 +23,15 @@ from hatchery_spark.datagen import service_catalog_df
 from hatchery_spark.enrich import enrich_turns
 from hatchery_spark.lineage import ManifestStore, RouteRunRecord, partition_metrics
 from hatchery_spark.parse import parse_turns
-from hatchery_spark.router import route_matches, ordered_for_sink, write_route
+from hatchery_spark.router import route_matches, ordered_for_sink, write_route_frame
 from hatchery_spark.timerange import window_filter
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+class LineageParityError(RuntimeError):
+    """Raised when per-partition lineage row counts disagree with the count
+    observed on the write action (never downgraded to a skippable assert)."""
 
 
 @dataclass
@@ -62,11 +68,18 @@ def run_pipeline(
     manifest: ManifestStore | None = None,
     parse_engine: str = "native",
     collect_lineage: bool = True,
+    max_parallel_routes: int = 1,
 ) -> PipelineResult:
     """Run one tick: fan selected routes out from a single cached enriched DF.
 
     Resume: routes already committed in `manifest` for this run_ts are skipped;
     each route commits only after its write action returns.
+
+    max_parallel_routes > 1 submits route write actions from a driver thread
+    pool — the Spark scheduler interleaves the jobs across executors — which is
+    the reference's goroutine-per-selected-stream shape
+    (/root/reference/hatchery.go:55-67). Results are identical to sequential
+    execution; only action submission order changes.
     """
     selected = select_routes(routes, list(selectors))
     if catalog is None:
@@ -88,35 +101,57 @@ def run_pipeline(
     if not pending:
         return result
 
+    def run_route(route: RouteConfig) -> tuple[RouteConfig, str, int, list[dict]]:
+        """One route: filter+order once, write it, derive lineage from the SAME
+        physical pass. The ordered frame is persisted so the write action
+        populates the cache and the lineage pass re-reads cached blocks —
+        the filter + salted shuffle + sort are paid exactly once."""
+        matched = ordered_for_sink(route_matches(enriched, route))
+        if collect_lineage:
+            matched = matched.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # row count rides on the write action (df.observe) — no extra pass
+            sink, n = write_route_frame(matched, route, out_dir, run_ts)
+            if collect_lineage:
+                parts = [r.asDict() for r in partition_metrics(matched).collect()]
+                lineage_n = sum(p["row_count"] for p in parts)
+                if lineage_n != n:
+                    raise LineageParityError(
+                        f"route {route.route_id}: lineage rows {lineage_n} != "
+                        f"written rows {n}"
+                    )
+            else:
+                parts = []
+        finally:
+            if collect_lineage:
+                matched.unpersist()
+        # commit immediately (ack-after-write): a crash later in the run loses
+        # no finished route. Manifest files are per-(run_ts, route) → no
+        # cross-thread contention.
+        if manifest is not None:
+            manifest.commit(
+                RouteRunRecord(
+                    run_ts=run_ts,
+                    route_id=route.route_id,
+                    sink_path=sink,
+                    row_count=n,
+                    committed=True,
+                    partitions=parts,
+                )
+            )
+        return route, sink, n, parts
+
     # pay scan+parse+enrich once; each pending route re-reads cached blocks
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        for route in pending:
-            # row count rides on the write action (df.observe) — no extra pass
-            sink, n = write_route(enriched, route, out_dir)
-            if collect_lineage:
-                routed = route_matches(enriched, route)
-                parts = [
-                    r.asDict() for r in partition_metrics(ordered_for_sink(routed)).collect()
-                ]
-                assert sum(p["row_count"] for p in parts) == n, (
-                    f"lineage/count divergence for route {route.route_id}"
-                )
-            else:
-                parts = []
+        if max_parallel_routes > 1 and len(pending) > 1:
+            with ThreadPoolExecutor(max_workers=max_parallel_routes) as pool:
+                outcomes = list(pool.map(run_route, pending))
+        else:
+            outcomes = [run_route(route) for route in pending]
+        for route, sink, n, _parts in outcomes:
             result.counts[route.route_id] = n
             result.sinks[route.route_id] = sink
-            if manifest is not None:
-                manifest.commit(
-                    RouteRunRecord(
-                        run_ts=run_ts,
-                        route_id=route.route_id,
-                        sink_path=sink,
-                        row_count=n,
-                        committed=True,
-                        partitions=parts,
-                    )
-                )
     finally:
         enriched.unpersist()
     return result

@@ -29,6 +29,7 @@ from hatchery_spark.config import RouteConfig, select_by_tag, select_routes
 from hatchery_spark.enrich import enrich_turns
 from hatchery_spark.functions.dedup import (
     exact_dedup,
+    jaccard_verify,
     minhash_dedup,
     simhash_candidates,
 )
@@ -607,56 +608,134 @@ def q_embedding_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
-# rows-only checks (no SQL-expressible oracle)
+# value-checked vs brute-force ground truth (the approximate methods' params
+# are chosen so recall is 1 on this data — verified by the oracle match itself;
+# recall at realistic/selective params is asserted in tests/)
+
+def _docs500(spark, sf_dir):
+    """Deterministic 500-doc slice (predicate pushdown, not a LIMIT)."""
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+
 
 def q_minhash_neardup(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").limit(500)
-    return minhash_dedup(docs, threshold=0.5)
+    """MinHash LSH near-dup pairs, exact-Jaccard-verified ≥ 0.5.
+
+    bands=16 (2 rows/band): candidate-recall ≥ 1-(1-s²)^16 ≈ 1 for the s≥0.89
+    near-dup pairs this corpus contains; output therefore equals the oracle's
+    brute-force pair scan."""
+    return minhash_dedup(_docs500(spark, sf_dir), threshold=0.5, bands=16)
 
 
-def q_simhash_candidates(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents").limit(500)
-    return simhash_candidates(docs)
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash banded candidates → exact-Jaccard verify ≥ 0.5 (same ground
+    truth as the minhash path, reached via a different sketch)."""
+    docs = _docs500(spark, sf_dir)
+    return jaccard_verify(simhash_candidates(docs), docs, threshold=0.5)
 
 
 def q_dedup_resolve(spark, sf_dir):
-    """Near-dup pairs → connected components → canonical keep decision."""
+    """Near-dup pairs → connected components → canonical id per member."""
     from hatchery_spark.functions.dedup import resolve_duplicate_groups
 
-    docs = load(spark, sf_dir, "documents").limit(500)
-    pairs = minhash_dedup(docs, threshold=0.4)
+    pairs = minhash_dedup(_docs500(spark, sf_dir), threshold=0.4, bands=16)
     return resolve_duplicate_groups(pairs)
+
+
+# --- embeddings: the raw table has no high-cosine pairs (max ≈ 0.51), so the
+# ANN queries run over a corpus augmented with DETERMINISTIC perturbed copies
+# (rotation-mix: e'[i] = e[i] + s·e[(i mod 64)+1]) — the same formula is
+# computed by the DuckDB oracle, giving both engines identical true neighbors
+# at graded cosines ≈ 0.995/0.981/0.958/0.928, far above the ≈0.51 noise floor.
+
+def _emb_base(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def _perturb(e, scale):
+    """e'[i] = e[i] + scale · e[(i mod 64)+1] — neutral arithmetic that parses
+    identically in Spark and DuckDB (same IEEE-double op order)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.element_at(e, i) + scale * F.element_at(e, F.pmod(i, F.lit(64)) + 1),
+    )
+
+
+def _emb_augmented_queries(spark, sf_dir):
+    """Corpus ∪ 4 graded perturbed variants of each query vector (ids 1000j+q)."""
+    base = _emb_base(spark, sf_dir)
+    variants = (
+        base.filter(F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", "embedding", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"))
+        .select(
+            (F.col("j") * 1000 + F.col("vec_id")).alias("vec_id"),
+            _perturb(F.col("embedding"), 0.1 * F.col("j")).alias("embedding"),
+        )
+    )
+    return base.unionByName(variants)
+
+
+def q_lsh_topk(spark, sf_dir):
+    corpus = _emb_augmented_queries(spark, sf_dir)
+    queries = _emb_base(spark, sf_dir).filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # bands=16×2 bits: per-pair recall ≈ 1 down to cosine ~0.9 — the graded
+    # variants (≥0.928) are all caught; exact rerank then matches brute force
+    return lsh_topk(corpus, queries, k=5, bands=16, band_bits=2)
 
 
 def q_ivf_topk(spark, sf_dir):
     from hatchery_spark.functions.similarity import ivf_topk
 
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+    corpus = _emb_augmented_queries(spark, sf_dir)
+    queries = _emb_base(spark, sf_dir).filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5)
-
-
-def q_lsh_topk(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return lsh_topk(emb, queries, k=5)
+    return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    emb = load(spark, sf_dir, "embeddings").limit(500)
-    return embedding_near_dup(emb, threshold=0.9)
+    base = _emb_base(spark, sf_dir).filter(F.col("vec_id") < 500)
+    twins = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        _perturb(F.col("embedding"), F.lit(0.1)).alias("embedding"),
+    )
+    return embedding_near_dup(base.unionByName(twins), threshold=0.9)
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal mapInPandas plumbing. sha8 (hash of the random payload) is
+    pytest-covered but excluded here so the remaining columns are SQL-derivable."""
     from hatchery_spark.functions.multimodal import extract_media_features, synthetic_media_df
 
     media = synthetic_media_df(spark, n=64)
     return extract_media_features(media).select(
-        "media_id", "kind", "n_bytes", "sha8", "decode_status"
+        "media_id", "kind", "n_bytes", "decode_status"
+    )
+
+
+def q_media_frame_grid(spark, sf_dir):
+    """Video frame-sampling grid (explode of the per-row frame timestamps)."""
+    from hatchery_spark.functions.multimodal import sample_video_frames, synthetic_media_df
+
+    return sample_video_frames(synthetic_media_df(spark, n=64), every_ms=500)
+
+
+def q_lineage_totals(spark, sf_dir):
+    """Global reduction of the per-partition lineage rows — partition ids are
+    physical (rows-only), but their totals must equal the table's aggregates."""
+    from hatchery_spark.lineage import partition_metrics
+
+    return partition_metrics(transcripts(spark, sf_dir)).agg(
+        F.sum("row_count").alias("total_rows"),
+        F.min("min_conv_id").alias("min_conv_id"),
+        F.max("max_conv_id").alias("max_conv_id"),
+        F.min("min_turn_idx").alias("min_turn_idx"),
+        F.max("max_turn_idx").alias("max_turn_idx"),
+        F.min("min_ts").alias("min_ts"),
+        F.max("max_ts").alias("max_ts"),
     )
 
 
@@ -764,6 +843,124 @@ ranked AS (
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
+
+
+# Brute-force char-5-shingle Jaccard over all doc pairs (ground truth for the
+# minhash/simhash LSH paths). The size prefilter is sound for thresholds ≥ 1/3:
+# jaccard ≥ t implies |smaller|/|larger| ≥ t.
+_JACCARD_PAIRS_CTE = """
+sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+                                 i -> substring(text, i, 5))) AS s
+  FROM documents WHERE doc_id < 500
+),
+jpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(cast(len(list_intersect(a.s, b.s)) AS double)
+          / len(list_distinct(a.s || b.s)), 4) AS jaccard
+  FROM sh a JOIN sh b
+    ON a.doc_id < b.doc_id
+   AND len(a.s) * 3 >= len(b.s) AND len(b.s) * 3 >= len(a.s)
+)
+"""
+
+_MINHASH_ORACLE = (
+    "WITH " + _JACCARD_PAIRS_CTE
+    + "SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.5"
+)
+
+# connected components over the ≥0.4 ground-truth pairs: transitive closure by
+# recursive label reachability, then min label per node
+_DEDUP_RESOLVE_ORACLE = (
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE
+    + """,
+thr AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM thr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM thr
+),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node"""
+)
+
+# corpus augmented with graded perturbed variants of the query vectors —
+# MUST mirror _perturb / _emb_augmented_queries exactly (same op order)
+_EMB_AUG_CTE = """
+base AS (SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings),
+variants AS (
+  SELECT j * 1000 + vec_id AS vec_id,
+         list_transform(range(1, 65), i -> e[i] + 0.1 * j * e[(i % 64) + 1]) AS e
+  FROM base, (SELECT unnest([1, 2, 3, 4]) AS j)
+  WHERE vec_id IN (0, 1, 2)
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM variants)
+"""
+
+_TOPK_AUG_ORACLE = (
+    "WITH " + _EMB_AUG_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, e AS qv FROM base WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, a.vec_id,
+    round(list_dot_product(a.e, q.qv)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+    AS cosine
+  FROM aug a CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+    cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS int) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+)
+
+_NEARDUP_EMB_ORACLE = """
+WITH base AS (
+  SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings WHERE vec_id < 500
+),
+twins AS (
+  SELECT vec_id + 1000 AS vec_id,
+         list_transform(range(1, 65), i -> e[i] + 0.1 * e[(i % 64) + 1]) AS e
+  FROM base
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM cpairs WHERE cosine >= 0.9"""
+
+_MEDIA_ORACLE = """
+SELECT i AS media_id,
+       (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+       cast(128 + (i % 5) * 64 AS int) AS n_bytes,
+       'ok_fake' AS decode_status
+FROM (SELECT unnest(range(0, 64)) AS i)"""
+
+_FRAME_GRID_ORACLE = """
+SELECT i AS media_id,
+       cast(unnest(generate_series(0, 1000 + i * 10, 500)) AS int) AS frame_ms
+FROM (SELECT unnest(range(0, 64)) AS i) WHERE i % 3 = 2"""
+
+_KV_EXPLODE_ORACLE = r"""
+SELECT conv_id,
+  unnest(list_concat(
+    CASE WHEN starts_with(text, '[') THEN ['severity'] ELSE CAST([] AS VARCHAR[]) END,
+    regexp_extract_all(text, '(\w+)=(\S+)', 1))) AS key,
+  unnest(list_concat(
+    CASE WHEN starts_with(text, '[') THEN [regexp_extract(text, '^\[(\w+)\]', 1)]
+         ELSE CAST([] AS VARCHAR[]) END,
+    regexp_extract_all(text, '(\w+)=(\S+)', 2))) AS value
+FROM transcripts WHERE turn_idx = 0"""
 
 
 def oracle_catalog() -> dict[str, str]:
@@ -992,6 +1189,21 @@ def oracle_catalog() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",
         "emb_cosine_topk": _TOPK_ORACLE,
+        "doc_minhash_neardup": _MINHASH_ORACLE,
+        "doc_simhash_neardup": _MINHASH_ORACLE,
+        "doc_dedup_resolve": _DEDUP_RESOLVE_ORACLE,
+        "emb_lsh_topk": _TOPK_AUG_ORACLE,
+        "emb_ivf_topk": _TOPK_AUG_ORACLE,
+        "emb_near_dup": _NEARDUP_EMB_ORACLE,
+        "media_features": _MEDIA_ORACLE,
+        "media_frame_grid": _FRAME_GRID_ORACLE,
+        "pipeline_kv_explode": p + _KV_EXPLODE_ORACLE,
+        "pipeline_lineage_totals": p
+        + """SELECT count(*) AS total_rows,
+                    min(conv_id) AS min_conv_id, max(conv_id) AS max_conv_id,
+                    min(turn_idx) AS min_turn_idx, max(turn_idx) AS max_turn_idx,
+                    min(ts) AS min_ts, max(ts) AS max_ts
+             FROM transcripts""",
     }
 
 
@@ -1044,15 +1256,18 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_lang_id,
         "doc_exact_dedup": q_exact_dedup,
         "emb_cosine_topk": q_embedding_topk,
-        # rows-only (non-SQL-expressible: seeded-hash / pandas-UDF internals)
+        # sketch/ANN paths, value-checked vs brute-force oracles
         "doc_minhash_neardup": q_minhash_neardup,
-        "doc_simhash_candidates": q_simhash_candidates,
+        "doc_simhash_neardup": q_simhash_neardup,
         "doc_dedup_resolve": q_dedup_resolve,
         "emb_ivf_topk": q_ivf_topk,
         "emb_lsh_topk": q_lsh_topk,
         "emb_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
-        "pipeline_lineage_metrics": q_lineage_metrics,
+        "media_frame_grid": q_media_frame_grid,
+        "pipeline_lineage_totals": q_lineage_totals,
         "pipeline_error_burst": q_error_burst,
         "pipeline_kv_explode": q_kv_explode,
+        # rows-only (physical partition ids are not SQL-derivable)
+        "pipeline_lineage_metrics": q_lineage_metrics,
     }

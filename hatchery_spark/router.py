@@ -80,30 +80,59 @@ def ordered_for_sink(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) ->
     )
 
 
-def write_route(
-    df: DataFrame,
+def safe_run_ts(run_ts: str) -> str:
+    """Filesystem/partition-safe form of a run timestamp ('2025-06-04 00:00:00'
+    → '2025-06-04T00-00-00'). Shared with the manifest key format."""
+    return run_ts.replace(":", "-").replace(" ", "T")
+
+
+def write_route_frame(
+    matched: DataFrame,
     route: RouteConfig,
     base_path: str,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    run_ts: str = "1970-01-01 00:00:00",
 ) -> tuple[str, int]:
-    """Write one route's rows to its sink; returns (sink_path, row_count).
+    """Write an already-matched+ordered route frame; returns (sink_path, count).
 
-    Sink layout <base>/<route_id>/dt=YYYY-MM-DD/ mirrors the reference's
-    time-partitioned object naming (prefix/schemaHint/yyyy/MM/dd/...,
-    /root/reference/destination/gcs/client.go:31-54) via partition directories:
-    parity is defined on content, not object names.
+    Sink layout <base>/<route_id>/run_ts=<ts>/dt=YYYY-MM-DD/ mirrors the
+    reference's accumulate-one-object-per-poll semantics
+    (/root/reference/destination/gcs/client.go:31-54): every tick of the CLI
+    loop lands in its OWN run_ts partition, so repeated runs into a shared sink
+    accumulate instead of clobbering. Overwrite is scoped to this run's
+    partitions only (dynamic partitionOverwriteMode), which keeps a crashed
+    run's re-execution idempotent at (run_ts, route) granularity — exactly the
+    manifest's unit of commit.
 
     The row count rides on the write action itself via df.observe() — no
     second pass over the data to count what was written.
     """
     sink = route.sink_path or f"{base_path}/{route.route_id}"
-    matched = ordered_for_sink(route_matches(df, route), salt_buckets)
-    observation = Observation(f"route_{route.route_id}")
-    out = matched.observe(observation, F.count(F.lit(1)).alias("row_count")).withColumn(
-        "dt", F.to_date("ts")
+    observation = Observation(f"route_{route.route_id}_{safe_run_ts(run_ts)}")
+    out = (
+        matched.observe(observation, F.count(F.lit(1)).alias("row_count"))
+        .withColumn("run_ts", F.lit(safe_run_ts(run_ts)))
+        .withColumn("dt", F.to_date("ts"))
+    )
+    writer = (
+        out.write.mode("overwrite")
+        # replace only the partitions THIS run produces, never siblings
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_ts", "dt")
     )
     if route.sink_format == "json":
-        out.write.mode("overwrite").partitionBy("dt").option("compression", "gzip").json(sink)
+        writer.option("compression", "gzip").json(sink)
     else:
-        out.write.mode("overwrite").partitionBy("dt").parquet(sink)
+        writer.parquet(sink)
     return sink, int(observation.get["row_count"])
+
+
+def write_route(
+    df: DataFrame,
+    route: RouteConfig,
+    base_path: str,
+    run_ts: str = "1970-01-01 00:00:00",
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> tuple[str, int]:
+    """Filter, order and write one route's rows (see write_route_frame)."""
+    matched = ordered_for_sink(route_matches(df, route), salt_buckets)
+    return write_route_frame(matched, route, base_path, run_ts)

@@ -10,7 +10,21 @@ from __future__ import annotations
 
 import os
 
+from pyspark import SparkConf
 from pyspark.sql import SparkSession
+
+
+def master_preconfigured() -> bool:
+    """True when a cluster manager already chose the master — spark-submit
+    sets spark.master as a JVM system property (surfaced via SparkConf) or
+    MASTER/SPARK_MASTER in the environment. In that case get_spark must NOT
+    override it back to local mode, and must not force a local-sized heap."""
+    if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER"):
+        return True
+    try:
+        return SparkConf(loadDefaults=True).contains("spark.master")
+    except Exception:
+        return False
 
 
 def get_spark(
@@ -32,9 +46,19 @@ def get_spark(
         # O(2-3x total cores); pass it explicitly there.
         shuffle_partitions = max(cpus, 8)
 
+    builder = SparkSession.builder
+    if not master_preconfigured():
+        # local test/bench harness: we own master + heap sizing. Under
+        # spark-submit on a real cluster, both belong to the submitter.
+        builder = builder.master(f"local[{cpus}]").config(
+            # local mode = single JVM: the driver heap IS executor memory. Size
+            # it to the host (the 128 GiB sandbox) — undersizing shows up as
+            # massive GC variance on string-heavy stages.
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"),
+        )
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -47,10 +71,6 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        # local mode = single JVM: the driver heap IS executor memory. Size it
-        # to the host (the 128 GiB sandbox) — undersizing shows up as massive
-        # GC variance on string-heavy stages.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "80g"))
         # codegen for wide projections (long format_string/regexp chains) can
         # exceed the JVM's 8000-bytecode JIT ceiling; without this flag such
         # methods run interpreted FOREVER (~50x slower) instead of warming up

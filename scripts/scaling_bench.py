@@ -8,33 +8,46 @@ so the protocol controls for host drift:
   * ONE local[32] JVM; "cluster size k" = the job's parallelism pinned to k
     concurrent tasks (input coalesce(k) + spark.sql.shuffle.partitions=k,
     AQE partition-coalescing off for the measurement).
-  * k=8 and k=32 samples are INTERLEAVED (8,32,8,32,…) so both levels sample
-    the same host conditions; per-level time = min over samples (the
-    throttle-free observations).
-  * per-sink counts asserted identical across every run (parity invariant).
+  * Every (k=8, k=32) pair is bracketed by a small fixed CPU PROBE (pure JVM
+    compute, ~1 s clean). A pair counts as CLEAN only if both probes land
+    within 1.3× of the best probe ever observed — i.e. the host was NOT
+    throttling while the pair ran. Pairs are collected until ≥ `n_clean`
+    clean pairs exist (or an attempt/wall-clock cap is hit).
+  * The reported figure is the MEDIAN over clean pairs (not best-of-N);
+    per-sink counts are asserted identical across every run (parity).
 
-    efficiency = (throughput_32 / throughput_8) / 4
+    efficiency_i = (t8_i / t32_i) / 4        →  median over clean pairs
+
+A hardware ceiling is calibrated the same probe-gated way: pure JVM compute
+(no I/O, no shuffle, no Python) itself scales < 1.0 from 8 to 32 threads on
+these SMT/host-shared vCPUs, so the job's efficiency is also reported
+normalized to that ceiling.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
 
-Usage: python scripts/scaling_bench.py [n_rows] [n_pairs]
+Usage: python scripts/scaling_bench.py [n_rows] [n_clean] [max_attempts]
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
+import statistics
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+PROBE_TOLERANCE = 1.3
+
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_clean = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+
+    from pyspark.sql import functions as FF
 
     from hatchery_spark.session import get_spark
     from hatchery_spark.config import DEFAULT_ROUTES
@@ -61,72 +74,105 @@ def main() -> None:
         df = spark.read.parquet(input_path).coalesce(k)
         return sink_counts(prepare(df, service_catalog_df(spark)), DEFAULT_ROUTES)
 
-    # --- hardware calibration: what does PURE JVM COMPUTE scale 8→32 here? --
-    # The sandbox's 32 vCPUs are SMT-shared: even spark.range+xxhash scales
-    # only ~2.4-3x from 8 to 32 threads. The job cannot beat that ceiling, so
-    # we report raw efficiency AND efficiency normalized to the ceiling.
-    def calib(k: int, n: int = 2_000_000_000):
-        from pyspark.sql import functions as FF
-
+    def jvm_compute(k: int, n: int):
         return spark.range(0, n, 1, k).select(
             FF.avg(FF.pmod(FF.xxhash64("id"), FF.lit(1000)))
         )
 
-    calib(8).collect()
-    calib(32).collect()
-    calib_effs = []
-    for _ in range(max(3, n_pairs // 2)):
-        legs = {}
-        for k in (8, 32):
-            t0 = time.perf_counter()
-            calib(k).collect()
-            legs[k] = time.perf_counter() - t0
-        calib_effs.append(round((legs[8] / legs[32]) / 4, 3))
-    hw_ceiling = max(calib_effs)
+    def probe() -> float:
+        t0 = time.perf_counter()
+        jvm_compute(32, 400_000_000).collect()
+        return time.perf_counter() - t0
 
-    # JIT warm-up for both plan shapes before any timing
+    # JIT warm-up for every plan shape before any timing
     counts_ref = {r["route_id"]: r["row_count"] for r in build(8).collect()}
     build(32).collect()
+    jvm_compute(8, 2_000_000_000).collect()
+    best_probe = min(probe() for _ in range(3))
 
-    # adjacent (k=8, k=32) pairs: both legs of a pair see ~the same host
-    # conditions, so per-pair efficiency is robust to throttle windows that
-    # corrupt any cross-window comparison of absolute times
-    samples: dict[int, list[float]] = {8: [], 32: []}
-    pair_effs: list[float] = []
-    for _ in range(n_pairs):
-        legs = {}
-        for k in (8, 32):
-            t0 = time.perf_counter()
-            counts = {r["route_id"]: r["row_count"] for r in build(k).collect()}
-            legs[k] = round(time.perf_counter() - t0, 3)
-            samples[k].append(legs[k])
-            assert counts == counts_ref, f"count parity broken at k={k}"
-        pair_effs.append(round((legs[8] / legs[32]) / 4, 3))
+    def collect_pairs(leg_fn, label: str):
+        """Probe-bracketed (8, 32) pairs until n_clean clean ones (or caps)."""
+        pairs, clean = [], []
+        for attempt in range(max_attempts):
+            p_before = probe()
+            best_probe_now = min(best_probe, p_before)
+            legs = {}
+            for k in (8, 32):
+                t0 = time.perf_counter()
+                leg_fn(k)
+                legs[k] = round(time.perf_counter() - t0, 3)
+            p_after = probe()
+            eff = round((legs[8] / legs[32]) / 4, 3)
+            is_clean = (
+                p_before <= PROBE_TOLERANCE * best_probe_now
+                and p_after <= PROBE_TOLERANCE * best_probe_now
+            )
+            pairs.append(
+                {"t8": legs[8], "t32": legs[32], "eff": eff, "clean": is_clean,
+                 "probes": [round(p_before, 3), round(p_after, 3)]}
+            )
+            if is_clean:
+                clean.append(pairs[-1])
+            print(
+                f"[{label}] pair {attempt + 1}: t8={legs[8]} t32={legs[32]} "
+                f"eff={eff} clean={is_clean} ({len(clean)}/{n_clean})",
+                file=sys.stderr,
+            )
+            if len(clean) >= n_clean:
+                break
+        return pairs, clean
 
-    best8, best32 = min(samples[8]), min(samples[32])
-    thr8, thr32 = n_rows / best8, n_rows / best32
-    # drop pairs where one leg was throttle-corrupted (eff wildly out of
-    # physical range), then take the best clean pair
-    clean = [e for e in pair_effs if 0.1 <= e <= 1.1]
-    eff = max(clean) if clean else max(pair_effs)
-    eff_normalized = round(eff / hw_ceiling, 3)
+    # --- hardware ceiling: pure JVM compute under the same gating ------------
+    calib_pairs, calib_clean = collect_pairs(
+        lambda k: jvm_compute(k, 2_000_000_000).collect(), "calib"
+    )
+    calib_src = calib_clean or calib_pairs
+    hw_ceiling = round(statistics.median(p["eff"] for p in calib_src), 3)
+
+    # --- the job ------------------------------------------------------------
+    def job_leg(k: int):
+        counts = {r["route_id"]: r["row_count"] for r in build(k).collect()}
+        assert counts == counts_ref, f"count parity broken at k={k}"
+
+    job_pairs, job_clean = collect_pairs(job_leg, "job")
+    job_src = job_clean or job_pairs
+    effs = sorted(p["eff"] for p in job_src)
+    eff_median = round(statistics.median(effs), 3)
+    eff_best = max(effs)
+    eff_normalized = round(eff_median / hw_ceiling, 3)
+
+    t8s = [p["t8"] for p in job_src]
+    t32s = [p["t32"] for p in job_src]
+    best8, best32 = min(t8s), min(t32s)
+    med8, med32 = statistics.median(t8s), statistics.median(t32s)
+    thr8, thr32 = n_rows / med8, n_rows / med32
+
     result = {
         "metric": "scaling_efficiency_parallelism8_to_32",
-        "value": eff,
+        "value": eff_median,
         "unit": "ratio",
         "rows": n_rows,
-        "samples_sec": samples,
-        "pair_efficiencies": pair_effs,
-        "hw_ceiling_efficiency": hw_ceiling,
-        "hw_calib_effs": calib_effs,
+        "clean_pairs": len(job_clean),
+        "total_pairs": len(job_pairs),
+        "clean_pair_efficiencies": effs,
+        "all_pairs": job_pairs,
+        "efficiency_median_clean": eff_median,
+        "efficiency_best_clean": eff_best,
+        "hw_ceiling_efficiency_median": hw_ceiling,
         "efficiency_normalized_to_hw": eff_normalized,
+        "median_sec": {"8": med8, "32": med32},
         "best_sec": {"8": best8, "32": best32},
-        "turns_per_sec": {"8": round(thr8, 1), "32": round(thr32, 1)},
+        "turns_per_sec_median": {"8": round(thr8, 1), "32": round(thr32, 1)},
         "target": 0.8,
         "counts": counts_ref,
     }
     print(json.dumps(result))
 
+    job_rows = "\n".join(
+        f"| {i + 1} | {p['t8']} | {p['t32']} | {p['eff']} | "
+        f"{'yes' if p['clean'] else 'no'} | {p['probes'][0]} / {p['probes'][1]} |"
+        for i, p in enumerate(job_pairs)
+    )
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox protocol)
@@ -135,32 +181,36 @@ North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. No real cluster exists in this sandbox, and its host throttles CPU
 in bursts (identical runs vary 5-20x minutes apart), so the protocol controls
 for host drift: one local[32] JVM, job parallelism pinned to k concurrent
-tasks (coalesce(k) + shuffle.partitions=k, AQE coalescing off), k=8 and k=32
-samples interleaved, min over {n_pairs} samples per level. Input:
-{n_rows:,} synthetic transcript turns (seed=42), identical bytes for every
-run; per-sink counts asserted identical across all runs.
+tasks (coalesce(k) + shuffle.partitions=k, AQE coalescing off). Every
+(k=8, k=32) pair is bracketed by a ~1 s pure-JVM CPU probe; a pair is CLEAN
+only if both probes are within {PROBE_TOLERANCE}x of the best probe observed
+(host not throttling during the pair). Reported figure = MEDIAN over the
+{len(job_clean)} clean pairs (of {len(job_pairs)} attempted). Input:
+{n_rows:,} synthetic transcript turns (seed=42), identical bytes every run;
+per-sink counts asserted identical across all runs.
 
-| parallelism | best wall sec | turns/sec | all samples (sec) |
-|---|---|---|---|
-| 8 tasks  | {best8} | {thr8:,.0f} | {samples[8]} |
-| 32 tasks | {best32} | {thr32:,.0f} | {samples[32]} |
+| pair | t8 (s) | t32 (s) | eff = (t8/t32)/4 | clean | probes before/after (s) |
+|---|---|---|---|---|---|
+{job_rows}
 
-Efficiency is computed PER ADJACENT PAIR — both legs of a pair run
-back-to-back under the same host conditions: eff_i = (t8_i / t32_i) / 4.
-Pair efficiencies: {pair_effs}
+Clean-pair efficiencies (sorted): {effs}
 
-**Scaling efficiency (best clean-window pair) = {eff}** (target >= 0.8)
+**Scaling efficiency (MEDIAN of clean pairs) = {eff_median}** (target >= 0.8;
+best clean pair = {eff_best})
+
+Median wall seconds: 8 tasks = {med8} ({thr8:,.0f} turns/sec), 32 tasks =
+{med32} ({thr32:,.0f} turns/sec). Best: {best8} / {best32}.
 
 ## Hardware ceiling
 
 The sandbox's 32 vCPUs are SMT/host-shared: PURE JVM compute
 (spark.range + xxhash64 fold, no I/O, no shuffle, no Python) itself only
-reaches pair efficiency {hw_ceiling} from 8 to 32 threads
-(calibration pairs: {calib_effs}). No job can scale past what the extra
-24 vCPUs physically deliver, so the meaningful number for the north-rule
-criterion is the job's efficiency relative to that ceiling:
+reaches MEDIAN clean-pair efficiency {hw_ceiling} from 8 to 32 threads
+({len(calib_clean)} clean calibration pairs). No job can scale past what the
+extra 24 vCPUs physically deliver, so the meaningful number for the
+north-rule criterion is the job's efficiency relative to that ceiling:
 
-**Normalized scaling efficiency = {eff} / {hw_ceiling} = {eff_normalized}**
+**Normalized scaling efficiency = {eff_median} / {hw_ceiling} = {eff_normalized}**
 (>= 0.8 means the job adds no serial bottleneck beyond the hardware's own
 thread-scaling limit; on a real cluster with whole cores per executor the
 raw number is the one that applies)
@@ -170,9 +220,9 @@ Per-sink counts (identical at both levels): {json.dumps(counts_ref)}
 The job measured is the full parse -> broadcast-enrich -> route fan-out ->
 per-sink aggregate over the materialized transcripts table (the BASELINE.json
 headline path). Steady-state absolute throughput on this host:
-~{thr32/1e6:.1f}M turns/sec at 32 tasks.
+~{thr32 / 1e6:.2f}M turns/sec at 32 tasks (median clean window).
 
-Reproduce: `python scripts/scaling_bench.py {n_rows} {n_pairs}`
+Reproduce: `python scripts/scaling_bench.py {n_rows} {n_clean} {max_attempts}`
 """)
 
 

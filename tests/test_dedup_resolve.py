@@ -22,6 +22,27 @@ def test_connected_components_merge_via_bridge(spark):
     assert set(got.values()) == {5}
 
 
+def test_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 64-node path converges in far fewer rounds than its
+    diameter (plain min-propagation would need ~63)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.canonical_id for r in
+           resolve_duplicate_groups(pairs, max_iterations=8).collect()}
+    assert set(got.values()) == {0} and len(got) == 64
+
+
+def test_nonconvergence_raises(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        resolve_duplicate_groups(pairs, max_iterations=1)
+
+
 def test_keep_canonical_drops_losers(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"

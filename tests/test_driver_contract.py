@@ -28,18 +28,10 @@ def test_rows_only_queries_documented():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     rows_only = set(qs) - set(oracles)
-    # rows-only set is intentional: seeded-hash / pandas-UDF internals
-    assert rows_only == {
-        "doc_minhash_neardup",
-        "doc_simhash_candidates",
-        "emb_lsh_topk",
-        "emb_near_dup",
-        "media_features",
-        "pipeline_lineage_metrics",
-        "pipeline_kv_explode",
-        "doc_dedup_resolve",
-        "emb_ivf_topk",
-    }
+    # the only intentional rows-only check: physical partition ids have no SQL
+    # equivalent (their global reduction is value-checked by
+    # pipeline_lineage_totals instead)
+    assert rows_only == {"pipeline_lineage_metrics"}
 
 
 @pytest.mark.parametrize(

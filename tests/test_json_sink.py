@@ -16,7 +16,7 @@ def test_json_gzip_sink_roundtrip(spark, tmp_path):
 
     import glob
 
-    files = glob.glob(f"{sink}/dt=*/*.json.gz")
+    files = glob.glob(f"{sink}/run_ts=*/dt=*/*.json.gz")
     assert files, "expected gzip json part files"
 
     back = spark.read.json(sink)

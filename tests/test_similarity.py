@@ -54,6 +54,57 @@ def test_embedding_near_dup(spark, vectors):
     assert all(c >= 0.95 for c in pairs.values())
 
 
+def test_near_dup_banded_recall_vs_bruteforce(spark):
+    """Banded sign-LSH must find ≈ all true pairs at cosine ≥ 0.9 — the
+    single-bucket formulation (recall ~0.15 at 0.9) is the regression case."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 32))
+    rows = []
+    for i in range(120):
+        rows.append((i, [float(x) for x in base[i]]))
+        # planted near-dup: small additive noise → cosine ≈ 0.98-0.995
+        noisy = base[i] + 0.15 * rng.standard_normal(32)
+        rows.append((1000 + i, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    got = {(r.id_a, r.id_b) for r in
+           sim.embedding_near_dup(df, threshold=0.9, dim=32).collect()}
+    # brute-force truth
+    queries = df.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = sim.cosine_topk(df, queries, k=240)
+    true_pairs = {
+        (min(r.query_id, r.vec_id), max(r.query_id, r.vec_id))
+        for r in exact.filter("cosine >= 0.9 AND query_id != vec_id").collect()
+    }
+    assert true_pairs, "fixture must contain true near-dup pairs"
+    recall = len(got & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, (recall, len(true_pairs))
+    # verify stage guarantees precision 1 (no sub-threshold pair survives)
+    assert got <= true_pairs
+    df.unpersist()
+
+
+def test_ivf_kmeans_centroids_not_plan_literals(spark, vectors):
+    """IVF assignment must ship centroids via the UDF closure, not inline them
+    as thousands of plan literals."""
+    queries = vectors.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(vectors, queries, k=3, n_centroids=8, n_probe=8)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "ArrowEvalPython" in plan or "assign" in plan
+    got = [r.vec_id for r in out.collect()]
+    assert got[0] == 0  # self-match: own cell always probed first
+
+
+def test_kmeans_deterministic():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((200, 8))
+    a = sim.spherical_kmeans(x, 4, seed=9)
+    b = sim.spherical_kmeans(x, 4, seed=9)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
 def test_deterministic_across_runs(spark, vectors):
     queries = vectors.filter("vec_id < 3").select(
         F.col("vec_id").alias("query_id"), "embedding"

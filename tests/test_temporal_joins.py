@@ -69,7 +69,15 @@ def test_as_of_matches_naive_join(spark):
     assert fast == want
 
 
-def test_range_join_binned_matches_naive(spark):
+import pytest
+
+
+@pytest.mark.parametrize(
+    "bin_width", ["30 minutes", "1 hour", "2 hours", "1 day"]
+)
+def test_range_join_binned_matches_naive(spark, bin_width):
+    """Any bin width must land events and interval bins on the SAME grid —
+    widths that don't divide an hour (or exceed it) are the regression cases."""
     from hatchery_spark.timerange import ticks_df
 
     events = spark.createDataFrame(
@@ -88,7 +96,7 @@ def test_range_join_binned_matches_naive(spark):
     )
     got = {
         (r.event_id, str(r.window_start))
-        for r in range_join_binned(events, windows).collect()
+        for r in range_join_binned(events, windows, bin_width=bin_width).collect()
     }
     naive = {
         (r.event_id, str(r.window_start))
