@@ -38,12 +38,15 @@ class RouteConfig:
     tags: tuple[str, ...] = ()
     predicate: str = "true"
     sink_path: str | None = None
-    sink_format: str = "parquet"  # parquet | json  (reference DataFormat: json/jsonl/yaml/log)
+    # parquet (columnar default) | json (≡ reference jsonl: line-delimited) |
+    # yaml | log (raw text passthrough — the reference's empty-format default)
+    # — reference DataFormat: /root/reference/pkg/types/format.go:3-16
+    sink_format: str = "parquet"
 
     def validate(self) -> None:
         if not self.route_id:
             raise RouteValidationError("route has no ID")
-        if self.sink_format not in ("parquet", "json"):
+        if self.sink_format not in ("parquet", "json", "yaml", "log"):
             raise RouteValidationError(
                 f"route {self.route_id!r}: unsupported sink_format {self.sink_format!r}"
             )

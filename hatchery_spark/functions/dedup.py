@@ -105,16 +105,25 @@ def minhash_lsh_candidates(
         F.col(id_col),
         minhash_signature(char_shingles(F.col(text_col), shingle_k), num_hashes).alias("_sig"),
     )
-    band_rows = [
-        sig.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.element_at("_sig", b * rows_per_band + i + 1)
-                         for i in range(rows_per_band)]).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
-    buckets = reduce(lambda a, b: a.unionByName(b), band_rows)
+    # one row per band via a single explode — a union of per-band selects would
+    # re-evaluate the FULL signature (all shingle hashing) once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("_sig", b * rows_per_band + i + 1)
+                        for i in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("_bs")
+    ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_hash").alias("band_hash"))
     # cap degenerate buckets to bound the self-join
     sized = buckets.withColumn(
         "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
@@ -354,15 +363,22 @@ def simhash_candidates(
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     sh = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
-    bands = [
-        sh.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("_sim", band_bits * b).bitwiseAND(F.lit(mask)).alias("band_val"),
-        )
-        for b in range(n_bands)
-    ]
-    allb = reduce(lambda a, b: a.unionByName(b), bands)
+    # single explode so the pandas-UDF simhash is evaluated ONCE per row —
+    # a union of per-band selects would re-run the UDF once per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("_sim", band_bits * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    allb = sh.select(F.col(id_col), F.explode(band_structs).alias("_bs")).select(
+        id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_val").alias("band_val")
+    )
     a = allb.select(F.col(id_col).alias("id_a"), "band", "band_val")
     bb = allb.select(F.col(id_col).alias("id_b"), "band", "band_val")
     return (

@@ -80,6 +80,38 @@ def ordered_for_sink(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) ->
     )
 
 
+def yaml_lines(df: DataFrame, exclude: Sequence[str] = ("run_ts", "dt")) -> "F.Column":
+    """One YAML list-item document per row, built with native expressions.
+
+    Strings/timestamps are single-quoted YAML scalars (the only escape is
+    doubling embedded single quotes); numeric fields stay bare; NULL → null.
+    Rebuilds the reference's yaml.Marshal sink format
+    (/root/reference/pkg/types/format.go:9) without a Python-side serializer —
+    the whole record renders inside whole-stage codegen.
+    """
+    parts = []
+    for field in df.schema.fields:
+        if field.name in exclude:
+            continue
+        col = F.col(field.name)
+        if field.dataType.typeName() in ("integer", "long", "short", "double", "float"):
+            rendered = col.cast("string")
+        else:
+            quoted = F.concat(
+                F.lit("'"),
+                F.regexp_replace(col.cast("string"), "'", "''"),
+                F.lit("'"),
+            )
+            rendered = quoted
+        prefix = "- " if not parts else "  "
+        parts.append(
+            F.concat(
+                F.lit(f"{prefix}{field.name}: "), F.coalesce(rendered, F.lit("null"))
+            )
+        )
+    return F.concat_ws("\n", *parts)
+
+
 def safe_run_ts(run_ts: str) -> str:
     """Filesystem/partition-safe form of a run timestamp ('2025-06-04 00:00:00'
     → '2025-06-04T00-00-00'). Shared with the manifest key format."""
@@ -113,6 +145,13 @@ def write_route_frame(
         .withColumn("run_ts", F.lit(safe_run_ts(run_ts)))
         .withColumn("dt", F.to_date("ts"))
     )
+    if route.sink_format in ("yaml", "log"):
+        # text-based sinks: exactly one value column + the partition columns.
+        # log = the raw text bytes, one line per record (the reference's
+        # empty-format passthrough, format.go:12-14 — identity projection);
+        # yaml = one YAML list-item document per record.
+        value = F.col("text") if route.sink_format == "log" else yaml_lines(out)
+        out = out.select(value.alias("value"), "run_ts", "dt")
     writer = (
         out.write.mode("overwrite")
         # replace only the partitions THIS run produces, never siblings
@@ -121,6 +160,10 @@ def write_route_frame(
     )
     if route.sink_format == "json":
         writer.option("compression", "gzip").json(sink)
+    elif route.sink_format == "log":
+        writer.option("compression", "gzip").text(sink)
+    elif route.sink_format == "yaml":
+        writer.text(sink)
     else:
         writer.parquet(sink)
     return sink, int(observation.get["row_count"])

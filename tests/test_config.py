@@ -54,4 +54,7 @@ def test_empty_id_rejected():
 
 def test_bad_format_rejected():
     with pytest.raises(RouteValidationError, match="sink_format"):
-        validate_routes([RouteConfig("a", sink_format="yaml")])
+        validate_routes([RouteConfig("a", sink_format="avro2")])
+    # every reference DataFormat is accepted (json≡jsonl, yaml, raw log)
+    for fmt in ("parquet", "json", "yaml", "log"):
+        validate_routes([RouteConfig("a", sink_format=fmt)])

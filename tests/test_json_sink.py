@@ -27,6 +27,41 @@ def test_json_gzip_sink_roundtrip(spark, tmp_path):
     assert joined.filter(F.col("t2") != F.col("text")).count() == 0
 
 
+def test_log_sink_raw_text_passthrough(spark, tmp_path):
+    """'log' sink = the reference's empty-format raw pipe: one line per record,
+    bytes untouched (identity projection), gzip-compressed."""
+    df = transcripts_df(spark, 1500, seed=21)
+    route = RouteConfig("raw-log", predicate="true", sink_format="log")
+    sink, n = write_route(df, route, str(tmp_path))
+    assert n == 1500
+    back = spark.read.text(sink)
+    assert back.count() == 1500
+    want = {r.text for r in df.select("text").collect()}
+    got = {r.value for r in back.collect()}
+    assert got == want  # byte-identical line set
+
+
+def test_yaml_sink_parses_back(spark, tmp_path):
+    df = transcripts_df(spark, 200, seed=22).withColumn(
+        # force quote-escaping through the single-quote path
+        "text", F.concat(F.col("text"), F.lit(" it's quoted"))
+    )
+    route = RouteConfig("yaml-sink", predicate="true", sink_format="yaml")
+    sink, n = write_route(df, route, str(tmp_path))
+    assert n == 200
+    raw = "\n".join(r.value for r in spark.read.text(sink).collect())
+    try:
+        import yaml
+    except ImportError:
+        assert raw.count("- conv_id: ") == 200  # structural fallback
+        return
+    docs = yaml.safe_load(raw)
+    assert len(docs) == 200
+    texts = {d["text"] for d in docs}
+    assert texts == {r.text for r in df.select("text").collect()}
+    assert all(isinstance(d["turn_idx"], int) for d in docs)
+
+
 def test_observe_count_matches(spark, tmp_path):
     df = transcripts_df(spark, 3000, seed=14)
     route = RouteConfig("obs", predicate="pmod(xxhash64(conv_id, turn_idx), 10) < 3")
