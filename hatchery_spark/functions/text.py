@@ -15,8 +15,16 @@ Reference ties:
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# The reference's pluggable ObjNameFunc
+# (/root/reference/destination/gcs/client.go:40): a user-supplied function from
+# payload metadata to the object key. Spark analog: (hint, ts, slug, seq) → name
+# Column, evaluated inside codegen like any other expression.
+NameFn = Callable[[Column, Column, Column, Column], Column]
 
 # small English stopword set for quality scoring / language heuristics
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
@@ -131,9 +139,22 @@ def schema_hint(path: Column) -> Column:
 
 
 def sink_object_name(
-    prefix: str, hint: Column, ts: Column, slug_col: Column, seq: Column, ext: str = "parquet"
+    prefix: str,
+    hint: Column,
+    ts: Column,
+    slug_col: Column,
+    seq: Column,
+    ext: str = "parquet",
+    name_fn: NameFn | None = None,
 ) -> Column:
-    """prefix + hint/ + yyyy/MM/dd/HH/ + yyyyMMdd'T'HHmmss + _slug + _%04d(seq) + .ext"""
+    """prefix + hint/ + yyyy/MM/dd/HH/ + yyyyMMdd'T'HHmmss + _slug + _%04d(seq) + .ext
+
+    `name_fn` overrides the default layout entirely (the reference's pluggable
+    ObjNameFunc, destination/gcs/client.go:40) — it receives the same
+    (hint, ts, slug, seq) columns and returns the full object-name Column.
+    """
+    if name_fn is not None:
+        return name_fn(hint, ts, slug_col, seq)
     return F.concat(
         F.lit(prefix),
         hint,

@@ -31,10 +31,12 @@ from hatchery_spark.functions.dedup import (
     exact_dedup,
     jaccard_verify,
     minhash_dedup,
+    ngram_jaccard_pairs,
     simhash_candidates,
 )
 from hatchery_spark.functions.similarity import cosine_topk, embedding_near_dup, lsh_topk
 from hatchery_spark.functions.text import (
+    fingerprint64,
     lang_id,
     punct_ratio,
     quality_score,
@@ -370,6 +372,26 @@ def q_sink_names(spark, sf_dir):
     )
 
 
+def q_sink_names_custom(spark, sf_dir):
+    """Pluggable ObjNameFunc analog (destination/gcs/client.go:40): a
+    user-supplied (hint, ts, slug, seq) → Column replaces the default layout."""
+
+    def flat_namer(hint, ts, slug_col, seq):
+        return F.concat_ws(
+            "-", hint, F.date_format(ts, "yyyyMMddHH"), slug_col, seq.cast("string")
+        )
+
+    t = transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        sink_object_name(
+            "ignored/", F.col("tool"), F.col("ts"), slug(F.col("text")),
+            F.col("turn_idx"), name_fn=flat_namer,
+        ).alias("object_name"),
+    )
+
+
 # ----------------------------------------------------------------------------
 # generic relational coverage (TPC-H-ish tables)
 # ----------------------------------------------------------------------------
@@ -598,6 +620,30 @@ def q_lang_id(spark, sf_dir):
 def q_exact_dedup(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return exact_dedup(docs).select("doc_id", "dup_count")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word 3-gram Jaccard over a deterministic pair list (consecutive ids)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = (
+        docs.filter(F.col("doc_id") < 99)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+    )
+    return ngram_jaccard_pairs(docs, pairs, n=3)
+
+
+def q_fingerprint_buckets(spark, sf_dir):
+    """64-bit fingerprint bucketing: per-doc bucket size must equal the
+    exact-text group size (collision-free at corpus scale) — which is exactly
+    what the oracle computes over `text`, making the hash path value-checkable
+    without DuckDB having xxhash64."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint64(F.col("text")))
+    return docs.select(
+        "doc_id", F.count(F.lit(1)).over(w).cast("int").alias("bucket_size")
+    )
 
 
 def q_embedding_topk(spark, sf_dir):
@@ -1099,12 +1145,35 @@ def oracle_catalog() -> dict[str, str]:
                    ELSE 'unknown' END AS hint
             FROM t""",
         "pipeline_slug": "SELECT doc_id, substring(sha256(text), 1, 8) AS slug FROM documents",
+        "doc_ngram_jaccard": r"""
+            WITH g AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(regexp_split_to_array(text, '\s+')) - 2, 1) + 1),
+                  i -> array_to_string(regexp_split_to_array(text, '\s+')[i:i+2], ' ')
+                )) AS grams
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              round(cast(len(list_intersect(a.grams, b.grams)) AS double)
+                    / len(list_distinct(a.grams || b.grams)), 4) AS ngram_jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 99""",
+        "doc_fingerprint_buckets": """
+            SELECT doc_id, cast(count(*) OVER (PARTITION BY text) AS int) AS bucket_size
+            FROM documents""",
         "pipeline_sink_names": p
         + """SELECT conv_id, turn_idx,
                concat('logs/', tool, '/', strftime(ts, '%Y/%m/%d/%H'), '/',
                       strftime(ts, '%Y%m%dT%H%M%S'), '_',
                       substring(sha256(text), 1, 8), '_',
                       printf('%04d', turn_idx), '.parquet') AS object_name
+             FROM transcripts""",
+        "pipeline_sink_names_custom": p
+        + """SELECT conv_id, turn_idx,
+               concat_ws('-', tool, strftime(ts, '%Y%m%d%H'),
+                         substring(sha256(text), 1, 8),
+                         cast(turn_idx AS string)) AS object_name
              FROM transcripts""",
         "rel_agg_pricing": _Q1_ORACLE,
         "rel_join_segment_revenue": """
@@ -1232,6 +1301,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_schema_hint": q_schema_hint,
         "pipeline_slug": q_slug,
         "pipeline_sink_names": q_sink_names,
+        "pipeline_sink_names_custom": q_sink_names_custom,
         # generic relational operators
         "rel_agg_pricing": q_agg_pricing,
         "rel_join_segment_revenue": q_join_segment_revenue,
@@ -1255,6 +1325,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_quality": q_text_quality,
         "doc_lang_id": q_lang_id,
         "doc_exact_dedup": q_exact_dedup,
+        "doc_ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint_buckets": q_fingerprint_buckets,
         "emb_cosine_topk": q_embedding_topk,
         # sketch/ANN paths, value-checked vs brute-force oracles
         "doc_minhash_neardup": q_minhash_neardup,

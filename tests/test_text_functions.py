@@ -66,6 +66,25 @@ def test_sink_object_name(spark):
     assert r == "pre/hint/2025/06/01/13/20250601T130405_s_0007.json"
 
 
+def test_sink_object_name_custom_fn(spark):
+    """ObjNameFunc analog: a user fn replaces the default layout entirely."""
+    df = spark.createDataFrame(
+        [("2025-06-01 13:04:05", "hint", "s", 7)],
+        "ts string, hint string, slugv string, seq int",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def namer(hint, ts, slug_col, seq):
+        return F.concat_ws("-", hint, F.date_format(ts, "yyyyMMdd"), seq.cast("string"))
+
+    r = df.select(
+        tx.sink_object_name(
+            "pre/", F.col("hint"), F.col("ts"), F.col("slugv"), F.col("seq"),
+            "json", name_fn=namer,
+        ).alias("r")
+    ).first().r
+    assert r == "hint-20250601-7"
+
+
 def test_fingerprint64_stable(spark):
     df = spark.createDataFrame([("x",), ("x",), ("y",)], "text string")
     vals = [r.f for r in df.select(tx.fingerprint64(F.col("text")).alias("f")).collect()]
