@@ -12,8 +12,9 @@ Four families, each shaped for 100 TB inputs:
                            (band, band_hash), i.e. the standard web-dedup shape.
   * simhash              — 64-bit SimHash over tokens via an Arrow-vectorized
                            pandas_udf (numpy bit-bucketing; genuinely beyond
-                           built-ins), near-dup candidates via 16-bit band
-                           buckets (Hamming ≤ 3 ⇒ some band of 4 matches).
+                           built-ins), near-dup candidates via banded bit
+                           buckets (64/b bands of b bits ⇒ Hamming ≤ 64/b − 1
+                           guaranteed caught), degenerate buckets capped.
   * ngram_jaccard        — word n-gram Jaccard verification on candidate pairs
                            (native array_intersect/array_union).
 
@@ -351,13 +352,23 @@ def dedup_keep_canonical(
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", band_bits: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 8,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Near-dup candidates: equal `band_bits`-bit band of the simhash.
 
     64/band_bits bands ⇒ any pair at Hamming distance ≤ 64/band_bits − 1 is
     guaranteed caught (pigeonhole). The default 8 bands catch Hamming ≤ 7 —
     near-identical docs land well inside that.
+
+    An 8-bit band has only 256 distinct values, so at corpus scale every
+    bucket is populous and the self-join is quadratic in bucket size:
+    `max_bucket` caps it (same guard as the minhash path). At 10^9+ docs
+    raise band_bits to 16 (4 bands, Hamming ≤ 3, 65k buckets) so buckets
+    stay joinable before the cap ever bites.
     """
     assert 64 % band_bits == 0
     n_bands = 64 // band_bits
@@ -379,6 +390,10 @@ def simhash_candidates(
     allb = sh.select(F.col(id_col), F.explode(band_structs).alias("_bs")).select(
         id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_val").alias("band_val")
     )
+    sized = allb.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_val"))
+    )
+    allb = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = allb.select(F.col(id_col).alias("id_a"), "band", "band_val")
     bb = allb.select(F.col(id_col).alias("id_b"), "band", "band_val")
     return (

@@ -1,0 +1,81 @@
+"""Deterministic sampling + sequence packing for training-data curation.
+
+Both are pure pyspark.sql expressions (no Python on the hot path) and both are
+deterministic functions of the DATA, not of partitioning or row order — the
+same rows are selected on 8 executors or 1000, which is what makes a sampled
+training set reproducible across cluster sizes. (`df.sample()` is seeded
+per-partition, so its output changes whenever partitioning changes — useless
+as a stable curation step.)
+
+  * deterministic_sample — keep rows whose md5(key) prefix falls under the
+    rate threshold. Uniform over the key distribution, stable under
+    repartition, and expressible in any engine with md5 (oracle-checkable).
+  * stratified_sample   — per-stratum quota: rank rows inside each stratum by
+    md5(key) (a deterministic pseudo-random order) and keep the first n.
+    The shuffle is one hash partition on the stratum column.
+  * pack_sequences      — greedy offset packing: within each group, docs are
+    laid end-to-end in a deterministic order and a doc is assigned to the bin
+    its FIRST token lands in (bin = floor(start_offset / budget)). One window
+    (running sum) — no iteration; a doc may straddle a bin boundary, which is
+    the standard streaming-packing approximation (exact first-fit needs
+    sequential state and buys <1% fill at web scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_threshold(rate: float) -> str:
+    """4-hex-digit md5-prefix threshold for a given sample rate (0..1)."""
+    return format(max(0, min(65536, round(rate * 65536))), "04x")
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str = "text"
+) -> DataFrame:
+    """Keep ~rate of rows, chosen by md5(key) prefix — stable under
+    repartition/cluster size, unlike df.sample()."""
+    return df.filter(F.substring(F.md5(F.col(key_col)), 1, 4) < sample_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum quota sample: first n rows of each stratum in deterministic
+    md5(key) order (id as tiebreak). Adds sample_rank (1-based)."""
+    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(key_col)), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc to a token-budget bin within its group.
+
+    Docs are ordered by id inside the group; doc i starts at the running token
+    offset of docs before it and lands in bin floor(offset / budget). Adds
+    (bin_id, bin_offset). One running-sum window per group — the shuffle is a
+    single hash partition on group_col; at scale, groups are the unit of
+    parallelism so no global coordination exists.
+    """
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    offset = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("bin_offset", offset.cast("long")).withColumn(
+        "bin_id", F.floor(F.col("bin_offset") / F.lit(budget)).cast("int")
+    )

@@ -126,6 +126,30 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(text)
 
 
+# Patterns kept engine-portable (no lookarounds / Java-isms) so the DuckDB
+# oracle applies the exact same regexes. Order matters: emails before bare
+# hostnames, IPs before generic digit runs.
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<email>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<ip>"),
+    (r"\d{12,19}", "<longnum>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, IPv4 addresses, and card-length digit runs from text.
+
+    The data-side counterpart of the reference's config-side secret masking
+    (/root/reference/pkg/types/secret.go — masked String()/MarshalJSON): there
+    secrets are kept out of LOGS; here they are kept out of the routed payloads
+    themselves. Pure regexp_replace chain — codegen'd, replaces all matches.
+    """
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def schema_hint(path: Column) -> Column:
     """Path → schema hint: 'data/...' → data; 'fdrv2/x/<p3>/...' → fdrv2_<p3>;
     else 'unknown'."""

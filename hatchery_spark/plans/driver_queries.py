@@ -622,6 +622,44 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(docs).select("doc_id", "dup_count")
 
 
+def q_sample_rate(spark, sf_dir):
+    """Deterministic md5-prefix sampling — same rows at any cluster size."""
+    from hatchery_spark.functions.sampling import deterministic_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.25).select("doc_id")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-source quota sample (first 20 of each source in md5 order)."""
+    from hatchery_spark.functions.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", 20).select(
+        "doc_id", "source", "sample_rank"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: greedy offset bins per source."""
+    from hatchery_spark.functions.sampling import pack_sequences
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    )
+    return pack_sequences(docs, budget=256).select(
+        "doc_id", "source", "bin_offset", "bin_id"
+    )
+
+
+def q_redact_pii(spark, sf_dir):
+    """Scrub emails/IPs/card-length digit runs from transcript turns."""
+    from hatchery_spark.functions.text import redact_pii
+
+    t = transcripts(spark, sf_dir)
+    return t.select("conv_id", "turn_idx", redact_pii(F.col("text")).alias("redacted"))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Word 3-gram Jaccard over a deterministic pair list (consecutive ids)."""
     docs = load(spark, sf_dir, "documents")
@@ -1162,6 +1200,36 @@ def oracle_catalog() -> dict[str, str]:
         "doc_fingerprint_buckets": """
             SELECT doc_id, cast(count(*) OVER (PARTITION BY text) AS int) AS bucket_size
             FROM documents""",
+        "doc_sample_rate": """
+            SELECT doc_id FROM documents
+            WHERE substring(md5(text), 1, 4) < '4000'""",
+        "doc_stratified_sample": """
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                cast(row_number() OVER (PARTITION BY source
+                                        ORDER BY md5(text), doc_id) AS int) AS sample_rank
+              FROM documents) t
+            WHERE sample_rank <= 20""",
+        "doc_pack_sequences": """
+            SELECT doc_id, source,
+              cast(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+                AS bin_offset,
+              cast(floor(coalesce(sum(n_tokens) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS int)
+                AS bin_id
+            FROM (SELECT doc_id, source,
+                         len(string_split(text, ' ')) AS n_tokens
+                  FROM documents) d""",
+        "pipeline_redact_pii": p
+        + r"""SELECT conv_id, turn_idx,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+                 '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<ip>', 'g'),
+                 '\d{12,19}', '<longnum>', 'g') AS redacted
+             FROM transcripts""",
         "pipeline_sink_names": p
         + """SELECT conv_id, turn_idx,
                concat('logs/', tool, '/', strftime(ts, '%Y/%m/%d/%H'), '/',
@@ -1327,6 +1395,10 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_exact_dedup,
         "doc_ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint_buckets": q_fingerprint_buckets,
+        "doc_sample_rate": q_sample_rate,
+        "doc_stratified_sample": q_stratified_sample,
+        "doc_pack_sequences": q_pack_sequences,
+        "pipeline_redact_pii": q_redact_pii,
         "emb_cosine_topk": q_embedding_topk,
         # sketch/ANN paths, value-checked vs brute-force oracles
         "doc_minhash_neardup": q_minhash_neardup,

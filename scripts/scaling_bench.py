@@ -43,9 +43,17 @@ PROBE_TOLERANCE = 1.3
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    # 40M rows: at this host's un-throttled ~1.5M turns/sec the 8-task leg runs
+    # ~25-30 s, so fixed per-job overhead (scheduling, task launch, broadcast,
+    # driver round-trips ~1 s) stays <5% of either leg. Smaller inputs measure
+    # that constant overhead, not the job's scaling — at 4M rows the whole
+    # 32-task leg is ~1.7 s and efficiency reads artificially low.
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
     n_clean = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     max_attempts = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+    # calibration legs sized to comparable wall-time so the ceiling is measured
+    # at the same overhead-to-work ratio as the job
+    calib_rows = n_rows * 500
 
     from pyspark.sql import functions as FF
 
@@ -87,7 +95,7 @@ def main() -> None:
     # JIT warm-up for every plan shape before any timing
     counts_ref = {r["route_id"]: r["row_count"] for r in build(8).collect()}
     build(32).collect()
-    jvm_compute(8, 2_000_000_000).collect()
+    jvm_compute(8, calib_rows // 10).collect()
     best_probe = min(probe() for _ in range(3))
 
     def collect_pairs(leg_fn, label: str):
@@ -124,7 +132,7 @@ def main() -> None:
 
     # --- hardware ceiling: pure JVM compute under the same gating ------------
     calib_pairs, calib_clean = collect_pairs(
-        lambda k: jvm_compute(k, 2_000_000_000).collect(), "calib"
+        lambda k: jvm_compute(k, calib_rows).collect(), "calib"
     )
     calib_src = calib_clean or calib_pairs
     hw_ceiling = round(statistics.median(p["eff"] for p in calib_src), 3)
@@ -187,7 +195,11 @@ only if both probes are within {PROBE_TOLERANCE}x of the best probe observed
 (host not throttling during the pair). Reported figure = MEDIAN over the
 {len(job_clean)} clean pairs (of {len(job_pairs)} attempted). Input:
 {n_rows:,} synthetic transcript turns (seed=42), identical bytes every run;
-per-sink counts asserted identical across all runs.
+per-sink counts asserted identical across all runs. The input is sized so the
+8-task leg runs ~25 s: fixed per-job overhead (~1 s of scheduling/task
+launch/broadcast) must be <5% of either leg, or the measurement reads that
+constant, not the job's scaling — the 100 TB production analog runs for hours,
+so the long-job regime is the faithful one.
 
 | pair | t8 (s) | t32 (s) | eff = (t8/t32)/4 | clean | probes before/after (s) |
 |---|---|---|---|---|---|

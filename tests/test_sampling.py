@@ -1,0 +1,78 @@
+"""Sampling + packing: determinism under repartition, quota and bin semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hatchery_spark.functions.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    sample_threshold,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"doc text number {i} with some words", ["web", "chat", "code"][i % 3])
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_sample_threshold_bounds():
+    assert sample_threshold(0.0) == "0000"
+    assert sample_threshold(1.0) == "10000"  # nothing sorts above it → keep all
+    assert sample_threshold(0.25) == "4000"
+
+
+def test_deterministic_sample_stable_under_repartition(docs):
+    ids1 = {r.doc_id for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(13), 0.3).select("doc_id").collect()
+    }
+    assert ids1 == ids2
+    assert 0.15 < len(ids1) / 300 < 0.45  # roughly the rate
+
+
+def test_stratified_sample_quota_per_stratum(docs):
+    out = stratified_sample(docs, "source", 7).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in out} == {"web": 7, "chat": 7, "code": 7}
+
+
+def test_stratified_sample_rank_deterministic(docs):
+    a = stratified_sample(docs, "source", 5).orderBy("doc_id").collect()
+    b = stratified_sample(docs.repartition(7), "source", 5).orderBy("doc_id").collect()
+    assert [(r.doc_id, r.sample_rank) for r in a] == [(r.doc_id, r.sample_rank) for r in b]
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 100), (3, "s", 100), (4, "t", 50)],
+        "doc_id long, source string, n_tokens int",
+    )
+    out = {r.doc_id: r for r in pack_sequences(df, budget=256).collect()}
+    assert (out[1].bin_offset, out[1].bin_id) == (0, 0)
+    assert (out[2].bin_offset, out[2].bin_id) == (100, 0)
+    assert (out[3].bin_offset, out[3].bin_id) == (200, 0)  # straddles, starts in bin 0
+    assert (out[4].bin_offset, out[4].bin_id) == (0, 0)  # independent group
+
+
+def test_pack_sequences_bin_advances(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(6)], "doc_id long, source string, n_tokens int"
+    )
+    bins = [r.bin_id for r in pack_sequences(df, budget=256).orderBy("doc_id").collect()]
+    assert bins == [0, 0, 0, 1, 1, 1]  # offsets 0,100,200,300,400,500
+
+
+def test_redact_pii(spark):
+    from hatchery_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail bob@corp.example.com from 10.0.3.7 card 4111111111111111 ok",)],
+        "text string",
+    )
+    out = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert out == "mail <email> from <ip> card <longnum> ok"
