@@ -43,9 +43,13 @@ from hatchery_spark.plans import driver_queries as dq  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 3M keeps the full bench inside a tight wall-clock budget even when the
-# sandbox host throttles; throughput is steady-state so the rate holds at any N
+# 3M keeps the disk-bound write tests inside a tight wall-clock budget even
+# when the sandbox host throttles
 SYN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "3000000"))
+# the throughput headline runs on a larger input so fixed per-job overhead
+# (~1 s scheduling/broadcast) is <10% of the measured time — at 3M rows the
+# agg finishes in ~2 s and the "throughput" would mostly measure that constant
+AGG_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_AGG_ROWS", "12000000"))
 
 
 def main() -> None:
@@ -95,17 +99,25 @@ def main() -> None:
         transcripts_df(spark, SYN_ROWS, seed=42).write.mode("overwrite").parquet(
             f"{work}/transcripts"
         )
+        transcripts_df(spark, AGG_ROWS, seed=42).write.mode("overwrite").parquet(
+            f"{work}/transcripts_agg"
+        )
         datagen_sec = round(time.perf_counter() - t0, 3)
         syn = spark.read.parquet(f"{work}/transcripts")
         cat = service_catalog_df(spark)
 
         # --- headline: parse→enrich→route→aggregate over the materialized table
+        # (a FRESH DataFrame per rep — re-collecting one instance would reuse
+        # its shuffle outputs via stage skipping and time only the final stage)
         measure(
             "pipeline_synthetic_agg",
-            lambda: sink_counts(prepare(syn, cat), DEFAULT_ROUTES).collect(),
+            lambda: sink_counts(
+                prepare(spark.read.parquet(f"{work}/transcripts_agg"), cat),
+                DEFAULT_ROUTES,
+            ).collect(),
             reps=3, max_tries=7,
         )
-        turns_per_sec = round(SYN_ROWS / warm["pipeline_synthetic_agg"], 1)
+        turns_per_sec = round(AGG_ROWS / warm["pipeline_synthetic_agg"], 1)
 
         def full_write(tag, parallel=1):
             run_pipeline(
@@ -175,6 +187,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "synthetic_rows": SYN_ROWS,
+                "agg_rows": AGG_ROWS,
                 "datagen_materialize_sec": datagen_sec,
                 "throughput_turns_per_sec": turns_per_sec,
             }
