@@ -697,8 +697,14 @@ def q_embedding_topk(spark, sf_dir):
 # recall at realistic/selective params is asserted in tests/)
 
 def _docs500(spark, sf_dir):
-    """Deterministic 500-doc slice (predicate pushdown, not a LIMIT)."""
-    return load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    """Deterministic 500-doc slice (predicate pushdown, not a LIMIT).
+
+    Repartitioned so the sketch stages parallelize: the filtered slice
+    otherwise arrives as ONE file partition and the (expensive) signature
+    expressions run serially — a real corpus has many partitions, so this
+    mirrors production shape. No semantic effect (order-insensitive results).
+    """
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500).repartition(32)
 
 
 def q_minhash_neardup(spark, sf_dir):
