@@ -78,13 +78,17 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
         clean_samples, all_samples = [], []
         for _ in range(max_tries):
-            p = probe()
-            best_probe = min(best_probe, p)
+            # bracket the sample with probes: a throttle burst that starts
+            # MID-query would pass a before-only check
+            p_before = probe()
+            best_probe = min(best_probe, p_before)
             t1 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t1
+            p_after = probe()
+            best_probe = min(best_probe, p_after)
             all_samples.append(dt)
-            if p <= 1.3 * best_probe:
+            if p_before <= 1.3 * best_probe and p_after <= 1.3 * best_probe:
                 clean_samples.append(dt)
             if len(clean_samples) >= reps:
                 break
