@@ -549,6 +549,44 @@ def q_datetime_funcs(spark, sf_dir):
     )
 
 
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS — planned as a left-semi join by Catalyst."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("hs_cust_ex")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hs_ord_ex")
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM hs_cust_ex c
+           WHERE EXISTS (SELECT 1 FROM hs_ord_ex o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 200000)"""
+    )
+
+
+def q_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery (threshold from max — exact, no float-sum
+    order sensitivity between engines)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hs_ord_sc")
+    return spark.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS total
+           FROM hs_ord_sc
+           WHERE o_totalprice >= (SELECT max(o_totalprice) FROM hs_ord_sc) * 0.8"""
+    )
+
+
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery: each customer's priciest order (top-1)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("hs_cust_lat")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("hs_ord_lat")
+    return spark.sql(
+        """SELECT c.c_custkey, l.o_orderkey, l.total
+           FROM hs_cust_lat c,
+           LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+                    FROM hs_ord_lat o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    LIMIT 1) l"""
+    )
+
+
 def q_having_active_users(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     return (
@@ -1313,6 +1351,23 @@ def oracle_catalog() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
                    cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
             FROM events""",
+        "rel_exists_subquery": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 200000)""",
+        "rel_scalar_subquery": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS total
+            FROM orders
+            WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.8""",
+        "rel_lateral_topn": """
+            SELECT c.c_custkey, l.o_orderkey, l.total
+            FROM customer c,
+            LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+                     FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey
+                     LIMIT 1) l""",
         "rel_having_active_users": """
             SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id HAVING count(*) >= 10""",
@@ -1393,6 +1448,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": q_string_funcs,
         "rel_datetime_funcs": q_datetime_funcs,
         "rel_having_active_users": q_having_active_users,
+        "rel_exists_subquery": q_exists_subquery,
+        "rel_scalar_subquery": q_scalar_subquery,
+        "rel_lateral_topn": q_lateral_topn,
         "rel_percentiles": q_percentiles,
         # training-data ops
         "doc_token_count": q_token_count,
