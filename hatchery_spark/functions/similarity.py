@@ -81,7 +81,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec, planes: list[list[float]]):
-    """n_planes-bit sign bucket for an array<double> column (one fused pass)."""
+    """n_planes-bit sign bucket for an array<double> column (one fused pass).
+
+    Expression form — interpreted (HOFs are CodegenFallback). Kept for
+    column-level composition; `lsh_bits_df` is the codegen'd hot path.
+    """
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -90,6 +94,43 @@ def lsh_bucket(vec, planes: list[list[float]]):
         )
         bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bits_df(
+    df: DataFrame, planes: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, _bits): packed sign bits via posexplode + codegen'd sum aggregates.
+
+    zip_with/aggregate HOFs evaluate interpreted at ~µs per element, so the
+    expression form pays n_planes × dim interpreted calls per vector. Here the
+    vector explodes to one row per element, a 64-row coefficient table (one
+    column per plane) broadcast-joins on the element position, and the
+    n_planes dot products are whole-stage-codegen'd SUM aggregates — partial
+    aggregation reduces each vector to one row before any exchange.
+
+    Bitwise-identical to `lsh_bucket`: posexplode emits elements in array
+    order within one partition, so each per-group sum adds terms in the same
+    left-to-right order as the fold (and 0.0 + x == x for every IEEE double
+    that can occur here). Vectors that are NULL/empty produce no row.
+    """
+    spark = df.sparkSession
+    n_planes = len(planes)
+    dim = len(planes[0])
+    rows = [
+        (j, *[float(planes[i][j]) for i in range(n_planes)]) for j in range(dim)
+    ]
+    schema = "pos int, " + ", ".join(f"c{i} double" for i in range(n_planes))
+    coeffs = spark.createDataFrame(rows, schema)
+    ex = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "_v"))
+    joined = ex.join(F.broadcast(coeffs), "pos")
+    dots = joined.groupBy(id_col).agg(
+        *[F.sum(F.col("_v") * F.col(f"c{i}")).alias(f"d{i}") for i in range(n_planes)]
+    )
+    bits = None
+    for i in range(n_planes):
+        term = F.when(F.col(f"d{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return dots.select(F.col(id_col), bits.cast("long").alias("_bits"))
 
 
 def _band_rows(df: DataFrame, bits_col: str, bands: int, band_bits: int) -> DataFrame:
@@ -146,13 +187,9 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    cb = _band_rows(
-        c.select(id_col, lsh_bucket(F.col("_cv"), planes).alias("_bits")),
-        "_bits", bands, band_bits,
-    )
+    cb = _band_rows(lsh_bits_df(c, planes, id_col, "_cv"), "_bits", bands, band_bits)
     qb = _band_rows(
-        q.select(query_id_col, lsh_bucket(F.col("_qv"), planes).alias("_bits")),
-        "_bits", bands, band_bits,
+        lsh_bits_df(q, planes, query_id_col, "_qv"), "_bits", bands, band_bits
     )
     if n_probes > 1:
         probe_vals = F.array(
@@ -294,10 +331,7 @@ def embedding_near_dup(
     """
     planes = _hyperplanes(dim, bands * band_bits, seed)
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    b = _band_rows(
-        v.select(id_col, lsh_bucket(F.col("_v"), planes).alias("_bits")),
-        "_bits", bands, band_bits,
-    )
+    b = _band_rows(lsh_bits_df(v, planes, id_col, "_v"), "_bits", bands, band_bits)
     a_side = b.select(F.col(id_col).alias("id_a"), "band", "band_val")
     b_side = b.select(F.col(id_col).alias("id_b"), "band", "band_val")
     pairs = (
