@@ -55,3 +55,40 @@ def test_cli_end_to_end_subprocess(spark, tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(res["counts"]) == {"sec-alerts", "auth-audit"}
     assert all(n > 0 for n in res["counts"].values())
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_end_to_end(spark, tmp_path):
+    """REAL `spark-submit --py-files <zip>` run: build the dist zip with
+    scripts/package.sh, submit dist/main.py against a fresh local master, and
+    check route counts — the north rule's packaging requirement, not a
+    python -m approximation. The zip is the ONLY source of package code on the
+    submitted job's path (cwd is a temp dir)."""
+    import os
+    import shutil
+
+    if shutil.which("spark-submit") is None:
+        pytest.skip("spark-submit not on PATH")
+    build = subprocess.run(
+        ["bash", "scripts/package.sh"], cwd="/root/repo",
+        capture_output=True, text=True, timeout=120,
+    )
+    assert build.returncode == 0, build.stderr
+    inp = str(tmp_path / "in")
+    transcripts_df(spark, 2000, seed=5).write.mode("overwrite").parquet(inp)
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable)
+    out = subprocess.run(
+        [
+            "spark-submit", "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", "/root/repo/dist/hatchery_spark.zip",
+            "/root/repo/dist/main.py",
+            "--input", inp, "--out", str(tmp_path / "out"),
+            "--run-ts", "2025-06-04 00:00:00", "-t", "security",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path), env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(res["counts"]) == {"sec-alerts", "auth-audit"}
+    assert all(n > 0 for n in res["counts"].values())
