@@ -14,6 +14,8 @@ behind one interface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,6 +107,49 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(name)
+
+
+def compact_parquet_sink(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 << 20,
+    partition_cols: tuple[str, ...] = ("run_ts", "dt"),
+) -> int:
+    """Rewrite a small-files sink into ~target-sized files; returns file count.
+
+    Streaming/micro-batch sinks accumulate one file per (trigger, partition) —
+    at 10^12-turn scale that is millions of KB-sized objects whose open/list
+    cost dominates downstream scans. This rewrites `src` into `dst` with each
+    (run_ts, dt) partition clustered into one task (hash repartition on the
+    partition columns), splitting oversized partitions via maxRecordsPerFile
+    derived from the sink's measured bytes/row. Sizes come from the Hadoop
+    FileSystem API, so the same code runs against any configured object store.
+    The swap of dst for src is the caller's move (manifest/metastore pointer
+    flip), keeping the rewrite itself idempotent and crash-safe.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    df = spark.read.parquet(src)
+    n_rows = df.count()  # parquet metadata only — no data scan
+    if n_rows == 0:
+        df.write.mode("overwrite").parquet(dst)
+        return 0
+    bytes_per_row = max(1, total_bytes // n_rows)
+    max_records = max(1, int(target_file_bytes // bytes_per_row))
+    n_tasks = max(1, math.ceil(total_bytes / target_file_bytes))
+    cols = [c for c in partition_cols if c in df.columns]
+    (
+        df.repartition(n_tasks, *[F.col(c) for c in cols])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records)
+        .partitionBy(*cols)
+        .parquet(dst)
+    )
+    out = spark.read.parquet(dst)
+    return len(out.inputFiles())
 
 
 def read_table(

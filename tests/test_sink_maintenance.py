@@ -1,0 +1,62 @@
+"""Sink maintenance: small-files compaction + dynamic partition pruning."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from hatchery_spark.datagen import transcripts_df
+from hatchery_spark.sinks import compact_parquet_sink
+
+
+@pytest.fixture(scope="module")
+def fragmented_sink(spark, tmp_path_factory):
+    """A dt-partitioned sink fragmented into many tiny files (streaming shape)."""
+    path = str(tmp_path_factory.mktemp("frag") / "sink")
+    df = transcripts_df(spark, 20_000, seed=7).withColumn("dt", F.to_date("ts"))
+    df.repartition(40).write.mode("overwrite").partitionBy("dt").parquet(path)
+    return path
+
+
+def test_compaction_reduces_files_preserves_rows(spark, fragmented_sink, tmp_path):
+    dst = str(tmp_path / "compacted")
+    before = spark.read.parquet(fragmented_sink)
+    n_before = len(before.inputFiles())
+    n_after = compact_parquet_sink(
+        spark, fragmented_sink, dst, target_file_bytes=64 << 20,
+        partition_cols=("dt",),
+    )
+    after = spark.read.parquet(dst)
+    assert n_after < n_before / 4, (n_before, n_after)
+    # exact multiset equality of rows
+    assert before.exceptAll(after).isEmpty() and after.exceptAll(before).isEmpty()
+    # partition layout preserved
+    assert sorted(r.dt for r in before.select("dt").distinct().collect()) == sorted(
+        r.dt for r in after.select("dt").distinct().collect()
+    )
+
+
+def test_compaction_splits_oversized_partitions(spark, fragmented_sink, tmp_path):
+    dst = str(tmp_path / "tiny_target")
+    n_after = compact_parquet_sink(
+        spark, fragmented_sink, dst, target_file_bytes=64 << 10,
+        partition_cols=("dt",),
+    )
+    n_parts = spark.read.parquet(dst).select("dt").distinct().count()
+    assert n_after > n_parts  # maxRecordsPerFile split the big partitions
+
+
+def test_dynamic_partition_pruning_on_dt_sink(spark, fragmented_sink):
+    """Joining the dt-partitioned sink against a filtered date dim must prune
+    partitions at RUNTIME (dynamicpruning expression in the scan's
+    PartitionFilters) — the mechanism that keeps dimension-driven scans from
+    reading the whole 10^12-row fact table."""
+    fact = spark.read.parquet(fragmented_sink)
+    dims = (
+        fact.select("dt").distinct().limit(3)
+        .withColumn("tag", F.lit("wanted"))
+    )
+    dims.write.mode("overwrite").parquet(fragmented_sink + "_dim")
+    dim = spark.read.parquet(fragmented_sink + "_dim").filter(F.col("tag") == "wanted")
+    joined = fact.join(dim, "dt")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:4000]
+    assert joined.count() > 0
