@@ -549,6 +549,26 @@ def q_datetime_funcs(spark, sf_dir):
     )
 
 
+def q_from_json_decode(spark, sf_dir):
+    """Structured-message decode (O14): schema-full from_json over the props
+    JSON column plus a synthesized envelope — the reference's fdrMessage
+    decode (/root/reference/source/falcon_data_replicator/client.go:150-170)
+    as a typed struct projection instead of per-record unmarshal."""
+    ev = load(spark, sf_dir, "events")
+    envelope = F.concat(
+        F.lit('{"kind": "'), F.col("event_type"),
+        F.lit('", "uid": '), F.col("user_id").cast("string"),
+        F.lit(', "inner": '), F.col("props"), F.lit("}"),
+    )
+    parsed = F.from_json(envelope, "kind string, uid bigint, inner struct<k: bigint>")
+    return ev.select(
+        "event_id",
+        parsed["kind"].alias("kind"),
+        parsed["uid"].alias("uid"),
+        parsed["inner"]["k"].alias("k"),
+    )
+
+
 def q_exists_subquery(spark, sf_dir):
     """Correlated EXISTS — planned as a left-semi join by Catalyst."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("hs_cust_ex")
@@ -1351,6 +1371,16 @@ def oracle_catalog() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
                    cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
             FROM events""",
+        "pipeline_from_json_decode": """
+            SELECT event_id,
+              json_extract_string(envelope, '$.kind') AS kind,
+              cast(json_extract(envelope, '$.uid') AS bigint) AS uid,
+              cast(json_extract(envelope, '$.inner.k') AS bigint) AS k
+            FROM (
+              SELECT event_id,
+                concat('{"kind": "', event_type, '", "uid": ',
+                       cast(user_id AS string), ', "inner": ', props, '}') AS envelope
+              FROM events) t""",
         "rel_exists_subquery": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -1448,6 +1478,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": q_string_funcs,
         "rel_datetime_funcs": q_datetime_funcs,
         "rel_having_active_users": q_having_active_users,
+        "pipeline_from_json_decode": q_from_json_decode,
         "rel_exists_subquery": q_exists_subquery,
         "rel_scalar_subquery": q_scalar_subquery,
         "rel_lateral_topn": q_lateral_topn,
