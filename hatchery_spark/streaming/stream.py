@@ -101,6 +101,27 @@ def run_streaming_pipeline(
     return writer.trigger(processingTime=processing_time).start()
 
 
+def dedup_stream(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state.
+
+    At-least-once sources (the queue-driven scan, O12/O26 — SQS redelivers
+    unacked messages) can replay a payload across micro-batches; batch-mode
+    resume handles this at (run_ts, route) granularity via the manifest, and
+    this is the streaming-row analog: `dropDuplicatesWithinWatermark` keeps
+    only the first arrival of each key and — unlike a plain dropDuplicates,
+    whose state grows forever — evicts key state once the watermark passes,
+    so the query runs indefinitely at 10^12-turn scale with state bounded by
+    the watermark horizon.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def windowed_sink_counts(
     stream: DataFrame,
     routes: Sequence[RouteConfig],

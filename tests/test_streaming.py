@@ -72,3 +72,30 @@ def test_windowed_counts_schema_and_totals(spark, input_dir, tmp_path):
         got[r.route_id] = got.get(r.route_id, 0) + r.row_count
         assert r.window_end > r.window_start
     assert got == want
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    """Duplicate (conv_id, turn_idx) keys across the stream survive exactly
+    once; state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    from hatchery_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "dup_in")
+    base = transcripts_df(spark, 1000, seed=11)
+    # replay: the same payload written twice (at-least-once redelivery shape)
+    base.write.mode("overwrite").parquet(src)
+    base.write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 2000
+
+    stream = read_transcripts_stream(spark, src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    assert out.count() == 1000
+    assert out.groupBy("conv_id", "turn_idx").count().filter("count > 1").isEmpty()
