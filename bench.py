@@ -178,6 +178,21 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     total = round(sum(warm.values()), 3)
+    # attach the latest scaling-efficiency evidence (scripts/scaling_bench.py)
+    scaling = None
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        scaling = {
+            "efficiency_median_clean": s.get("efficiency_median_clean"),
+            "efficiency_normalized_to_hw": s.get("efficiency_normalized_to_hw"),
+            "hw_ceiling_efficiency_median": s.get("hw_ceiling_efficiency_median"),
+            "clean_pairs": s.get("clean_pairs"),
+            "rows": s.get("rows"),
+            "turns_per_sec_median": s.get("turns_per_sec_median"),
+        }
     print(
         json.dumps(
             {
@@ -194,6 +209,7 @@ def main() -> None:
                 "agg_rows": AGG_ROWS,
                 "datagen_materialize_sec": datagen_sec,
                 "throughput_turns_per_sec": turns_per_sec,
+                "scaling": scaling,
             }
         )
     )

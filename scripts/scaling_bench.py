@@ -175,6 +175,9 @@ def main() -> None:
         "counts": counts_ref,
     }
     print(json.dumps(result))
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/scaling.json", "w") as f:
+        json.dump(result, f)
 
     job_rows = "\n".join(
         f"| {i + 1} | {p['t8']} | {p['t32']} | {p['eff']} | "

@@ -60,3 +60,49 @@ def test_dynamic_partition_pruning_on_dt_sink(spark, fragmented_sink):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:4000]
     assert joined.count() > 0
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join handling (north-rule requirement): a join where one
+    conv_id holds most rows must show skew=true on the runtime join node —
+    AQE split the whale partition into parallel subtasks instead of letting
+    one task process it alone."""
+    import pyspark.sql.functions as F
+
+    fact = spark.range(0, 400_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("whale-conv"))
+        .otherwise(F.concat(F.lit("c"), F.col("id")))
+        .alias("conv_id"),
+        F.col("id").alias("turn"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    dim = fact.select("conv_id").distinct().withColumn(
+        "meta", F.length("conv_id")
+    )
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = spark.read.parquet(str(tmp_path / "fact")).join(
+            spark.read.parquet(str(tmp_path / "dim")), "conv_id"
+        ).select("conv_id")
+        # collect() executes THIS Dataset's QueryExecution, which is the one
+        # whose AdaptiveSparkPlan gets finalized (count() would execute a
+        # different QueryExecution and leave this plan un-finalized)
+        assert len(joined.collect()) == 400_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
