@@ -549,6 +549,54 @@ def q_datetime_funcs(spark, sf_dir):
     )
 
 
+def q_array_funcs(spark, sf_dir):
+    """Array-function breadth: HOF filter/transform + sort/slice over tokens."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3_sorted"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.concat_ws("|", F.transform(F.slice(toks, 1, 2), F.upper)).alias("head_upper"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+def q_map_funcs(spark, sf_dir):
+    """Map-function usage: per-user event_type→count map, probed + sized.
+
+    The oracle computes the same values relationally (filtered count +
+    distinct count) — what validates is that Spark's map construction and
+    probing produce the right numbers."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("type_counts", "click"), F.lit(0)).alias("clicks"),
+        F.size("type_counts").alias("n_types"),
+    )
+
+
+def q_math_funcs(spark, sf_dir):
+    """Math-function breadth over lineitem (rounded for cross-engine parity)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 4).alias("ln_price"),
+        F.round(F.pow("l_discount", 2), 6).alias("disc_sq"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.pmod(F.col("l_linenumber"), F.lit(3)).cast("int").alias("ln_mod"),
+    )
+
+
 def q_from_json_decode(spark, sf_dir):
     """Structured-message decode (O14): schema-full from_json over the props
     JSON column plus a synthesized envelope — the reference's fdrMessage
@@ -1371,6 +1419,30 @@ def oracle_catalog() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
                    cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
             FROM events""",
+        "rel_array_funcs": """
+            SELECT doc_id,
+              array_to_string(list_sort(string_split(text, ' '))[1:3], '|')
+                AS first3_sorted,
+              cast(len(list_filter(string_split(text, ' '), t -> length(t) > 4))
+                AS int) AS n_long,
+              array_to_string(list_transform(string_split(text, ' ')[1:2],
+                                             t -> upper(t)), '|') AS head_upper,
+              cast(len(list_distinct(string_split(text, ' '))) AS int) AS n_distinct
+            FROM documents""",
+        "rel_map_funcs": """
+            SELECT user_id,
+              cast(count(*) FILTER (WHERE event_type = 'click') AS bigint) AS clicks,
+              cast(count(DISTINCT event_type) AS int) AS n_types
+            FROM events GROUP BY user_id""",
+        "rel_math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+              round(sqrt(l_quantity), 4) AS sqrt_qty,
+              round(ln(l_extendedprice), 4) AS ln_price,
+              round(pow(l_discount, 2), 6) AS disc_sq,
+              cast(ceil(l_quantity) AS bigint) AS qty_ceil,
+              abs(l_quantity - 25) AS qty_dev,
+              cast(l_linenumber % 3 AS int) AS ln_mod
+            FROM lineitem WHERE l_orderkey < 1000""",
         "pipeline_from_json_decode": """
             SELECT event_id,
               json_extract_string(envelope, '$.kind') AS kind,
@@ -1478,6 +1550,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": q_string_funcs,
         "rel_datetime_funcs": q_datetime_funcs,
         "rel_having_active_users": q_having_active_users,
+        "rel_array_funcs": q_array_funcs,
+        "rel_map_funcs": q_map_funcs,
+        "rel_math_funcs": q_math_funcs,
         "pipeline_from_json_decode": q_from_json_decode,
         "rel_exists_subquery": q_exists_subquery,
         "rel_scalar_subquery": q_scalar_subquery,
