@@ -549,6 +549,18 @@ def q_datetime_funcs(spark, sf_dir):
     )
 
 
+def q_tfidf_topk(spark, sf_dir):
+    from hatchery_spark.functions.corpus import tfidf_topk_terms
+
+    return tfidf_topk_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+def q_char_entropy(spark, sf_dir):
+    from hatchery_spark.functions.corpus import char_entropy
+
+    return char_entropy(load(spark, sf_dir, "documents"))
+
+
 def q_array_funcs(spark, sf_dir):
     """Array-function breadth: HOF filter/transform + sort/slice over tokens."""
     docs = load(spark, sf_dir, "documents")
@@ -1419,6 +1431,34 @@ def oracle_catalog() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
                    cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
             FROM events""",
+        "doc_tfidf_topk": """
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT doc_id, term, round(tf * ln(n_docs / df_t), 4) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT doc_id, term, score,
+                cast(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS int) AS rank
+              FROM scored)
+            SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3""",
+        "doc_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+            ),
+            counts AS (
+              SELECT doc_id, ch, cast(count(*) AS double) AS c
+              FROM chars GROUP BY doc_id, ch
+            ),
+            totals AS (SELECT doc_id, sum(c) AS L FROM counts GROUP BY doc_id)
+            SELECT doc_id, round(-sum((c / L) * ln(c / L)), 4) AS entropy
+            FROM counts JOIN totals USING (doc_id) GROUP BY doc_id""",
         "rel_array_funcs": """
             SELECT doc_id,
               array_to_string(list_sort(string_split(text, ' '))[1:3], '|')
@@ -1550,6 +1590,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_string_funcs": q_string_funcs,
         "rel_datetime_funcs": q_datetime_funcs,
         "rel_having_active_users": q_having_active_users,
+        "doc_tfidf_topk": q_tfidf_topk,
+        "doc_char_entropy": q_char_entropy,
         "rel_array_funcs": q_array_funcs,
         "rel_map_funcs": q_map_funcs,
         "rel_math_funcs": q_math_funcs,
