@@ -45,3 +45,51 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_prop(spark):
     return spark
+
+
+doc_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # doc_id (may collide)
+        st.text(min_size=0, max_size=60),
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(min_value=0, max_value=500),  # n_tokens
+    ),
+    min_size=1, max_size=25, unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(doc_strategy)
+def test_sampling_monotone_and_packing_invariants(spark_prop, rows):
+    from hatchery_spark.functions.sampling import deterministic_sample, pack_sequences
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_tokens int"
+    )
+    # monotone: a lower rate selects a subset of a higher rate's rows
+    low = {r.doc_id for r in deterministic_sample(df, 0.2).collect()}
+    high = {r.doc_id for r in deterministic_sample(df, 0.7).collect()}
+    assert low <= high
+
+    # packing: offset == prior token sum in id order per group; bins consistent
+    packed = pack_sequences(df, budget=100)
+    by_group = {}
+    for r in sorted(packed.collect(), key=lambda r: (r.source, r.doc_id)):
+        expect = by_group.get(r.source, 0)
+        assert r.bin_offset == expect, r
+        assert r.bin_id == r.bin_offset // 100
+        by_group[r.source] = expect + r.n_tokens
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=80), min_size=1, max_size=10))
+def test_redact_pii_idempotent(spark_prop, texts):
+    import pyspark.sql.functions as F
+    from hatchery_spark.functions.text import redact_pii
+
+    spark = spark_prop
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    once = df.select("i", redact_pii(F.col("text")).alias("r"))
+    twice = once.select("i", redact_pii(F.col("r")).alias("r"))
+    assert {(r.i, r.r) for r in once.collect()} == {(r.i, r.r) for r in twice.collect()}
