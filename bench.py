@@ -165,7 +165,11 @@ def main() -> None:
             ("rel_window_first_events", dq.q_window_first_events),
             ("doc_exact_dedup", dq.q_exact_dedup),
             ("doc_minhash_neardup", dq.q_minhash_neardup),
+            ("doc_simhash_neardup", dq.q_simhash_neardup),
+            ("doc_tfidf_topk", dq.q_tfidf_topk),
+            ("doc_pack_sequences", dq.q_pack_sequences),
             ("emb_cosine_topk", dq.q_embedding_topk),
+            ("emb_lsh_topk", dq.q_lsh_topk),
         ]:
             measure(
                 name,

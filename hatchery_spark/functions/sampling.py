@@ -28,8 +28,15 @@ from pyspark.sql import functions as F
 
 
 def sample_threshold(rate: float) -> str:
-    """4-hex-digit md5-prefix threshold for a given sample rate (0..1)."""
-    return format(max(0, min(65536, round(rate * 65536))), "04x")
+    """md5-prefix threshold for a given sample rate (0..1).
+
+    Compared as STRINGS against a 4-char hex prefix, so the rate-1.0 bound
+    must sort above every hex string — "10000" would not ('f' > '1'
+    lexicographically, which would keep only ~1/16 of rows); 'g' sorts above
+    any hex character and keeps everything.
+    """
+    n = max(0, min(65536, round(rate * 65536)))
+    return "g" if n >= 65536 else format(n, "04x")
 
 
 def deterministic_sample(

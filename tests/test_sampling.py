@@ -22,8 +22,14 @@ def docs(spark):
 
 def test_sample_threshold_bounds():
     assert sample_threshold(0.0) == "0000"
-    assert sample_threshold(1.0) == "10000"  # nothing sorts above it → keep all
+    # 'g' sorts above every hex char; "10000" would sort BELOW "ffff"
+    assert sample_threshold(1.0) == "g"
     assert sample_threshold(0.25) == "4000"
+
+
+def test_sample_rate_one_keeps_everything(docs):
+    assert deterministic_sample(docs, 1.0).count() == docs.count()
+    assert deterministic_sample(docs, 0.0).count() == 0
 
 
 def test_deterministic_sample_stable_under_repartition(docs):
