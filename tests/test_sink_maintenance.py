@@ -106,3 +106,19 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_schema_evolution_mergeschema_across_runs(spark, tmp_path):
+    """Long-lived sinks evolve: a later run adds a column. mergeSchema reads
+    both generations; old rows surface NULL for the new column."""
+    sink = str(tmp_path / "evolving")
+    base = transcripts_df(spark, 500, seed=21).withColumn("dt", F.to_date("ts"))
+    base.write.mode("overwrite").partitionBy("dt").parquet(sink)
+    base.withColumn("pipeline_version", F.lit("v2")).write.mode("append").partitionBy(
+        "dt"
+    ).parquet(sink)
+    merged = spark.read.option("mergeSchema", "true").parquet(sink)
+    assert "pipeline_version" in merged.columns
+    assert merged.count() == 1000
+    assert merged.filter(F.col("pipeline_version").isNull()).count() == 500
+    assert merged.filter(F.col("pipeline_version") == "v2").count() == 500
