@@ -276,15 +276,51 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """IVF-flat ANN: k-means coarse quantizer → probe n_probe cells → exact
-    cosine within probed cells.
+    """IVF-flat ANN, one-shot form: build_ivf_index + ivf_search fused.
 
-    Index build: centroids are fit driver-side on a DETERMINISTIC hash sample
-    of the corpus (rows where xxhash64(id) % sample_mod == 0; sample_mod=1 →
-    full corpus, raise it at scale so the collected sample stays O(10^5) rows
+    Production pattern is the split form — the index (cell assignments +
+    centroids) is built once and persisted; every query batch pays only
+    `ivf_search`. This wrapper keeps the single-call API for tests/oracles.
+    """
+    index = build_ivf_index(
+        corpus, n_centroids=n_centroids, sample_mod=sample_mod,
+        kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    return ivf_search(
+        index, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+class IVFIndex:
+    """Coarse quantizer (small numpy matrix) + cell-assigned corpus DataFrame.
+
+    `cells` is an ordinary DataFrame — persist it, or write it as a table
+    partitioned/bucketed by `cell`, and reload for later query batches; the
+    centroid matrix is O(n_centroids × dim) and travels with the driver.
+    """
+
+    def __init__(self, centroids: np.ndarray, cells: DataFrame):
+        self.centroids = centroids
+        self.cells = cells
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    sample_mod: int = 1,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFIndex:
+    """Fit the coarse quantizer and assign every corpus vector to its cell.
+
+    Centroids are fit driver-side on a DETERMINISTIC hash sample of the
+    corpus (rows where xxhash64(id) % sample_mod == 0; sample_mod=1 → full
+    corpus, raise it at scale so the collected sample stays O(10^5) rows
     regardless of corpus size). Assignment is an Arrow-vectorized matmul UDF;
-    the candidate join shuffles on the int cell id only. In a production index
-    the corpus cell column would be precomputed and persisted once per build.
+    the centroid matrix ships in the UDF closure, never as plan literals.
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
     sample_df = c
@@ -292,14 +328,30 @@ def ivf_topk(
         sample_df = c.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     sample = np.array([r[0] for r in sample_df.select("_cv").collect()])
     cents = spherical_kmeans(sample, n_centroids, iters=kmeans_iters, seed=seed)
-
     assign1 = _cell_assign_udf(cents, 1)
-    assign_n = _cell_assign_udf(cents, min(n_probe, len(cents)))
-    cells_c = c.withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
+    cells = c.withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
+    return IVFIndex(cents, cells)
+
+
+def ivf_search(
+    index: IVFIndex,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe the n_probe nearest cells per query; exact cosine within them.
+
+    The candidate join shuffles on the int cell id only (queries explode to
+    one row per probed cell); top-k cut gets WindowGroupLimit pushdown.
+    """
+    assign_n = _cell_assign_udf(index.centroids, min(n_probe, len(index.centroids)))
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     ).withColumn("cell", F.explode(assign_n(F.col("_qv"))))
-    scored = cells_c.join(q, on="cell").withColumn(
+    scored = index.cells.join(q, on="cell").withColumn(
         "cosine", F.round(_cosine(F.col("_cv"), F.col("_qv")), 4)
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))

@@ -112,3 +112,31 @@ def test_deterministic_across_runs(spark, vectors):
     a = sorted(map(tuple, sim.cosine_topk(vectors, queries, k=5).collect()))
     b = sorted(map(tuple, sim.cosine_topk(vectors, queries, k=5).collect()))
     assert a == b
+
+
+def test_ivf_index_build_once_query_many(spark):
+    """Split API: one build serves multiple query batches; results match the
+    fused ivf_topk, and the persisted cells DataFrame is reusable."""
+    from hatchery_spark.functions.similarity import build_ivf_index, ivf_search, ivf_topk
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    index = build_ivf_index(emb, n_centroids=8, seed=7)
+    index.cells = index.cells.cache()
+
+    q1 = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q2 = emb.filter(F.col("vec_id").isin(2, 3)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    r1 = {(r.query_id, r.rank): r.vec_id for r in ivf_search(index, q1, k=3).collect()}
+    r2 = {(r.query_id, r.rank): r.vec_id for r in ivf_search(index, q2, k=3).collect()}
+    assert set(q for q, _ in r1) == {0, 1} and set(q for q, _ in r2) == {2, 3}
+
+    fused = {
+        (r.query_id, r.rank): r.vec_id
+        for r in ivf_topk(emb, q1, k=3, n_centroids=8, seed=7).collect()
+    }
+    assert r1 == fused
+    index.cells.unpersist()
