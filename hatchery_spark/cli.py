@@ -145,6 +145,9 @@ def main(argv: list[str] | None = None) -> int:
             "counts": res.counts,
             "skipped": res.skipped,
             "sinks": res.sinks,
+            # surfaced so deployments (and the spark-submit e2e test) can
+            # confirm the submitted master was not overridden to local mode
+            "master": spark.sparkContext.master,
         }))
     return 0
 

@@ -136,6 +136,35 @@ def minhash_signature_staged(
     )
 
 
+def capped_band_pairs(
+    band_rows: DataFrame,
+    id_col: str,
+    val_col: str,
+    max_bucket: int,
+    band_col: str = "band",
+) -> DataFrame:
+    """(id, band, val) rows → distinct candidate pairs (id_a < id_b).
+
+    The one banded-LSH pairing shape shared by the minhash, simhash and
+    sign-LSH paths: degenerate buckets (boilerplate content shared by huge
+    row counts) are capped at `max_bucket` members to bound the self-join's
+    quadratic blowup — a capped bucket contributes no pairs (its members can
+    still pair through their other bands).
+    """
+    sized = band_rows.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(band_col, val_col))
+    )
+    bounded = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a = bounded.select(F.col(id_col).alias("id_a"), band_col, val_col)
+    b = bounded.select(F.col(id_col).alias("id_b"), band_col, val_col)
+    return (
+        a.join(b, on=[band_col, val_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -168,19 +197,7 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(band_structs).alias("_bs")
     ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_hash").alias("band_hash"))
-    # cap degenerate buckets to bound the self-join
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_hash"))
-    )
-    bounded = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a = bounded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = bounded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    return (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return capped_band_pairs(buckets, id_col, "band_hash", max_bucket)
 
 
 def jaccard_verify(
@@ -444,15 +461,4 @@ def simhash_candidates(
     allb = sh.select(F.col(id_col), F.explode(band_structs).alias("_bs")).select(
         id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_val").alias("band_val")
     )
-    sized = allb.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "band_val"))
-    )
-    allb = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a = allb.select(F.col(id_col).alias("id_a"), "band", "band_val")
-    bb = allb.select(F.col(id_col).alias("id_b"), "band", "band_val")
-    return (
-        a.join(bb, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    return capped_band_pairs(allb, id_col, "band_val", max_bucket)

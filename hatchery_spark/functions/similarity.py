@@ -327,6 +327,11 @@ def build_ivf_index(
     if sample_mod > 1:
         sample_df = c.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
     sample = np.array([r[0] for r in sample_df.select("_cv").collect()])
+    if sample.size == 0:
+        raise ValueError(
+            "build_ivf_index: quantizer sample is empty "
+            "(empty corpus, or sample_mod filtered out every id — lower it)"
+        )
     cents = spherical_kmeans(sample, n_centroids, iters=kmeans_iters, seed=seed)
     assign1 = _cell_assign_udf(cents, 1)
     cells = c.withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
@@ -369,6 +374,7 @@ def embedding_near_dup(
     bands: int = 8,
     band_bits: int = 4,
     seed: int = 42,
+    max_bucket: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -383,15 +389,13 @@ def embedding_near_dup(
     """
     planes = _hyperplanes(dim, bands * band_bits, seed)
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    from hatchery_spark.functions.dedup import capped_band_pairs
+
     b = _band_rows(lsh_bits_df(v, planes, id_col, "_v"), "_bits", bands, band_bits)
-    a_side = b.select(F.col(id_col).alias("id_a"), "band", "band_val")
-    b_side = b.select(F.col(id_col).alias("id_b"), "band", "band_val")
-    pairs = (
-        a_side.join(b_side, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # same capped pairing shape as the minhash/simhash paths: a 4-bit band has
+    # only 16 values, so at corpus scale every bucket is populous — the cap
+    # bounds the self-join blowup (capped members still pair via other bands)
+    pairs = capped_band_pairs(b, id_col, "band_val", max_bucket)
     return (
         pairs.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a")), "id_a")
         .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b")), "id_b")

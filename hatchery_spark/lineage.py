@@ -98,8 +98,11 @@ class ManifestStore:
         os.makedirs(root, exist_ok=True)
 
     def _path(self, run_ts: str, route_id: str) -> str:
-        safe_ts = run_ts.replace(":", "-").replace(" ", "T")
-        return os.path.join(self.root, f"{safe_ts}__{route_id}.json")
+        # the SAME normalization the sink run_ts= partition uses — a drift
+        # between the two would silently break (run_ts, route) resume
+        from hatchery_spark.router import safe_run_ts
+
+        return os.path.join(self.root, f"{safe_run_ts(run_ts)}__{route_id}.json")
 
     def is_committed(self, run_ts: str, route_id: str) -> bool:
         p = self._path(run_ts, route_id)

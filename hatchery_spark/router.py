@@ -83,11 +83,13 @@ def ordered_for_sink(df: DataFrame, salt_buckets: int = DEFAULT_SALT_BUCKETS) ->
 def yaml_lines(df: DataFrame, exclude: Sequence[str] = ("run_ts", "dt")) -> "F.Column":
     """One YAML list-item document per row, built with native expressions.
 
-    Strings/timestamps are single-quoted YAML scalars (the only escape is
-    doubling embedded single quotes); numeric fields stay bare; NULL → null.
-    Rebuilds the reference's yaml.Marshal sink format
-    (/root/reference/pkg/types/format.go:9) without a Python-side serializer —
-    the whole record renders inside whole-stage codegen.
+    Strings/timestamps render as DOUBLE-quoted YAML scalars with \\\\, \\",
+    \\n, \\r, \\t escapes — a raw newline inside a quoted scalar would merge
+    into the next record's lines, so multi-line text must escape to stay one
+    parseable document per row (round-trips through yaml.safe_load). Numeric
+    fields stay bare; NULL → null. Rebuilds the reference's yaml.Marshal sink
+    format (/root/reference/pkg/types/format.go:9) without a Python-side
+    serializer — the whole record renders inside whole-stage codegen.
     """
     parts = []
     for field in df.schema.fields:
@@ -97,12 +99,12 @@ def yaml_lines(df: DataFrame, exclude: Sequence[str] = ("run_ts", "dt")) -> "F.C
         if field.dataType.typeName() in ("integer", "long", "short", "double", "float"):
             rendered = col.cast("string")
         else:
-            quoted = F.concat(
-                F.lit("'"),
-                F.regexp_replace(col.cast("string"), "'", "''"),
-                F.lit("'"),
-            )
-            rendered = quoted
+            esc = col.cast("string")
+            for raw, escaped in (
+                ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")
+            ):
+                esc = F.replace(esc, F.lit(raw), F.lit(escaped))
+            rendered = F.concat(F.lit('"'), esc, F.lit('"'))
         prefix = "- " if not parts else "  "
         parts.append(
             F.concat(
@@ -148,9 +150,18 @@ def write_route_frame(
     if route.sink_format in ("yaml", "log"):
         # text-based sinks: exactly one value column + the partition columns.
         # log = the raw text bytes, one line per record (the reference's
-        # empty-format passthrough, format.go:12-14 — identity projection);
-        # yaml = one YAML list-item document per record.
-        value = F.col("text") if route.sink_format == "log" else yaml_lines(out)
+        # empty-format passthrough, format.go:12-14). Newline-free records
+        # pass through byte-identical; embedded \n/\r are escaped so one
+        # record stays one physical line (rows share files here, unlike the
+        # reference's object-per-payload — use json/parquet for binary-safe
+        # multi-line payloads). yaml = one YAML list-item document per record.
+        if route.sink_format == "log":
+            value = F.replace(
+                F.replace(F.col("text"), F.lit("\n"), F.lit("\\n")),
+                F.lit("\r"), F.lit("\\r"),
+            )
+        else:
+            value = yaml_lines(out)
         out = out.select(value.alias("value"), "run_ts", "dt")
     writer = (
         out.write.mode("overwrite")

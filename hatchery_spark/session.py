@@ -15,13 +15,24 @@ from pyspark.sql import SparkSession
 
 
 def master_preconfigured() -> bool:
-    """True when a cluster manager already chose the master — spark-submit
-    sets spark.master as a JVM system property (surfaced via SparkConf) or
-    MASTER/SPARK_MASTER in the environment. In that case get_spark must NOT
-    override it back to local mode, and must not force a local-sized heap."""
+    """True when a cluster manager already chose the master. In that case
+    get_spark must NOT override it back to local mode or force a local heap.
+
+    Detection order matters: before the JVM gateway exists,
+    SparkConf(loadDefaults=True) is an EMPTY python-side dict — it cannot see
+    the master spark-submit chose. spark-submit for Python apps always ships
+    its flags to the worker via PYSPARK_SUBMIT_ARGS, so that env var is the
+    reliable pre-JVM signal; the SparkConf check only helps once a JVM with
+    system properties is already up (e.g. a second get_spark call)."""
     if os.environ.get("MASTER") or os.environ.get("SPARK_MASTER"):
         return True
+    if "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return True
     try:
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is not None:
+            return True
         return SparkConf(loadDefaults=True).contains("spark.master")
     except Exception:
         return False

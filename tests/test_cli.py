@@ -92,3 +92,6 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert set(res["counts"]) == {"sec-alerts", "auth-audit"}
     assert all(n > 0 for n in res["counts"].values())
+    # the submitted --master must win over get_spark's local default —
+    # before the PYSPARK_SUBMIT_ARGS detection this silently became local[32]
+    assert res["master"] == "local[4]", res["master"]

@@ -68,3 +68,31 @@ def test_observe_count_matches(spark, tmp_path):
     sink, n = write_route(df, route, str(tmp_path))
     assert n == spark.read.parquet(sink).count()
     assert 0 < n < 3000
+
+
+def test_text_sinks_survive_multiline_records(spark, tmp_path):
+    """A record whose text embeds newlines must stay ONE line (log) / ONE
+    parseable document (yaml) — raw newlines would merge records."""
+    df = spark.createDataFrame(
+        [("conv-m", 0, "user", 'line1\nline2\t"quoted"\\end', "tool", "2025-06-01 10:00:00")],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("severity", F.lit("info"))
+
+    log_route = RouteConfig("ml-log", predicate="true", sink_format="log")
+    sink, n = write_route(df, log_route, str(tmp_path))
+    assert n == 1
+    lines = [r.value for r in spark.read.text(sink).collect()]
+    assert len(lines) == 1  # one record, one physical line
+    assert lines[0] == 'line1\\nline2\t"quoted"\\end'
+
+    yaml_route = RouteConfig("ml-yaml", predicate="true", sink_format="yaml")
+    sink, n = write_route(df, yaml_route, str(tmp_path))
+    import glob
+    import yaml
+
+    raw = "\n".join(
+        open(f).read() for f in glob.glob(f"{sink}/run_ts=*/dt=*/part-*")
+    )
+    docs = yaml.safe_load(raw)
+    assert len(docs) == 1
+    assert docs[0]["text"] == 'line1\nline2\t"quoted"\\end'  # exact round-trip
