@@ -193,6 +193,8 @@ def main() -> None:
             "efficiency_median_clean": s.get("efficiency_median_clean"),
             "efficiency_normalized_to_hw": s.get("efficiency_normalized_to_hw"),
             "hw_ceiling_efficiency_median": s.get("hw_ceiling_efficiency_median"),
+            "scan_ceiling_efficiency_median": s.get("scan_ceiling_efficiency_median"),
+            "efficiency_normalized_to_scan": s.get("efficiency_normalized_to_scan"),
             "clean_pairs": s.get("clean_pairs"),
             "rows": s.get("rows"),
             "turns_per_sec_median": s.get("turns_per_sec_median"),
