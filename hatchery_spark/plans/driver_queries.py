@@ -629,6 +629,23 @@ def q_from_json_decode(spark, sf_dir):
     )
 
 
+def q_window_frames(spark, sf_dir):
+    """Window breadth: lag/lead, ntile, and a ROWS-frame rolling sum."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rolling = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.sum("value").over(rolling), 4).alias("rolling3_sum"),
+    )
+
+
 def q_exists_subquery(spark, sf_dir):
     """Correlated EXISTS — planned as a left-semi join by Catalyst."""
     load(spark, sf_dir, "customer").createOrReplaceTempView("hs_cust_ex")
@@ -1493,6 +1510,15 @@ def oracle_catalog() -> dict[str, str]:
                 concat('{"kind": "', event_type, '", "uid": ',
                        cast(user_id AS string), ', "inner": ', props, '}') AS envelope
               FROM events) t""",
+        "rel_window_frames": """
+            SELECT event_id, user_id,
+              round(lag(value, 1) OVER w, 4) AS prev_value,
+              round(lead(value, 1) OVER w, 4) AS next_value,
+              cast(ntile(4) OVER w AS int) AS quartile,
+              round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling3_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "rel_exists_subquery": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM orders o
@@ -1596,6 +1622,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_map_funcs": q_map_funcs,
         "rel_math_funcs": q_math_funcs,
         "pipeline_from_json_decode": q_from_json_decode,
+        "rel_window_frames": q_window_frames,
         "rel_exists_subquery": q_exists_subquery,
         "rel_scalar_subquery": q_scalar_subquery,
         "rel_lateral_topn": q_lateral_topn,
