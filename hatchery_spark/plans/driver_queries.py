@@ -629,6 +629,19 @@ def q_from_json_decode(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide metric columns → (metric, val) long form."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    ).withColumn("val", F.round("val", 4))
+
+
 def q_window_frames(spark, sf_dir):
     """Window breadth: lag/lead, ntile, and a ROWS-frame rolling sum."""
     from pyspark.sql import Window
@@ -1510,6 +1523,12 @@ def oracle_catalog() -> dict[str, str]:
                 concat('{"kind": "', event_type, '", "uid": ',
                        cast(user_id AS string), ', "inner": ', props, '}') AS envelope
               FROM events) t""",
+        "rel_unpivot": """
+            SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+            FROM (
+              UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                       FROM lineitem WHERE l_orderkey < 500)
+              ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)""",
         "rel_window_frames": """
             SELECT event_id, user_id,
               round(lag(value, 1) OVER w, 4) AS prev_value,
@@ -1622,6 +1641,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_map_funcs": q_map_funcs,
         "rel_math_funcs": q_math_funcs,
         "pipeline_from_json_decode": q_from_json_decode,
+        "rel_unpivot": q_unpivot,
         "rel_window_frames": q_window_frames,
         "rel_exists_subquery": q_exists_subquery,
         "rel_scalar_subquery": q_scalar_subquery,
