@@ -37,8 +37,17 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("-i", "--route-ids", nargs="*", default=[], help="select routes by ID")
     p.add_argument("-t", "--tags", nargs="*", default=[], help="select routes by tag")
     p.add_argument("-a", "--all", action="store_true", help="select all routes")
-    p.add_argument("--input", required=True, help="transcripts parquet path")
-    p.add_argument("--out", required=True, help="sink base directory")
+    p.add_argument("--input", help="transcripts parquet path")
+    p.add_argument("--out", help="sink base directory")
+    p.add_argument(
+        "--compact", nargs=2, metavar=("SRC", "DST"),
+        help="maintenance mode: rewrite a fragmented sink into ~target-sized "
+             "files (see sinks.compact_parquet_sink), then exit",
+    )
+    p.add_argument(
+        "--compact-target-mb", type=int, default=128,
+        help="target output file size for --compact",
+    )
     p.add_argument("--routes-json", help="route config JSON file (defaults to built-ins)")
     p.add_argument("--manifest", help="manifest dir for resume (default <out>/_manifest)")
     p.add_argument("--run-ts", help="logical as-of time 'YYYY-mm-dd HH:MM:SS'")
@@ -96,10 +105,23 @@ def _parse_dt(s: str) -> datetime:
 
 def main(argv: list[str] | None = None) -> int:
     args = parse_args(argv)
+    if args.compact is None and not (args.input and args.out):
+        print("--input and --out are required (unless using --compact)", file=sys.stderr)
+        return 2
     routes = load_routes(args.routes_json)
     selectors = build_selectors(args)
     spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
                       shuffle_partitions=args.shuffle_partitions)
+
+    if args.compact is not None:
+        from hatchery_spark.sinks import compact_parquet_sink
+
+        src, dst = args.compact
+        n_files = compact_parquet_sink(
+            spark, src, dst, target_file_bytes=args.compact_target_mb << 20
+        )
+        print(json.dumps({"compacted": src, "dst": dst, "files": n_files}))
+        return 0
 
     if args.streaming:
         from hatchery_spark.streaming.stream import run_streaming_pipeline

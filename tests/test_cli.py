@@ -95,3 +95,31 @@ def test_spark_submit_py_files_end_to_end(spark, tmp_path):
     # the submitted --master must win over get_spark's local default —
     # before the PYSPARK_SUBMIT_ARGS detection this silently became local[32]
     assert res["master"] == "local[4]", res["master"]
+
+
+def test_cli_requires_input_out_without_compact():
+    import hatchery_spark.cli as cli
+
+    assert cli.main([]) == 2
+
+
+def test_cli_compact_mode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    inp = str(tmp_path / "frag")
+    transcripts_df(spark, 5000, seed=9).withColumn(
+        "dt", F.to_date("ts")
+    ).repartition(25).write.mode("overwrite").partitionBy("dt").parquet(inp)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "hatchery_spark",
+            "--compact", inp, str(tmp_path / "compacted"),
+            "--compact-target-mb", "64", "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["files"] >= 1
+    n = spark.read.parquet(str(tmp_path / "compacted")).count()
+    assert n == 5000
