@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
-signatures — is real and tested; the codec inner step is STUBBED behind
-`DecoderUnavailable` / a deterministic fake, because no image/audio libraries
-ship in this container. Swapping `_fake_decode_image` for a PIL/libav call is a
-one-function change; nothing else moves.
+signatures — is real and tested. The codec layer is split honestly:
+  * REAL stdlib decoders for PPM (P6) images and PCM WAV audio — bytes are
+    actually parsed into pixels/samples (`decode_ppm`/`decode_wav`,
+    exercised end-to-end by the `media_real_decode` oracle query);
+  * JPEG/PNG/MP4 stay behind `DecoderUnavailable` (those codecs genuinely
+    are not in this container) — swapping in PIL/libav is a one-function
+    change; nothing else moves.
 
 Pattern notes for 100 TB:
   * media rows are WIDE → keep Arrow batches small (maxRecordsPerBatch is set
@@ -132,6 +135,145 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
             )
 
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------- real codecs
+# PPM (P6) and WAV (PCM) are fully decodable with the standard library — no
+# image/audio packages needed — so for these two formats the decode step is
+# REAL: bytes → parsed pixels / samples. JPEG/PNG/MP4 remain behind
+# DecoderUnavailable (their codecs genuinely aren't in this container).
+
+
+def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid solid-color P6 image (deterministic test payloads)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    return header + bytes(rgb) * (width * height)
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Parse a binary P6 PPM into an (h, w, 3) uint8 array. Stdlib-only."""
+    if not content.startswith(b"P6"):
+        raise DecoderUnavailable("not a P6 PPM payload")
+    # header = 4 whitespace-separated tokens (comments start with '#')
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(content):
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(content) and not content[i : i + 1].isspace():
+            i += 1
+        tokens.append(content[start:i])
+    i += 1  # single whitespace after maxval, then raw RGB
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise DecoderUnavailable("16-bit PPM not supported")
+    pixels = np.frombuffer(content, dtype=np.uint8, count=width * height * 3, offset=i)
+    return pixels.reshape(height, width, 3)
+
+
+def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
+    """Minimal valid 16-bit mono PCM WAV with constant-amplitude samples."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(
+            np.full(n_samples, amplitude, dtype=np.int16).tobytes()
+        )
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV into (int16 samples, sample_rate). Stdlib-only."""
+    import io
+    import wave
+
+    if not content.startswith(b"RIFF"):
+        raise DecoderUnavailable("not a RIFF/WAV payload")
+    with wave.open(io.BytesIO(content), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise DecoderUnavailable("only 16-bit PCM supported")
+        frames = w.readframes(w.getnframes())
+        return np.frombuffer(frames, dtype=np.int16), w.getframerate()
+
+
+def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
+    """Media table whose image/audio payloads are REAL decodable bytes
+    (solid-color P6, constant-amplitude WAV) with closed-form expected stats —
+    video rows stay opaque (their codec is genuinely unavailable)."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            v = (i * 7) % 256
+            content = encode_ppm(16 + i % 8, 12 + i % 4, (v, v, v))
+        elif kind == "audio":
+            content = encode_wav(800 + i * 10, 8000, (i * 3) % 1000)
+        else:
+            content = b"\x00\x00\x00\x18ftypmp42" + bytes([i % 256]) * 64
+        rows.append((i, kind, bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL decode via mapInPandas: PPM → pixel stats, WAV → sample stats.
+
+    Output (fixed-width, never the raw bytes):
+      media_id, kind, width, height, duration_ms, px_mean, decode_status.
+    Formats without an available codec report decoder_unavailable — the honest
+    outcome, distinct from a parse error on a corrupt payload (decode_error).
+    """
+    schema = (
+        "media_id long, kind string, width int, height int, "
+        "duration_ms int, px_mean double, decode_status string"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("media_id", "kind", "width", "height", "duration_ms",
+                    "px_mean", "decode_status")}
+            for mid, kind, content in zip(b["media_id"], b["kind"], b["content"]):
+                raw = bytes(content) if content is not None else b""
+                w = h = dur = px = None
+                try:
+                    if raw.startswith(b"P6"):
+                        img = decode_ppm(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        px = round(float(img.mean()), 4)
+                        status = "ok_ppm"
+                    elif raw.startswith(b"RIFF"):
+                        samples, sr = decode_wav(raw)
+                        dur = int(len(samples) * 1000 / sr)
+                        px = round(float(np.abs(samples.astype(np.float64)).mean()), 4)
+                        status = "ok_wav"
+                    else:
+                        raise DecoderUnavailable(f"no codec for {kind} payload")
+                except DecoderUnavailable:
+                    status = "decoder_unavailable"
+                except Exception:
+                    status = "decode_error"
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["duration_ms"].append(dur)
+                out["px_mean"].append(px)
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_decode, schema)
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:

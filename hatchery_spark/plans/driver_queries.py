@@ -961,6 +961,14 @@ def q_media_frame_grid(spark, sf_dir):
     return sample_video_frames(synthetic_media_df(spark, n=64), every_ms=500)
 
 
+def q_media_real_decode(spark, sf_dir):
+    """REAL codec path: stdlib-parsed PPM pixels and WAV samples, with
+    closed-form expected stats (solid-color / constant-amplitude payloads)."""
+    from hatchery_spark.functions.multimodal import decode_media, synthetic_real_media_df
+
+    return decode_media(synthetic_real_media_df(spark, 64))
+
+
 def q_lineage_totals(spark, sf_dir):
     """Global reduction of the per-partition lineage rows — partition ids are
     physical (rows-only), but their totals must equal the table's aggregates."""
@@ -1582,6 +1590,19 @@ def oracle_catalog() -> dict[str, str]:
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
+        "media_real_decode": """
+            SELECT i AS media_id,
+              (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+              CASE WHEN i % 3 = 0 THEN cast(16 + i % 8 AS int) END AS width,
+              CASE WHEN i % 3 = 0 THEN cast(12 + i % 4 AS int) END AS height,
+              CASE WHEN i % 3 = 1
+                   THEN cast(floor((800 + i * 10) / 8.0) AS int) END AS duration_ms,
+              CASE WHEN i % 3 = 0 THEN cast((i * 7) % 256 AS double)
+                   WHEN i % 3 = 1 THEN cast((i * 3) % 1000 AS double)
+              END AS px_mean,
+              CASE i % 3 WHEN 0 THEN 'ok_ppm' WHEN 1 THEN 'ok_wav'
+                   ELSE 'decoder_unavailable' END AS decode_status
+            FROM (SELECT unnest(range(0, 64)) AS i)""",
         "pipeline_kv_explode": p + _KV_EXPLODE_ORACLE,
         "pipeline_lineage_totals": p
         + """SELECT count(*) AS total_rows,
@@ -1667,6 +1688,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": q_lsh_topk,
         "emb_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
         "media_frame_grid": q_media_frame_grid,
         "pipeline_lineage_totals": q_lineage_totals,
         "pipeline_error_burst": q_error_burst,

@@ -37,3 +37,45 @@ def test_frame_sampling_grid(spark, media):
     assert all(r.frame_ms % 500 == 0 for r in rows)
     n_videos = media.filter("kind = 'video'").count()
     assert frames.select("media_id").distinct().count() == n_videos
+
+
+def test_ppm_decode_roundtrip_with_comment():
+    """Real stdlib PPM parse: gradient pixels + a header comment survive."""
+    import numpy as np
+
+    from hatchery_spark.functions.multimodal import decode_ppm
+
+    w, h = 5, 3
+    pixels = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    raw = b"P6\n# a comment line\n5 3\n255\n" + pixels.tobytes()
+    out = decode_ppm(raw)
+    assert out.shape == (3, 5, 3)
+    assert (out == pixels).all()
+
+
+def test_wav_decode_roundtrip():
+    import numpy as np
+
+    from hatchery_spark.functions.multimodal import decode_wav, encode_wav
+
+    samples, sr = decode_wav(encode_wav(1600, 8000, -123))
+    assert sr == 8000 and len(samples) == 1600
+    assert (samples == -123).all()
+    assert np.abs(samples).mean() == 123
+
+
+def test_decode_media_statuses(spark):
+    """Corrupt payloads report decode_error; unknown formats report
+    decoder_unavailable; valid PPM/WAV decode for real."""
+    from hatchery_spark.functions.multimodal import decode_media, encode_ppm
+
+    rows = [
+        (0, "image", bytearray(encode_ppm(4, 2, (9, 9, 9)))),
+        (1, "image", bytearray(b"P6\n4 2\n255\n\x01")),  # truncated pixel data
+        (2, "video", bytearray(b"\x00unknown")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, content binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert out[0].decode_status == "ok_ppm" and out[0].px_mean == 9.0
+    assert out[1].decode_status == "decode_error"
+    assert out[2].decode_status == "decoder_unavailable"
