@@ -81,8 +81,15 @@ def _fake_decode_image(content: bytes, width, height) -> np.ndarray:
     return np.tile(arr, reps)[: size * size].reshape(size, size).astype(np.float32)
 
 
-def real_decode_image(content: bytes):
-    raise DecoderUnavailable("image codecs are not installed in this environment")
+def real_decode_image(content: bytes) -> np.ndarray:
+    """Real decode where a codec exists (stdlib PPM); raise otherwise.
+
+    Returns a float32 grayscale grid (channel mean) for the feature stage.
+    JPEG/PNG would slot in here via PIL — not present in this container.
+    """
+    if content.startswith(b"P6"):
+        return decode_ppm(content).mean(axis=2).astype(np.float32)
+    raise DecoderUnavailable("no codec for this image format in this environment")
 
 
 def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> DataFrame:
@@ -103,12 +110,15 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
                 nbytes.append(len(raw))
                 if use_real_codecs:
                     try:
-                        real_decode_image(raw)
+                        grid = real_decode_image(raw)
+                        row_status = "ok_real"
                     except DecoderUnavailable:
                         feats.append(None)
                         status.append("decoder_unavailable")
                         continue
-                grid = _fake_decode_image(raw, width, height)
+                else:
+                    grid = _fake_decode_image(raw, width, height)
+                    row_status = "ok_fake"
                 # 8-dim feature: quadrant means + global stats (deterministic)
                 h, w = grid.shape
                 q = [
@@ -122,7 +132,7 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
                     grid.max(),
                 ]
                 feats.append([float(x) for x in q])
-                status.append("ok_fake")
+                status.append(row_status)
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"],

@@ -79,3 +79,14 @@ def test_decode_media_statuses(spark):
     assert out[0].decode_status == "ok_ppm" and out[0].px_mean == 9.0
     assert out[1].decode_status == "decode_error"
     assert out[2].decode_status == "decoder_unavailable"
+
+
+def test_real_codec_path_decodes_ppm_features(spark):
+    """With a decodable payload, the real path produces features from the
+    ACTUAL pixels (solid color 7 → quadrant means all 7, std 0)."""
+    rows = [(0, "image", bytearray(mm.encode_ppm(8, 8, (7, 7, 7))), "image/x-ppm",
+             8, 8, None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    r = mm.extract_media_features(df, use_real_codecs=True).first()
+    assert r.decode_status == "ok_real"
+    assert r.feature[:5] == [7.0, 7.0, 7.0, 7.0, 7.0] and r.feature[5] == 0.0
