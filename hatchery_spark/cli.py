@@ -108,20 +108,28 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact is None and not (args.input and args.out):
         print("--input and --out are required (unless using --compact)", file=sys.stderr)
         return 2
-    routes = load_routes(args.routes_json)
-    selectors = build_selectors(args)
-    spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
-                      shuffle_partitions=args.shuffle_partitions)
 
     if args.compact is not None:
+        # maintenance mode needs only a session — routes/selectors are
+        # irrelevant and must not be able to fail the run
+        if args.compact_target_mb <= 0:
+            print("--compact-target-mb must be positive", file=sys.stderr)
+            return 2
         from hatchery_spark.sinks import compact_parquet_sink
 
+        spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
+                          shuffle_partitions=args.shuffle_partitions)
         src, dst = args.compact
         n_files = compact_parquet_sink(
             spark, src, dst, target_file_bytes=args.compact_target_mb << 20
         )
         print(json.dumps({"compacted": src, "dst": dst, "files": n_files}))
         return 0
+
+    routes = load_routes(args.routes_json)
+    selectors = build_selectors(args)
+    spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
+                      shuffle_partitions=args.shuffle_partitions)
 
     if args.streaming:
         from hatchery_spark.streaming.stream import run_streaming_pipeline

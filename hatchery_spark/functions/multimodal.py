@@ -77,6 +77,8 @@ def _fake_decode_image(content: bytes, width, height) -> np.ndarray:
     from the payload bytes. Replace with PIL.Image.open(...) in production."""
     arr = np.frombuffer(content, dtype=np.uint8)
     size = 16
+    if arr.size == 0:
+        return np.zeros((size, size), dtype=np.float32)
     reps = int(np.ceil(size * size / arr.size))
     return np.tile(arr, reps)[: size * size].reshape(size, size).astype(np.float32)
 
@@ -115,6 +117,13 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
                     except DecoderUnavailable:
                         feats.append(None)
                         status.append("decoder_unavailable")
+                        continue
+                    except Exception:
+                        # corrupt payload (e.g. truncated P6): a status row,
+                        # never a task abort — one bad image in a 100 TB
+                        # batch must not kill the job
+                        feats.append(None)
+                        status.append("decode_error")
                         continue
                 else:
                     grid = _fake_decode_image(raw, width, height)
@@ -202,8 +211,10 @@ def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
-    """Parse a PCM WAV into (int16 samples, sample_rate). Stdlib-only."""
+def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
+    """Parse a PCM WAV into (int16 samples interleaved, sample_rate,
+    n_channels). Stdlib-only. Duration must divide the sample count by
+    n_channels — interleaved stereo has 2 samples per frame."""
     import io
     import wave
 
@@ -213,7 +224,11 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         if w.getsampwidth() != 2:
             raise DecoderUnavailable("only 16-bit PCM supported")
         frames = w.readframes(w.getnframes())
-        return np.frombuffer(frames, dtype=np.int16), w.getframerate()
+        return (
+            np.frombuffer(frames, dtype=np.int16),
+            w.getframerate(),
+            w.getnchannels(),
+        )
 
 
 def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
@@ -264,8 +279,8 @@ def decode_media(df: DataFrame) -> DataFrame:
                         px = round(float(img.mean()), 4)
                         status = "ok_ppm"
                     elif raw.startswith(b"RIFF"):
-                        samples, sr = decode_wav(raw)
-                        dur = int(len(samples) * 1000 / sr)
+                        samples, sr, nch = decode_wav(raw)
+                        dur = int(len(samples) // nch * 1000 / sr)
                         px = round(float(np.abs(samples.astype(np.float64)).mean()), 4)
                         status = "ok_wav"
                     else:

@@ -128,6 +128,8 @@ def compact_parquet_sink(
     The swap of dst for src is the caller's move (manifest/metastore pointer
     flip), keeping the rewrite itself idempotent and crash-safe.
     """
+    if target_file_bytes <= 0:
+        raise ValueError("target_file_bytes must be positive")
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

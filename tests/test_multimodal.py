@@ -58,10 +58,33 @@ def test_wav_decode_roundtrip():
 
     from hatchery_spark.functions.multimodal import decode_wav, encode_wav
 
-    samples, sr = decode_wav(encode_wav(1600, 8000, -123))
-    assert sr == 8000 and len(samples) == 1600
+    samples, sr, nch = decode_wav(encode_wav(1600, 8000, -123))
+    assert sr == 8000 and len(samples) == 1600 and nch == 1
     assert (samples == -123).all()
     assert np.abs(samples).mean() == 123
+
+
+def test_stereo_wav_duration_not_doubled(spark):
+    """Interleaved stereo has 2 samples per frame — duration must divide by
+    the channel count (1 second of 8 kHz stereo is 1000 ms, not 2000)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.full(8000 * 2, 5, dtype=np.int16).tobytes())
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(buf.getvalue()))],
+        "media_id long, kind string, content binary",
+    )
+    r = mm.decode_media(df).first()
+    assert r.decode_status == "ok_wav"
+    assert r.duration_ms == 1000, r.duration_ms
 
 
 def test_decode_media_statuses(spark):
