@@ -1614,7 +1614,33 @@ def oracle_catalog() -> dict[str, str]:
 
 
 def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver samples a prefix-biased subset of this dict per
+    # round, so the riskiest entries come FIRST — the six queries that failed in
+    # round 1 (sketch/ANN paths, since fixed and judge-verified) followed by
+    # every query that has never received a driver CORRECTNESS row, then the
+    # long-green remainder.
     return {
+        # round-1 failures (fixed in r2; need a driver-green row)
+        "doc_minhash_neardup": q_minhash_neardup,
+        "doc_simhash_neardup": q_simhash_neardup,
+        "doc_dedup_resolve": q_dedup_resolve,
+        "emb_ivf_topk": q_ivf_topk,
+        "emb_lsh_topk": q_lsh_topk,
+        "emb_near_dup": q_embedding_near_dup,
+        # never driver-sampled through r2
+        "doc_ngram_jaccard": q_ngram_jaccard,
+        "doc_fingerprint_buckets": q_fingerprint_buckets,
+        "doc_sample_rate": q_sample_rate,
+        "doc_stratified_sample": q_stratified_sample,
+        "doc_pack_sequences": q_pack_sequences,
+        "pipeline_redact_pii": q_redact_pii,
+        "media_features": q_media_features,
+        "media_real_decode": q_media_real_decode,
+        "media_frame_grid": q_media_frame_grid,
+        "pipeline_lineage_totals": q_lineage_totals,
+        "pipeline_error_burst": q_error_burst,
+        "pipeline_kv_explode": q_kv_explode,
+        "pipeline_lineage_metrics": q_lineage_metrics,
         # pipeline operators
         "pipeline_transcripts_view": q_transcripts_view,
         "pipeline_parse": q_parse,
@@ -1673,26 +1699,5 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_quality": q_text_quality,
         "doc_lang_id": q_lang_id,
         "doc_exact_dedup": q_exact_dedup,
-        "doc_ngram_jaccard": q_ngram_jaccard,
-        "doc_fingerprint_buckets": q_fingerprint_buckets,
-        "doc_sample_rate": q_sample_rate,
-        "doc_stratified_sample": q_stratified_sample,
-        "doc_pack_sequences": q_pack_sequences,
-        "pipeline_redact_pii": q_redact_pii,
         "emb_cosine_topk": q_embedding_topk,
-        # sketch/ANN paths, value-checked vs brute-force oracles
-        "doc_minhash_neardup": q_minhash_neardup,
-        "doc_simhash_neardup": q_simhash_neardup,
-        "doc_dedup_resolve": q_dedup_resolve,
-        "emb_ivf_topk": q_ivf_topk,
-        "emb_lsh_topk": q_lsh_topk,
-        "emb_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "media_real_decode": q_media_real_decode,
-        "media_frame_grid": q_media_frame_grid,
-        "pipeline_lineage_totals": q_lineage_totals,
-        "pipeline_error_burst": q_error_burst,
-        "pipeline_kv_explode": q_kv_explode,
-        # rows-only (physical partition ids are not SQL-derivable)
-        "pipeline_lineage_metrics": q_lineage_metrics,
     }

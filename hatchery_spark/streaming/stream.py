@@ -48,10 +48,22 @@ def read_transcripts_stream(
 def route_fanout_batch_writer(
     routes: Sequence[RouteConfig], out_dir: str, catalog: DataFrame
 ):
-    """foreachBatch function: parse → enrich → per-route append write.
+    """foreachBatch function: parse → enrich → per-route idempotent write.
 
     Runs per micro-batch on the driver; each route's write is an independent
     action over the persisted batch (same shape as the batch router).
+
+    foreachBatch is only at-least-once: if the driver dies after route 1 of 3,
+    the restarted query REPLAYS the whole batch with the SAME batch_id, and a
+    plain append would duplicate route 1's rows. Exactly-once is recovered the
+    same way the batch router does it (router.py write_route_frame): every sink
+    is partitioned by batch_id and written with mode=overwrite under DYNAMIC
+    partitionOverwriteMode, so a replay replaces exactly its own batch_id
+    partition — sibling batches untouched, duplicates impossible. This is the
+    streaming analog of the reference's ack-after-write contract
+    (/root/reference/source/falcon_data_replicator/client.go:217-224): the
+    checkpoint commit (ack) happens only after every route's write landed, and
+    an un-acked batch can be re-delivered safely.
     """
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
@@ -63,8 +75,10 @@ def route_fanout_batch_writer(
                     route_matches(enriched, route)
                     .withColumn("dt", F.to_date("ts"))
                     .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("append")
-                    .partitionBy("dt")
+                    .write.mode("overwrite")
+                    # replace only THIS batch's partition on replay
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id", "dt")
                     .parquet(f"{out_dir}/{route.route_id}")
                 )
         finally:

@@ -99,3 +99,65 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     out = spark.table("dedup_out")
     assert out.count() == 1000
     assert out.groupBy("conv_id", "turn_idx").count().filter("count > 1").isEmpty()
+
+
+def test_interrupted_replay_is_idempotent(spark, input_dir, tmp_path):
+    """Kill the foreachBatch writer BETWEEN route writes, restart from the same
+    checkpoint, and assert multiset row parity with an uninterrupted run.
+
+    foreachBatch is at-least-once: the restarted query replays the failed batch
+    with the SAME batch_id. The sinks are batch_id-partitioned and written with
+    dynamic partition overwrite, so the replay replaces route 1's partial write
+    instead of appending a duplicate copy (streaming analog of the reference's
+    ack-after-write, falcon client.go:217-224).
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from hatchery_spark.pipeline import TRANSCRIPT_COLUMNS
+    from hatchery_spark.streaming.stream import route_fanout_batch_writer
+
+    catalog = service_catalog_df(spark)
+
+    # --- uninterrupted reference run -------------------------------------
+    clean_out = str(tmp_path / "clean_out")
+    run_streaming_pipeline(
+        spark, input_dir, ROUTES, clean_out, str(tmp_path / "clean_ckpt")
+    )
+
+    # --- interrupted run: route 1 lands, then the driver "dies" ----------
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first_route_only = route_fanout_batch_writer(ROUTES[:1], out, catalog)
+
+    def crash_between_routes(batch_df, batch_id):
+        first_route_only(batch_df, batch_id)  # route 1 fully written...
+        raise RuntimeError("simulated crash before route 2")  # ...then crash
+
+    q = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .parquet(input_dir)
+        .select(*TRANSCRIPT_COLUMNS)
+        .writeStream.foreachBatch(crash_between_routes)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    # route 1's rows exist on disk but the batch was never committed
+    assert spark.read.parquet(f"{out}/{ROUTES[0].route_id}").count() > 0
+
+    # --- restart from the same checkpoint: Spark replays the batch -------
+    run_streaming_pipeline(spark, input_dir, ROUTES, out, ckpt)
+
+    for route in ROUTES:
+        got = spark.read.parquet(f"{out}/{route.route_id}")
+        want = spark.read.parquet(f"{clean_out}/{route.route_id}")
+        # no duplicates from the replayed partial write
+        assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").isEmpty()
+        # multiset parity with the uninterrupted run
+        key = lambda r: (r.conv_id, r.turn_idx, r.role, r.text)
+        assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
