@@ -269,7 +269,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     kmeans_iters: int = 10,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -298,35 +298,65 @@ class IVFIndex:
     `cells` is an ordinary DataFrame — persist it, or write it as a table
     partitioned/bucketed by `cell`, and reload for later query batches; the
     centroid matrix is O(n_centroids × dim) and travels with the driver.
+    `sample_mod` / `sample_size` record what the quantizer was actually fit
+    on, so callers (and tests) can see the driver-side footprint.
     """
 
-    def __init__(self, centroids: np.ndarray, cells: DataFrame):
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        cells: DataFrame,
+        sample_mod: int = 1,
+        sample_size: int = 0,
+    ):
         self.centroids = centroids
         self.cells = cells
+        self.sample_mod = sample_mod
+        self.sample_size = sample_size
+
+
+# Target driver-side quantizer sample: k-means over ~10^5 rows is seconds of
+# numpy and a few hundred MB at worst; the quantizer's quality plateaus far
+# below this for any realistic n_centroids.
+DEFAULT_QUANTIZER_SAMPLE = 100_000
 
 
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
-    sample_mod: int = 1,
+    sample_mod: int | None = None,
     kmeans_iters: int = 10,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_sample: int = DEFAULT_QUANTIZER_SAMPLE,
 ) -> IVFIndex:
     """Fit the coarse quantizer and assign every corpus vector to its cell.
 
     Centroids are fit driver-side on a DETERMINISTIC hash sample of the
-    corpus (rows where xxhash64(id) % sample_mod == 0; sample_mod=1 → full
-    corpus, raise it at scale so the collected sample stays O(10^5) rows
-    regardless of corpus size). Assignment is an Arrow-vectorized matmul UDF;
-    the centroid matrix ships in the UDF closure, never as plan literals.
+    corpus (rows where xxhash64(id) % sample_mod == 0). By default sample_mod
+    is DERIVED from the corpus count so the collected sample stays ≤
+    `target_sample` rows no matter the corpus size — 10^10 vectors can never
+    OOM the driver; the one extra `count()` is a columnar-scan metadata pass,
+    negligible against the assignment pass. Pass `sample_mod` explicitly to
+    override (1 = fit on the full corpus — only sane for small corpora).
+    The collected sample is additionally hard-capped at `target_sample` rows
+    (deterministic id-order truncation) so the bound holds even under hash
+    skew. Assignment is an Arrow-vectorized matmul UDF; the centroid matrix
+    ships in the UDF closure, never as plan literals.
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    if sample_mod is None:
+        n_corpus = c.count()
+        sample_mod = max(1, -(-n_corpus // max(1, target_sample)))  # ceil div
     sample_df = c
     if sample_mod > 1:
         sample_df = c.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    sample = np.array([r[0] for r in sample_df.select("_cv").collect()])
+    rows = sample_df.select(id_col, "_cv").collect()
+    if sample_mod > 1 and len(rows) > target_sample:
+        # hash skew overshot the target: keep a deterministic id-ordered prefix
+        rows = sorted(rows, key=lambda r: str(r[0]))[:target_sample]
+    sample = np.array([r[1] for r in rows])
     if sample.size == 0:
         raise ValueError(
             "build_ivf_index: quantizer sample is empty "
@@ -335,7 +365,7 @@ def build_ivf_index(
     cents = spherical_kmeans(sample, n_centroids, iters=kmeans_iters, seed=seed)
     assign1 = _cell_assign_udf(cents, 1)
     cells = c.withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
-    return IVFIndex(cents, cells)
+    return IVFIndex(cents, cells, sample_mod=sample_mod, sample_size=len(rows))
 
 
 def ivf_search(
@@ -396,10 +426,12 @@ def embedding_near_dup(
     # only 16 values, so at corpus scale every bucket is populous — the cap
     # bounds the self-join blowup (capped members still pair via other bands)
     pairs = capped_band_pairs(b, id_col, "band_val", max_bucket)
-    return (
+    out = (
         pairs.join(v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("v_a")), "id_a")
         .join(v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("v_b")), "id_b")
         .withColumn("cosine", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out.capped_stats = pairs.capped_stats
+    return out

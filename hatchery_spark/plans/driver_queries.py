@@ -1471,7 +1471,8 @@ def oracle_catalog() -> dict[str, str]:
             FROM events""",
         "doc_tfidf_topk": """
             WITH terms AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+              SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+              FROM documents
             ),
             tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
             dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),

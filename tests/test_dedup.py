@@ -68,3 +68,34 @@ def test_bucket_cap_applies(spark):
     assert capped.count() == 0
     uncapped = dd.minhash_lsh_candidates(many, max_bucket=1000)
     assert uncapped.count() == 60 * 59 // 2
+
+
+def test_bucket_cap_is_observable(spark):
+    """The cap is never silent: the candidates frame's capped_stats reports
+    how many buckets (and member rows) the cap dropped."""
+    many = spark.createDataFrame(
+        [(i, "same text everywhere for all docs") for i in range(60)],
+        "doc_id long, text string",
+    )
+    capped = dd.minhash_lsh_candidates(many, max_bucket=10, bands=8)
+    assert capped.count() == 0
+    # 60 identical docs share one bucket per band → 8 capped buckets, each
+    # holding all 60 members
+    assert capped.capped_stats == {"capped_buckets": 8, "capped_rows": 60 * 8}
+
+    uncapped = dd.minhash_lsh_candidates(many, max_bucket=1000)
+    assert uncapped.count() == 60 * 59 // 2
+    assert uncapped.capped_stats["capped_buckets"] == 0
+
+
+def test_exact_dedup_window_matches_rejoin(spark):
+    """One-shuffle window variant returns the same rows/columns as the
+    groupBy+rejoin form."""
+    docs = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "b"), (4, "c"), (5, "c"), (6, "c")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, dd.exact_dedup(docs).collect()))
+    b = sorted(map(tuple, dd.exact_dedup_window(docs).collect()))
+    assert a == b
+    assert dd.exact_dedup_window(docs).columns == dd.exact_dedup(docs).columns

@@ -140,3 +140,32 @@ def test_ivf_index_build_once_query_many(spark):
     }
     assert r1 == fused
     index.cells.unpersist()
+
+
+def test_ivf_quantizer_sample_bounded_at_scale(spark):
+    """The quantizer's driver-side collect is bounded: over a 10^6-vector
+    corpus the derived sample_mod keeps the fitted sample ≤ target_sample
+    (hard-capped even under hash skew), so no corpus size can OOM the driver.
+    """
+    from hatchery_spark.functions.similarity import build_ivf_index, ivf_search
+
+    n = 1_000_000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 3), "
+            "j -> cast(sin(id * 0.37 + j * 1.13) AS double))"
+        ).alias("embedding"),
+    )
+    target = 20_000
+    index = build_ivf_index(emb, n_centroids=8, seed=3, target_sample=target)
+    assert index.sample_mod == -(-n // target)  # ceil(n / target)
+    assert 0 < index.sample_size <= target
+    assert index.centroids.shape == (8, 4)
+
+    # the index is still usable: a probe query returns well-formed top-k
+    q = emb.filter("vec_id = 12345").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ivf_search(index, q, k=3, n_probe=8).collect()
+    assert len(hits) == 3 and hits[0].cosine >= hits[-1].cosine

@@ -89,3 +89,32 @@ def test_fingerprint64_stable(spark):
     df = spark.createDataFrame([("x",), ("x",), ("y",)], "text string")
     vals = [r.f for r in df.select(tx.fingerprint64(F.col("text")).alias("f")).collect()]
     assert vals[0] == vals[1] != vals[2]
+
+
+def test_tfidf_tokenizes_on_any_whitespace(spark):
+    """Tab/newline-separated tokens must not glue together (split on \\s+)."""
+    from hatchery_spark.functions.corpus import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(0, "alpha\tbeta\ngamma"), (1, "alpha delta"), (2, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk_terms(docs, k=5)
+    terms = {r.term for r in out.filter("doc_id = 0").collect()}
+    assert terms == {"alpha", "beta", "gamma"}
+
+
+def test_char_entropy_arrow_matches_explode(spark):
+    """The Arrow default and the pure-JVM explode formulation agree exactly
+    at round-4, including empty strings and multi-byte codepoints."""
+    from hatchery_spark.functions.corpus import char_entropy, char_entropy_explode
+
+    docs = spark.createDataFrame(
+        [(0, "aabb"), (1, ""), (2, "héllo wörld héllo"), (3, "xxxxxxxx"),
+         (4, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.entropy for r in char_entropy(docs).collect()}
+    b = {r.doc_id: r.entropy for r in char_entropy_explode(docs).collect()}
+    assert a == b
+    assert a[3] == 0.0 and a[0] == round(__import__("math").log(2), 4)
