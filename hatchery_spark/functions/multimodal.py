@@ -2,10 +2,11 @@
 
 The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested. The codec layer is split honestly:
-  * REAL stdlib decoders for PPM (P6) images and PCM WAV audio — bytes are
-    actually parsed into pixels/samples (`decode_ppm`/`decode_wav`,
-    exercised end-to-end by the `media_real_decode` oracle query);
-  * JPEG/PNG/MP4 stay behind `DecoderUnavailable` (those codecs genuinely
+  * REAL stdlib decoders for PPM (P6) and PNG (8-bit, zlib IDAT + scanline
+    unfiltering) images and PCM WAV audio — bytes are actually parsed into
+    pixels/samples (`decode_ppm`/`decode_png`/`decode_wav`, exercised
+    end-to-end by the `media_real_decode` oracle query);
+  * JPEG/MP4 stay behind `DecoderUnavailable` (those codecs genuinely
     are not in this container) — swapping in PIL/libav is a one-function
     change; nothing else moves.
 
@@ -84,13 +85,18 @@ def _fake_decode_image(content: bytes, width, height) -> np.ndarray:
 
 
 def real_decode_image(content: bytes) -> np.ndarray:
-    """Real decode where a codec exists (stdlib PPM); raise otherwise.
+    """Real decode where a codec exists (stdlib PPM + PNG); raise otherwise.
 
-    Returns a float32 grayscale grid (channel mean) for the feature stage.
-    JPEG/PNG would slot in here via PIL — not present in this container.
+    Returns a float32 grayscale grid (channel mean; alpha excluded for
+    gray+alpha/RGBA) for the feature stage. JPEG would slot in here via PIL —
+    not present in this container.
     """
     if content.startswith(b"P6"):
         return decode_ppm(content).mean(axis=2).astype(np.float32)
+    if content.startswith(PNG_MAGIC):
+        img = decode_png(content)
+        color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
+        return color.mean(axis=2).astype(np.float32)
     raise DecoderUnavailable("no codec for this image format in this environment")
 
 
@@ -157,10 +163,119 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
 
 
 # ---------------------------------------------------------------- real codecs
-# PPM (P6) and WAV (PCM) are fully decodable with the standard library — no
-# image/audio packages needed — so for these two formats the decode step is
-# REAL: bytes → parsed pixels / samples. JPEG/PNG/MP4 remain behind
-# DecoderUnavailable (their codecs genuinely aren't in this container).
+# PPM (P6), PNG (8-bit, non-interlaced) and WAV (PCM) are fully decodable with
+# the standard library — PNG is just zlib (stdlib) over per-scanline filtered
+# rows — so for these three formats the decode step is REAL: bytes → parsed
+# pixels / samples. JPEG/MP4 remain behind DecoderUnavailable (their codecs
+# genuinely aren't in this container).
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal valid solid-color 8-bit RGB PNG (deterministic test payloads).
+
+    Filter byte 0 (None) per scanline, one IDAT chunk, no ancillary chunks —
+    decodable by any conforming reader, including decode_png below.
+    """
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    scanline = b"\x00" + bytes(rgb) * width
+    idat = zlib.compress(scanline * height)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+# bytes-per-pixel by PNG color type (8-bit depth): gray, RGB, palette (not
+# supported), gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Parse an 8-bit non-interlaced PNG into an (h, w, channels) uint8 array.
+
+    Stdlib-only: chunk walk → zlib-inflate the IDAT stream → undo the
+    per-scanline filter (None/Sub/Up/Average/Paeth, PNG spec §9). Supports
+    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8 —
+    the overwhelming share of real-world PNGs; palette/16-bit/interlaced
+    raise DecoderUnavailable (honest gap, not an error row).
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(PNG_MAGIC):
+        raise DecoderUnavailable("not a PNG payload")
+    pos, idat, meta = len(PNG_MAGIC), [], None
+    while pos + 8 <= len(content):
+        (length,), tag = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, color_type, _comp, _filt, interlace = meta
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise DecoderUnavailable(
+            f"PNG variant not supported (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    for y in range(height):
+        line = rows[y].copy()
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        f = filters[y]
+        if f == 0:  # None
+            out[y] = line & 0xFF
+        elif f == 1:  # Sub: add left neighbor (sequential per pixel)
+            for x in range(stride):
+                left = out[y, x - ch] if x >= ch else 0
+                out[y, x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up — vectorized over the scanline
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(out[y, x - ch]) if x >= ch else 0
+                out[y, x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(out[y, x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[y, x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+    return out.reshape(height, width, ch)
 
 
 def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
@@ -233,14 +348,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
 
 def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
     """Media table whose image/audio payloads are REAL decodable bytes
-    (solid-color P6, constant-amplitude WAV) with closed-form expected stats —
-    video rows stay opaque (their codec is genuinely unavailable)."""
+    (solid-color P6 and PNG alternating, constant-amplitude WAV) with
+    closed-form expected stats — video rows stay opaque (their codec is
+    genuinely unavailable)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             v = (i * 7) % 256
-            content = encode_ppm(16 + i % 8, 12 + i % 4, (v, v, v))
+            codec = encode_ppm if i % 6 == 0 else encode_png
+            content = codec(16 + i % 8, 12 + i % 4, (v, v, v))
         elif kind == "audio":
             content = encode_wav(800 + i * 10, 8000, (i * 3) % 1000)
         else:
@@ -252,7 +369,7 @@ def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode via mapInPandas: PPM → pixel stats, WAV → sample stats.
+    """REAL decode via mapInPandas: PPM/PNG → pixel stats, WAV → sample stats.
 
     Output (fixed-width, never the raw bytes):
       media_id, kind, width, height, duration_ms, px_mean, decode_status.
@@ -278,6 +395,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                         h, w = img.shape[0], img.shape[1]
                         px = round(float(img.mean()), 4)
                         status = "ok_ppm"
+                    elif raw.startswith(PNG_MAGIC):
+                        img = decode_png(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
+                        px = round(float(color.mean()), 4)
+                        status = "ok_png"
                     elif raw.startswith(b"RIFF"):
                         samples, sr, nch = decode_wav(raw)
                         dur = int(len(samples) // nch * 1000 / sr)

@@ -1601,7 +1601,9 @@ def oracle_catalog() -> dict[str, str]:
               CASE WHEN i % 3 = 0 THEN cast((i * 7) % 256 AS double)
                    WHEN i % 3 = 1 THEN cast((i * 3) % 1000 AS double)
               END AS px_mean,
-              CASE i % 3 WHEN 0 THEN 'ok_ppm' WHEN 1 THEN 'ok_wav'
+              CASE WHEN i % 6 = 0 THEN 'ok_ppm'
+                   WHEN i % 3 = 0 THEN 'ok_png'
+                   WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "pipeline_kv_explode": p + _KV_EXPLODE_ORACLE,

@@ -113,3 +113,111 @@ def test_real_codec_path_decodes_ppm_features(spark):
     r = mm.extract_media_features(df, use_real_codecs=True).first()
     assert r.decode_status == "ok_real"
     assert r.feature[:5] == [7.0, 7.0, 7.0, 7.0, 7.0] and r.feature[5] == 0.0
+
+
+def _filtered_png(img, filters):
+    """Encode an (h, w, ch) uint8 array as a PNG using the given per-scanline
+    filter types — exercises the decoder's unfiltering paths (spec §9)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC
+
+    h, w, ch = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    recon = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        recon[y] = flat[y]
+        f = filters[y % len(filters)]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        line = np.zeros(stride, dtype=np.int32)
+        for x in range(stride):
+            a = recon[y, x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line[x] = (flat[y, x] - pred) % 256
+        out += bytes([f]) + bytes(line.astype(np.uint8))
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out))) + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_solid():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png, encode_png
+
+    img = decode_png(encode_png(7, 5, (10, 200, 30)))
+    assert img.shape == (5, 7, 3)
+    assert (img == np.array([10, 200, 30], dtype=np.uint8)).all()
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(17)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(6, 5, ch), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png(_filtered_png(img, filters))
+            assert (got == img).all(), (ch, filters)
+
+
+def test_png_unsupported_variants_and_corrupt():
+    import struct
+    import zlib
+
+    import pytest
+    from hatchery_spark.functions.multimodal import (
+        DecoderUnavailable, PNG_MAGIC, decode_png, encode_png,
+    )
+
+    with pytest.raises(DecoderUnavailable):
+        decode_png(b"not a png")
+    # palette color type (3) is an honest gap
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    pal = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + chunk(b"IEND", b""))
+    with pytest.raises(DecoderUnavailable):
+        decode_png(pal)
+    # truncated payload is a parse ERROR (decode_error row), not a codec gap
+    with pytest.raises(Exception) as ei:
+        decode_png(encode_png(8, 8, (1, 2, 3))[:30])
+    assert not isinstance(ei.value, DecoderUnavailable)
+
+
+def test_decode_media_handles_png(spark):
+    from hatchery_spark.functions.multimodal import decode_media, synthetic_real_media_df
+
+    out = {r.media_id: r for r in decode_media(synthetic_real_media_df(spark, 24)).collect()}
+    # image rows are i%3==0; PPM when i%6==0, so i=3 is the first PNG
+    assert out[3].decode_status == "ok_png"
+    assert out[3].width == 16 + 3 % 8 and out[3].height == 12 + 3 % 4
+    assert out[3].px_mean == (3 * 7) % 256
+    assert out[6].decode_status == "ok_ppm"
+    assert out[0].decode_status == "ok_ppm"
+    assert out[1].decode_status == "ok_wav"
+    assert out[2].decode_status == "decoder_unavailable"
