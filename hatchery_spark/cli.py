@@ -120,9 +120,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
                           shuffle_partitions=args.shuffle_partitions)
         src, dst = args.compact
-        n_files = compact_parquet_sink(
-            spark, src, dst, target_file_bytes=args.compact_target_mb << 20
-        )
+        try:
+            n_files = compact_parquet_sink(
+                spark, src, dst, target_file_bytes=args.compact_target_mb << 20
+            )
+        except Exception as exc:
+            # a missing/invalid SRC is an argument problem, not a stack trace:
+            # same clean exit-code-2 contract as every other bad argument
+            msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
+            print(f"--compact failed for {src!r}: {msg}", file=sys.stderr)
+            return 2
         print(json.dumps({"compacted": src, "dst": dst, "files": n_files}))
         return 0
 

@@ -55,8 +55,15 @@ def stratified_sample(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-stratum quota sample: first n rows of each stratum in deterministic
-    md5(key) order (id as tiebreak). Adds sample_rank (1-based)."""
-    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(key_col)), F.col(id_col))
+    md5(key) order (id as tiebreak). Adds sample_rank (1-based).
+
+    NULL keys hash as md5('') rather than sorting as NULL: Spark windows sort
+    NULLS FIRST ascending while ANSI-SQL ORDER BY engines (the DuckDB oracle)
+    default to NULLS LAST, so a bare md5(key) would select different rows per
+    engine on data with NULL text. coalesce pins one cross-engine order."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.coalesce(F.col(key_col), F.lit(""))), F.col(id_col)
+    )
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= n_per_stratum)

@@ -108,10 +108,14 @@ def lsh_bits_df(
     n_planes dot products are whole-stage-codegen'd SUM aggregates — partial
     aggregation reduces each vector to one row before any exchange.
 
-    Bitwise-identical to `lsh_bucket`: posexplode emits elements in array
-    order within one partition, so each per-group sum adds terms in the same
-    left-to-right order as the fold (and 0.0 + x == x for every IEEE double
-    that can occur here). Vectors that are NULL/empty produce no row.
+    Matches `lsh_bucket` for all practical inputs: posexplode emits elements
+    in array order within one partition, so a hash-aggregate sum adds terms in
+    the same left-to-right order as the fold. If the aggregate ever spills to
+    sort-based fallback, partial sums can merge in a different order, so a
+    sign bit could in principle flip for a dot product within float merge
+    error of zero — downstream code must not rely on exact bit equality
+    (lsh_topk doesn't: candidates are re-scored with exact cosine).
+    Vectors that are NULL/empty produce no row.
     """
     spark = df.sparkSession
     n_planes = len(planes)

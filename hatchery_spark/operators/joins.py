@@ -41,12 +41,22 @@ def as_of_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join: latest right values at-or-before each left timestamp.
 
     Output: all left columns + value_cols (NULL when no right row precedes).
     tolerance: optional max lookback (e.g. '1 hour') — matches older than
     left_ts − tolerance are nulled out.
+
+    salt_buckets: whale-key guard. The window sorts each key's rows in ONE
+    task, so a key holding half the corpus becomes a straggler. With salting,
+    LEFT rows spread across `salt_buckets` sub-partitions (deterministic hash
+    of the left timestamp) and RIGHT rows replicate to every bucket, so each
+    (key, salt) window still sees the full right-side state but only
+    1/salt_buckets of the whale's left rows — identical output, straggler
+    split ~salt_buckets ways. Cost: right side duplicated ×salt_buckets;
+    leave unset unless key skew is real.
     """
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (key, right_ts)]
@@ -73,9 +83,20 @@ def as_of_join(
             for c in l_cols
         ],
     )
-    unioned = l.unionByName(r_aligned)
+    if salt_buckets and salt_buckets > 1:
+        l = l.withColumn("_salt", F.pmod(F.xxhash64(F.col("_ts")), F.lit(salt_buckets)))
+        r_aligned = r_aligned.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(salt_buckets - 1).cast("long"))
+            ),
+        )
+        part_cols = ["_k", "_salt"]
+    else:
+        part_cols = ["_k"]
+    unioned = l.unionByName(r_aligned, allowMissingColumns=False)
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*part_cols)
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -1369,7 +1369,8 @@ def oracle_catalog() -> dict[str, str]:
             SELECT doc_id, source, sample_rank FROM (
               SELECT doc_id, source,
                 cast(row_number() OVER (PARTITION BY source
-                                        ORDER BY md5(text), doc_id) AS int) AS sample_rank
+                                        ORDER BY md5(coalesce(text, '')), doc_id)
+                     AS int) AS sample_rank
               FROM documents) t
             WHERE sample_rank <= 20""",
         "doc_pack_sequences": """

@@ -136,13 +136,15 @@ def compact_parquet_sink(
     total_bytes = fs.getContentSummary(hpath).getLength()
     df = spark.read.parquet(src)
     n_rows = df.count()  # parquet metadata only — no data scan
+    cols = [c for c in partition_cols if c in df.columns]
     if n_rows == 0:
-        df.write.mode("overwrite").parquet(dst)
+        # same partitioned layout as the normal path: a later pointer-flip to
+        # dst must not change the sink's directory contract
+        df.write.mode("overwrite").partitionBy(*cols).parquet(dst)
         return 0
     bytes_per_row = max(1, total_bytes // n_rows)
     max_records = max(1, int(target_file_bytes // bytes_per_row))
     n_tasks = max(1, math.ceil(total_bytes / target_file_bytes))
-    cols = [c for c in partition_cols if c in df.columns]
     (
         df.repartition(n_tasks, *[F.col(c) for c in cols])
         .write.mode("overwrite")

@@ -123,3 +123,19 @@ def test_cli_compact_mode(spark, tmp_path):
     assert res["files"] >= 1
     n = spark.read.parquet(str(tmp_path / "compacted")).count()
     assert n == 5000
+
+
+def test_cli_compact_missing_src_clean_error(tmp_path):
+    """A nonexistent SRC is an argument problem: exit code 2 and a one-line
+    message, not a Py4J traceback."""
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "hatchery_spark",
+            "--compact", str(tmp_path / "does_not_exist"), str(tmp_path / "dst"),
+            "--cpus", "2",
+        ],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 2
+    assert "--compact failed" in out.stderr
+    assert "Traceback" not in out.stderr

@@ -82,3 +82,20 @@ def test_redact_pii(spark):
     )
     out = df.select(redact_pii(F.col("text")).alias("r")).first().r
     assert out == "mail <email> from <ip> card <longnum> ok"
+
+
+def test_stratified_sample_null_keys_deterministic(spark):
+    """NULL text must hash as md5('') (cross-engine stable) rather than
+    relying on engine NULL-ordering defaults."""
+    import hashlib
+
+    from hatchery_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "s", None if i % 3 == 0 else f"text {i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.doc_id, r.sample_rank) for r in stratified_sample(df, "source", 5).collect()}
+    # recompute expected order in Python with the same coalesce semantics
+    def key(row):
+        return (hashlib.md5((row[2] or "").encode()).hexdigest(), row[0])
+    want = {(r[0], i + 1) for i, r in enumerate(sorted(rows, key=key)[:5])}
+    assert got == want

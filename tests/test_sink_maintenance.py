@@ -122,3 +122,28 @@ def test_schema_evolution_mergeschema_across_runs(spark, tmp_path):
     assert merged.count() == 1000
     assert merged.filter(F.col("pipeline_version").isNull()).count() == 500
     assert merged.filter(F.col("pipeline_version") == "v2").count() == 500
+
+
+def test_compact_empty_source_keeps_partitioned_layout(spark, tmp_path):
+    """An empty compaction must not emit an UNPARTITIONED data file into dst:
+    the directory contract (partition dirs or nothing) survives, so a later
+    pointer-flip to dst cannot change the sink layout."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.sinks import compact_parquet_sink
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    empty = spark.range(0).select(
+        F.col("id").alias("conv_id"),
+        F.lit("t").alias("run_ts"),
+        F.lit("2024-01-01").alias("dt"),
+    )
+    empty.write.parquet(src)  # schema-bearing empty source
+    assert compact_parquet_sink(spark, src, dst) == 0
+    # a 0-row partitioned write emits no data files at the sink root — in
+    # particular no flat part-*.parquet that would break the partition layout
+    data_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert data_files == []

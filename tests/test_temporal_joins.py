@@ -106,3 +106,43 @@ def test_range_join_binned_matches_naive(spark, bin_width):
         ).collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_as_of_join_salted_matches_unsalted_and_splits_whale(spark):
+    """One key holds 50% of left rows; salting must (a) leave the output
+    bit-identical and (b) split the whale's window group ~salt_buckets ways
+    so no single task sorts half the corpus."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.operators.joins import as_of_join
+
+    base = dt.datetime(2024, 1, 1)
+    n = 4000
+    lefts = [
+        ("whale" if i % 2 == 0 else f"k{i % 40}", base + dt.timedelta(seconds=i), i)
+        for i in range(n)
+    ]
+    rights = [
+        ("whale" if j % 2 == 0 else f"k{j % 40}",
+         base + dt.timedelta(seconds=j * 7), j * 10)
+        for j in range(200)
+    ]
+    left = spark.createDataFrame(lefts, "key string, ts timestamp, seq int")
+    right = spark.createDataFrame(rights, "key string, ts timestamp, state int")
+
+    plain = as_of_join(left, right, key="key")
+    salted = as_of_join(left, right, key="key", salt_buckets=8)
+    key_fn = lambda r: (r.key, r.ts, r.seq, r.state)
+    assert sorted(map(key_fn, plain.collect())) == sorted(map(key_fn, salted.collect()))
+
+    # the whale's left rows spread across 8 (key, salt) window groups — the
+    # sequential unit drops from n/2 rows to ~n/16 (+ replicated rights)
+    groups = (
+        left.filter("key = 'whale'")
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col("ts")), F.lit(8)))
+        .groupBy("_salt").count().collect()
+    )
+    assert len(groups) == 8
+    assert max(g["count"] for g in groups) < n / 2 / 4  # well under the whale
