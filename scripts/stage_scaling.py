@@ -63,7 +63,10 @@ def main() -> None:
 
     # each prefix forces exactly its stage's new columns through a cheap sum
     def force(df, cols):
-        return df.select(F.sum(F.xxhash64(*cols)).alias("h"))
+        # pmod keeps the running sum far from long overflow (ANSI mode throws)
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_000))).alias("h")
+        )
 
     stages = {
         # scan: decode the text + key bytes, nothing else
