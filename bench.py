@@ -167,7 +167,9 @@ def main() -> None:
             ("doc_minhash_neardup", dq.q_minhash_neardup),
             ("doc_simhash_neardup", dq.q_simhash_neardup),
             ("doc_tfidf_topk", dq.q_tfidf_topk),
+            ("doc_char_entropy", dq.q_char_entropy),
             ("doc_pack_sequences", dq.q_pack_sequences),
+            ("pipeline_asof_last_event", dq.q_asof_last_event),
             ("emb_cosine_topk", dq.q_embedding_topk),
             ("emb_lsh_topk", dq.q_lsh_topk),
         ]:

@@ -42,7 +42,7 @@ def main() -> None:
     from hatchery_spark.datagen import service_catalog_df, transcripts_df
     from hatchery_spark.enrich import enrich_turns
     from hatchery_spark.parse import parse_turns
-    from hatchery_spark.router import sink_counts
+    from hatchery_spark.router import routed_union, sink_counts
     from hatchery_spark.session import get_spark
 
     base = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/hs_scaling_input")
@@ -82,7 +82,13 @@ def main() -> None:
             ["conv_id", "text", "actor", "action", "resource", "severity",
              "service", "category"],
         ),
-        # + explode router + partial agg (the full measured job)
+        # + the single-pass explode router (still forced through the same sum)
+        "route": lambda k: force(
+            routed_union(enrich_turns(parse_turns(src(k)), catalog), DEFAULT_ROUTES),
+            ["conv_id", "text", "actor", "action", "resource", "severity",
+             "service", "category", "route_id"],
+        ),
+        # + the per-sink partial aggregation (the full measured job)
         "route_agg": lambda k: sink_counts(
             enrich_turns(parse_turns(src(k)), catalog), DEFAULT_ROUTES
         ),
@@ -131,12 +137,20 @@ def main() -> None:
             break
 
     use = clean_runs or all_runs
-    med = {key: statistics.median(r[key] for r in use)
+    # MIN over clean runs, per leg: on a burst-throttling host the probes can
+    # miss a burst that lands mid-leg, and a median over 5 runs tips if 2 are
+    # contaminated; the minimum is the noise-free estimator (a leg can run
+    # SLOWER than the hardware allows, never faster)
+    med = {key: min(r[key] for r in use)
            for key in use[0] if key != "clean"}
 
+    # "route" is NOT a prefix of route_agg (its forcing sum hashes text once
+    # per EXPLODED row, work sink_counts never does) — report it as an
+    # auxiliary absolute row, and chain increments over the true prefixes
+    chain = [name for name in order if name != "route"]
     rows = []
     prev8 = prev32 = 0.0
-    for name in order:
+    for name in chain:
         t8, t32 = med[f"{name}_8"], med[f"{name}_32"]
         d8, d32 = t8 - prev8, t32 - prev32
         eff_cum = round((t8 / t32) / 4, 3)
@@ -147,6 +161,13 @@ def main() -> None:
             "eff_cumulative": eff_cum, "eff_incremental": eff_inc,
         })
         prev8, prev32 = t8, t32
+    if "route" in order:
+        t8, t32 = med["route_8"], med["route_32"]
+        rows.append({
+            "stage": "route (auxiliary: explode router forced per-routed-row)",
+            "t8": round(t8, 3), "t32": round(t32, 3), "dt8": None, "dt32": None,
+            "eff_cumulative": round((t8 / t32) / 4, 3), "eff_incremental": None,
+        })
 
     result = {
         "metric": "stage_scaling_breakdown_8_to_32",
@@ -168,7 +189,7 @@ def main() -> None:
     with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
         f.write(f"""
 
-## Per-stage scaling breakdown (median of {len(use)} {'clean ' if clean_runs else ''}runs, {n_rows:,} rows)
+## Per-stage scaling breakdown (per-leg MIN over {len(use)} {'clean ' if clean_runs else ''}runs, {n_rows:,} rows)
 
 Each stage is a PREFIX of the job plan forced through a cheap hash-sum over
 exactly the columns that stage produces; Δ columns are the stage's
