@@ -94,24 +94,43 @@ AUDIT_PATTERNS = (
 )
 
 
+# Group separator for the match → fields rewrite. \x01 cannot appear in a
+# \S+ capture of any audit pattern (control chars are not produced upstream;
+# a pattern whose captures could contain \x01 must not use this helper).
+_FIELD_SEP = "\x01"
+
+
 def multi_pattern_parse(df: DataFrame, patterns: tuple[str, ...] = AUDIT_PATTERNS) -> DataFrame:
     """Grok-pattern-set parse: coalesce of per-pattern extractions.
 
-    Every pattern is evaluated vectorized (regexp_extract, JVM codegen); for
-    each field the first pattern that matched supplies the value. This is how
-    a mixed-format log table (multiple SaaS sources in one stream — the
-    reference's multi-source topology) parses in one pass.
+    Every pattern is evaluated vectorized (JVM codegen); for each field the
+    first pattern that matched supplies the value. This is how a mixed-format
+    log table (multiple SaaS sources in one stream — the reference's
+    multi-source topology) parses in one pass.
+
+    Per pattern the regex engine touches the FULL text once: the whole match
+    (group 0) is extracted — codegen subexpression elimination shares that one
+    call across all four fields — then a second regexp_replace rewrites the
+    SHORT matched substring into 'g1␁g2␁g3␁g4' and the fields split out.
+    The per-group form ran the full-text regex 4× per pattern per row.
+    Works for ANY pattern exposing 4 capture groups (unlike the fixed-prefix
+    fast path parse_turns uses for the single audit pattern).
     """
 
-    def field(group: int):
-        per_pattern = [
-            F.nullif(F.regexp_extract(F.col("text"), p, group), F.lit(""))
-            for p in patterns
+    def pattern_fields(p: str) -> list[Column]:
+        m = F.regexp_extract(F.col("text"), p, 0)
+        parts = F.split(F.regexp_replace(m, p, _FIELD_SEP.join(f"${i}" for i in (1, 2, 3, 4))), _FIELD_SEP)
+        return [
+            F.nullif(F.try_element_at(parts, F.lit(i)), F.lit("")) for i in (1, 2, 3, 4)
         ]
-        return F.coalesce(*per_pattern)
 
+    per_pattern = [pattern_fields(p) for p in patterns]
+    # field order in the output matches the capture-group order (severity=1)
+    sev, actor, action, resource = (
+        F.coalesce(*[fields[i] for fields in per_pattern]) for i in range(4)
+    )
     return df.withColumns(
-        {"actor": field(2), "action": field(3), "resource": field(4), "severity": field(1)}
+        {"actor": actor, "action": action, "resource": resource, "severity": sev}
     )
 
 
