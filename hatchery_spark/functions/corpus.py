@@ -122,3 +122,65 @@ def char_entropy(
     """
     ent = F.round(_entropy64(F.col(text_col)), 4).alias("entropy")
     return df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), ent)
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Repetitive documents (boilerplate, scraper loops, keyword stuffing) are
+    the classic web-corpus failure mode; Rae et al. (Gopher, arXiv:2112.11446
+    §A1.1) filter on exactly these fractions:
+
+      * n_lines / dup_line_frac — share of the doc's lines that are repeats
+        of an earlier line (1 − distinct/total). Computed with codegen'd
+        collection expressions (split + array_distinct) — no explode, no
+        shuffle, no lambda HOF.
+      * top_bigram_frac — occurrences of the doc's most frequent word bigram
+        over total bigrams (NULL when < 2 tokens). Bigrams come from ONE
+        explode of arrays_zip(toks[:-1], toks[1:]) (codegen'd slices, no HOF)
+        into the standard count → max hash-aggregate pair; both aggregates
+        partial-combine map-side, so the exchanges carry per-(doc, bigram)
+        and per-doc rows, never per-token rows.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines), 4
+        ).alias("dup_line_frac"),
+    ).withColumn("_n_tok", F.size("_toks"))
+
+    zipped = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.col("_n_tok") - 1),
+        F.slice(F.col("_toks"), 2, F.col("_n_tok") - 1),
+    )
+    bg = (
+        base.filter(F.col("_n_tok") >= 2)
+        .select(F.col(id_col), F.explode(zipped).alias("_bg"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("_bg.0"), F.col("_bg.1")).alias("_bigram"),
+        )
+    )
+    top = (
+        bg.groupBy(id_col, "_bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_max_bg"))
+    )
+    return (
+        base.join(top, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "dup_line_frac",
+            F.round(F.col("_max_bg") / (F.col("_n_tok") - 1), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

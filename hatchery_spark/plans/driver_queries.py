@@ -561,6 +561,14 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(load(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality: duplicate-line fraction + top-bigram
+    fraction per doc (Rae et al., arXiv:2112.11446 §A1.1)."""
+    from hatchery_spark.functions.corpus import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
 def q_array_funcs(spark, sf_dir):
     """Array-function breadth: HOF filter/transform + sort/slice over tokens."""
     docs = load(spark, sf_dir, "documents")
@@ -1470,6 +1478,34 @@ def oracle_catalog() -> dict[str, str]:
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS trunc_h,
                    cast(epoch(date_trunc('second', ts)) AS bigint) AS epoch_s
             FROM events""",
+        "doc_repetition_stats": """
+            WITH base AS (
+              SELECT doc_id,
+                string_split_regex(text, '\\s+') AS ts,
+                string_split(text, chr(10)) AS ls
+              FROM documents
+            ),
+            lstats AS (
+              SELECT doc_id,
+                cast(len(ls) AS int) AS n_lines,
+                round(1.0 - len(list_distinct(ls)) / cast(len(ls) AS double), 4)
+                  AS dup_line_frac,
+                len(ts) AS n_tok
+              FROM base
+            ),
+            bg AS (
+              SELECT b.doc_id, b.ts[u.i] || ' ' || b.ts[u.i + 1] AS bigram
+              FROM base b, unnest(range(1, len(b.ts))) AS u(i)
+              WHERE len(b.ts) >= 2
+            ),
+            top AS (
+              SELECT doc_id, max(c) AS max_bg FROM (
+                SELECT doc_id, bigram, count(*) AS c FROM bg
+                GROUP BY doc_id, bigram) GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+              round(max_bg / cast(n_tok - 1 AS double), 4) AS top_bigram_frac
+            FROM lstats l LEFT JOIN top USING (doc_id)""",
         "doc_tfidf_topk": """
             WITH terms AS (
               SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
@@ -1631,7 +1667,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_ivf_topk,
         "emb_lsh_topk": q_lsh_topk,
         "emb_near_dup": q_embedding_near_dup,
-        # never driver-sampled through r2
+        # never driver-sampled through r2 (plus round-3 additions)
+        "doc_repetition_stats": q_repetition_stats,
         "doc_ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint_buckets": q_fingerprint_buckets,
         "doc_sample_rate": q_sample_rate,

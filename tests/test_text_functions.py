@@ -118,3 +118,21 @@ def test_char_entropy_arrow_matches_explode(spark):
     b = {r.doc_id: r.entropy for r in char_entropy_explode(docs).collect()}
     assert a == b
     assert a[3] == 0.0 and a[0] == round(__import__("math").log(2), 4)
+
+
+def test_repetition_stats_closed_form(spark):
+    """Gopher repetition signals on hand-computable docs."""
+    from hatchery_spark.functions.corpus import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),      # top bigram "a b" ×3 of 5 bigrams
+         (1, "x\ny\nx\nz"),       # 4 lines, 3 distinct → dup 0.25
+         (2, "one"),              # <2 tokens → NULL bigram frac
+         (3, "l1\nl1\nl1")],      # all lines identical
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[0].top_bigram_frac == 0.6 and out[0].dup_line_frac == 0.0
+    assert out[1].n_lines == 4 and out[1].dup_line_frac == 0.25
+    assert out[2].top_bigram_frac is None
+    assert out[3].dup_line_frac == 0.6667 and out[3].top_bigram_frac == 1.0
