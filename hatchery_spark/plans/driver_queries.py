@@ -227,6 +227,32 @@ def q_asof_last_event(spark, sf_dir):
     )
 
 
+def q_asof_salted(spark, sf_dir):
+    """Whale-key-salted as-of join: identical output to q_asof_last_event
+    (same oracle) with the window split 8 ways per key."""
+    from hatchery_spark.operators.joins import as_of_join
+    from pyspark.sql import Window as W
+
+    t = transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts")
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("key"),
+        "ts",
+        "event_type",
+        "event_id",
+    )
+    w = W.partitionBy("key", "ts").orderBy(F.desc("event_id"))
+    ev1 = (
+        ev.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn", "event_id")
+    )
+    out = as_of_join(
+        t.withColumnRenamed("conv_id", "key"), ev1, "key",
+        value_cols=["event_type"], salt_buckets=8,
+    )
+    return out.select(
+        F.col("key").alias("conv_id"), "turn_idx", F.col("event_type").alias("last_event_type")
+    )
+
+
 def q_range_join_windows(spark, sf_dir):
     """Range join: events falling inside 90-minute windows every 6 hours."""
     from hatchery_spark.operators.joins import range_join_binned
@@ -778,6 +804,15 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(docs).select("doc_id", "dup_count")
 
 
+def q_exact_dedup_window(spark, sf_dir):
+    """One-shuffle variant: row_number over the digest partition — must match
+    the groupBy+rejoin form (and its oracle) exactly."""
+    from hatchery_spark.functions.dedup import exact_dedup_window
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_window(docs).select("doc_id", "dup_count")
+
+
 def q_sample_rate(spark, sf_dir):
     """Deterministic md5-prefix sampling — same rows at any cluster size."""
     from hatchery_spark.functions.sampling import deterministic_sample
@@ -1219,7 +1254,7 @@ FROM transcripts WHERE turn_idx = 0"""
 
 def oracle_catalog() -> dict[str, str]:
     p = ORACLE_PIPELINE_CTE
-    return {
+    oracles = {
         "pipeline_transcripts_view": p + "SELECT * FROM transcripts",
         "pipeline_parse": p + "SELECT * FROM parsed",
         "pipeline_parse_pandas": p + "SELECT * FROM parsed",
@@ -1651,6 +1686,11 @@ def oracle_catalog() -> dict[str, str]:
                     min(ts) AS min_ts, max(ts) AS max_ts
              FROM transcripts""",
     }
+    # variant queries whose output contract is IDENTICAL to the base form —
+    # the driver gate itself proves the equivalence
+    oracles["doc_exact_dedup_window"] = oracles["doc_exact_dedup"]
+    oracles["pipeline_asof_salted"] = oracles["pipeline_asof_last_event"]
+    return oracles
 
 
 def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1669,6 +1709,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_embedding_near_dup,
         # never driver-sampled through r2 (plus round-3 additions)
         "doc_repetition_stats": q_repetition_stats,
+        "doc_exact_dedup_window": q_exact_dedup_window,
+        "pipeline_asof_salted": q_asof_salted,
         "doc_ngram_jaccard": q_ngram_jaccard,
         "doc_fingerprint_buckets": q_fingerprint_buckets,
         "doc_sample_rate": q_sample_rate,
