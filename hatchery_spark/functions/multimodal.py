@@ -438,3 +438,72 @@ def sample_video_frames(df: DataFrame, every_ms: int = 500) -> DataFrame:
         .withColumn("frame_ms", F.explode(frames))
         .select("media_id", "frame_ms")
     )
+
+
+def resize_grid(grid: np.ndarray, out_h: int = 8, out_w: int = 8) -> np.ndarray:
+    """Real resize of a grayscale pixel grid to (out_h, out_w), float64.
+
+    Area interpolation (block mean) when downsampling — each output pixel is
+    the mean of its source block, the standard anti-aliased thumbnail path —
+    and nearest-neighbor when a source dimension is smaller than the target.
+    Pure numpy; no image library.
+    """
+    h, w = grid.shape
+    g = grid.astype(np.float64)
+    if h >= out_h and w >= out_w:
+        ys = (np.arange(out_h + 1) * h) // out_h
+        xs = (np.arange(out_w + 1) * w) // out_w
+        out = np.empty((out_h, out_w), np.float64)
+        for i in range(out_h):
+            for j in range(out_w):
+                out[i, j] = g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        return out
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return g[np.ix_(yi, xi)]
+
+
+def media_thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """REAL decode → grayscale → resize to a fixed (out_h × out_w) thumbnail.
+
+    mapInPandas, iterator form; output is the FIXED-width thumbnail vector
+    (row-major array<double>) plus its mean/std — never raw bytes — so the
+    downstream image-dedup/similarity stages shuffle 64 doubles per image,
+    not megapixel payloads. Formats without a codec (JPEG/MP4) report
+    decoder_unavailable; corrupt payloads report decode_error, never a task
+    abort.
+    """
+    schema = (
+        "media_id long, kind string, thumb array<double>, "
+        "thumb_mean double, thumb_std double, decode_status string"
+    )
+    n_px = out_h * out_w
+
+    def _thumbs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("media_id", "kind", "thumb", "thumb_mean", "thumb_std",
+                    "decode_status")}
+            for mid, kind, content in zip(b["media_id"], b["kind"], b["content"]):
+                raw = bytes(content) if content is not None else b""
+                thumb = mean = std = None
+                try:
+                    grid = real_decode_image(raw)
+                    t = resize_grid(grid, out_h, out_w)
+                    thumb = [round(float(x), 4) for x in t.reshape(n_px)]
+                    mean = round(float(t.mean()), 4)
+                    std = round(float(t.std()), 4)
+                    status = "ok"
+                except DecoderUnavailable:
+                    status = "decoder_unavailable"
+                except Exception:
+                    status = "decode_error"
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["thumb"].append(thumb)
+                out["thumb_mean"].append(mean)
+                out["thumb_std"].append(std)
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_thumbs, schema)

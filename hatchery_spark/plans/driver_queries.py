@@ -1012,6 +1012,21 @@ def q_media_real_decode(spark, sf_dir):
     return decode_media(synthetic_real_media_df(spark, 64))
 
 
+def q_media_thumbnail(spark, sf_dir):
+    """REAL decode → grayscale → area-interpolated 8×8 resize: solid-color
+    PPM/PNG payloads give closed-form thumbnails (all pixels = v, std 0).
+    The comparator sees scalar stats + the vector length (array columns stay
+    out of the oracle hash, same convention as media_features); the full
+    pixel vector is asserted in pytest."""
+    from hatchery_spark.functions.multimodal import media_thumbnails, synthetic_real_media_df
+
+    return media_thumbnails(synthetic_real_media_df(spark, 64)).select(
+        "media_id", "kind",
+        F.size("thumb").alias("n_px"),
+        "thumb_mean", "thumb_std", "decode_status",
+    )
+
+
 def q_lineage_totals(spark, sf_dir):
     """Global reduction of the per-partition lineage rows — partition ids are
     physical (rows-only), but their totals must equal the table's aggregates."""
@@ -1678,6 +1693,15 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "media_thumbnail": """
+            SELECT i AS media_id,
+              (['image', 'audio', 'video'])[(i % 3) + 1] AS kind,
+              CASE WHEN i % 3 = 0 THEN cast(64 AS int) END AS n_px,
+              CASE WHEN i % 3 = 0 THEN cast((i * 7) % 256 AS double) END AS thumb_mean,
+              CASE WHEN i % 3 = 0 THEN 0.0 END AS thumb_std,
+              CASE WHEN i % 3 = 0 THEN 'ok' ELSE 'decoder_unavailable' END
+                AS decode_status
+            FROM (SELECT unnest(range(0, 64)) AS i)""",
         "pipeline_kv_explode": p + _KV_EXPLODE_ORACLE,
         "pipeline_lineage_totals": p
         + """SELECT count(*) AS total_rows,
@@ -1719,6 +1743,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_redact_pii": q_redact_pii,
         "media_features": q_media_features,
         "media_real_decode": q_media_real_decode,
+        "media_thumbnail": q_media_thumbnail,
         "media_frame_grid": q_media_frame_grid,
         "pipeline_lineage_totals": q_lineage_totals,
         "pipeline_error_burst": q_error_burst,

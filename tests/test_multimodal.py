@@ -221,3 +221,39 @@ def test_decode_media_handles_png(spark):
     assert out[0].decode_status == "ok_ppm"
     assert out[1].decode_status == "ok_wav"
     assert out[2].decode_status == "decoder_unavailable"
+
+
+def test_resize_grid_math():
+    """Area interpolation downsampling + nearest-neighbor upsampling."""
+    import numpy as np
+
+    from hatchery_spark.functions.multimodal import resize_grid
+
+    g = np.arange(16 * 16).reshape(16, 16)
+    t = resize_grid(g, 8, 8)
+    assert t.shape == (8, 8)
+    assert t[0, 0] == np.mean([0, 1, 16, 17])  # 2x2 block mean
+    u = resize_grid(np.array([[1, 2], [3, 4]]), 4, 4)
+    assert (u == np.array([[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]])).all()
+
+
+def test_media_thumbnails_real_pixels(spark):
+    """Thumbnails are built from ACTUAL decoded pixels: a two-tone PPM's 8x8
+    area-pooled thumbnail has the left half at one value, right at another."""
+    import numpy as np
+
+    from hatchery_spark.functions.multimodal import media_thumbnails
+
+    # 16x8 image: left 8 columns value 10, right 8 columns value 250
+    w, h = 16, 8
+    row = bytes((10, 10, 10)) * 8 + bytes((250, 250, 250)) * 8
+    ppm = f"P6\n{w} {h}\n255\n".encode() + row * h
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(ppm)), (1, "video", bytearray(b"\x00xx"))],
+        "media_id long, kind string, content binary",
+    )
+    out = {r.media_id: r for r in media_thumbnails(df).collect()}
+    t = np.array(out[0].thumb).reshape(8, 8)
+    assert (t[:, :4] == 10.0).all() and (t[:, 4:] == 250.0).all()
+    assert out[0].thumb_mean == 130.0
+    assert out[1].decode_status == "decoder_unavailable"
