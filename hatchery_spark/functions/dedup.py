@@ -527,3 +527,37 @@ def simhash_candidates(
         id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_val").alias("band_val")
     )
     return capped_band_pairs(allb, id_col, "band_val", max_bucket)
+
+
+def digest_store(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(\\_digest) frame for incremental dedup: 32-byte sha2 per distinct text.
+
+    This is the only state the pipeline carries between crawls — at 10^12
+    docs it is a digest-only table, ~1/1000th the corpus bytes; write it
+    bucketed by _digest (sinks.write_bucketed_table) so successive
+    incremental anti-joins co-locate without shuffling history.
+    """
+    return df.select(F.sha2(F.col(text_col), 256).alias("_digest")).distinct()
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against everything previously ingested.
+
+    The standard snapshot-over-snapshot ingestion shape: exact-dedup within
+    the batch (smallest id survives), then LEFT ANTI join the survivors'
+    digests against the historical `seen` digest store. Returns
+    (novel_rows, updated_seen) — `updated_seen` is seen ∪ the novel digests,
+    ready to persist for the next batch. Only digests ever join or move;
+    document text shuffles once (the in-batch dedup's survivor rejoin).
+    """
+    batch = exact_dedup(new_docs, text_col, id_col).withColumn(
+        "_digest", F.sha2(F.col(text_col), 256)
+    )
+    novel = batch.join(seen, on="_digest", how="left_anti")
+    updated = seen.unionByName(novel.select("_digest")).distinct()
+    return novel.drop("_digest"), updated

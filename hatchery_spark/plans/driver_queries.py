@@ -813,6 +813,19 @@ def q_exact_dedup_window(spark, sf_dir):
     return exact_dedup_window(docs).select("doc_id", "dup_count")
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Snapshot-over-snapshot ingestion: even-id docs are the prior corpus
+    (digest store), odd-id docs are the new batch; novel = first-in-batch AND
+    digest-unseen. Only digests join — the history never ships text."""
+    from hatchery_spark.functions.dedup import digest_store, incremental_exact_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    seen = digest_store(docs.filter(F.col("doc_id") % 2 == 0))
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    novel, _updated = incremental_exact_dedup(batch, seen)
+    return novel.select("doc_id", "dup_count")
+
+
 def q_sample_rate(spark, sf_dir):
     """Deterministic md5-prefix sampling — same rows at any cluster size."""
     from hatchery_spark.functions.sampling import deterministic_sample
@@ -1669,6 +1682,16 @@ def oracle_catalog() -> dict[str, str]:
         "doc_exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text""",
+        "doc_incremental_dedup": """
+            WITH batch AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+            survivors AS (
+              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+              FROM batch GROUP BY text
+            )
+            SELECT s.doc_id, s.dup_count
+            FROM survivors s JOIN batch b USING (doc_id)
+            WHERE b.text NOT IN
+              (SELECT text FROM documents WHERE doc_id % 2 = 0)""",
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1733,6 +1756,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_embedding_near_dup,
         # never driver-sampled through r2 (plus round-3 additions)
         "doc_repetition_stats": q_repetition_stats,
+        "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,
         "doc_ngram_jaccard": q_ngram_jaccard,

@@ -99,3 +99,29 @@ def test_exact_dedup_window_matches_rejoin(spark):
     b = sorted(map(tuple, dd.exact_dedup_window(docs).collect()))
     assert a == b
     assert dd.exact_dedup_window(docs).columns == dd.exact_dedup(docs).columns
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Novel rows = first-in-batch AND never seen before; the digest store
+    grows by exactly the novel texts."""
+    from hatchery_spark.functions.dedup import digest_store, incremental_exact_dedup
+
+    batch1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    seen = digest_store(batch1)
+    assert seen.count() == 2
+
+    batch2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        "doc_id long, text string",
+    )
+    novel, updated = incremental_exact_dedup(batch2, seen)
+    got = sorted(r.doc_id for r in novel.collect())
+    assert got == [11, 13]  # beta seen before; gamma deduped within batch
+    assert updated.count() == 4  # alpha beta gamma delta
+
+    # a third batch of only repeats yields nothing new
+    batch3 = spark.createDataFrame([(20, "alpha"), (21, "delta")], "doc_id long, text string")
+    novel3, updated3 = incremental_exact_dedup(batch3, updated)
+    assert novel3.isEmpty() and updated3.count() == 4
