@@ -352,6 +352,52 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word n-gram
+    with an evaluation corpus (the GPT-3 appendix-C / Dolma-style n-gram
+    overlap check that precedes every serious pretraining run).
+
+    Scale shape: the benchmark side (eval suites — 10^5..10^7 grams) is
+    hashed to 64-bit longs, deduplicated, and BROADCAST; the training corpus
+    explodes to one row per distinct gram and the broadcast INNER join prunes
+    clean grams before the only data-bearing shuffle (groupBy doc_id over
+    matched rows only). Clean docs never enter that shuffle — they surface
+    through the final left join against the narrow (id, total_grams) frame,
+    so at 100 TB the shuffled volume is proportional to contamination, not
+    corpus size. Gram equality is decided on xxhash64 longs (collision
+    P ≈ |grams|²·2⁻⁶⁴ — negligible).
+
+    Returns one row per training doc: (id, total_grams, matched_grams,
+    contaminated).
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    stats = df.select(F.col(id_col), F.size(grams).alias("total_grams"))
+    bench = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .select(F.xxhash64("_g").alias("_h"))
+        .distinct()
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), F.xxhash64("_g").alias("_h"))
+        .join(F.broadcast(bench), "_h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("matched_grams"))
+    )
+    return stats.join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("total_grams"),
+        F.coalesce("matched_grams", F.lit(0)).alias("matched_grams"),
+        (F.coalesce("matched_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 @pandas_udf(T.LongType())

@@ -826,6 +826,18 @@ def q_incremental_dedup(spark, sf_dir):
     return novel.select("doc_id", "dup_count")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 17 == 0 play the eval
+    suite; every other doc is training data, flagged when it shares any word
+    5-gram with the benchmark set (broadcast gram-hash join)."""
+    from hatchery_spark.functions.dedup import ngram_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(train, bench, n=5)
+
+
 def q_sample_rate(spark, sf_dir):
     """Deterministic md5-prefix sampling — same rows at any cluster size."""
     from hatchery_spark.functions.sampling import deterministic_sample
@@ -1692,6 +1704,34 @@ def oracle_catalog() -> dict[str, str]:
             FROM survivors s JOIN batch b USING (doc_id)
             WHERE b.text NOT IN
               (SELECT text FROM documents WHERE doc_id % 2 = 0)""",
+        "doc_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(ws) - 4, 1) + 1),
+                  i -> array_to_string(ws[i:i+4], ' '))) AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0
+            ),
+            hits AS (
+              SELECT t.doc_id, count(*) AS matched
+              FROM (SELECT doc_id, unnest(g) AS gram
+                    FROM grams WHERE doc_id % 17 <> 0) t
+              JOIN bench USING (gram)
+              GROUP BY t.doc_id
+            )
+            SELECT g.doc_id,
+                   cast(len(g.g) AS int) AS total_grams,
+                   cast(coalesce(h.matched, 0) AS bigint) AS matched_grams,
+                   coalesce(h.matched, 0) > 0 AS contaminated
+            FROM grams g LEFT JOIN hits h USING (doc_id)
+            WHERE g.doc_id % 17 <> 0""",
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1756,6 +1796,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_embedding_near_dup,
         # never driver-sampled through r2 (plus round-3 additions)
         "doc_repetition_stats": q_repetition_stats,
+        "doc_decontaminate": q_decontaminate,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -125,3 +125,30 @@ def test_incremental_exact_dedup_across_batches(spark):
     batch3 = spark.createDataFrame([(20, "alpha"), (21, "delta")], "doc_id long, text string")
     novel3, updated3 = incremental_exact_dedup(batch3, updated)
     assert novel3.isEmpty() and updated3.count() == 4
+
+
+def test_ngram_decontaminate_flags_overlap(spark):
+    """A training doc sharing a word 5-gram with the benchmark is flagged
+    with the exact distinct-gram hit count; clean and short docs are kept
+    with zero matches."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "quick brown fox jumps over" and 2 more benchmark 5-grams
+            (0, "a quick brown fox jumps over the lazy cat"),
+            (1, "totally different words with no overlap at all here"),
+            (2, "short doc"),  # < 5 tokens: one truncated gram, no match
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in dd.ngram_decontaminate(train, bench, n=5).collect()
+    }
+    assert out[0]["contaminated"] and out[0]["matched_grams"] == 3
+    assert not out[1]["contaminated"] and out[1]["matched_grams"] == 0
+    assert not out[2]["contaminated"] and out[2]["total_grams"] == 1
+    assert set(out) == {0, 1, 2}
