@@ -169,6 +169,8 @@ def main() -> None:
             ("doc_tfidf_topk", dq.q_tfidf_topk),
             ("doc_char_entropy", dq.q_char_entropy),
             ("doc_pack_sequences", dq.q_pack_sequences),
+            ("doc_decontaminate", dq.q_decontaminate),
+            ("doc_boilerplate_removal", dq.q_boilerplate_removal),
             ("pipeline_asof_last_event", dq.q_asof_last_event),
             ("emb_cosine_topk", dq.q_embedding_topk),
             ("emb_lsh_topk", dq.q_lsh_topk),

@@ -124,6 +124,68 @@ def char_entropy(
     return df.filter(F.col(text_col).isNotNull()).select(F.col(id_col), ent)
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    broadcast_boiler: bool = True,
+) -> DataFrame:
+    """C4/CCNet-style corpus-level boilerplate removal: drop every line that
+    occurs in >= min_docs DISTINCT documents (nav menus, cookie banners,
+    copyright footers), preserving the remaining lines' original order.
+
+    Scale shape: lines explode once and the frequency aggregate runs over
+    xxhash64(line) longs, so the counting shuffle carries 16-byte
+    (hash, doc_id) pairs rather than line text. The boilerplate set — lines
+    shared by >= min_docs docs — is small by construction (it is the highly
+    repeated tail), so it broadcasts and the anti-join never shuffles the
+    corpus; pass broadcast_boiler=False to fall back to a shuffle anti-join
+    when min_docs is set low enough to produce a huge set. Reconstruction
+    (groupBy doc, order-restoring array_sort) is the one full-text shuffle —
+    inherent to materializing the cleaned corpus. Line equality is decided on
+    64-bit hashes (collision P ≈ n²·2⁻⁶⁴ — negligible).
+
+    Returns (id, clean_text, kept_lines, removed_lines); docs whose every
+    line was boilerplate survive with clean_text = ''.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    if broadcast_boiler:
+        boiler = F.broadcast(boiler)
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("int").alias("kept_lines"),
+    )
+    stats = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("int").alias("_total"),
+    )
+    return stats.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        (F.col("_total") - F.coalesce("kept_lines", F.lit(0))).alias(
+            "removed_lines"
+        ),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

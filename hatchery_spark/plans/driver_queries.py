@@ -838,6 +838,45 @@ def q_decontaminate(spark, sf_dir):
     return ngram_decontaminate(train, bench, n=5)
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Corpus-level boilerplate line removal over synthetic multi-line pages:
+    5 consecutive docs per page (order-preserving concat), a nav banner
+    injected on even pages and a copyright footer on page_id % 3 == 0 —
+    both cross the min_docs=10 corpus frequency bar and are stripped while
+    every (unique) body line survives in order."""
+    from hatchery_spark.functions.corpus import remove_boilerplate_lines
+
+    docs = load(spark, sf_dir, "documents")
+    pages = (
+        docs.select(
+            F.floor(F.col("doc_id") / 5).cast("long").alias("page_id"),
+            "doc_id",
+            "text",
+        )
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    pid = F.col("page_id")
+    t = F.when(
+        pid % 2 == 0, F.concat(F.lit("NAV HOME ABOUT CONTACT\n"), F.col("text"))
+    ).otherwise(F.col("text"))
+    pages = pages.select(pid, t.alias("text"))
+    t = F.when(
+        pid % 3 == 0,
+        F.concat(F.col("text"), F.lit("\n(c) example corp all rights reserved")),
+    ).otherwise(F.col("text"))
+    pages = pages.select(pid, t.alias("text"))
+    return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
+
+
 def q_sample_rate(spark, sf_dir):
     """Deterministic md5-prefix sampling — same rows at any cluster size."""
     from hatchery_spark.functions.sampling import deterministic_sample
@@ -1732,6 +1771,51 @@ def oracle_catalog() -> dict[str, str]:
                    coalesce(h.matched, 0) > 0 AS contaminated
             FROM grams g LEFT JOIN hits h USING (doc_id)
             WHERE g.doc_id % 17 <> 0""",
+        "doc_boilerplate_removal": """
+            WITH pages AS (
+              SELECT doc_id // 5 AS page_id,
+                     string_agg(text, chr(10) ORDER BY doc_id) AS body
+              FROM documents GROUP BY doc_id // 5
+            ),
+            pg1 AS (
+              SELECT page_id,
+                CASE WHEN page_id % 2 = 0
+                     THEN 'NAV HOME ABOUT CONTACT' || chr(10) || body
+                     ELSE body END AS t1
+              FROM pages
+            ),
+            pg AS (
+              SELECT page_id,
+                CASE WHEN page_id % 3 = 0
+                     THEN t1 || chr(10) || '(c) example corp all rights reserved'
+                     ELSE t1 END AS text
+              FROM pg1
+            ),
+            lines AS (
+              SELECT page_id, pos, ls[pos] AS line
+              FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pg) t,
+                   LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS pos) p
+            ),
+            boiler AS (
+              SELECT line FROM lines
+              GROUP BY line HAVING count(DISTINCT page_id) >= 10
+            ),
+            kept AS (
+              SELECT * FROM lines l
+              WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = l.line)
+            ),
+            rebuilt AS (
+              SELECT page_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                     cast(count(*) AS int) AS kept_lines
+              FROM kept GROUP BY page_id
+            )
+            SELECT p.page_id,
+                   coalesce(r.clean_text, '') AS clean_text,
+                   coalesce(r.kept_lines, 0) AS kept_lines,
+                   cast(len(string_split(p.text, chr(10)))
+                        - coalesce(r.kept_lines, 0) AS int) AS removed_lines
+            FROM pg p LEFT JOIN rebuilt r USING (page_id)""",
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1797,6 +1881,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-sampled through r2 (plus round-3 additions)
         "doc_repetition_stats": q_repetition_stats,
         "doc_decontaminate": q_decontaminate,
+        "doc_boilerplate_removal": q_boilerplate_removal,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

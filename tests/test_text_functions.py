@@ -136,3 +136,40 @@ def test_repetition_stats_closed_form(spark):
     assert out[1].n_lines == 4 and out[1].dup_line_frac == 0.25
     assert out[2].top_bigram_frac is None
     assert out[3].dup_line_frac == 0.6667 and out[3].top_bigram_frac == 1.0
+
+
+def test_remove_boilerplate_lines(spark):
+    """A line shared by >= min_docs docs is stripped everywhere (order of the
+    surviving lines preserved); an all-boilerplate doc survives with empty
+    text; rare lines are untouched."""
+    from hatchery_spark.functions.corpus import remove_boilerplate_lines
+
+    banner = "COOKIE BANNER"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner}\nunique zero\nalso zero"),
+            (1, f"unique one\n{banner}"),
+            (2, f"{banner}"),
+            (3, "no banner here\nat all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.asDict()
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[0]["clean_text"] == "unique zero\nalso zero"
+    assert out[0]["kept_lines"] == 2 and out[0]["removed_lines"] == 1
+    assert out[1]["clean_text"] == "unique one"
+    assert out[2]["clean_text"] == "" and out[2]["kept_lines"] == 0
+    assert out[3]["clean_text"] == "no banner here\nat all"
+    assert out[3]["removed_lines"] == 0
+
+    # shuffle anti-join path produces identical output
+    alt = {
+        r.doc_id: r.asDict()
+        for r in remove_boilerplate_lines(
+            docs, min_docs=3, broadcast_boiler=False
+        ).collect()
+    }
+    assert alt == out
