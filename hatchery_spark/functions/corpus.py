@@ -135,16 +135,19 @@ def remove_boilerplate_lines(
     occurs in >= min_docs DISTINCT documents (nav menus, cookie banners,
     copyright footers), preserving the remaining lines' original order.
 
-    Scale shape: lines explode once and the frequency aggregate runs over
-    xxhash64(line) longs, so the counting shuffle carries 16-byte
-    (hash, doc_id) pairs rather than line text. The boilerplate set — lines
-    shared by >= min_docs docs — is small by construction (it is the highly
-    repeated tail), so it broadcasts and the anti-join never shuffles the
-    corpus; pass broadcast_boiler=False to fall back to a shuffle anti-join
-    when min_docs is set low enough to produce a huge set. Reconstruction
-    (groupBy doc, order-restoring array_sort) is the one full-text shuffle —
-    inherent to materializing the cleaned corpus. Line equality is decided on
-    64-bit hashes (collision P ≈ n²·2⁻⁶⁴ — negligible).
+    Scale shape: two source scans, two shuffles. Scan 1 explodes lines and
+    aggregates frequency over xxhash64(line) longs — that shuffle carries
+    16-byte (hash, doc_id) pairs, never text. The boilerplate set (lines
+    shared by >= min_docs docs — the highly repeated tail, small by
+    construction) broadcasts back onto a second exploded pass as a
+    membership mark; pass broadcast_boiler=False to fall back to a shuffle
+    join when min_docs is set low enough to produce a huge set. ONE groupBy
+    then rebuilds clean_text (order-restoring array_sort over the kept
+    lines — collect_list skips the NULLed boiler rows) and counts kept /
+    removed together, so boilerplate text is dropped by the map-side
+    partial aggregate and the rebuild shuffle carries only surviving lines.
+    Line equality is decided on 64-bit hashes (collision P ≈ n²·2⁻⁶⁴ —
+    negligible).
 
     Returns (id, clean_text, kept_lines, removed_lines); docs whose every
     line was boilerplate survive with clean_text = ''.
@@ -157,32 +160,24 @@ def remove_boilerplate_lines(
         lines.groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
-        .select("_h")
+        .select("_h", F.lit(True).alias("_is_boiler"))
     )
     if broadcast_boiler:
         boiler = F.broadcast(boiler)
-    kept = lines.join(boiler, "_h", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
+    marked = lines.join(boiler, "_h", "left")
+    kept_struct = F.when(
+        F.col("_is_boiler").isNull(), F.struct("_pos", "_line")
+    )
+    return marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                F.array_sort(F.collect_list(kept_struct)),
                 lambda s: s["_line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("int").alias("kept_lines"),
-    )
-    stats = df.select(
-        F.col(id_col),
-        F.size(F.split(F.col(text_col), "\n")).cast("int").alias("_total"),
-    )
-    return stats.join(rebuilt, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
-        (F.col("_total") - F.coalesce("kept_lines", F.lit(0))).alias(
-            "removed_lines"
-        ),
+        F.count(kept_struct).cast("int").alias("kept_lines"),
+        F.count(F.col("_is_boiler")).cast("int").alias("removed_lines"),
     )
 
 
