@@ -877,6 +877,14 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_profile_columns(spark, sf_dir):
+    """One-pass column profile of the documents table (exact NDV via the
+    Expand plan; approx_count_distinct is the 100-TB default)."""
+    from hatchery_spark.functions.profile import profile_columns
+
+    return profile_columns(load(spark, sf_dir, "documents"))
+
+
 def q_sample_rate(spark, sf_dir):
     """Deterministic md5-prefix sampling — same rows at any cluster size."""
     from hatchery_spark.functions.sampling import deterministic_sample
@@ -1816,6 +1824,16 @@ def oracle_catalog() -> dict[str, str]:
                    cast(len(string_split(p.text, chr(10)))
                         - coalesce(r.kept_lines, 0) AS int) AS removed_lines
             FROM pg p LEFT JOIN rebuilt r USING (page_id)""",
+        "doc_profile_columns": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*) AS n_rows,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c}) AS n_distinct,
+                   cast(min({c}) AS varchar) AS min_value,
+                   cast(max({c}) AS varchar) AS max_value
+            FROM documents"""
+            for c in ["doc_id", "text", "lang", "source", "n_chars"]
+        ),
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1882,6 +1900,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": q_repetition_stats,
         "doc_decontaminate": q_decontaminate,
         "doc_boilerplate_removal": q_boilerplate_removal,
+        "doc_profile_columns": q_profile_columns,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,
