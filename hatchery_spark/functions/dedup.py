@@ -352,6 +352,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def make_gram_hash_udf(n: int):
+    """Arrow-vectorized word-n-gram hasher: text → array<long> of DISTINCT
+    gram hashes (gram identity == the space-joined token-string identity,
+    since tokens cannot contain whitespace).
+
+    Batch shape (mirrors simhash64): pandas str.split (C), ONE
+    pd.util.hash_array over all tokens of the batch, a rolling FNV-style
+    polynomial across the flat hash array (n-1 vectorized multiply-adds,
+    doc boundaries masked), then a lexsort-based per-doc distinct — no
+    per-gram Python. ~10× the interpreted transform/slice/concat_ws HOF
+    form, which is CodegenFallback and dominated the decontamination scan.
+
+    Short docs (< n tokens) emit one truncated gram over all their tokens;
+    empty docs emit the hash of a single empty token, matching the
+    one-empty-gram behavior of `word_ngrams` on ''.
+    """
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def gram_hashes(text: pd.Series) -> pd.Series:
+        rows = len(text)
+        toks = text.fillna("").astype(str).str.split()
+        flat = toks.reset_index(drop=True).explode().dropna()
+        P = np.uint64(0x100000001B3)
+
+        def poly(h: np.ndarray) -> np.uint64:
+            with np.errstate(over="ignore"):
+                acc = h[0]
+                for j in range(1, len(h)):
+                    acc = acc * P + h[j]
+            return acc
+
+        empty_hash = np.int64(
+            pd.util.hash_array(np.array([""], dtype=object), categorize=False)
+            .view(np.int64)[0]
+        )
+        if len(flat) == 0:
+            return pd.Series([[empty_hash]] * rows)
+        doc_idx = flat.index.to_numpy(dtype=np.int64)
+        th = pd.util.hash_array(
+            flat.to_numpy(dtype=object), categorize=False
+        ).astype(np.uint64)
+        L = len(th)
+        with np.errstate(over="ignore"):
+            if L >= n:
+                g = th[: L - n + 1].copy()
+                for j in range(1, n):
+                    g = g * P + th[j : L - n + 1 + j]
+                valid = doc_idx[: L - n + 1] == doc_idx[n - 1 :]
+                gram_doc = doc_idx[: L - n + 1][valid]
+                gvals = g[valid]
+            else:
+                gram_doc = np.empty(0, dtype=np.int64)
+                gvals = np.empty(0, dtype=np.uint64)
+        # docs with 1..n-1 tokens: one truncated gram over all tokens
+        lens = np.bincount(doc_idx, minlength=rows)
+        starts = np.zeros(rows + 1, dtype=np.int64)
+        starts[1:] = np.cumsum(lens)
+        short = np.nonzero((lens > 0) & (lens < n))[0]
+        if len(short):
+            sd, sv = [], []
+            for d in short:
+                sd.append(d)
+                sv.append(poly(th[starts[d] : starts[d + 1]]))
+            gram_doc = np.concatenate([gram_doc, np.asarray(sd, dtype=np.int64)])
+            gvals = np.concatenate([gvals, np.asarray(sv, dtype=np.uint64)])
+        # per-doc distinct, fully vectorized
+        order = np.lexsort((gvals, gram_doc))
+        gd, gv = gram_doc[order], gvals[order]
+        keep = np.ones(len(gd), dtype=bool)
+        keep[1:] = (gd[1:] != gd[:-1]) | (gv[1:] != gv[:-1])
+        gd, gv = gd[keep], gv[keep].view(np.int64)
+        counts = np.bincount(gd, minlength=rows)
+        parts = np.split(gv, np.cumsum(counts)[:-1])
+        return pd.Series(
+            [p.tolist() if lens[i] > 0 else [empty_hash] for i, p in enumerate(parts)]
+        )
+
+    return gram_hashes
+
+
 def ngram_decontaminate(
     df: DataFrame,
     benchmark: DataFrame,
@@ -370,22 +450,22 @@ def ngram_decontaminate(
     matched rows only). Clean docs never enter that shuffle — they surface
     through the final left join against the narrow (id, total_grams) frame,
     so at 100 TB the shuffled volume is proportional to contamination, not
-    corpus size. Gram equality is decided on xxhash64 longs (collision
-    P ≈ |grams|²·2⁻⁶⁴ — negligible).
+    corpus size. Gram hashing is the Arrow-vectorized rolling polynomial of
+    `make_gram_hash_udf` (gram-tuple identity == gram-string identity;
+    collision P ≈ |grams|²·2⁻⁶⁴ — negligible).
 
     Returns one row per training doc: (id, total_grams, matched_grams,
     contaminated).
     """
-    grams = word_ngrams(F.col(text_col), n)
+    gram_hashes = make_gram_hash_udf(n)
+    grams = gram_hashes(F.col(text_col))
     stats = df.select(F.col(id_col), F.size(grams).alias("total_grams"))
     bench = (
-        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
-        .select(F.xxhash64("_g").alias("_h"))
+        benchmark.select(F.explode(gram_hashes(F.col(text_col))).alias("_h"))
         .distinct()
     )
     hits = (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
-        .select(F.col(id_col), F.xxhash64("_g").alias("_h"))
+        df.select(F.col(id_col), F.explode(grams).alias("_h"))
         .join(F.broadcast(bench), "_h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("matched_grams"))

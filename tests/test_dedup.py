@@ -141,6 +141,7 @@ def test_ngram_decontaminate_flags_overlap(spark):
             (0, "a quick brown fox jumps over the lazy cat"),
             (1, "totally different words with no overlap at all here"),
             (2, "short doc"),  # < 5 tokens: one truncated gram, no match
+            (3, ""),  # empty: one empty-token gram, no match
         ],
         "doc_id long, text string",
     )
@@ -151,4 +152,5 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert out[0]["contaminated"] and out[0]["matched_grams"] == 3
     assert not out[1]["contaminated"] and out[1]["matched_grams"] == 0
     assert not out[2]["contaminated"] and out[2]["total_grams"] == 1
-    assert set(out) == {0, 1, 2}
+    assert not out[3]["contaminated"] and out[3]["total_grams"] == 1
+    assert set(out) == {0, 1, 2, 3}
