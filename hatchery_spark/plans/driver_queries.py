@@ -877,6 +877,15 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints, md5-ordered so DuckDB replays the
+    exact window-minimum selection."""
+    from hatchery_spark.functions.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
 def q_profile_columns(spark, sf_dir):
     """One-pass column profile of the documents table (exact NDV via the
     Expand plan; approx_count_distinct is the 100-TB default)."""
@@ -1834,6 +1843,21 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "doc_winnow_fingerprints": """
+            WITH sh AS (
+              SELECT doc_id,
+                list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                               i -> md5(substring(text, i, 5))) AS hs
+              FROM documents
+            ),
+            fp AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(hs) - 3, 1) + 1),
+                  i -> list_min(hs[i:i+3]))) AS fps
+              FROM sh
+            )
+            SELECT doc_id, unnest(fps) AS fingerprint FROM fp""",
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1901,6 +1925,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_decontaminate,
         "doc_boilerplate_removal": q_boilerplate_removal,
         "doc_profile_columns": q_profile_columns,
+        "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -173,3 +173,33 @@ def test_remove_boilerplate_lines(spark):
         ).collect()
     }
     assert alt == out
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; the selection is
+    sparse (far fewer fingerprints than shingles); identical docs have
+    identical fingerprint sets."""
+    from hatchery_spark.functions.text import winnow_fingerprints
+
+    shared = "a long common passage that both documents contain verbatim"
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro text one {shared} outro alpha"),
+            (1, f"other beginning {shared} different ending"),
+            (2, f"intro text one {shared} outro alpha"),
+            (3, "entirely unrelated content with zero overlap whatsoever!!"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, window=4)
+    sets = {
+        d: {r.fingerprint for r in rows}
+        for d, rows in __import__("itertools").groupby(
+            sorted(fp.collect(), key=lambda r: r.doc_id), key=lambda r: r.doc_id
+        )
+    }
+    assert sets[0] & sets[1]          # shared passage ⇒ shared fingerprint
+    assert sets[0] == sets[2]         # identical docs ⇒ identical sets
+    n_shingles = len(docs.first().text) - 4
+    assert len(sets[0]) < n_shingles  # sparse selection
