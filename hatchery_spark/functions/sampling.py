@@ -70,6 +70,39 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "text",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Data-mixing: sample each source at its own rate (the mixture-weights
+    step of every pretraining corpus — e.g. upweight books, downsample web).
+
+    The per-source thresholds compile to a literal MAP in the projection —
+    no join, no broadcast, no shuffle; the filter is a pure codegen'd row
+    predicate that pushes down like any other. Selection is md5-keyed like
+    `deterministic_sample`, so it is stable under repartition/cluster size
+    AND nested across rates: the rows kept at rate r are a subset of those
+    kept at any r' > r — raising one source's weight only ADDS documents,
+    which makes incremental mixture re-tuning reproducible (no churn in the
+    already-selected set).
+    """
+    mapping = F.create_map(
+        *[
+            x
+            for s, r in rates.items()
+            for x in (F.lit(s), F.lit(sample_threshold(r)))
+        ]
+    )
+    thr = F.coalesce(
+        F.try_element_at(mapping, F.col(source_col)),
+        F.lit(sample_threshold(default_rate)),
+    )
+    return df.filter(F.substring(F.md5(F.col(key_col)), 1, 4) < thr)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

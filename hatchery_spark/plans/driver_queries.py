@@ -902,6 +902,17 @@ def q_sample_rate(spark, sf_dir):
     return deterministic_sample(docs, 0.25).select("doc_id")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Per-source mixture weights: src0 kept whole, src1 half, src2 quarter,
+    everything else at 10%."""
+    from hatchery_spark.functions.sampling import mixture_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    ).select("doc_id", "source")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-source quota sample (first 20 of each source in md5 order)."""
     from hatchery_spark.functions.sampling import stratified_sample
@@ -1504,6 +1515,13 @@ def oracle_catalog() -> dict[str, str]:
         "doc_sample_rate": """
             SELECT doc_id FROM documents
             WHERE substring(md5(text), 1, 4) < '4000'""",
+        "doc_mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE substring(md5(text), 1, 4) <
+              CASE source WHEN 'src0' THEN 'g'
+                          WHEN 'src1' THEN '8000'
+                          WHEN 'src2' THEN '4000'
+                          ELSE '199a' END""",
         "doc_stratified_sample": """
             SELECT doc_id, source, sample_rank FROM (
               SELECT doc_id, source,
@@ -1926,6 +1944,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_removal": q_boilerplate_removal,
         "doc_profile_columns": q_profile_columns,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
+        "doc_mixture_sample": q_mixture_sample,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

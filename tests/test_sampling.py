@@ -99,3 +99,24 @@ def test_stratified_sample_null_keys_deterministic(spark):
         return (hashlib.md5((row[2] or "").encode()).hexdigest(), row[0])
     want = {(r[0], i + 1) for i, r in enumerate(sorted(rows, key=key)[:5])}
     assert got == want
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    """Per-source rates land near target; selection at a lower rate is a
+    SUBSET of the higher-rate selection (nested samples)."""
+    from hatchery_spark.functions.sampling import mixture_sample
+
+    rows = [(i, "web" if i % 2 else "books", f"text number {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = mixture_sample(df, {"books": 1.0, "web": 0.25}).collect()
+    books = [r.doc_id for r in kept if r.source == "books"]
+    web = {r.doc_id for r in kept if r.source == "web"}
+    assert len(books) == 1000                      # rate 1.0 keeps everything
+    assert 150 <= len(web) <= 350                  # ~25% of 1000
+    # nested: web at 0.1 ⊂ web at 0.25
+    low = {r.doc_id for r in mixture_sample(df, {"books": 1.0, "web": 0.1}).collect()
+           if r.source == "web"}
+    assert low <= web
+    # unknown source falls to default_rate=0.0 → dropped
+    extra = spark.createDataFrame([(9999, "unknown", "zz")], "doc_id long, source string, text string")
+    assert mixture_sample(extra, {"books": 1.0}).count() == 0
