@@ -439,3 +439,46 @@ def embedding_near_dup(
     )
     out.capped_stats = pairs.capped_stats
     return out
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5). 4x storage (and shuffle) compression
+    for embedding corpora — the standard pre-step before IVF/PQ indexes at
+    10^10-vector scale; worst-case per-component error is scale/2.
+
+    Pure codegen'd array expressions, no shuffle, no Python. floor(x+0.5)
+    rather than round() pins one rounding rule across engines (the DuckDB
+    oracle replays it bit-for-bit in double precision; float32 inputs widen
+    exactly). Zero vectors quantize to all-zero with scale 0.
+
+    Returns (id, scale, qvec array<int> in [-127, 127], recon_mse — the
+    per-vector mean squared dequantization error, a quality gauge the
+    caller can threshold on).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(F.col("_scale") > 0, F.transform(F.col("_v"), lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int"))).otherwise(
+        F.transform(F.col("_v"), lambda x: F.lit(0))
+    )
+    staged = df.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    qd = staged.select(F.col(id_col), "_v", "_scale", q.alias("qvec"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("_v"),
+            F.col("qvec"),
+            lambda x, qi: F.pow(x - qi.cast("double") * F.col("_scale"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    ) / F.size(F.col("_v"))
+    return qd.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        "qvec",
+        F.round(err, 8).alias("recon_mse"),
+    )

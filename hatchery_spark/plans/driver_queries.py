@@ -967,6 +967,18 @@ def q_fingerprint_buckets(spark, sf_dir):
     )
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization of the embeddings table (scale, qvec,
+    per-vector reconstruction MSE). qvec rides as a comma-joined string —
+    no gated query ships a raw array column (comparator portability)."""
+    from hatchery_spark.functions.similarity import quantize_embeddings
+
+    q = quantize_embeddings(load(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id", "scale", F.concat_ws(",", "qvec").alias("qvec"), "recon_mse"
+    )
+
+
 def q_embedding_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
@@ -1876,6 +1888,28 @@ def oracle_catalog() -> dict[str, str]:
               FROM sh
             )
             SELECT doc_id, unnest(fps) AS fingerprint FROM fp""",
+        "emb_quantize": """
+            WITH base AS (
+              SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+              FROM base
+            ),
+            q AS (
+              SELECT vec_id, e, scale,
+                CASE WHEN scale > 0
+                     THEN list_transform(e, x -> cast(floor(x / scale + 0.5) AS int))
+                     ELSE list_transform(e, x -> 0) END AS qvec
+              FROM sc
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   array_to_string(qvec, ',') AS qvec,
+                   round(list_sum(list_transform(range(1, len(e) + 1),
+                         i -> pow(e[i] - qvec[i] * scale, 2))) / len(e), 8)
+                     AS recon_mse
+            FROM q""",
         "emb_cosine_topk": _TOPK_ORACLE,
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
@@ -1945,6 +1979,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_profile_columns": q_profile_columns,
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_mixture_sample": q_mixture_sample,
+        "emb_quantize": q_quantize_embeddings,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -30,7 +30,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple))
+                or type(v).__name__ == "ndarray"
+                else v
             )
         # unify numeric widths/timestamps as strings for robust compare
         df[c] = df[c].map(lambda v: None if pd.isna(v) else str(v))

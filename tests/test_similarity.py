@@ -169,3 +169,27 @@ def test_ivf_quantizer_sample_bounded_at_scale(spark):
     )
     hits = ivf_search(index, q, k=3, n_probe=8).collect()
     assert len(hits) == 3 and hits[0].cosine >= hits[-1].cosine
+
+
+def test_quantize_embeddings_bounds_and_zero(spark):
+    """int8 range respected, per-component error <= scale/2 (so MSE <=
+    (scale/2)^2), zero vector -> scale 0 / all-zero qvec."""
+    from hatchery_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, -1.0]),
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [0.001, -0.002, 0.0015, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    # floor(x + 0.5): halves round toward +inf, so -63.5 -> -63
+    assert out[0].qvec == [127, -63, 32, -127]
+    assert max(abs(q) for q in out[0].qvec) <= 127
+    assert out[1].scale == 0.0 and out[1].qvec == [0, 0, 0, 0]
+    assert out[1].recon_mse == 0.0
+    for r in out.values():
+        if r.scale > 0:
+            assert r.recon_mse <= (r.scale / 2) ** 2 + 1e-12
