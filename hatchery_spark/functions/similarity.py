@@ -482,3 +482,57 @@ def quantize_embeddings(
         "qvec",
         F.round(err, 8).alias("recon_mse"),
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k via an int8 quantized scan + exact rescore.
+
+    The symmetric per-vector scale CANCELS in cosine, so ranking the
+    int8 vectors by cosine ranks the DEquantized vectors exactly — the
+    only error vs the float corpus is the quantization rounding itself
+    (per-component <= scale/2, cosine error O(1e-3) at 64 dims). The scan
+    therefore reads 4x less than a float32 corpus (the point at 10^10
+    vectors), keeps a rescore*k candidate pool per query, re-joins the
+    full-precision vectors for the pool ONLY (by id — the big corpus never
+    shuffles its floats), and cuts the exact top-k from the pool. With a
+    pool comfortably above k, the output equals exact brute force
+    (`cosine_topk`) unless true neighbors are separated by less than the
+    quantization error — the driver gate value-checks exactly that.
+
+    Both stages get WindowGroupLimit partial top-n, so each input
+    partition forwards at most pool/k rows per query.
+    """
+    qc = quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col).select(
+        F.col(id_col), F.transform("qvec", lambda x: x.cast("double")).alias("_cq")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    pool = rescore * k
+    approx = qc.join(F.broadcast(q)).withColumn(
+        "_ac", _cosine(F.col("_cq"), F.col("_qv"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_ac"), F.col(id_col))
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= pool)
+        .select(query_id_col, id_col, "_qv")
+    )
+    exact = cand.join(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")),
+        id_col,
+    ).withColumn("cosine", F.round(_cosine(F.col("_cv"), F.col("_qv")), 4))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -987,6 +987,19 @@ def q_embedding_topk(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def q_quantized_topk(spark, sf_dir):
+    """int8-scan + exact-rescore top-k; must equal brute force (shares
+    emb_cosine_topk's oracle — the match proves the quantized scan loses
+    nothing at a 4x-smaller read footprint)."""
+    from hatchery_spark.functions.similarity import quantized_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_topk(emb, queries, k=5)
+
+
 # value-checked vs brute-force ground truth (the approximate methods' params
 # are chosen so recall is 1 on this data — verified by the oracle match itself;
 # recall at realistic/selective params is asserted in tests/)
@@ -1954,6 +1967,7 @@ def oracle_catalog() -> dict[str, str]:
     # variant queries whose output contract is IDENTICAL to the base form —
     # the driver gate itself proves the equivalence
     oracles["doc_exact_dedup_window"] = oracles["doc_exact_dedup"]
+    oracles["emb_quantized_topk"] = oracles["emb_cosine_topk"]
     oracles["pipeline_asof_salted"] = oracles["pipeline_asof_last_event"]
     return oracles
 
@@ -1980,6 +1994,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_winnow_fingerprints,
         "doc_mixture_sample": q_mixture_sample,
         "emb_quantize": q_quantize_embeddings,
+        "emb_quantized_topk": q_quantized_topk,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -193,3 +193,19 @@ def test_quantize_embeddings_bounds_and_zero(spark):
     for r in out.values():
         if r.scale > 0:
             assert r.recon_mse <= (r.scale / 2) ** 2 + 1e-12
+
+
+def test_quantized_topk_matches_exact(spark):
+    """int8 scan + rescore returns exactly the brute-force top-k on a
+    random corpus (quantization error << neighbor gaps)."""
+    import numpy as np
+    from hatchery_spark.functions.similarity import cosine_topk, quantized_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(300, 32)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    exact = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
+    quant = sorted(map(tuple, quantized_topk(emb, q, k=5).collect()))
+    assert exact == quant
