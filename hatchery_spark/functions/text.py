@@ -17,8 +17,10 @@ from __future__ import annotations
 
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # The reference's pluggable ObjNameFunc
 # (/root/reference/destination/gcs/client.go:40): a user-supplied function from
@@ -124,6 +126,36 @@ def fingerprint64(text: Column) -> Column:
     """64-bit document fingerprint (xxhash64 of the text) for cheap exact-dup
     candidate bucketing at scale. NOT for the DuckDB oracle (no xxhash there)."""
     return F.xxhash64(text)
+
+
+def normalize_text(text_series):
+    """Vectorized pandas body for `normalize_text_udf` (kept importable for
+    direct pandas-side reuse/testing)."""
+    s = text_series.fillna("").astype(str)
+    s = s.str.normalize("NFC")
+    s = s.str.lower()
+    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+
+
+def make_normalize_udf():
+    """Unicode text normalization for corpus curation: NFC composition +
+    lowercasing + whitespace-run collapse + strip, all as vectorized pandas
+    str ops (C-backed, one Arrow batch at a time — no per-row Python).
+
+    NFC (not NFKC) keeps the transform oracle-checkable: DuckDB ships
+    nfc_normalize, so the gate replays composition byte-for-byte. The
+    canonical curation use is making exact-dedup digests insensitive to
+    composed-vs-decomposed encodings and case — run it BEFORE
+    exact_dedup/minhash so 'Café' (é) and 'Cafe\\u0301' (e + U+0301)
+    collide.
+    """
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf(T.StringType())
+    def normalize_text_udf(text: pd.Series) -> pd.Series:
+        return normalize_text(text)
+
+    return normalize_text_udf
 
 
 def winnow_fingerprints(

@@ -877,6 +877,18 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization gate: a decomposed 'Cafe<U+0301>' prefix and a
+    tab suffix are injected so NFC composition, lowering, and whitespace
+    collapse all do real work that DuckDB replays byte-for-byte."""
+    from hatchery_spark.functions.text import make_normalize_udf
+
+    docs = load(spark, sf_dir, "documents")
+    norm = make_normalize_udf()
+    t = F.concat(F.lit("Cafe\u0301  "), F.col("text"), F.lit("\tEND"))
+    return docs.select("doc_id", norm(t).alias("norm_text"))
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (MOSS) fingerprints, md5-ordered so DuckDB replays the
     exact window-minimum selection."""
@@ -1886,6 +1898,13 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "doc_normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     lower(nfc_normalize(
+                       'Cafe' || chr(769) || '  ' || text || chr(9) || 'END')),
+                     '\\s+', ' ', 'g')) AS norm_text
+            FROM documents""",
         "doc_winnow_fingerprints": """
             WITH sh AS (
               SELECT doc_id,
@@ -1995,6 +2014,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_mixture_sample,
         "emb_quantize": q_quantize_embeddings,
         "emb_quantized_topk": q_quantized_topk,
+        "doc_normalize_text": q_normalize_text,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

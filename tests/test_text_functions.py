@@ -203,3 +203,24 @@ def test_winnow_fingerprints_guarantee(spark):
     assert sets[0] == sets[2]         # identical docs ⇒ identical sets
     n_shingles = len(docs.first().text) - 4
     assert len(sets[0]) < n_shingles  # sparse selection
+
+
+def test_normalize_text_nfc_case_whitespace(spark):
+    """NFC composes decomposed accents, case folds, whitespace runs
+    collapse, ends strip — so normalized exact-dedup collides the encoding
+    variants of one string."""
+    from hatchery_spark.functions.text import make_normalize_udf
+
+    norm = make_normalize_udf()
+    df = spark.createDataFrame(
+        [
+            (0, "Café   MENU"),   # decomposed é + run of spaces
+            (1, "café menu"),       # composed é, already lower
+            (2, "\t café\nmenu "),  # tabs/newlines/edges
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n for r in df.select("doc_id", norm(F.col("text")).alias("n")).collect()}
+    assert out[0] == out[1] == out[2] == "café menu"
+    assert out[3] == ""
