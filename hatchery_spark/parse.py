@@ -142,3 +142,40 @@ def parse_turns(df: DataFrame, engine: str = "native") -> DataFrame:
         parsed = _parse_audit_pandas(F.col("text"))
         return df.withColumns({f: parsed.getField(f) for f in PARSED_FIELDS})
     raise ValueError(f"unknown parse engine: {engine!r}")
+
+
+def tolerant_json_parse(
+    df: DataFrame, json_col: str, schema: str
+) -> DataFrame:
+    """Error-tolerant structured decode: parse `json_col` against `schema`,
+    NEVER failing the task — each row gains the schema's fields plus a
+    `json_status` of 'ok' | 'malformed' | 'missing'.
+
+    The reference's ingest loop skips-and-logs empty payloads
+    (source/falcon_data_replicator/client.go:158-161) but ABORTS the whole
+    poll when one record fails to unmarshal (client.go:164-167) — at
+    10^12-turn scale one bad payload must not kill a stage, so this op
+    quarantines instead of aborting, as a single projection:
+    from_json in PERMISSIVE mode with a columnNameOfCorruptRecord channel,
+    so malformed payloads surface as a status value an aggregate can count
+    per sink. Pure codegen'd projection — no shuffle, no Python, corrupt
+    rows cost the same as clean ones.
+
+    Note Spark's notion of 'malformed' (Jackson): truncated/unparseable
+    JSON and schema-type mismatches are corrupt, but trailing garbage after
+    a complete value is tolerated.
+    """
+    full = f"{schema}, _corrupt_record string"
+    parsed = F.from_json(
+        F.col(json_col), full, {"columnNameOfCorruptRecord": "_corrupt_record"}
+    )
+    fields = [f.strip().split()[0] for f in schema.split(",")]
+    status = (
+        F.when(F.col(json_col).isNull(), F.lit("missing"))
+        .when(parsed["_corrupt_record"].isNotNull(), F.lit("malformed"))
+        .otherwise(F.lit("ok"))
+    )
+    out = df.withColumn("_p", parsed)
+    for f in fields:
+        out = out.withColumn(f, F.col("_p")[f])
+    return out.withColumn("json_status", status).drop("_p")

@@ -877,6 +877,22 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_json_tolerant(spark, sf_dir):
+    """Error-tolerant JSON decode: every 7th payload truncated mid-object —
+    a corruption class Spark's Jackson and DuckDB's json_valid agree on —
+    parsed without task failure, status counted per row."""
+    from hatchery_spark.parse import tolerant_json_parse
+
+    ev = load(spark, sf_dir, "events")
+    j = F.when(
+        F.col("event_id") % 7 == 0, F.substring("props", 1, 5)
+    ).otherwise(F.col("props"))
+    out = tolerant_json_parse(
+        ev.select("event_id", j.alias("payload")), "payload", "k bigint"
+    )
+    return out.select("event_id", "k", "json_status")
+
+
 def q_normalize_text(spark, sf_dir):
     """Unicode normalization gate: a decomposed 'Cafe<U+0301>' prefix and a
     tab suffix are injected so NFC composition, lowering, and whitespace
@@ -1898,6 +1914,19 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "pipeline_json_tolerant": """
+            WITH c AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 7 = 0 THEN substring(props, 1, 5)
+                          ELSE props END AS j
+              FROM events
+            )
+            SELECT event_id,
+                   CASE WHEN json_valid(j) THEN cast(j->>'k' AS bigint) END AS k,
+                   CASE WHEN j IS NULL THEN 'missing'
+                        WHEN json_valid(j) THEN 'ok'
+                        ELSE 'malformed' END AS json_status
+            FROM c""",
         "doc_normalize_text": """
             SELECT doc_id,
                    trim(regexp_replace(
@@ -2015,6 +2044,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_quantize_embeddings,
         "emb_quantized_topk": q_quantized_topk,
         "doc_normalize_text": q_normalize_text,
+        "pipeline_json_tolerant": q_json_tolerant,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -54,3 +54,27 @@ def test_text_untouched(spark):
 def test_unknown_engine():
     with pytest.raises(ValueError):
         parse_turns(None, engine="rowwise")
+
+
+def test_tolerant_json_parse_statuses(spark):
+    """Malformed/missing payloads never abort the task; each row carries a
+    countable status and parsed fields are NULL exactly when not ok."""
+    from hatchery_spark.parse import tolerant_json_parse
+
+    df = spark.createDataFrame(
+        [
+            (0, '{"k": 7, "s": "x"}'),
+            (1, '{"k": 7'),          # truncated → malformed
+            (2, None),               # missing
+            (3, '{"s": "only"}'),    # valid, k absent → ok with NULL k
+        ],
+        "event_id long, payload string",
+    )
+    out = {
+        r.event_id: r.asDict()
+        for r in tolerant_json_parse(df, "payload", "k bigint, s string").collect()
+    }
+    assert out[0]["json_status"] == "ok" and out[0]["k"] == 7 and out[0]["s"] == "x"
+    assert out[1]["json_status"] == "malformed" and out[1]["k"] is None
+    assert out[2]["json_status"] == "missing"
+    assert out[3]["json_status"] == "ok" and out[3]["k"] is None and out[3]["s"] == "only"
