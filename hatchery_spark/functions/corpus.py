@@ -241,3 +241,46 @@ def repetition_stats(
             ),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training/RAG chunker (window of `chunk_tokens`, stride
+    `chunk_tokens - overlap`, last window truncated, short docs yield one
+    chunk).
+
+    Narrow plan: tokenize once, posexplode a chunk-index sequence, slice
+    the token array per chunk — a handful of codegen'd array ops per CHUNK
+    (not per token), no shuffle. Output rows are (id, chunk_idx,
+    chunk_text, n_tokens), ready for pack_sequences or an embedding stage
+    downstream.
+    """
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    staged = df.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    n_chunks = F.greatest(
+        F.floor((F.col("_n") - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)),
+        F.lit(1),
+    ).cast("int")
+    e = staged.select(
+        F.col(id_col),
+        "_t",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * step + 1
+    return e.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.concat_ws(" ", F.slice("_t", start, chunk_tokens)).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * step)
+        .cast("int")
+        .alias("n_tokens"),
+    )

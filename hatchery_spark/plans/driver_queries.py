@@ -877,6 +877,15 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (window 32, overlap 8): ~55-token
+    docs yield 2-3 chunks each."""
+    from hatchery_spark.functions.corpus import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q_json_tolerant(spark, sf_dir):
     """Error-tolerant JSON decode: every 7th payload truncated mid-object —
     a corruption class Spark's Jackson and DuckDB's json_valid agree on —
@@ -1914,6 +1923,24 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "doc_chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, ws,
+                     greatest((len(ws) - 8 + 23) // 24, 1) AS nc
+              FROM t
+            ),
+            e AS (
+              SELECT doc_id, ws, unnest(range(0, nc)) AS chunk_idx FROM c
+            )
+            SELECT doc_id, cast(chunk_idx AS int) AS chunk_idx,
+                   array_to_string(ws[chunk_idx*24 + 1 : chunk_idx*24 + 32],
+                                   ' ') AS chunk_text,
+                   cast(least(32, len(ws) - chunk_idx*24) AS int) AS n_tokens
+            FROM e""",
         "pipeline_json_tolerant": """
             WITH c AS (
               SELECT event_id,
@@ -2045,6 +2072,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantized_topk": q_quantized_topk,
         "doc_normalize_text": q_normalize_text,
         "pipeline_json_tolerant": q_json_tolerant,
+        "doc_chunk_documents": q_chunk_documents,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -224,3 +224,26 @@ def test_normalize_text_nfc_case_whitespace(spark):
     out = {r.doc_id: r.n for r in df.select("doc_id", norm(F.col("text")).alias("n")).collect()}
     assert out[0] == out[1] == out[2] == "café menu"
     assert out[3] == ""
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: stride = chunk - overlap, last chunk truncated,
+    short docs give one chunk; reassembling chunk tokens re-covers the doc."""
+    from hatchery_spark.functions.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, text), (1, "a b")], "doc_id long, text string"
+    )
+    out = sorted(
+        chunk_documents(df, chunk_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d0 = [r for r in out if r.doc_id == 0]
+    # 10 tokens, window 4, stride 3 -> ceil((10-1)/3) = 3 chunks
+    assert [r.chunk_text for r in d0] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    assert [r.n_tokens for r in d0] == [4, 4, 4]
+    d1 = [r for r in out if r.doc_id == 1]
+    assert len(d1) == 1 and d1[0].chunk_text == "a b" and d1[0].n_tokens == 2
