@@ -171,6 +171,7 @@ def main() -> None:
             ("doc_pack_sequences", dq.q_pack_sequences),
             ("doc_decontaminate", dq.q_decontaminate),
             ("doc_boilerplate_removal", dq.q_boilerplate_removal),
+            ("doc_curation_e2e", dq.q_curation_e2e),
             ("pipeline_asof_last_event", dq.q_asof_last_event),
             ("emb_cosine_topk", dq.q_embedding_topk),
             ("emb_lsh_topk", dq.q_lsh_topk),

@@ -877,6 +877,40 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_curation_e2e(spark, sf_dir):
+    """The full curation chain composed end-to-end: NFC normalize → exact
+    dedup on the normalized text (min doc_id survives) → length filter
+    (≥ 30 tokens) → per-source mixture sample → overlapping chunking.
+    One DataFrame lineage — proves the operators compose; the oracle
+    replays every stage in SQL."""
+    from hatchery_spark.functions.corpus import chunk_documents
+    from hatchery_spark.functions.dedup import exact_dedup_window
+    from hatchery_spark.functions.sampling import mixture_sample
+    from hatchery_spark.functions.text import make_normalize_udf
+
+    norm = make_normalize_udf()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", norm(F.col("text")).alias("text")
+    )
+    deduped = exact_dedup_window(docs).select("doc_id", "source", "text")
+    long_enough = deduped.filter(
+        F.size(F.split(F.col("text"), r"\s+")) >= 30
+    )
+    sampled = mixture_sample(
+        long_enough, {"src0": 1.0, "src1": 1.0}, default_rate=0.3
+    )
+    chunks = chunk_documents(sampled, chunk_tokens=32, overlap=8)
+    return chunks.join(
+        sampled.select("doc_id", "source"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_digest"),
+        "n_tokens",
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (window 32, overlap 8): ~55-token
     docs yield 2-3 chunks each."""
@@ -1923,6 +1957,51 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "doc_curation_e2e": """
+            WITH n AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                                         '\\s+', ' ', 'g')) AS text
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, source, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM n
+              ) WHERE rn = 1
+            ),
+            f AS (
+              SELECT * FROM d
+              WHERE len(string_split_regex(text, '\\s+')) >= 30
+            ),
+            s AS (
+              SELECT * FROM f
+              WHERE substring(md5(text), 1, 4) <
+                CASE source WHEN 'src0' THEN 'g'
+                            WHEN 'src1' THEN 'g'
+                            ELSE '4ccd' END
+            ),
+            c AS (
+              SELECT doc_id, source,
+                     string_split_regex(text, '\\s+') AS ws
+              FROM s
+            ),
+            cc AS (
+              SELECT doc_id, source, ws,
+                     greatest((len(ws) - 8 + 23) // 24, 1) AS nc
+              FROM c
+            ),
+            e AS (
+              SELECT doc_id, source, ws,
+                     unnest(range(0, nc)) AS chunk_idx
+              FROM cc
+            )
+            SELECT doc_id, source, cast(chunk_idx AS int) AS chunk_idx,
+                   md5(array_to_string(ws[chunk_idx*24 + 1 : chunk_idx*24 + 32],
+                                       ' ')) AS chunk_digest,
+                   cast(least(32, len(ws) - chunk_idx*24) AS int) AS n_tokens
+            FROM e""",
         "doc_chunk_documents": """
             WITH t AS (
               SELECT doc_id, string_split_regex(text, '\\s+') AS ws
@@ -2073,6 +2152,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize_text": q_normalize_text,
         "pipeline_json_tolerant": q_json_tolerant,
         "doc_chunk_documents": q_chunk_documents,
+        "doc_curation_e2e": q_curation_e2e,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,
