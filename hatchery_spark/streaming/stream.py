@@ -163,3 +163,89 @@ def windowed_sink_counts(
             "row_count",
         )
     )
+
+
+def incremental_dedup_writer(
+    sink_dir: str,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch function: continuous-ingest exact dedup against a
+    BATCH-VERSIONED digest store — each micro-batch emits only documents
+    whose text was never seen in any earlier batch.
+
+    State layout makes replays deterministic AND idempotent:
+
+      * store_dir/v=<batch_id>/  — the digests first seen in that batch.
+        `seen` for batch b reads partitions v < b ONLY, so a replayed batch
+        recomputes against exactly the history it saw the first time (its
+        own half-written digests are excluded, not double-counted).
+      * both the novel-docs sink and the digest delta are partitioned by
+        batch_id/v and written with DYNAMIC partition overwrite — a replay
+        replaces its own partitions byte-for-byte (same contract as
+        route_fanout_batch_writer).
+
+    The store is append-only deltas, never rewritten: batch b's write is
+    O(novel_b) regardless of history size, and the read side is a digest-only
+    scan (32 bytes/doc ever ingested — see dedup.digest_store)."""
+    from hatchery_spark.functions.dedup import digest_store, incremental_exact_dedup
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("v") < batch_id)
+                .select("_digest")
+            )
+        except Exception:  # first batch: store does not exist yet
+            seen = digest_store(batch_df.limit(0), text_col)
+        novel, _ = incremental_exact_dedup(batch_df, seen, text_col, id_col)
+        novel.persist()
+        try:
+            (
+                novel.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(sink_dir)
+            )
+            (
+                novel.select(F.sha2(F.col(text_col), 256).alias("_digest"))
+                .distinct()
+                .withColumn("v", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("v")
+                .parquet(store_dir)
+            )
+        finally:
+            novel.unpersist()
+
+    return _write
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    sink_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available input through the incremental-dedup writer
+    (availableNow trigger — the streaming analog of one ingest tick)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(incremental_dedup_writer(sink_dir, store_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -161,3 +161,36 @@ def test_interrupted_replay_is_idempotent(spark, input_dir, tmp_path):
         # multiset parity with the uninterrupted run
         key = lambda r: (r.conv_id, r.turn_idx, r.role, r.text)
         assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_incremental_dedup_stream_across_batches(spark, tmp_path):
+    """Continuous-ingest dedup: texts repeated across micro-batches (and
+    within one) reach the sink exactly once; the digest store accumulates
+    one delta partition per batch; a re-run of the same query from the same
+    checkpoint adds nothing."""
+    from hatchery_spark.streaming.stream import run_incremental_dedup_stream
+
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [(10, "beta"), (11, "gamma")], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    # one file per trigger → the two input files become separate batches
+    run_incremental_dedup_stream(
+        spark, inp, sink, store, ck, schema, max_files_per_trigger=1
+    )
+    out = {r.text: r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert set(out) == {"alpha", "beta", "gamma"}  # each text exactly once
+    assert spark.read.parquet(store).count() == 3  # one digest per text
+
+    # drain again from the same checkpoint: no new batches, nothing changes
+    run_incremental_dedup_stream(spark, inp, sink, store, ck, schema)
+    assert spark.read.parquet(sink).count() == 3
