@@ -164,6 +164,11 @@ def tolerant_json_parse(
     Note Spark's notion of 'malformed' (Jackson): truncated/unparseable
     JSON and schema-type mismatches are corrupt, but trailing garbage after
     a complete value is tolerated.
+
+    `schema` must be a FLAT comma-separated DDL ("a bigint, b string") —
+    field names are recovered by top-level comma split, so nested
+    struct<...> fields belong in a follow-up from_json over the extracted
+    column, not here.
     """
     full = f"{schema}, _corrupt_record string"
     parsed = F.from_json(
