@@ -877,6 +877,27 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_rate_cap(spark, sf_dir):
+    """Per-(user, day) flow control: first 3 events by (ts, event_id)."""
+    from hatchery_spark.operators.telemetry import rate_cap
+
+    ev = load(spark, sf_dir, "events")
+    return rate_cap(
+        ev, ["user_id"], ts_col="ts", bucket="day", max_rows=3,
+        tiebreak_col="event_id",
+    ).select("event_id", "user_id", "rate_rank")
+
+
+def q_group_zscores(spark, sf_dir):
+    """Per-user z-score of event value (NULL for degenerate groups)."""
+    from hatchery_spark.operators.telemetry import group_zscores
+
+    ev = load(spark, sf_dir, "events")
+    return group_zscores(ev, "value", ["user_id"]).select(
+        "event_id", "user_id", "zscore"
+    )
+
+
 def q_curation_e2e(spark, sf_dir):
     """The full curation chain composed end-to-end: NFC normalize → exact
     dedup on the normalized text (min doc_id survives) → length filter
@@ -1957,6 +1978,24 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "pipeline_rate_cap": """
+            SELECT event_id, user_id, rate_rank FROM (
+              SELECT event_id, user_id,
+                     cast(row_number() OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS int) AS rate_rank
+              FROM events
+            ) WHERE rate_rank <= 3""",
+        "pipeline_group_zscores": """
+            SELECT event_id, user_id,
+                   round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 4)
+                     AS zscore
+            FROM (
+              SELECT event_id, user_id, value,
+                     avg(value) OVER (PARTITION BY user_id) AS mu,
+                     stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+              FROM events
+            )""",
         "doc_curation_e2e": """
             WITH n AS (
               SELECT doc_id, source,
@@ -2153,6 +2192,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_json_tolerant": q_json_tolerant,
         "doc_chunk_documents": q_chunk_documents,
         "doc_curation_e2e": q_curation_e2e,
+        "pipeline_rate_cap": q_rate_cap,
+        "pipeline_group_zscores": q_group_zscores,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

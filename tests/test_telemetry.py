@@ -1,0 +1,39 @@
+import math
+
+from pyspark.sql import functions as F
+
+from hatchery_spark.operators.telemetry import group_zscores, rate_cap
+
+
+def test_rate_cap_keeps_earliest_per_bucket(spark):
+    rows = [
+        (i, 1, f"2025-06-01 00:0{i}:00") for i in range(6)          # 6 in one hour
+    ] + [(10, 1, "2025-06-02 00:00:00"), (11, 2, "2025-06-01 00:00:00")]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = rate_cap(df, ["user_id"], bucket="day", max_rows=3, tiebreak_col="event_id")
+    got = sorted((r.user_id, r.event_id, r.rate_rank) for r in out.collect())
+    # user 1 day 1: earliest three of six; other buckets under cap survive whole
+    assert got == [(1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 10, 1), (2, 11, 1)]
+
+
+def test_rate_cap_plan_has_window_group_limit(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "2025-06-01 00:00:00")], "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    plan = rate_cap(df, ["user_id"], max_rows=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan  # partial top-n before the shuffle
+
+
+def test_group_zscores_closed_form_and_degenerate(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0),
+         (3, "b", 5.0),                     # single row -> NULL
+         (4, "c", 7.0), (5, "c", 7.0)],     # zero variance -> NULL
+        "event_id long, g string, value double",
+    )
+    out = {r.event_id: r.zscore for r in group_zscores(df, "value", ["g"]).collect()}
+    assert out[0] == -1.0 and out[1] == 0.0 and out[2] == 1.0
+    assert out[3] is None and out[4] is None and out[5] is None
+    assert math.isclose(sum(v for v in out.values() if v is not None), 0.0, abs_tol=1e-9)
