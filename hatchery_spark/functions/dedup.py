@@ -372,7 +372,12 @@ def make_gram_hash_udf(n: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def gram_hashes(text: pd.Series) -> pd.Series:
         rows = len(text)
-        toks = text.fillna("").astype(str).str.split()
+        # Spark-split parity, NOT pandas .str.split(): F.split(text,
+        # '\\s+') uses limit=-1, so leading AND trailing whitespace each
+        # yield an empty token (re.split matches this; whitespace-only
+        # .str.split() drops them), and Java \s is ASCII-only where
+        # Python's is Unicode-wide — hence the explicit ASCII class.
+        toks = text.fillna("").astype(str).str.split(r"[ \t\n\r\f\x0b]+")
         flat = toks.reset_index(drop=True).explode().dropna()
         P = np.uint64(0x100000001B3)
 

@@ -100,7 +100,11 @@ def mixture_sample(
         F.try_element_at(mapping, F.col(source_col)),
         F.lit(sample_threshold(default_rate)),
     )
-    return df.filter(F.substring(F.md5(F.col(key_col)), 1, 4) < thr)
+    # NULL keys hash as md5('') instead of propagating NULL through the
+    # comparison (which would silently drop the row even at rate 1.0) —
+    # same pin as stratified_sample
+    key = F.md5(F.coalesce(F.col(key_col), F.lit("")))
+    return df.filter(F.substring(key, 1, 4) < thr)
 
 
 def pack_sequences(

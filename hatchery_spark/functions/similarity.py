@@ -509,6 +509,13 @@ def quantized_topk(
 
     Both stages get WindowGroupLimit partial top-n, so each input
     partition forwards at most pool/k rows per query.
+
+    All-zero corpus vectors score NaN (0/0) and Spark's descending sort
+    ranks NaN first — deliberately left as-is because brute force
+    (`cosine_topk`) and the DuckDB oracle rank NaN identically, and the
+    contract here is bit-parity with brute force; filter zero vectors
+    upstream (quantize_embeddings marks them with scale 0) if they should
+    not surface.
     """
     qc = quantize_embeddings(corpus, vec_col=vec_col, id_col=id_col).select(
         F.col(id_col), F.transform("qvec", lambda x: x.cast("double")).alias("_cq")

@@ -130,11 +130,18 @@ def fingerprint64(text: Column) -> Column:
 
 def normalize_text(text_series):
     """Vectorized pandas body for `normalize_text_udf` (kept importable for
-    direct pandas-side reuse/testing)."""
+    direct pandas-side reuse/testing).
+
+    Whitespace handling is pinned to ASCII on purpose: the DuckDB oracle's
+    RE2 '\\s' and trim() are ASCII/space-only, while Python's regex \\s and
+    .strip() are Unicode-wide — using the Python defaults would diverge on
+    NBSP/U+2028 the moment they appear. Exotic one-off case foldings
+    (Turkish İ, final sigma) can still differ between Python .lower() and
+    an engine's collation-aware lower(); both are outside NFC's scope."""
     s = text_series.fillna("").astype(str)
     s = s.str.normalize("NFC")
     s = s.str.lower()
-    return s.str.replace(r"\s+", " ", regex=True).str.strip()
+    return s.str.replace(r"[ \t\n\r\f\x0b]+", " ", regex=True).str.strip(" ")
 
 
 def make_normalize_udf():

@@ -165,16 +165,17 @@ def tolerant_json_parse(
     JSON and schema-type mismatches are corrupt, but trailing garbage after
     a complete value is tolerated.
 
-    `schema` must be a FLAT comma-separated DDL ("a bigint, b string") —
-    field names are recovered by top-level comma split, so nested
-    struct<...> fields belong in a follow-up from_json over the extracted
-    column, not here.
+    `schema` is a struct DDL string ("a bigint, b string", parameterized
+    and nested types included) — field names are recovered through Spark's
+    own DDL parser, not string splitting.
     """
+    from pyspark.sql.types import StructType
+
     full = f"{schema}, _corrupt_record string"
     parsed = F.from_json(
         F.col(json_col), full, {"columnNameOfCorruptRecord": "_corrupt_record"}
     )
-    fields = [f.strip().split()[0] for f in schema.split(",")]
+    fields = [f.name for f in StructType.fromDDL(schema).fields]
     status = (
         F.when(F.col(json_col).isNull(), F.lit("missing"))
         .when(parsed["_corrupt_record"].isNotNull(), F.lit("malformed"))

@@ -1634,7 +1634,7 @@ def oracle_catalog() -> dict[str, str]:
             WHERE substring(md5(text), 1, 4) < '4000'""",
         "doc_mixture_sample": """
             SELECT doc_id, source FROM documents
-            WHERE substring(md5(text), 1, 4) <
+            WHERE substring(md5(coalesce(text, '')), 1, 4) <
               CASE source WHEN 'src0' THEN 'g'
                           WHEN 'src1' THEN '8000'
                           WHEN 'src2' THEN '4000'

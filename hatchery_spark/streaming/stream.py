@@ -193,13 +193,19 @@ def incremental_dedup_writer(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # existence is checked explicitly: ONLY a genuinely absent store may
+        # fall back to an empty history — any read error (transient FS
+        # failure, corrupt footer, permissions) must FAIL the batch and
+        # retry, not silently discard the dedup history and emit duplicates
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
             seen = (
                 spark.read.parquet(store_dir)
                 .filter(F.col("v") < batch_id)
                 .select("_digest")
             )
-        except Exception:  # first batch: store does not exist yet
+        else:  # first batch: store does not exist yet
             seen = digest_store(batch_df.limit(0), text_col)
         novel, _ = incremental_exact_dedup(batch_df, seen, text_col, id_col)
         novel.persist()
@@ -212,8 +218,7 @@ def incremental_dedup_writer(
                 .parquet(sink_dir)
             )
             (
-                novel.select(F.sha2(F.col(text_col), 256).alias("_digest"))
-                .distinct()
+                digest_store(novel, text_col)
                 .withColumn("v", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -233,16 +238,21 @@ def run_incremental_dedup_stream(
     store_dir: str,
     checkpoint_dir: str,
     schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
 ):
     """Drain available input through the incremental-dedup writer
-    (availableNow trigger — the streaming analog of one ingest tick)."""
+    (availableNow trigger — the streaming analog of one ingest tick).
+    `text_col`/`id_col` name the schema's payload and id columns."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
         reader.parquet(input_path)
-        .writeStream.foreachBatch(incremental_dedup_writer(sink_dir, store_dir))
+        .writeStream.foreachBatch(
+            incremental_dedup_writer(sink_dir, store_dir, text_col, id_col)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

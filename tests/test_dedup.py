@@ -154,3 +154,26 @@ def test_ngram_decontaminate_flags_overlap(spark):
     assert not out[2]["contaminated"] and out[2]["total_grams"] == 1
     assert not out[3]["contaminated"] and out[3]["total_grams"] == 1
     assert set(out) == {0, 1, 2, 3}
+
+
+def test_gram_hash_java_split_parity(spark):
+    """Leading whitespace produces a leading '' token (Java/DuckDB split
+    semantics), trailing whitespace produces none — the Arrow hasher must
+    count exactly the grams `word_ngrams` would."""
+    docs = spark.createDataFrame(
+        [(0, " a b c d e f"), (1, "a b c d e f  ")],
+        "doc_id long, text string",
+    )
+    expected = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(dd.word_ngrams(F.col("text"), 5)).alias("n")
+        ).collect()
+    }
+    got = {
+        r.doc_id: r.total_grams
+        for r in dd.ngram_decontaminate(
+            docs, docs.limit(0), n=5
+        ).collect()
+    }
+    assert got == expected  # limit=-1 split: both docs 7 tokens, 3 grams

@@ -78,3 +78,13 @@ def test_tolerant_json_parse_statuses(spark):
     assert out[1]["json_status"] == "malformed" and out[1]["k"] is None
     assert out[2]["json_status"] == "missing"
     assert out[3]["json_status"] == "ok" and out[3]["k"] is None and out[3]["s"] == "only"
+
+
+def test_tolerant_json_parse_parameterized_types(spark):
+    """Field-name recovery goes through the DDL parser, so parameterized
+    types like decimal(10,2) work."""
+    from hatchery_spark.parse import tolerant_json_parse
+
+    df = spark.createDataFrame([(0, '{"a": 1, "amount": 12.34}')], "i long, payload string")
+    out = tolerant_json_parse(df, "payload", "a bigint, amount decimal(10,2)").collect()[0]
+    assert out.json_status == "ok" and out.a == 1 and str(out.amount) == "12.34"
