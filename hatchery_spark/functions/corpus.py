@@ -284,3 +284,39 @@ def chunk_documents(
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary induction: the k most frequent whitespace tokens
+    with total count and document frequency — the seed step for BPE-style
+    vocab building and for stopword/heavy-hitter diagnostics.
+
+    Explode → ONE hash aggregate per (token) carrying (count, n_docs via
+    count_distinct) with map-side partial combine — the exchange is
+    vocabulary-sized, not corpus-sized. The final top-k is a single
+    ORDER/LIMIT over the vocabulary frame (count desc, token asc — fully
+    deterministic), which Spark plans as TakeOrderedAndProject: each
+    partition forwards only its local top k.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return (
+        counts.orderBy(F.desc("n_total"), F.col("token"))
+        .limit(k)
+        .withColumn(
+            "vocab_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_total"), F.col("token"))
+            ).cast("int"),
+        )
+    )

@@ -877,6 +877,13 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Top-50 corpus vocabulary with totals and doc frequency."""
+    from hatchery_spark.functions.corpus import vocab_topk
+
+    return vocab_topk(load(spark, sf_dir, "documents"), k=50)
+
+
 def q_rate_cap(spark, sf_dir):
     """Per-(user, day) flow control: first 3 events by (ts, event_id)."""
     from hatchery_spark.operators.telemetry import rate_cap
@@ -1978,6 +1985,18 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "doc_vocab_topk": """
+            SELECT token, n_total, n_docs,
+                   cast(row_number() OVER (ORDER BY n_total DESC, token)
+                        AS int) AS vocab_rank
+            FROM (
+              SELECT token, count(*) AS n_total,
+                     count(DISTINCT doc_id) AS n_docs
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(text, '\\s+')) AS token
+                    FROM documents) t
+              GROUP BY token
+            ) ORDER BY n_total DESC, token LIMIT 50""",
         "pipeline_rate_cap": """
             SELECT event_id, user_id, rate_rank FROM (
               SELECT event_id, user_id,
@@ -2194,6 +2213,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_curation_e2e": q_curation_e2e,
         "pipeline_rate_cap": q_rate_cap,
         "pipeline_group_zscores": q_group_zscores,
+        "doc_vocab_topk": q_vocab_topk,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -247,3 +247,15 @@ def test_chunk_documents_windows(spark):
     assert [r.n_tokens for r in d0] == [4, 4, 4]
     d1 = [r for r in out if r.doc_id == 1]
     assert len(d1) == 1 and d1[0].chunk_text == "a b" and d1[0].n_tokens == 2
+
+
+def test_vocab_topk_counts_and_rank(spark):
+    from hatchery_spark.functions.corpus import vocab_topk
+
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r.token: r for r in vocab_topk(df, k=2).collect()}
+    assert set(out) == {"a", "b"}  # totals: a=3, b=3 → tie broken by token
+    assert out["a"].n_total == 3 and out["a"].n_docs == 2 and out["a"].vocab_rank == 1
+    assert out["b"].n_total == 3 and out["b"].n_docs == 2 and out["b"].vocab_rank == 2
