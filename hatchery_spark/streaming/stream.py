@@ -259,3 +259,40 @@ def run_incremental_dedup_stream(
     )
     q.awaitTermination()
     return q
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 minutes",
+    key_col: str = "conv_id",
+) -> DataFrame:
+    """Per-key session aggregation with Spark's built-in session_window:
+    a session extends while events arrive within `gap` of the previous one
+    and closes (emitting one row) once the watermark passes the gap.
+
+    The declarative complement to `stateful.conversation_sessionizer`
+    (applyInPandasWithState): when the per-session output is an aggregate —
+    counts, bounds — the built-in window needs no Python state code at all,
+    and its state store is watermark-bounded the same way, so the query
+    runs indefinitely. Use the stateful form only when the session payload
+    is genuinely custom (running structures the agg functions can't
+    express).
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "first_ts",
+            "last_ts",
+        )
+    )

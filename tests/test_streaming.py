@@ -194,3 +194,57 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     # drain again from the same checkpoint: no new batches, nothing changes
     run_incremental_dedup_stream(spark, inp, sink, store, ck, schema)
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_session_window_counts_gap_semantics(spark, tmp_path):
+    """Two bursts separated by more than the gap become two sessions; a
+    burst within the gap stays one session. Append-mode sessions emit only
+    once a LATER batch advances the watermark past their end, so two flush
+    batches trail the data under maxFilesPerTrigger=1."""
+    from pyspark.sql import functions as F
+    from hatchery_spark.streaming.stream import session_window_counts
+
+    inp = str(tmp_path / "sw_in")
+    ck = str(tmp_path / "sw_ck")
+    out = str(tmp_path / "sw_out")
+    ddl = "conv_id string, turn_idx int, ts string"
+
+    def put(rows):
+        spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    put([
+        ("c1", 0, "2025-06-01 10:00:00"),
+        ("c1", 1, "2025-06-01 10:02:00"),   # within 5 min gap -> same session
+        ("c1", 2, "2025-06-01 10:30:00"),   # > gap -> new session
+        ("c2", 0, "2025-06-01 10:00:00"),
+    ])
+    put([("flush", 0, "2025-06-01 12:00:00")])
+    put([("flush", 1, "2025-06-01 14:00:00")])
+
+    stream = (
+        spark.readStream.schema("conv_id string, turn_idx int, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        session_window_counts(stream, gap="5 minutes", watermark="1 second")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.conv_id, str(r.session_start)): r.n_turns
+        for r in spark.read.parquet(out).collect()
+        if r.conv_id != "flush"
+    }
+    assert got == {
+        ("c1", "2025-06-01 10:00:00"): 2,
+        ("c1", "2025-06-01 10:30:00"): 1,
+        ("c2", "2025-06-01 10:00:00"): 1,
+    }
