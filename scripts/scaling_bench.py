@@ -177,7 +177,18 @@ def main() -> None:
     job_src = job_clean or job_pairs
     clean_window_found = bool(job_clean)
     effs = sorted(p["eff"] for p in job_src)
-    eff_median = round(statistics.median(effs), 3)
+    # DISPERSION GUARD (second throttle defense): probe-bracketing only
+    # catches throttles spanning a whole pair — a sustained burst SHORTER
+    # than one multi-second leg slips between the probes and poisons that
+    # pair (observed: t32 at 3x its same-run norm while t8 and both probes
+    # were normal). ONE pair below 60% of the run's own median is tolerated
+    # (the median of n_clean pairs is robust to a single outlier); TWO or
+    # more form a second mode that drags the median itself, and the RUN is
+    # untrustworthy as a whole. dispersion_ok=False means discard this run
+    # and re-measure — never drop individual pairs (that is cherry-picking).
+    _med = statistics.median(effs)
+    dispersion_ok = sum(e < 0.6 * _med for e in effs) <= 1
+    eff_median = round(_med, 3)
     eff_best = max(effs)
     eff_normalized = round(eff_median / hw_ceiling, 3)
     eff_vs_scan = round(eff_median / scan_ceiling, 3)
@@ -197,6 +208,9 @@ def main() -> None:
         # false ⇒ no clean window was ever found and the medians below are
         # over throttle-affected pairs — treat them as lower bounds only
         "clean_window_found": clean_window_found,
+        # false ⇒ the clean set is bimodal (intra-leg throttle got past the
+        # probe brackets): discard the whole run and re-measure
+        "dispersion_ok": dispersion_ok,
         "total_pairs": len(job_pairs),
         "clean_pair_efficiencies": effs,
         "all_pairs": job_pairs,
