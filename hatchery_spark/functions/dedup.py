@@ -692,3 +692,42 @@ def incremental_exact_dedup(
     novel = batch.join(seen, on="_digest", how="left_anti")
     updated = seen.unionByName(novel.select("_digest")).distinct()
     return novel.drop("_digest"), updated
+
+
+def cluster_representatives(
+    resolved: DataFrame,
+    docs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick one representative document per near-dup cluster — the step
+    after connected-component resolution: keep the best-scoring member
+    (largest `score_col`, smallest id on ties), e.g. the longest or
+    highest-quality variant of a mirrored page.
+
+    `resolved` is resolve_duplicate_groups' (id, canonical_id) frame,
+    covering only docs that appear in a pair; unpaired docs are their own
+    canonical (coalesce after a left join — the resolved frame is small
+    relative to the corpus and broadcasts). The winner is chosen with ONE
+    max_by aggregate per cluster: max_by(id, struct(score, -id)) — struct
+    ordering gives score-desc, id-asc determinism without a window sort.
+
+    Returns one row per doc: (id, canonical_id, rep_id, is_rep).
+    """
+    labeled = docs.select(F.col(id_col), F.col(score_col)).join(
+        F.broadcast(resolved), id_col, "left"
+    ).withColumn(
+        "canonical_id", F.coalesce(F.col("canonical_id"), F.col(id_col))
+    )
+    winners = labeled.groupBy("canonical_id").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg")),
+        ).alias("rep_id")
+    )
+    return labeled.join(winners, "canonical_id").select(
+        F.col(id_col),
+        "canonical_id",
+        "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+    )

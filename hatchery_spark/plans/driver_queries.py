@@ -1130,6 +1130,21 @@ def q_simhash_neardup(spark, sf_dir):
     return jaccard_verify(simhash_candidates(docs), docs, threshold=0.5)
 
 
+def q_cluster_representatives(spark, sf_dir):
+    """Near-dup clusters → one representative per cluster: the longest
+    member (n_chars), smallest id on ties; singletons represent
+    themselves."""
+    from hatchery_spark.functions.dedup import (
+        cluster_representatives,
+        resolve_duplicate_groups,
+    )
+
+    docs = _docs500(spark, sf_dir)
+    pairs = minhash_dedup(docs, threshold=0.4, bands=16)
+    resolved = resolve_duplicate_groups(pairs)
+    return cluster_representatives(resolved, docs, "n_chars")
+
+
 def q_dedup_resolve(spark, sf_dir):
     """Near-dup pairs → connected components → canonical id per member."""
     from hatchery_spark.functions.dedup import resolve_duplicate_groups
@@ -1407,6 +1422,43 @@ walk(node, label) AS (
   SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
 )
 SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node"""
+)
+
+# resolve + representative selection: longest member wins, smallest id on
+# ties. arg_max has no struct ordering in DuckDB, so the (n_chars desc,
+# doc_id asc) rule rides a composite integer key — exact because doc_id < 500
+# in this query.
+_CLUSTER_REPS_ORACLE = (
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE
+    + """,
+thr AS (SELECT id_a, id_b FROM jpairs WHERE jaccard >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM thr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM thr
+),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+resolved AS (
+  SELECT node AS doc_id, min(label) AS canonical_id FROM walk GROUP BY node
+),
+labeled AS (
+  SELECT d.doc_id, d.n_chars,
+         coalesce(r.canonical_id, d.doc_id) AS canonical_id
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500) d
+  LEFT JOIN resolved r USING (doc_id)
+),
+winners AS (
+  SELECT canonical_id,
+         arg_max(doc_id, n_chars * 1000 + (999 - doc_id)) AS rep_id
+  FROM labeled GROUP BY canonical_id
+)
+SELECT l.doc_id, l.canonical_id, w.rep_id,
+       l.doc_id = w.rep_id AS is_rep
+FROM labeled l JOIN winners w USING (canonical_id)"""
 )
 
 # corpus augmented with graded perturbed variants of the query vectors —
@@ -2139,6 +2191,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_minhash_neardup": _MINHASH_ORACLE,
         "doc_simhash_neardup": _MINHASH_ORACLE,
         "doc_dedup_resolve": _DEDUP_RESOLVE_ORACLE,
+        "doc_cluster_reps": _CLUSTER_REPS_ORACLE,
         "emb_lsh_topk": _TOPK_AUG_ORACLE,
         "emb_ivf_topk": _TOPK_AUG_ORACLE,
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
@@ -2214,6 +2267,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_rate_cap": q_rate_cap,
         "pipeline_group_zscores": q_group_zscores,
         "doc_vocab_topk": q_vocab_topk,
+        "doc_cluster_reps": q_cluster_representatives,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -78,3 +78,26 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.6, recall
     assert all((q, q) in approx for q in (0, 50, 100))
     df.unpersist()
+
+
+def test_cluster_representatives_best_member_wins(spark):
+    """Longest member represents the cluster (smallest id on ties);
+    singletons represent themselves."""
+    from hatchery_spark.functions.dedup import cluster_representatives
+
+    resolved = spark.createDataFrame(
+        [(1, 0), (0, 0), (2, 0), (5, 4), (4, 4)],
+        "doc_id long, canonical_id long",
+    )
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (4, 7), (5, 7), (9, 1)],
+        "doc_id long, n_chars long",
+    )
+    out = {r.doc_id: r for r in
+           cluster_representatives(resolved, docs, "n_chars").collect()}
+    # cluster 0: lengths 10/30/30 → tie between 1 and 2 → smallest id (1)
+    assert out[0].rep_id == 1 and out[1].is_rep and not out[2].is_rep
+    # cluster 4: tie between 4 and 5 → 4
+    assert out[4].is_rep and out[5].rep_id == 4
+    # unpaired doc 9: own cluster, own representative
+    assert out[9].canonical_id == 9 and out[9].is_rep
