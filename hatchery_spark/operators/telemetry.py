@@ -13,6 +13,7 @@ exists, no Python anywhere.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -70,3 +71,50 @@ def group_zscores(
     # so zero-variance and single-row groups are pinned to NULL here
     z = F.when(sd > 0, (v - F.avg(v).over(w)) / sd)
     return df.withColumn("zscore", F.round(z, round_digits))
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel progression per user: greedy earliest-match — step
+    i+1 counts only if it happens strictly AFTER the user's matched step i
+    (the standard product-analytics funnel, computed exactly, not as the
+    unordered "did all steps" approximation).
+
+    Plan: ONE conditional aggregate per funnel step, chained — step 1 is
+    min ts of the step-1 event per user; step i is min ts of the step-i
+    event AFTER that user's step-(i−1) time, delivered to the next
+    aggregate by joining the (small) per-user frame back onto events. Each
+    round is a hash aggregate + a join keyed on the user — no window sort,
+    no explode; at web scale the per-user frames are |users| rows against
+    an events table orders of magnitude larger, so Spark broadcasts them
+    as the build side. Returns one row per user who completed step 1:
+    (user, step_1_ts .. step_k_ts, steps_completed) with NULL ts for
+    unreached steps.
+    """
+    assert steps, "funnel needs at least one step"
+    u = F.col(user_col)
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_1_ts"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(cur.select(u, F.col(f"step_{i-1}_ts").alias("_prev")), user_col)
+            .filter(F.col(ts_col) > F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"step_{i}_ts"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    done = reduce(
+        lambda acc, i: acc + F.col(f"step_{i}_ts").isNotNull().cast("int"),
+        range(2, len(steps) + 1),
+        F.lit(1),
+    )
+    return cur.withColumn("steps_completed", done)

@@ -877,6 +877,14 @@ def q_boilerplate_removal(spark, sf_dir):
     return remove_boilerplate_lines(pages, id_col="page_id", min_docs=10)
 
 
+def q_funnel(spark, sf_dir):
+    """signup → click → purchase funnel, greedy earliest-match per user."""
+    from hatchery_spark.operators.telemetry import funnel_steps
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(ev, ["signup", "click", "purchase"])
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-50 corpus vocabulary with totals and doc frequency."""
     from hatchery_spark.functions.corpus import vocab_topk
@@ -2037,6 +2045,30 @@ def oracle_catalog() -> dict[str, str]:
             FROM documents"""
             for c in ["doc_id", "text", "lang", "source", "n_chars"]
         ),
+        "pipeline_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS step_1_ts FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS step_2_ts
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.step_1_ts
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS step_3_ts
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.step_2_ts
+              GROUP BY e.user_id
+            )
+            SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts,
+                   cast(1 + (s2.step_2_ts IS NOT NULL)::int
+                          + (s3.step_3_ts IS NOT NULL)::int AS int)
+                     AS steps_completed
+            FROM s1
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)""",
         "doc_vocab_topk": """
             SELECT token, n_total, n_docs,
                    cast(row_number() OVER (ORDER BY n_total DESC, token)
@@ -2268,6 +2300,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_group_zscores": q_group_zscores,
         "doc_vocab_topk": q_vocab_topk,
         "doc_cluster_reps": q_cluster_representatives,
+        "pipeline_funnel": q_funnel,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

@@ -37,3 +37,31 @@ def test_group_zscores_closed_form_and_degenerate(spark):
     assert out[0] == -1.0 and out[1] == 0.0 and out[2] == 1.0
     assert out[3] is None and out[4] is None and out[5] is None
     assert math.isclose(sum(v for v in out.values() if v is not None), 0.0, abs_tol=1e-9)
+
+
+def test_funnel_greedy_order_semantics(spark):
+    """Step i+1 must occur strictly AFTER the matched step i: a purchase
+    before the first click does not count; unreached steps stay NULL."""
+    from hatchery_spark.operators.telemetry import funnel_steps
+
+    rows = [
+        # u1 completes in order
+        (1, "signup", "2025-06-01 09:00:00"),
+        (1, "click", "2025-06-01 10:00:00"),
+        (1, "purchase", "2025-06-01 11:00:00"),
+        # u2: purchase BEFORE the click -> stops at 2 steps
+        (2, "signup", "2025-06-01 09:00:00"),
+        (2, "purchase", "2025-06-01 09:30:00"),
+        (2, "click", "2025-06-01 10:00:00"),
+        # u3 never signs up -> not in output
+        (3, "click", "2025-06-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in
+           funnel_steps(df, ["signup", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].steps_completed == 3
+    assert out[2].steps_completed == 2 and out[2].step_3_ts is None
+    assert str(out[1].step_3_ts) == "2025-06-01 11:00:00"
