@@ -1,14 +1,15 @@
-"""Telemetry guardrail operators: per-key rate caps and anomaly scores.
+"""Telemetry operators: flow control, anomaly triage, and behavioral rollups.
 
 Log pipelines at 10^12 rows need flow control and outlier triage BEFORE
 storage: a runaway client or misconfigured agent can emit millions of
 near-identical events per hour (the reference throttles at the source API
 level via its per-source schedules, pkg/config/range.go; at Spark scale the
-equivalent guard runs inside the job).
+equivalent guard runs inside the job). The behavioral rollups (funnels,
+retention cohorts) are the read side of the same event stream.
 
-Both operators are single-window / single-aggregate plans — one hash
-shuffle on the grouping key, WindowGroupLimit partials where a rank cut
-exists, no Python anywhere.
+Every operator here is windows/aggregates/joins only — hash shuffles keyed
+on user or group, WindowGroupLimit partials where a rank cut exists,
+broadcast build sides for the |users|-scale frames, no Python anywhere.
 """
 
 from __future__ import annotations
@@ -118,3 +119,43 @@ def funnel_steps(
         F.lit(1),
     )
     return cur.withColumn("steps_completed", done)
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen date, counted
+    distinct on each subsequent activity day — the standard day-N retention
+    table.
+
+    Two hash aggregates: first-seen per user (shuffle keyed on user), then
+    distinct users per (cohort_date, day_offset) — the second aggregate's
+    exchange carries per-(user, day) rows AFTER an in-partition projection,
+    and the cohort frame joining back onto events is |users|-sized
+    (broadcast build side at web scale). Returns (cohort_date, day_offset,
+    n_users, cohort_size, retention) with retention rounded to 4.
+    """
+    first = df.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_date")
+    )
+    activity = (
+        df.select(F.col(user_col), F.to_date(ts_col).alias("_day"))
+        .distinct()
+        .join(first, user_col)
+        .withColumn("day_offset", F.datediff("_day", "cohort_date"))
+    )
+    counts = activity.groupBy("cohort_date", "day_offset").agg(
+        F.count_distinct(F.col(user_col)).alias("n_users")
+    )
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return counts.join(sizes, "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users") / F.col("cohort_size"), 4).alias("retention"),
+    )

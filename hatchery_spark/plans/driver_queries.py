@@ -885,6 +885,22 @@ def q_funnel(spark, sf_dir):
     return funnel_steps(ev, ["signup", "click", "purchase"])
 
 
+def q_retention(spark, sf_dir):
+    """Day-N retention matrix over first-seen cohorts. cohort_date rides
+    as an ISO string: pandas renders an engine DATE as midnight datetime,
+    which would string-mismatch an actual date."""
+    from hatchery_spark.operators.telemetry import retention_cohorts
+
+    r = retention_cohorts(load(spark, sf_dir, "events"))
+    return r.select(
+        F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_date"),
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        "retention",
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-50 corpus vocabulary with totals and doc frequency."""
     from hatchery_spark.functions.corpus import vocab_topk
@@ -2069,6 +2085,31 @@ def oracle_catalog() -> dict[str, str]:
             FROM s1
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)""",
+        "pipeline_retention": """
+            WITH first AS (
+              SELECT user_id, min(cast(ts AS date)) AS cohort_date
+              FROM events GROUP BY user_id
+            ),
+            activity AS (
+              SELECT DISTINCT e.user_id, cast(e.ts AS date) AS d
+              FROM events e
+            ),
+            counts AS (
+              SELECT f.cohort_date, a.d - f.cohort_date AS day_offset,
+                     count(DISTINCT a.user_id) AS n_users
+              FROM activity a JOIN first f USING (user_id)
+              GROUP BY f.cohort_date, a.d - f.cohort_date
+            ),
+            sizes AS (
+              SELECT cohort_date, count(*) AS cohort_size
+              FROM first GROUP BY cohort_date
+            )
+            SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_date,
+                   cast(c.day_offset AS int) AS day_offset,
+                   c.n_users, s.cohort_size,
+                   round(c.n_users / cast(s.cohort_size AS double), 4)
+                     AS retention
+            FROM counts c JOIN sizes s USING (cohort_date)""",
         "doc_vocab_topk": """
             SELECT token, n_total, n_docs,
                    cast(row_number() OVER (ORDER BY n_total DESC, token)
@@ -2301,6 +2342,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk": q_vocab_topk,
         "doc_cluster_reps": q_cluster_representatives,
         "pipeline_funnel": q_funnel,
+        "pipeline_retention": q_retention,
         "doc_incremental_dedup": q_incremental_dedup,
         "doc_exact_dedup_window": q_exact_dedup_window,
         "pipeline_asof_salted": q_asof_salted,

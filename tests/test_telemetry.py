@@ -65,3 +65,25 @@ def test_funnel_greedy_order_semantics(spark):
     assert out[1].steps_completed == 3
     assert out[2].steps_completed == 2 and out[2].step_3_ts is None
     assert str(out[1].step_3_ts) == "2025-06-01 11:00:00"
+
+
+def test_retention_cohorts_matrix(spark):
+    """First-seen date defines the cohort; day-0 retention is 1.0 by
+    construction; later offsets count distinct returning users."""
+    from hatchery_spark.operators.telemetry import retention_cohorts
+
+    rows = [
+        (1, "2025-06-01 10:00:00"), (1, "2025-06-02 09:00:00"),
+        (2, "2025-06-01 11:00:00"),
+        (3, "2025-06-02 08:00:00"), (3, "2025-06-02 23:00:00"),  # same day twice
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = {(str(r.cohort_date), r.day_offset): r for r in retention_cohorts(df).collect()}
+    assert out[("2025-06-01", 0)].n_users == 2
+    assert out[("2025-06-01", 0)].retention == 1.0
+    assert out[("2025-06-01", 1)].n_users == 1  # only user 1 returned
+    assert out[("2025-06-01", 1)].retention == 0.5
+    assert out[("2025-06-02", 0)].n_users == 1 and out[("2025-06-02", 0)].cohort_size == 1
+    assert len(out) == 3  # same-day double activity counted once
