@@ -93,3 +93,56 @@ def test_redact_pii_idempotent(spark_prop, texts):
     once = df.select("i", redact_pii(F.col("text")).alias("r"))
     twice = once.select("i", redact_pii(F.col("r")).alias("r"))
     assert {(r.i, r.r) for r in once.collect()} == {(r.i, r.r) for r in twice.collect()}
+
+
+# ------------------------------------------------------- round-3 operators
+
+ws_text = st.text(
+    alphabet=st.sampled_from(list("ab ") + ["\t", "\n"]), min_size=0, max_size=80
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(ws_text, min_size=1, max_size=12))
+def test_chunking_covers_every_token_in_order(spark_prop, texts):
+    """Stripping the overlap from chunks 2..k and concatenating restores the
+    doc's exact token sequence — no token lost or duplicated, any text."""
+    from hatchery_spark.functions.corpus import chunk_documents
+    import re as _re
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    chunk, overlap = 7, 3
+    rows = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t) if t else [""]
+        got = []
+        for r in sorted(by_doc[i], key=lambda r: r.chunk_idx):
+            ctoks = r.chunk_text.split(" ") if r.chunk_text != "" else [""]
+            got.extend(ctoks if r.chunk_idx == 0 else ctoks[overlap:])
+        assert got == toks, (t, got, toks)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=15),
+    st.sampled_from([0.1, 0.3, 0.6]),
+    st.sampled_from([0.7, 0.9, 1.0]),
+)
+def test_mixture_nesting_property(spark_prop, texts, low, high):
+    """For ANY corpus and any low < high: kept(low) ⊆ kept(high)."""
+    from hatchery_spark.functions.sampling import mixture_sample
+
+    spark = spark_prop
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    lo = {r.doc_id for r in mixture_sample(df, {"s": low}).collect()}
+    hi = {r.doc_id for r in mixture_sample(df, {"s": high}).collect()}
+    assert lo <= hi
