@@ -185,47 +185,64 @@ def capped_band_pairs(
     still pair through their other bands).
 
     Oversized buckets are found with groupBy(band, val).count() — a map-side-
-    combined aggregate whose exchange carries one row per bucket — collected
-    to the driver (degenerate buckets are FEW by definition; the collect is
-    O(capped buckets), not O(rows)), and removed with a BROADCAST left-anti
-    join against the resulting LocalRelation. This beats a `count() over
-    (partition by band, val)` window, which shuffles and SORTS the full
-    band-row set just to annotate sizes: measured on a 300k-doc simhash
-    corpus, 18.7s vs 24.6s warm (47.8s vs 115.5s cold), identical pairs.
+    combined aggregate whose exchange carries one row per bucket — and removed
+    with a left-anti join against that (band, val) key frame. Nothing ever
+    leaves the executors: on a duplication-heavy corpus the oversized-key set
+    is only bounded by n_rows/max_bucket, so it is NOT collected; AQE
+    broadcasts the build side when it is small and falls back to a shuffled
+    anti-join when it is not. This beats a `count() over (partition by band,
+    val)` window, which shuffles and SORTS the full band-row set just to
+    annotate sizes: measured on a 300k-doc simhash corpus, 18.7s vs 24.6s
+    warm (47.8s vs 115.5s cold), identical pairs.
 
-    The cap is never silent: the returned DataFrame carries a `capped_stats`
-    attribute — `{"capped_buckets": .., "capped_rows": ..}`, exact counts of
-    the buckets the cap dropped and the member rows they held. Computing it
-    runs the bucket-size aggregate eagerly (one Spark job at call time).
+    The cap is never silent: `capped_band_stats` on the same band rows
+    returns exact counts of dropped buckets and their member rows (a
+    single-row aggregate collect, O(1) driver memory at any corpus size).
     """
-    sizes = band_rows.groupBy(band_col, val_col).agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    oversized = (
+        band_rows.groupBy(band_col, val_col)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select(band_col, val_col)
     )
-    oversized = sizes.filter(F.col("bucket_n") > max_bucket).collect()
-    stats = {
-        "capped_buckets": len(oversized),
-        "capped_rows": sum(r["bucket_n"] for r in oversized),
-    }
-    bounded = band_rows
-    if oversized:
-        spark = band_rows.sparkSession
-        drop_keys = spark.createDataFrame(
-            [(r[band_col], r[val_col]) for r in oversized],
-            band_rows.select(band_col, val_col).schema,
-        )
-        bounded = band_rows.join(
-            F.broadcast(drop_keys), on=[band_col, val_col], how="left_anti"
-        )
+    bounded = band_rows.join(oversized, on=[band_col, val_col], how="left_anti")
     a = bounded.select(F.col(id_col).alias("id_a"), band_col, val_col)
     b = bounded.select(F.col(id_col).alias("id_b"), band_col, val_col)
-    pairs = (
+    return (
         a.join(b, on=[band_col, val_col])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    pairs.capped_stats = stats
-    return pairs
+
+
+def capped_band_stats(
+    band_rows: DataFrame,
+    val_col: str,
+    max_bucket: int,
+    band_col: str = "band",
+) -> dict:
+    """Exact accounting of what `capped_band_pairs` dropped:
+    {"capped_buckets": n, "capped_rows": m} for buckets over `max_bucket`.
+
+    An explicit eager call (one Spark job, single-row collect) rather than a
+    side effect of building the pairs plan: computing it re-executes the
+    band-row lineage once, and callers should see — and choose — that cost.
+    """
+    row = (
+        band_rows.groupBy(band_col, val_col)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .agg(
+            F.count(F.lit(1)).alias("capped_buckets"),
+            F.coalesce(F.sum("bucket_n"), F.lit(0)).alias("capped_rows"),
+        )
+        .first()
+    )
+    return {
+        "capped_buckets": row["capped_buckets"],
+        "capped_rows": row["capped_rows"],
+    }
 
 
 def minhash_lsh_candidates(
@@ -236,8 +253,13 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 5,
     max_bucket: int = 1000,
+    return_stats: bool = False,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH."""
+    """Candidate near-dup pairs (id_a < id_b) via banded minhash LSH.
+
+    `return_stats=True` returns (pairs, capped_band_stats dict) instead —
+    opt-in because the stats aggregate is an EAGER extra job that replays
+    the signature lineage once."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig = minhash_signature_staged(df, text_col, id_col, num_hashes, shingle_k)
@@ -260,7 +282,10 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(band_structs).alias("_bs")
     ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_hash").alias("band_hash"))
-    return capped_band_pairs(buckets, id_col, "band_hash", max_bucket)
+    pairs = capped_band_pairs(buckets, id_col, "band_hash", max_bucket)
+    if return_stats:
+        return pairs, capped_band_stats(buckets, "band_hash", max_bucket)
+    return pairs
 
 
 def jaccard_verify(
@@ -310,10 +335,17 @@ def minhash_dedup(
     threshold: float = 0.7,
     **kw,
 ) -> DataFrame:
-    """Near-dup pairs with verified Jaccard ≥ threshold (LSH candidates → verify)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, **kw)
+    """Near-dup pairs with verified Jaccard ≥ threshold (LSH candidates → verify).
+
+    Pass `return_stats=True` (forwarded to minhash_lsh_candidates) for the
+    bucket-cap accounting; it applies to the candidate stage and returns
+    (pairs, stats)."""
+    want_stats = kw.pop("return_stats", False)
+    res = minhash_lsh_candidates(df, text_col, id_col, return_stats=want_stats, **kw)
+    cands, stats = res if want_stats else (res, None)
     out = jaccard_verify(cands, df, text_col, id_col, threshold=threshold)
-    out.capped_stats = cands.capped_stats
+    if want_stats:
+        return out, stats
     return out
 
 
@@ -624,6 +656,7 @@ def simhash_candidates(
     id_col: str = "doc_id",
     band_bits: int = 8,
     max_bucket: int = 10_000,
+    return_stats: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: equal `band_bits`-bit band of the simhash.
 
@@ -657,7 +690,10 @@ def simhash_candidates(
     allb = sh.select(F.col(id_col), F.explode(band_structs).alias("_bs")).select(
         id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_val").alias("band_val")
     )
-    return capped_band_pairs(allb, id_col, "band_val", max_bucket)
+    pairs = capped_band_pairs(allb, id_col, "band_val", max_bucket)
+    if return_stats:
+        return pairs, capped_band_stats(allb, "band_val", max_bucket)
+    return pairs
 
 
 def digest_store(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -706,28 +742,39 @@ def cluster_representatives(
     highest-quality variant of a mirrored page.
 
     `resolved` is resolve_duplicate_groups' (id, canonical_id) frame,
-    covering only docs that appear in a pair; unpaired docs are their own
-    canonical (coalesce after a left join — the resolved frame is small
-    relative to the corpus and broadcasts). The winner is chosen with ONE
-    max_by aggregate per cluster: max_by(id, struct(score, -id)) — struct
-    ordering gives score-desc, id-asc determinism without a window sort.
+    covering only docs that appear in a pair — small relative to the corpus
+    by construction, so winners are computed over the PAIRED docs only
+    (inner join against broadcast(resolved)) and the winner frame is
+    cluster-count-sized. Unpaired docs — the overwhelming majority of a
+    deduplicated corpus — never enter any aggregate or sized join: they
+    default to self-representation via coalesce after the two broadcast
+    left joins. (Folding singletons into the winners frame, as a naive
+    groupBy(canonical) over all docs would, makes `winners` corpus-sized
+    and the rejoin a corpus×corpus sort-merge at scale.) The winner is
+    chosen with ONE max_by aggregate per multi-member cluster:
+    max_by(id, struct(score, -id)) — struct ordering gives score-desc,
+    id-asc determinism without a window sort.
 
     Returns one row per doc: (id, canonical_id, rep_id, is_rep).
     """
-    labeled = docs.select(F.col(id_col), F.col(score_col)).join(
-        F.broadcast(resolved), id_col, "left"
-    ).withColumn(
-        "canonical_id", F.coalesce(F.col("canonical_id"), F.col(id_col))
+    member_scores = docs.select(F.col(id_col), F.col(score_col)).join(
+        F.broadcast(resolved), id_col, "inner"
     )
-    winners = labeled.groupBy("canonical_id").agg(
+    winners = member_scores.groupBy("canonical_id").agg(
         F.max_by(
             F.col(id_col),
             F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg")),
         ).alias("rep_id")
     )
-    return labeled.join(winners, "canonical_id").select(
-        F.col(id_col),
-        "canonical_id",
-        "rep_id",
-        (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+    return (
+        docs.select(F.col(id_col))
+        .join(F.broadcast(resolved), id_col, "left")
+        .withColumn("canonical_id", F.coalesce(F.col("canonical_id"), F.col(id_col)))
+        .join(F.broadcast(winners), "canonical_id", "left")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            F.coalesce(F.col("rep_id"), F.col(id_col)).alias("rep_id"),
+        )
+        .withColumn("is_rep", F.col(id_col) == F.col("rep_id"))
     )

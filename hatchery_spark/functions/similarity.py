@@ -411,6 +411,7 @@ def embedding_near_dup(
     max_bucket: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_stats: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -423,7 +424,7 @@ def embedding_near_dup(
     """
     planes = _hyperplanes(dim, bands * band_bits, seed)
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    from hatchery_spark.functions.dedup import capped_band_pairs
+    from hatchery_spark.functions.dedup import capped_band_pairs, capped_band_stats
 
     b = _band_rows(lsh_bits_df(v, planes, id_col, "_v"), "_bits", bands, band_bits)
     # same capped pairing shape as the minhash/simhash paths: a 4-bit band has
@@ -437,7 +438,8 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
-    out.capped_stats = pairs.capped_stats
+    if return_stats:
+        return out, capped_band_stats(b, "band_val", max_bucket)
     return out
 
 

@@ -165,49 +165,139 @@ def windowed_sink_counts(
     )
 
 
+DEFAULT_DIGEST_BUCKETS = 64
+
+
+def _bucketed_digests(df: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    """(bucket, _digest) distinct frame: the digest store's partition key is
+    pmod(xxhash64(_digest), n_buckets) so store reads can partition-prune."""
+    from hatchery_spark.functions.dedup import digest_store
+
+    return digest_store(df, text_col).withColumn(
+        "bucket", F.pmod(F.xxhash64("_digest"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def has_committed_store(spark: SparkSession, store_dir: str) -> bool:
+    """True iff the digest store holds at least one COMMITTED parquet file.
+
+    Bare-directory existence is not enough: a crash during the very first
+    store write can leave store_dir containing only _temporary/, and a
+    naive exists() check would then try to read an empty store and wedge
+    every replay. Globbing for part files inside committed bucket=/v=
+    partitions distinguishes that state — no committed files means the
+    empty-history fallback is genuinely safe. Any OTHER read error
+    (transient FS failure, corrupt footer, permissions) still fails the
+    batch and retries rather than silently dropping history.
+    """
+    glob = spark._jvm.org.apache.hadoop.fs.Path(
+        store_dir + "/bucket=*/v=*/part-*"
+    )
+    fs = spark._jvm.org.apache.hadoop.fs.Path(store_dir).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    statuses = fs.globStatus(glob)
+    return statuses is not None and len(statuses) > 0
+
+
+def pruned_history_digests(
+    spark: SparkSession,
+    store_dir: str,
+    batch_digests: DataFrame,
+    batch_id: int,
+) -> DataFrame:
+    """History digests that can possibly match this batch — at per-batch cost
+    O(matched-bucket scan), with ZERO history shuffle.
+
+    Two prunes compose:
+      * partition prune — the store is laid out bucket=<pmod(xxhash64,B)>/v=,
+        and the scan filters bucket ∈ (this batch's buckets) ∧ v < batch_id;
+        both are directory-level PartitionFilters, so untouched buckets and
+        future/own deltas are never read. (The distinct-bucket collect is
+        ≤ n_buckets ints — bounded by construction.)
+      * broadcast semi-join — the (small) batch digest frame is the BUILD
+        side and history the streamed probe side, so the full digest history
+        is never sorted or exchanged. A plain `batch LEFT ANTI history`
+        cannot do this: anti/semi joins can only broadcast their RIGHT side,
+        which there is the unbounded history — every micro-batch would
+        sort-merge (i.e. shuffle) the whole store.
+
+    The result is ≤ |batch digests| rows, which then broadcasts as the anti-
+    join build side in the writer. Replays are deterministic: v < batch_id
+    excludes the replaying batch's own half-written delta.
+    """
+    buckets = [r[0] for r in batch_digests.select("bucket").distinct().collect()]
+    history = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("v") < F.lit(batch_id))
+        .filter(F.col("bucket").isin(buckets))
+    )
+    return history.join(
+        F.broadcast(batch_digests.select("bucket", "_digest")),
+        on=["bucket", "_digest"],
+        how="leftsemi",
+    ).select("_digest")
+
+
 def incremental_dedup_writer(
     sink_dir: str,
     store_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_DIGEST_BUCKETS,
 ):
     """foreachBatch function: continuous-ingest exact dedup against a
-    BATCH-VERSIONED digest store — each micro-batch emits only documents
-    whose text was never seen in any earlier batch.
+    BATCH-VERSIONED, BUCKET-PARTITIONED digest store — each micro-batch
+    emits only documents whose text was never seen in any earlier batch.
 
     State layout makes replays deterministic AND idempotent:
 
-      * store_dir/v=<batch_id>/  — the digests first seen in that batch.
-        `seen` for batch b reads partitions v < b ONLY, so a replayed batch
-        recomputes against exactly the history it saw the first time (its
-        own half-written digests are excluded, not double-counted).
+      * store_dir/bucket=<pmod(xxhash64(_digest), n_buckets)>/v=<batch_id>/
+        — the digests first seen in that batch, partitioned so history reads
+        partition-prune (see pruned_history_digests). `seen` for batch b
+        reads partitions v < b ONLY, so a replayed batch recomputes against
+        exactly the history it saw the first time (its own half-written
+        digests are excluded, not double-counted).
       * both the novel-docs sink and the digest delta are partitioned by
         batch_id/v and written with DYNAMIC partition overwrite — a replay
         replaces its own partitions byte-for-byte (same contract as
         route_fanout_batch_writer).
 
+    Per-batch cost is O(novel + matched-bucket digest scan), never a full-
+    history shuffle: the history side is partition-pruned and broadcast-semi-
+    joined against the batch digests (history stays map-side), and the
+    left-anti dedup then broadcasts the resulting ≤|batch|-row `seen` frame.
     The store is append-only deltas, never rewritten: batch b's write is
     O(novel_b) regardless of history size, and the read side is a digest-only
-    scan (32 bytes/doc ever ingested — see dedup.digest_store)."""
+    scan (32 bytes/doc ever ingested — see dedup.digest_store). Streaming
+    analog of the reference's ack-after-write at O(novel) cost
+    (/root/reference/source/falcon_data_replicator/client.go:217-224)."""
     from hatchery_spark.functions.dedup import digest_store, incremental_exact_dedup
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # existence is checked explicitly: ONLY a genuinely absent store may
-        # fall back to an empty history — any read error (transient FS
-        # failure, corrupt footer, permissions) must FAIL the batch and
-        # retry, not silently discard the dedup history and emit duplicates
-        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store_dir)
-        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jvm_path):
-            seen = (
-                spark.read.parquet(store_dir)
-                .filter(F.col("v") < batch_id)
-                .select("_digest")
+        if has_committed_store(spark, store_dir):
+            batch_digests = _bucketed_digests(batch_df, text_col, n_buckets)
+            batch_digests.persist()
+            try:
+                seen = pruned_history_digests(
+                    spark, store_dir, batch_digests, batch_id
+                )
+                # seen ≤ |batch digests| rows → broadcast the anti-join build side
+                novel, _ = incremental_exact_dedup(
+                    batch_df, F.broadcast(seen), text_col, id_col
+                )
+                _write_novel(novel, batch_id)
+            finally:
+                batch_digests.unpersist()
+        else:  # first batch: no committed history yet
+            empty_seen = digest_store(batch_df.limit(0), text_col)
+            novel, _ = incremental_exact_dedup(
+                batch_df, empty_seen, text_col, id_col
             )
-        else:  # first batch: store does not exist yet
-            seen = digest_store(batch_df.limit(0), text_col)
-        novel, _ = incremental_exact_dedup(batch_df, seen, text_col, id_col)
+            _write_novel(novel, batch_id)
+
+    def _write_novel(novel: DataFrame, batch_id: int) -> None:
         novel.persist()
         try:
             (
@@ -218,11 +308,11 @@ def incremental_dedup_writer(
                 .parquet(sink_dir)
             )
             (
-                digest_store(novel, text_col)
+                _bucketed_digests(novel, text_col, n_buckets)
                 .withColumn("v", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("v")
+                .partitionBy("bucket", "v")
                 .parquet(store_dir)
             )
         finally:
@@ -241,6 +331,7 @@ def run_incremental_dedup_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = None,
+    n_buckets: int = DEFAULT_DIGEST_BUCKETS,
 ):
     """Drain available input through the incremental-dedup writer
     (availableNow trigger — the streaming analog of one ingest tick).
@@ -251,7 +342,7 @@ def run_incremental_dedup_stream(
     q = (
         reader.parquet(input_path)
         .writeStream.foreachBatch(
-            incremental_dedup_writer(sink_dir, store_dir, text_col, id_col)
+            incremental_dedup_writer(sink_dir, store_dir, text_col, id_col, n_buckets)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -71,21 +71,26 @@ def test_bucket_cap_applies(spark):
 
 
 def test_bucket_cap_is_observable(spark):
-    """The cap is never silent: the candidates frame's capped_stats reports
-    how many buckets (and member rows) the cap dropped."""
+    """The cap is never silent: return_stats=True reports how many buckets
+    (and member rows) the cap dropped, via a single-row aggregate — no
+    per-bucket driver collect."""
     many = spark.createDataFrame(
         [(i, "same text everywhere for all docs") for i in range(60)],
         "doc_id long, text string",
     )
-    capped = dd.minhash_lsh_candidates(many, max_bucket=10, bands=8)
+    capped, stats = dd.minhash_lsh_candidates(
+        many, max_bucket=10, bands=8, return_stats=True
+    )
     assert capped.count() == 0
     # 60 identical docs share one bucket per band → 8 capped buckets, each
     # holding all 60 members
-    assert capped.capped_stats == {"capped_buckets": 8, "capped_rows": 60 * 8}
+    assert stats == {"capped_buckets": 8, "capped_rows": 60 * 8}
 
-    uncapped = dd.minhash_lsh_candidates(many, max_bucket=1000)
+    uncapped, ustats = dd.minhash_lsh_candidates(
+        many, max_bucket=1000, return_stats=True
+    )
     assert uncapped.count() == 60 * 59 // 2
-    assert uncapped.capped_stats["capped_buckets"] == 0
+    assert ustats["capped_buckets"] == 0
 
 
 def test_exact_dedup_window_matches_rejoin(spark):

@@ -196,6 +196,68 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 3
 
 
+def test_incremental_dedup_history_scan_is_pruned_not_shuffled(spark, tmp_path):
+    """The per-batch history lookup must partition-prune the digest store
+    (bucket ∈ batch buckets ∧ v < batch_id as PartitionFilters) and keep
+    history on the map side of a BROADCAST semi-join — a full-store
+    sort-merge anti-join would make every micro-batch shuffle the entire
+    digest history (the round-3 scale finding this layout closes)."""
+    from hatchery_spark.streaming.stream import (
+        _bucketed_digests,
+        pruned_history_digests,
+        run_incremental_dedup_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_incremental_dedup_stream(spark, inp, sink, store, ck, schema)
+
+    batch2 = spark.createDataFrame(
+        [(100, "doc number 7"), (101, "a brand new doc")], schema
+    )
+    seen = pruned_history_digests(
+        spark, store, _bucketed_digests(batch2, "text", 64), batch_id=1
+    )
+    plan = seen._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # bucket + v filters reached the scan as partition (directory) filters
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf and "v#" in pf
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # and the pruned lookup is correct: exactly the one replayed digest
+    assert seen.count() == 1
+
+
+def test_incremental_dedup_recovers_from_uncommitted_first_write(spark, tmp_path):
+    """A store directory that exists but holds NO committed parquet (the
+    crash-during-first-write state — only _temporary/ inside) must be
+    treated as empty history, not wedge every replay with a read error."""
+    import os
+
+    from hatchery_spark.streaming.stream import run_incremental_dedup_stream
+
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    # simulate the crashed first write: directory exists, nothing committed
+    os.makedirs(os.path.join(store, "_temporary", "0"))
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    run_incremental_dedup_stream(spark, inp, sink, store, ck, schema)
+    assert {r.text for r in spark.read.parquet(sink).collect()} == {"alpha", "beta"}
+
+
 def test_session_window_counts_gap_semantics(spark, tmp_path):
     """Two bursts separated by more than the gap become two sessions; a
     burst within the gap stays one session. Append-mode sessions emit only
