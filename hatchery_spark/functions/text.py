@@ -132,16 +132,22 @@ def normalize_text(text_series):
     """Vectorized pandas body for `normalize_text_udf` (kept importable for
     direct pandas-side reuse/testing).
 
-    Whitespace handling is pinned to ASCII on purpose: the DuckDB oracle's
-    RE2 '\\s' and trim() are ASCII/space-only, while Python's regex \\s and
-    .strip() are Unicode-wide — using the Python defaults would diverge on
-    NBSP/U+2028 the moment they appear. Exotic one-off case foldings
-    (Turkish İ, final sigma) can still differ between Python .lower() and
-    an engine's collation-aware lower(); both are outside NFC's scope."""
+    Whitespace handling is pinned to RE2's '\\s' class ([ \\t\\n\\r\\f] —
+    NO \\x0b, unlike Java/Python \\s) because the DuckDB oracle applies
+    exactly that regex; Python's Unicode-wide \\s and .strip() would
+    diverge on NBSP/U+2028 the moment they appear. NULL input stays NULL
+    (SQL semantics — every oracle function propagates it); mapping NULL to
+    '' would both diverge from the gate and make NULL-text docs exact-dedup-
+    collide with genuinely empty docs downstream. Exotic one-off case
+    foldings (Turkish İ, final sigma) can still differ between Python
+    .lower() and an engine's collation-aware lower(); both are outside
+    NFC's scope."""
+    mask = text_series.isna()
     s = text_series.fillna("").astype(str)
     s = s.str.normalize("NFC")
     s = s.str.lower()
-    return s.str.replace(r"[ \t\n\r\f\x0b]+", " ", regex=True).str.strip(" ")
+    s = s.str.replace(r"[ \t\n\r\f]+", " ", regex=True).str.strip(" ")
+    return s.mask(mask, None)
 
 
 def make_normalize_udf():

@@ -218,12 +218,19 @@ def test_normalize_text_nfc_case_whitespace(spark):
             (1, "café menu"),       # composed é, already lower
             (2, "\t café\nmenu "),  # tabs/newlines/edges
             (3, None),
+            (4, "café\x0bmenu"),     # \x0b is NOT RE2 \s — must survive
         ],
         "doc_id long, text string",
     )
     out = {r.doc_id: r.n for r in df.select("doc_id", norm(F.col("text")).alias("n")).collect()}
     assert out[0] == out[1] == out[2] == "café menu"
-    assert out[3] == ""
+    # SQL semantics: NULL propagates (the DuckDB oracle's nfc_normalize/
+    # regexp_replace chain returns NULL for NULL input, and NULL-text docs
+    # must not exact-dedup-collide with genuinely empty docs).
+    assert out[3] is None
+    # RE2's \s is [ \t\n\r\f] — no vertical tab; the oracle keeps \x0b, so
+    # the Spark side must too.
+    assert out[4] == "café\x0bmenu"
 
 
 def test_chunk_documents_windows(spark):
