@@ -120,13 +120,18 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark("hatchery_spark_cli", cpus=args.cpus,
                           shuffle_partitions=args.shuffle_partitions)
         src, dst = args.compact
+        from pyspark.errors import AnalysisException
+
         try:
             n_files = compact_parquet_sink(
                 spark, src, dst, target_file_bytes=args.compact_target_mb << 20
             )
-        except Exception as exc:
-            # a missing/invalid SRC is an argument problem, not a stack trace:
-            # same clean exit-code-2 contract as every other bad argument
+        except (AnalysisException, FileNotFoundError, ValueError) as exc:
+            # only the argument-class failures (missing path, not-parquet,
+            # bad schema, bad sizes) get the clean exit-2 contract; anything
+            # else — a bug, an executor OOM, a write failure — propagates
+            # with its full stack trace so it is never mislabeled as a bad
+            # argument
             msg = str(exc).splitlines()[0] if str(exc) else type(exc).__name__
             print(f"--compact failed for {src!r}: {msg}", file=sys.stderr)
             return 2

@@ -245,6 +245,43 @@ def capped_band_stats(
     }
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band rows — the joinable index form of a
+    minhash signature, shared by batch pairing (minhash_lsh_candidates) and
+    the streaming band store (streaming.stream.streaming_neardup_writer).
+
+    One row per (doc, band) via a single explode: a union of per-band
+    selects would re-evaluate the FULL signature (all shingle hashing) once
+    per band."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_staged(df, text_col, id_col, num_hashes, shingle_k)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("_sig", b * rows_per_band + i + 1)
+                        for i in range(rows_per_band)
+                    ]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("_bs")
+    ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_hash").alias("band_hash"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -260,28 +297,7 @@ def minhash_lsh_candidates(
     `return_stats=True` returns (pairs, capped_band_stats dict) instead —
     opt-in because the stats aggregate is an EAGER extra job that replays
     the signature lineage once."""
-    assert num_hashes % bands == 0
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature_staged(df, text_col, id_col, num_hashes, shingle_k)
-    # one row per band via a single explode — a union of per-band selects would
-    # re-evaluate the FULL signature (all shingle hashing) once per band
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("_sig", b * rows_per_band + i + 1)
-                        for i in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("_bs")
-    ).select(id_col, F.col("_bs.band").alias("band"), F.col("_bs.band_hash").alias("band_hash"))
+    buckets = minhash_band_rows(df, text_col, id_col, num_hashes, bands, shingle_k)
     pairs = capped_band_pairs(buckets, id_col, "band_hash", max_bucket)
     if return_stats:
         return pairs, capped_band_stats(buckets, "band_hash", max_bucket)

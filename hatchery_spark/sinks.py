@@ -133,6 +133,10 @@ def compact_parquet_sink(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        # surface the argument-class failure as a normal Python exception —
+        # letting getContentSummary throw buries it in a Py4J stack trace
+        raise FileNotFoundError(f"compact source does not exist: {src}")
     total_bytes = fs.getContentSummary(hpath).getLength()
     df = spark.read.parquet(src)
     n_rows = df.count()  # parquet metadata only — no data scan

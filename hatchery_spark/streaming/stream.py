@@ -352,6 +352,249 @@ def run_incremental_dedup_stream(
     return q
 
 
+def _bucketed_band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    n_buckets: int,
+) -> DataFrame:
+    """(bucket, band, band_hash, id) LSH band rows: the band store's
+    partition key is pmod(xxhash64(band, band_hash), n_buckets) so history
+    candidate lookups can partition-prune exactly like the digest store."""
+    from hatchery_spark.functions.dedup import minhash_band_rows
+
+    return minhash_band_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("band", "band_hash"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def pruned_history_band_matches(
+    spark: SparkSession,
+    band_store_dir: str,
+    batch_bands: DataFrame,
+    batch_id: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(hist_id, v, new_id) candidate near-dup pairs between this batch and
+    the emitted history, at per-batch cost O(matched-bucket scan) with ZERO
+    history shuffle — the band-store twin of `pruned_history_digests`.
+
+    The store scan filters bucket ∈ (batch buckets) ∧ v < batch_id — both
+    directory-level PartitionFilters — and the (small) batch band frame is
+    the broadcast BUILD side of the equality join, so historical band rows
+    stream map-side and only colliding (band, band_hash) keys survive. The
+    result is bounded by |batch band rows| × collisions-per-key; `v` rides
+    along so the verifier knows which sink partitions hold each candidate's
+    text. Replays are deterministic: v < batch_id excludes the replaying
+    batch's own half-written band delta.
+    """
+    buckets = [r[0] for r in batch_bands.select("bucket").distinct().collect()]
+    history = (
+        spark.read.parquet(band_store_dir)
+        .filter(F.col("v") < F.lit(batch_id))
+        .filter(F.col("bucket").isin(buckets))
+    )
+    return (
+        history.join(
+            F.broadcast(
+                batch_bands.select(
+                    "bucket", "band", "band_hash", F.col(id_col).alias("new_id")
+                )
+            ),
+            on=["bucket", "band", "band_hash"],
+        )
+        .select(F.col(id_col).alias("hist_id"), "v", "new_id")
+        .distinct()
+    )
+
+
+def streaming_neardup_writer(
+    sink_dir: str,
+    band_store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+    n_buckets: int = DEFAULT_DIGEST_BUCKETS,
+):
+    """foreachBatch function: continuous-ingest MinHash NEAR-dup suppression
+    — each micro-batch emits only documents that are not near-duplicates
+    (verified char-shingle Jaccard ≥ threshold) of an earlier-emitted or
+    same-batch document. The near-dup analog of `incremental_dedup_writer`,
+    closing the round-3 gap that continuous ingest deduped only byte-equal
+    text (streaming analog of the reference's ack-after-write contract,
+    /root/reference/source/falcon_data_replicator/client.go:217-224).
+
+    Per batch:
+      1. WITHIN batch — the batch operator chain verbatim: minhash_dedup →
+         resolve_duplicate_groups; each verified component keeps its min-id
+         member (near-dup is not transitive, so cluster semantics follow
+         the batch operator exactly — a member suppressed by its cluster
+         stays suppressed even if its representative then loses to
+         history).
+      2. ACROSS batches — candidates via `pruned_history_band_matches`
+         (partition-pruned band store, broadcast batch side, no history
+         shuffle), then EXACT Jaccard verification: candidate history
+         texts are fetched from the sink itself — batch_id ∈ (candidate
+         v's) partitions, semi-joined on the candidate ids — so no
+         separate text/shingle store exists. State is the band-row index
+         only: bands × 24 bytes per emitted doc, independent of text size.
+      3. Novel docs land in sink_dir/batch_id=<b>/ and their band rows in
+         band_store_dir/bucket=<pmod(xxhash64(band,band_hash),B)>/v=<b>/,
+         both DYNAMIC-overwrite partitioned — a replayed batch recomputes
+         against exactly the v < b history it saw the first time and
+         rewrites its own partitions byte-for-byte.
+
+    The store indexes the EMITTED corpus only: a doc suppressed as a
+    near-dup leaves no band rows, so future docs dedup against the kept
+    representative — the same retention semantics as the exact-dedup digest
+    store. Driver-side collects are the distinct-bucket list (≤ n_buckets
+    ints) and the candidate batch-version list (≤ distinct candidate
+    batches) — both bounded, never corpus-sized. Assumes `id_col` is
+    globally unique across batches (same contract as the exact writer).
+    """
+    from hatchery_spark.functions.dedup import (
+        jaccard_verify,
+        minhash_dedup,
+        resolve_duplicate_groups,
+    )
+
+    def _band_rows(df: DataFrame) -> DataFrame:
+        return _bucketed_band_rows(
+            df, text_col, id_col, num_hashes, bands, shingle_k, n_buckets
+        )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        kept = None
+        kept_bands = None
+        try:
+            pairs = minhash_dedup(
+                batch_df,
+                text_col,
+                id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                max_bucket=max_bucket,
+            )
+            resolved = resolve_duplicate_groups(pairs)
+            dup_members = resolved.filter(
+                F.col("doc_id") != F.col("canonical_id")
+            ).select(F.col("doc_id").alias(id_col))
+            kept = batch_df.join(
+                F.broadcast(dup_members), id_col, "left_anti"
+            ).persist()
+
+            if has_committed_store(spark, band_store_dir):
+                kept_bands = _band_rows(kept).persist()
+                cand = pruned_history_band_matches(
+                    spark, band_store_dir, kept_bands, batch_id, id_col
+                ).persist()
+                # candidate texts come from the sink's own batch partitions
+                vs = [r[0] for r in cand.select("v").distinct().collect()]
+                hist_docs = (
+                    spark.read.parquet(sink_dir)
+                    .filter(F.col("batch_id").isin(vs))
+                    .join(
+                        F.broadcast(
+                            cand.select(F.col("hist_id").alias(id_col)).distinct()
+                        ),
+                        id_col,
+                        "leftsemi",
+                    )
+                    .select(id_col, text_col)
+                )
+                both = hist_docs.unionByName(kept.select(id_col, text_col))
+                verified = jaccard_verify(
+                    cand.select(
+                        F.col("hist_id").alias("id_a"), F.col("new_id").alias("id_b")
+                    ),
+                    both,
+                    text_col,
+                    id_col,
+                    shingle_k=shingle_k,
+                    threshold=threshold,
+                )
+                suppressed = verified.select(F.col("id_b").alias(id_col)).distinct()
+                novel = kept.join(F.broadcast(suppressed), id_col, "left_anti")
+                cand.unpersist()
+            else:  # first batch: no committed band history yet
+                novel = kept
+
+            novel.persist()
+            try:
+                (
+                    novel.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(sink_dir)
+                )
+                (
+                    _band_rows(novel)
+                    .withColumn("v", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("bucket", "v")
+                    .parquet(band_store_dir)
+                )
+            finally:
+                novel.unpersist()
+        finally:
+            if kept_bands is not None:
+                kept_bands.unpersist()
+            if kept is not None:
+                kept.unpersist()
+            batch_df.unpersist()
+
+    return _write
+
+
+def run_streaming_neardup(
+    spark: SparkSession,
+    input_path: str,
+    sink_dir: str,
+    band_store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+    **neardup_kw,
+):
+    """Drain available input through the streaming near-dup writer
+    (availableNow trigger — one ingest tick). `neardup_kw` forwards the
+    MinHash/verify knobs (num_hashes, bands, shingle_k, threshold,
+    max_bucket, n_buckets)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(
+            streaming_neardup_writer(
+                sink_dir, band_store_dir, text_col, id_col, **neardup_kw
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def session_window_counts(
     stream: DataFrame,
     gap: str = "5 minutes",

@@ -310,3 +310,88 @@ def test_session_window_counts_gap_semantics(spark, tmp_path):
         ("c1", "2025-06-01 10:30:00"): 1,
         ("c2", "2025-06-01 10:00:00"): 1,
     }
+
+
+def _neardup_corpus():
+    """Three ~200-char base texts far apart in shingle space, plus edits."""
+    base = {
+        "a": "the quick brown fox jumps over the lazy dog " * 5,
+        "b": "pack my box with five dozen liquor jugs today " * 5,
+        "c": "sphinx of black quartz judge my vow tonight ok " * 5,
+    }
+    near_a = base["a"].replace("lazy", "lazy old", 1)  # high-Jaccard edit
+    return base, near_a
+
+
+def test_streaming_neardup_across_batches(spark, tmp_path):
+    """Continuous-ingest NEAR-dup: a batch-2 document that is an edited
+    (not byte-equal) variant of a batch-1 document is suppressed; genuinely
+    novel text passes; within-batch near-dups keep only the min-id member;
+    re-draining from the same checkpoint adds nothing."""
+    from hatchery_spark.streaming.stream import run_streaming_neardup
+
+    base, near_a = _neardup_corpus()
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    store = str(tmp_path / "bands")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+
+    # batch 1: two distinct docs + a within-batch near-dup of doc 0
+    spark.createDataFrame(
+        [(0, base["a"]), (1, base["b"]), (2, base["a"] + " extra tail")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+    # batch 2: near-dup of batch-1 doc 0 (edited, not byte-equal) + novel doc
+    spark.createDataFrame(
+        [(10, near_a), (11, base["c"])], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    run_streaming_neardup(
+        spark, inp, sink, store, ck, schema, max_files_per_trigger=1
+    )
+    kept = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    assert kept == {0, 1, 11}  # 2 lost within batch 1; 10 lost to history
+
+    # band store indexes exactly the emitted docs
+    assert spark.read.parquet(store).select("doc_id").distinct().count() == 3
+
+    # idempotence: re-drain from the same checkpoint — no new batches
+    run_streaming_neardup(spark, inp, sink, store, ck, schema)
+    assert spark.read.parquet(sink).count() == 3
+
+
+def test_streaming_neardup_history_scan_is_pruned(spark, tmp_path):
+    """The cross-batch candidate lookup must partition-prune the band store
+    (bucket ∈ batch buckets ∧ v < batch_id) and broadcast the BATCH side —
+    a full-store shuffle per micro-batch is the scale shape this layout
+    exists to avoid."""
+    from hatchery_spark.streaming.stream import (
+        _bucketed_band_rows,
+        pruned_history_band_matches,
+        run_streaming_neardup,
+    )
+
+    base, near_a = _neardup_corpus()
+    inp = str(tmp_path / "in")
+    sink = str(tmp_path / "sink")
+    store = str(tmp_path / "bands")
+    ck = str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(0, base["a"]), (1, base["b"])], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_streaming_neardup(spark, inp, sink, store, ck, schema)
+
+    batch2 = spark.createDataFrame([(10, near_a), (11, base["c"])], schema)
+    bands2 = _bucketed_band_rows(batch2, "text", "doc_id", 32, 8, 5, 64)
+    cand = pruned_history_band_matches(spark, store, bands2, batch_id=1)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "bucket" in pf and "v#" in pf
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # candidate correctness: the edited doc collides with doc 0 on ≥1 band
+    got = {(r.hist_id, r.new_id) for r in cand.collect()}
+    assert (0, 10) in got
+    assert all(h == 0 and n == 10 for h, n in got)
