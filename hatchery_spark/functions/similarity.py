@@ -325,6 +325,40 @@ class IVFIndex:
 DEFAULT_QUANTIZER_SAMPLE = 100_000
 
 
+def _quantizer_sample(
+    c: DataFrame,
+    id_col: str,
+    vec_alias: str,
+    sample_mod: int | None,
+    target_sample: int,
+    caller: str,
+) -> tuple[np.ndarray, int, int]:
+    """Deterministic, driver-bounded hash sample for quantizer fitting —
+    shared by the IVF coarse quantizer and the PQ codebooks.
+
+    Rows where xxhash64(id) % sample_mod == 0; sample_mod is DERIVED from
+    the corpus count when not given, so the collect stays ≤ target_sample
+    rows at any corpus size, and the result is additionally hard-capped
+    (deterministic id-order truncation) against hash skew. Returns
+    (sample matrix, effective sample_mod, n_rows)."""
+    if sample_mod is None:
+        n_corpus = c.count()
+        sample_mod = max(1, -(-n_corpus // max(1, target_sample)))  # ceil div
+    sample_df = c
+    if sample_mod > 1:
+        sample_df = c.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+    rows = sample_df.select(id_col, vec_alias).collect()
+    if sample_mod > 1 and len(rows) > target_sample:
+        rows = sorted(rows, key=lambda r: str(r[0]))[:target_sample]
+    sample = np.array([r[1] for r in rows])
+    if sample.size == 0:
+        raise ValueError(
+            f"{caller}: quantizer sample is empty "
+            "(empty corpus, or sample_mod filtered out every id — lower it)"
+        )
+    return sample, sample_mod, len(rows)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -350,26 +384,13 @@ def build_ivf_index(
     ships in the UDF closure, never as plan literals.
     """
     c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
-    if sample_mod is None:
-        n_corpus = c.count()
-        sample_mod = max(1, -(-n_corpus // max(1, target_sample)))  # ceil div
-    sample_df = c
-    if sample_mod > 1:
-        sample_df = c.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-    rows = sample_df.select(id_col, "_cv").collect()
-    if sample_mod > 1 and len(rows) > target_sample:
-        # hash skew overshot the target: keep a deterministic id-ordered prefix
-        rows = sorted(rows, key=lambda r: str(r[0]))[:target_sample]
-    sample = np.array([r[1] for r in rows])
-    if sample.size == 0:
-        raise ValueError(
-            "build_ivf_index: quantizer sample is empty "
-            "(empty corpus, or sample_mod filtered out every id — lower it)"
-        )
+    sample, sample_mod, n_sampled = _quantizer_sample(
+        c, id_col, "_cv", sample_mod, target_sample, "build_ivf_index"
+    )
     cents = spherical_kmeans(sample, n_centroids, iters=kmeans_iters, seed=seed)
     assign1 = _cell_assign_udf(cents, 1)
     cells = c.withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
-    return IVFIndex(cents, cells, sample_mod=sample_mod, sample_size=len(rows))
+    return IVFIndex(cents, cells, sample_mod=sample_mod, sample_size=n_sampled)
 
 
 def ivf_search(
@@ -529,6 +550,224 @@ def quantized_topk(
     approx = qc.join(F.broadcast(q)).withColumn(
         "_ac", _cosine(F.col("_cq"), F.col("_qv"))
     )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_ac"), F.col(id_col))
+    cand = (
+        approx.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= pool)
+        .select(query_id_col, id_col, "_qv")
+    )
+    exact = cand.join(
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")),
+        id_col,
+    ).withColumn("cosine", F.round(_cosine(F.col("_cv"), F.col("_qv")), 4))
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _euclidean_kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side Euclidean k-means (seeded, deterministic): (k', dim)
+    centroids, k' = min(k, n_sample). Empty clusters keep their previous
+    centroid (standard Lloyd fallback), so the codebook size is stable."""
+    x = np.asarray(sample, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    init_idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    cents = x[np.sort(init_idx)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+class PQCodebooks:
+    """Product-quantization codebooks: an (m, ks, dim/m) numpy tensor.
+
+    Like IVFIndex's centroid matrix this is driver-resident, O(m·ks·dim/m)
+    = O(ks·dim) doubles — a few KB — and ships to executors inside UDF
+    closures, never as plan literals. `sample_mod`/`sample_size` record the
+    fit footprint."""
+
+    def __init__(self, books: np.ndarray, sample_mod: int, sample_size: int):
+        self.books = books
+        self.m = books.shape[0]
+        self.ks = books.shape[1]
+        self.dsub = books.shape[2]
+
+        self.sample_mod = sample_mod
+        self.sample_size = sample_size
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    sample_mod: int | None = None,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_sample: int = DEFAULT_QUANTIZER_SAMPLE,
+) -> PQCodebooks:
+    """Fit per-subspace PQ codebooks (Jégou et al., TPAMI 2011: split dim
+    into m subspaces, Euclidean k-means with ks codewords in each) on the
+    same deterministic, driver-bounded hash sample the IVF quantizer uses.
+
+    Corpus vectors are L2-normalized BEFORE fitting/encoding so the ADC
+    inner product approximates cosine directly (reconstruction norm ≈ 1);
+    the exact rescore stage reads the original vectors anyway, so the
+    normalization never leaks into results."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv"))
+    sample, sample_mod, n = _quantizer_sample(
+        c, id_col, "_cv", sample_mod, target_sample, "fit_pq_codebooks"
+    )
+    x = _normalize_rows(sample)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"fit_pq_codebooks: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack(
+        [
+            _euclidean_kmeans(x[:, i * dsub : (i + 1) * dsub], ks, kmeans_iters, seed + i)
+            for i in range(m)
+        ]
+    )
+    return PQCodebooks(books, sample_mod, n)
+
+
+def _pq_encode_udf(codebooks: PQCodebooks):
+    """pandas UDF: embedding → array<int> of m codeword ids (per-subspace
+    nearest codeword on the L2-normalized vector; one (batch × ks) distance
+    matrix per subspace per Arrow batch)."""
+    books = np.ascontiguousarray(codebooks.books)
+    m, dsub = codebooks.m, codebooks.dsub
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        x = _normalize_rows(np.stack(vec.to_numpy()).astype(np.float64))
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for i in range(m):
+            sub = x[:, i * dsub : (i + 1) * dsub]
+            bk = books[i]
+            # argmin ||sub - bk||² == argmax (sub·bk - ||bk||²/2)
+            scores = sub @ bk.T - 0.5 * (bk * bk).sum(axis=1)
+            codes[:, i] = np.argmax(scores, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: PQCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes) — m small ints per vector: the 10^10-vector residency
+    form (m bytes/vector at ks ≤ 256 vs 4·dim for float32 — 32× at
+    dim=64, m=8). Persist it bucketed by id (or alongside IVF cells
+    partitioned by cell) and rebuild only when the codebooks change."""
+    enc = _pq_encode_udf(codebooks)
+    return df.select(
+        F.col(id_col),
+        enc(F.col(vec_col).cast("array<double>")).alias("pq_codes"),
+    )
+
+
+def _adc_cosine_udf(codebooks: PQCodebooks):
+    """pandas UDF (pq_codes, query_vec) → approximate cosine.
+
+    Asymmetric distance: the corpus side is reconstructed from its codes
+    (one fancy-index per subspace — a table lookup, no corpus floats ever
+    read) and dotted against the raw query. Per-batch numpy; the codebook
+    tensor rides the closure."""
+    books = np.ascontiguousarray(codebooks.books)
+    m, dsub = codebooks.m, codebooks.dsub
+
+    @pandas_udf(T.DoubleType())
+    def adc(codes: pd.Series, qv: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=np.float64)
+        cd = np.stack(codes.to_numpy()).astype(np.int64)
+        q = _normalize_rows(np.stack(qv.to_numpy()).astype(np.float64))
+        sim = np.zeros(len(cd), dtype=np.float64)
+        norm2 = np.zeros(len(cd), dtype=np.float64)
+        for i in range(m):
+            rec = books[i][cd[:, i]]                     # (batch, dsub) lookup
+            sim += np.einsum("ij,ij->i", rec, q[:, i * dsub : (i + 1) * dsub])
+            norm2 += np.einsum("ij,ij->i", rec, rec)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = sim / np.sqrt(norm2)
+        return pd.Series(out)
+
+    return adc
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    rescore: int = 4,
+    sample_mod: int | None = None,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ ANN: coarse IVF cells prune the corpus to n_probe cells per
+    query, PQ codes + asymmetric-distance scoring rank the survivors
+    without touching corpus floats, and the top `rescore·k` pool per query
+    is re-ranked with EXACT cosine (full-precision vectors re-joined by id)
+    — the standard shape for 10^10+ vectors where even int8 residency
+    (quantized_topk) is too big.
+
+    Scale shape: the probed scan carries (id, cell, m-byte codes) only; the
+    candidate join shuffles on the int cell id; both ranking stages get
+    WindowGroupLimit partial top-n; the full-precision rejoin touches
+    pool-sized data per query. Codes here encode raw (normalized) vectors,
+    not IVF residuals — at these codebook sizes the exact-rescore stage
+    absorbs the difference, and non-residual codes let ONE code table serve
+    any probe set (residual codes must be rebuilt whenever the coarse
+    quantizer moves).
+
+    Like ivf_topk this is the one-shot fused form; production splits
+    build (index + codebooks + codes, persisted) from search."""
+    index = build_ivf_index(
+        corpus, n_centroids=n_centroids, sample_mod=sample_mod,
+        kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    books = fit_pq_codebooks(
+        corpus, m=m, ks=ks, sample_mod=sample_mod, kmeans_iters=kmeans_iters,
+        seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    enc = _pq_encode_udf(books)
+    coded = index.cells.select(
+        F.col(id_col), "cell", enc(F.col("_cv")).alias("pq_codes")
+    )
+    assign_n = _cell_assign_udf(index.centroids, min(n_probe, len(index.centroids)))
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("cell", F.explode(assign_n(F.col("_qv"))))
+    adc = _adc_cosine_udf(books)
+    approx = coded.join(q, on="cell").withColumn(
+        "_ac", adc(F.col("pq_codes"), F.col("_qv"))
+    )
+    pool = rescore * k
     w = Window.partitionBy(query_id_col).orderBy(F.desc("_ac"), F.col(id_col))
     cand = (
         approx.withColumn("_r", F.row_number().over(w))

@@ -1232,6 +1232,22 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
+    rescore): with n_probe covering the true neighbors' cells and a
+    generous rescore pool, output equals brute force — the oracle is the
+    same brute-force SQL as emb_ivf_topk."""
+    from hatchery_spark.functions.similarity import ivf_pq_topk
+
+    corpus = _emb_augmented_queries(spark, sf_dir)
+    queries = _emb_base(spark, sf_dir).filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(
+        corpus, queries, k=5, n_centroids=16, n_probe=4, m=8, ks=16, rescore=4
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     base = _emb_base(spark, sf_dir).filter(F.col("vec_id") < 500)
     twins = base.select(
@@ -2267,6 +2283,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_cluster_reps": _CLUSTER_REPS_ORACLE,
         "emb_lsh_topk": _TOPK_AUG_ORACLE,
         "emb_ivf_topk": _TOPK_AUG_ORACLE,
+        "emb_pq_topk": _TOPK_AUG_ORACLE,
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
@@ -2317,6 +2334,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query that has never received a driver CORRECTNESS row, then the
     # long-green remainder.
     return {
+        # round-4 additions: never driver-sampled — first in line
+        "emb_pq_topk": q_pq_topk,
         # round-1 failures (fixed in r2; need a driver-green row)
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_neardup": q_simhash_neardup,

@@ -209,3 +209,64 @@ def test_quantized_topk_matches_exact(spark):
     exact = sorted(map(tuple, cosine_topk(emb, q, k=5).collect()))
     quant = sorted(map(tuple, quantized_topk(emb, q, k=5).collect()))
     assert exact == quant
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    """Codebooks: (m, ks, dim/m) tensor, deterministic across fits, fit on
+    the bounded hash sample; encoding emits m codes in [0, ks)."""
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 32)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b1 = sim.fit_pq_codebooks(emb, m=8, ks=16)
+    b2 = sim.fit_pq_codebooks(emb, m=8, ks=16)
+    assert b1.books.shape == (8, 16, 4)
+    assert np.array_equal(b1.books, b2.books)
+    codes = sim.pq_encode(emb, b1).collect()
+    assert all(len(r.pq_codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.pq_codes)
+    with pytest.raises(ValueError):
+        sim.fit_pq_codebooks(emb, m=7, ks=16)  # 32 % 7 != 0
+
+
+def test_ivf_pq_topk_matches_exact_with_rescore(spark):
+    """IVF-PQ with exact rescore returns the brute-force top-k when the
+    probe set covers the true neighbors and the ADC pool is generous —
+    the same contract the driver gate checks at sf0.01."""
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(300, 32)).astype("float32")
+    vecs[5] = vecs[0] * 0.9 + rng.normal(size=32, scale=0.05)  # planted dup
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    exact = sorted(map(tuple, sim.cosine_topk(emb, q, k=5).collect()))
+    pq = sorted(
+        map(
+            tuple,
+            sim.ivf_pq_topk(
+                emb, q, k=5, n_centroids=8, n_probe=4, m=8, ks=16, rescore=6
+            ).collect(),
+        )
+    )
+    assert exact == pq
+
+
+def test_ivf_pq_pool_recall_degrades_gracefully(spark):
+    """Even with a minimal pool (rescore=1) every returned neighbor carries
+    its EXACT cosine — approximation can only drop neighbors, never corrupt
+    scores. Recall@5 of the top-1 neighbor stays perfect (its cell is the
+    query's own nearest cell)."""
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(300, 32)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+    exact = {(r.query_id, r.vec_id): r.cosine for r in sim.cosine_topk(emb, q, k=50).collect()}
+    got = sim.ivf_pq_topk(
+        emb, q, k=5, n_centroids=8, n_probe=2, m=8, ks=16, rescore=1
+    ).collect()
+    for r in got:
+        assert exact[(r.query_id, r.vec_id)] == r.cosine  # exact rescore
+    # self-match (cosine 1.0) survives any pool size
+    top1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
+    assert top1 == {0: 0, 1: 1, 2: 2}
