@@ -46,6 +46,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # 3M keeps the disk-bound write tests inside a tight wall-clock budget even
 # when the sandbox host throttles
 SYN_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "3000000"))
+
+
+def _funnel_single_scan(spark, sf_dir):
+    """One-shuffle funnel variant benched against the k-scan q_funnel —
+    same steps, same events table (verdict r3 #10)."""
+    from hatchery_spark.operators.telemetry import funnel_steps_single_scan
+
+    ev = dq.load(spark, sf_dir, "events")
+    return funnel_steps_single_scan(ev, ["signup", "click", "purchase"])
 # the throughput headline runs on a larger input so fixed per-job overhead
 # (~1 s scheduling/broadcast) is <10% of the measured time — at 3M rows the
 # agg finishes in ~2 s and the "throughput" would mostly measure that constant
@@ -130,20 +139,53 @@ def main() -> None:
                 max_parallel_routes=parallel,
             )
 
-        # writes are disk-bound on this host (~15-40 MB/s): one cold + one warm
-        # sample each; sequential vs 4-way-concurrent route actions compared
-        t0 = time.perf_counter()
-        full_write("a")
-        cold["pipeline_synthetic_write"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        full_write("b")
-        warm["pipeline_synthetic_write"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        full_write("c", parallel=4)
-        warm["pipeline_synthetic_write_parallel"] = round(time.perf_counter() - t0, 3)
-        cold["pipeline_synthetic_write_parallel"] = warm[
-            "pipeline_synthetic_write_parallel"
-        ]
+        def _dir_bytes(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f_ in files:
+                    total += os.path.getsize(os.path.join(root, f_))
+            return total
+
+        write_mb_per_sec: dict[str, float] = {}
+
+        def measure_write(name, parallel, reps=2, max_tries=4):
+            # same probe-gated, multi-sample protocol as every other query —
+            # a single cold+warm pair on a throttling host reads as a fake
+            # regression whenever a burst lands on one leg (the r3 parallel-
+            # leg anomaly). Writes are ALSO disk-bound, so MB/s is reported
+            # alongside: a disk-throttle window shows up as an MB/s outlier
+            # even when the CPU probes pass. Each sample writes a fresh sink
+            # dir (removed after sizing) so no run reuses committed output.
+            nonlocal best_probe
+            t0 = time.perf_counter()
+            full_write(f"{name}_cold", parallel)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            nbytes = _dir_bytes(f"{work}/sinks_{name}_cold")
+            shutil.rmtree(f"{work}/sinks_{name}_cold", ignore_errors=True)
+            clean_samples, all_samples = [], []
+            for i in range(max_tries):
+                tag = f"{name}_w{i}"
+                p_before = probe()
+                best_probe = min(best_probe, p_before)
+                t1 = time.perf_counter()
+                full_write(tag, parallel)
+                dt = time.perf_counter() - t1
+                p_after = probe()
+                best_probe = min(best_probe, p_after)
+                shutil.rmtree(f"{work}/sinks_{tag}", ignore_errors=True)
+                all_samples.append(dt)
+                if p_before <= 1.3 * best_probe and p_after <= 1.3 * best_probe:
+                    clean_samples.append(dt)
+                if len(clean_samples) >= reps:
+                    break
+            if not clean_samples:
+                throttled.append(name)
+            warm[name] = round(min(clean_samples or all_samples), 3)
+            write_mb_per_sec[name] = round(nbytes / warm[name] / 1e6, 1)
+
+        # sequential vs 4-way-concurrent route write actions
+        measure_write("pipeline_synthetic_write", parallel=1)
+        measure_write("pipeline_synthetic_write_parallel", parallel=4)
 
         # --- pipeline over the driver's events-derived transcripts ----------
         measure(
@@ -175,6 +217,19 @@ def main() -> None:
             ("pipeline_asof_last_event", dq.q_asof_last_event),
             ("emb_cosine_topk", dq.q_embedding_topk),
             ("emb_lsh_topk", dq.q_lsh_topk),
+            # round-3 operators, oracled but previously untimed (verdict r3 #4)
+            ("pipeline_funnel", dq.q_funnel),
+            ("pipeline_retention", dq.q_retention),
+            ("pipeline_rate_cap", dq.q_rate_cap),
+            ("pipeline_group_zscores", dq.q_group_zscores),
+            ("doc_vocab_topk", dq.q_vocab_topk),
+            ("doc_winnow_fingerprints", dq.q_winnow_fingerprints),
+            ("doc_profile_columns", dq.q_profile_columns),
+            ("emb_quantized_topk", dq.q_quantized_topk),
+            ("emb_ivf_topk", dq.q_ivf_topk),
+            # round-4
+            ("emb_pq_topk", dq.q_pq_topk),
+            ("pipeline_funnel_single_scan", _funnel_single_scan),
         ]:
             measure(
                 name,
@@ -219,6 +274,7 @@ def main() -> None:
                 "synthetic_rows": SYN_ROWS,
                 "agg_rows": AGG_ROWS,
                 "datagen_materialize_sec": datagen_sec,
+                "write_mb_per_sec": write_mb_per_sec,
                 "throughput_turns_per_sec": turns_per_sec,
                 "scaling": scaling,
             }

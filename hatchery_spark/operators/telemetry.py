@@ -121,6 +121,78 @@ def funnel_steps(
     return cur.withColumn("steps_completed", done)
 
 
+def funnel_steps_single_scan(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """`funnel_steps` computed in ONE shuffle: identical output, different
+    physical shape for small step counts where re-scanning events k times
+    dominates.
+
+    Plan: filter events to the funnel types (k-value IN pushed to the
+    scan), ONE hash aggregate per user collecting sort_array(collect_list(
+    struct(ts, type))), then a greedy left-to-right walk over the sorted
+    array (aggregate HOF) matches each step's earliest strictly-later
+    event — the same greedy-earliest semantics as the k-scan form, proved
+    by the shared driver oracle. The walk is interpreted (HOFs are
+    CodegenFallback) at ~µs per funnel-type event; the k-scan form instead
+    pays k codegen'd scans + k joins. Crossover is data-dependent — bench
+    both (bench.py measures the two at sf0.1); state per user is the
+    funnel-type events only, so skew follows the rate_cap guidance
+    upstream if one user floods a step type.
+    """
+    assert steps, "funnel needs at least one step"
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")))
+            ).alias("_ev")
+        )
+    )
+    init = F.struct(
+        F.array(*[F.lit(None).cast("timestamp") for _ in range(k)]).alias("matched"),
+        F.lit(0).alias("idx"),
+    )
+
+    def _step(acc, e):
+        # next expected step (1-based lookup into the literal steps array)
+        expected = F.element_at(steps_arr, acc["idx"] + 1)
+        # strictly after the previous matched ts (idx 0 has no predecessor;
+        # try_element_at(…, 0) is NULL and the OR's first arm short-circuits
+        # the row semantics — NULL never matches)
+        after_prev = (acc["idx"] == 0) | (
+            e["ts"] > F.try_element_at(acc["matched"], acc["idx"])
+        )
+        matched = F.transform(
+            acc["matched"],
+            lambda x, i: F.when(i == acc["idx"], e["ts"]).otherwise(x),
+        )
+        stepped = F.struct(matched.alias("matched"), (acc["idx"] + 1).alias("idx"))
+        return F.when(
+            (acc["idx"] < k) & (e["tp"] == expected) & after_prev, stepped
+        ).otherwise(acc)
+
+    walked = ev.select(
+        F.col(user_col), F.aggregate("_ev", init, _step).alias("_w")
+    )
+    out = walked.select(
+        F.col(user_col),
+        *[
+            F.element_at(F.col("_w")["matched"], i).alias(f"step_{i}_ts")
+            for i in range(1, k + 1)
+        ],
+        F.col("_w")["idx"].alias("steps_completed"),
+    )
+    return out.filter(F.col("step_1_ts").isNotNull())
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str = "user_id",

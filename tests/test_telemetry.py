@@ -87,3 +87,40 @@ def test_retention_cohorts_matrix(spark):
     assert out[("2025-06-01", 1)].retention == 0.5
     assert out[("2025-06-02", 0)].n_users == 1 and out[("2025-06-02", 0)].cohort_size == 1
     assert len(out) == 3  # same-day double activity counted once
+
+
+def test_funnel_single_scan_matches_k_scan(spark):
+    """The one-shuffle HOF-walk funnel is output-identical to the k-scan
+    form on randomized event streams, including equal-timestamp edges
+    (strictly-after must reject a same-ts next step)."""
+    import random
+
+    from hatchery_spark.operators.telemetry import (
+        funnel_steps,
+        funnel_steps_single_scan,
+    )
+
+    rng = random.Random(23)
+    types = ["signup", "click", "purchase", "refund", "view"]
+    rows = [
+        (
+            u,
+            rng.choice(types),
+            f"2025-06-01 {rng.randrange(24):02d}:{rng.choice([0, 15, 30]):02d}:00",
+        )
+        for u in range(40)
+        for _ in range(rng.randrange(12))
+    ]
+    # an explicit same-ts chain: click at exactly the signup ts must NOT count
+    rows += [(100, "signup", "2025-06-01 09:00:00"),
+             (100, "click", "2025-06-01 09:00:00"),
+             (100, "click", "2025-06-01 09:30:00")]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    steps = ["signup", "click", "purchase"]
+    a = sorted(map(tuple, funnel_steps(df, steps).collect()))
+    b = sorted(map(tuple, funnel_steps_single_scan(df, steps).collect()))
+    assert a == b
+    got = {r.user_id: r for r in funnel_steps_single_scan(df, steps).collect()}
+    assert str(got[100].step_2_ts) == "2025-06-01 09:30:00"
