@@ -2,13 +2,16 @@
 
 The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested. The codec layer is split honestly:
-  * REAL stdlib decoders for PPM (P6) and PNG (8-bit, zlib IDAT + scanline
-    unfiltering) images and PCM WAV audio — bytes are actually parsed into
-    pixels/samples (`decode_ppm`/`decode_png`/`decode_wav`, exercised
-    end-to-end by the `media_real_decode` oracle query);
-  * JPEG/MP4 stay behind `DecoderUnavailable` (those codecs genuinely
-    are not in this container) — swapping in PIL/libav is a one-function
-    change; nothing else moves.
+  * REAL stdlib decoders for PPM (P6), PNG (8-bit, zlib IDAT + scanline
+    unfiltering) and baseline JPEG (T.81 sequential Huffman, jpeg.py)
+    images plus PCM WAV audio — bytes are actually parsed into
+    pixels/samples (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`,
+    exercised end-to-end by the `media_real_decode` / `media_jpeg_decode`
+    oracle queries);
+  * progressive/arithmetic/12-bit JPEG and MP4 stay behind
+    `DecoderUnavailable` (those codecs genuinely are not in this
+    container) — swapping in PIL/libav is a one-function change; nothing
+    else moves.
 
 Pattern notes for 100 TB:
   * media rows are WIDE → keep Arrow batches small (maxRecordsPerBatch is set
@@ -85,11 +88,12 @@ def _fake_decode_image(content: bytes, width, height) -> np.ndarray:
 
 
 def real_decode_image(content: bytes) -> np.ndarray:
-    """Real decode where a codec exists (stdlib PPM + PNG); raise otherwise.
+    """Real decode where a codec exists (stdlib PPM + PNG + baseline JPEG);
+    raise otherwise.
 
     Returns a float32 grayscale grid (channel mean; alpha excluded for
-    gray+alpha/RGBA) for the feature stage. JPEG would slot in here via PIL —
-    not present in this container.
+    gray+alpha/RGBA) for the feature stage. Progressive JPEG / MP4 stay
+    behind DecoderUnavailable.
     """
     if content.startswith(b"P6"):
         return decode_ppm(content).mean(axis=2).astype(np.float32)
@@ -97,6 +101,11 @@ def real_decode_image(content: bytes) -> np.ndarray:
         img = decode_png(content)
         color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
         return color.mean(axis=2).astype(np.float32)
+    # lazy import: jpeg.py imports DecoderUnavailable from this module
+    from hatchery_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg
+
+    if content.startswith(JPEG_MAGIC):
+        return decode_jpeg(content).mean(axis=2).astype(np.float32)
     raise DecoderUnavailable("no codec for this image format in this environment")
 
 
@@ -163,10 +172,10 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
 
 
 # ---------------------------------------------------------------- real codecs
-# PPM (P6), PNG (8-bit, non-interlaced) and WAV (PCM) are fully decodable with
-# the standard library — PNG is just zlib (stdlib) over per-scanline filtered
-# rows — so for these three formats the decode step is REAL: bytes → parsed
-# pixels / samples. JPEG/MP4 remain behind DecoderUnavailable (their codecs
+# PPM (P6), PNG (8-bit, non-interlaced), baseline JPEG (jpeg.py) and WAV
+# (PCM) are fully decodable with the standard library + numpy, so for these
+# four formats the decode step is REAL: bytes → parsed pixels / samples.
+# Progressive JPEG and MP4 remain behind DecoderUnavailable (their codecs
 # genuinely aren't in this container).
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -368,8 +377,43 @@ def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
     )
 
 
+def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
+    """JPEG media table with closed-form expected stats.
+
+    Solid-gray baseline JPEGs (unit quantization tables → the round trip is
+    EXACT: every decoded pixel equals the encoded gray, no rounding), rotating
+    through 4:4:4 / 4:2:0 sampling and restart-marker intervals so the decoder's
+    chroma-upsample and RST paths are both driver-checked. Every 8th row is a
+    progressive (SOF2) stub — the honest `decoder_unavailable` channel.
+    """
+    from hatchery_spark.functions.jpeg import JPEG_MAGIC, encode_jpeg
+
+    import struct
+
+    progressive_stub = (
+        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC2, 8) + bytes(6) + b"\xff\xd9"
+    )
+    rows = []
+    for i in range(n):
+        if i % 8 == 7:
+            content = progressive_stub
+        else:
+            content = encode_jpeg(
+                width=16 + i % 9,
+                height=12 + i % 5,
+                gray=(i * 11) % 256,
+                subsampling="420" if i % 2 else "444",
+                restart_interval=2 if i % 4 == 0 else 0,
+            )
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
 def decode_media(df: DataFrame) -> DataFrame:
-    """REAL decode via mapInPandas: PPM/PNG → pixel stats, WAV → sample stats.
+    """REAL decode via mapInPandas: PPM/PNG/JPEG → pixel stats, WAV → sample
+    stats.
 
     Output (fixed-width, never the raw bytes):
       media_id, kind, width, height, duration_ms, px_mean, decode_status.
@@ -382,6 +426,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hatchery_spark.functions.jpeg import JPEG_MAGIC, decode_jpeg
+
         for b in batches:
             out = {k: [] for k in
                    ("media_id", "kind", "width", "height", "duration_ms",
@@ -401,6 +447,11 @@ def decode_media(df: DataFrame) -> DataFrame:
                         color = img[:, :, :3] if img.shape[2] >= 3 else img[:, :, :1]
                         px = round(float(color.mean()), 4)
                         status = "ok_png"
+                    elif raw.startswith(JPEG_MAGIC):
+                        img = decode_jpeg(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        px = round(float(img.mean()), 4)
+                        status = "ok_jpeg"
                     elif raw.startswith(b"RIFF"):
                         samples, sr, nch = decode_wav(raw)
                         dur = int(len(samples) // nch * 1000 / sr)
@@ -469,9 +520,9 @@ def media_thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     mapInPandas, iterator form; output is the FIXED-width thumbnail vector
     (row-major array<double>) plus its mean/std — never raw bytes — so the
     downstream image-dedup/similarity stages shuffle 64 doubles per image,
-    not megapixel payloads. Formats without a codec (JPEG/MP4) report
-    decoder_unavailable; corrupt payloads report decode_error, never a task
-    abort.
+    not megapixel payloads. Formats without a codec (progressive JPEG/MP4)
+    report decoder_unavailable; corrupt payloads report decode_error, never a
+    task abort.
     """
     schema = (
         "media_id long, kind string, thumb array<double>, "

@@ -1,0 +1,169 @@
+"""Is the route_agg scaling increment fixed overhead, or data-scaled work?
+
+stage_scaling.py attributes the weakest 8→32 increment (~0.44) to the
+terminal per-sink aggregate. Two hypotheses:
+  (a) the final agg shuffles/aggregates real data → its cost grows with
+      rows and the weak efficiency matters at production scale;
+  (b) it is fixed overhead — the partial (map-side) agg collapses each
+      task to |routes| rows, so the terminal exchange moves O(k·routes)
+      rows and the increment is task-scheduling + tiny-shuffle constants
+      that VANISH relative to the data-scaled stages at production row
+      counts.
+
+This measures the increment (route_agg − enrich prefix) at two row counts
+at both parallelism levels, probe-gated like every other harness. If the
+increment is ~invariant in rows (hypothesis b), doubling the data leaves
+Δt unchanged while the data-scaled stages double — at 10^12 rows the
+terminal agg is noise, whatever its single-box thread-scaling ratio.
+
+Usage: python scripts/terminal_agg_check.py [rows_small] [rows_large] [n_clean]
+Appends a verdict block to BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PROBE_TOLERANCE = 1.3
+
+
+def main() -> None:
+    rows_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    rows_large = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000_000
+    n_clean = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    max_attempts = 20
+
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.config import DEFAULT_ROUTES
+    from hatchery_spark.datagen import service_catalog_df, transcripts_df
+    from hatchery_spark.enrich import enrich_turns
+    from hatchery_spark.parse import parse_turns
+    from hatchery_spark.router import sink_counts
+    from hatchery_spark.session import get_spark
+
+    base = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/hs_scaling_input")
+    spark = get_spark(
+        "terminal_agg_check", cpus=32,
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
+    paths = {}
+    for n in (rows_small, rows_large):
+        p = f"{base}/transcripts_{n}_seed42"
+        if not os.path.exists(f"{p}/_SUCCESS"):
+            transcripts_df(spark, n, seed=42).write.mode("overwrite").parquet(p)
+        spark.read.parquet(p).count()  # page-cache warm
+        paths[n] = p
+    catalog = service_catalog_df(spark)
+
+    def src(n: int, k: int):
+        spark.conf.set("spark.sql.shuffle.partitions", str(k))
+        return spark.read.parquet(paths[n]).coalesce(k)
+
+    def force(df, cols):
+        return df.select(
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_000))).alias("h")
+        )
+
+    enrich_cols = ["conv_id", "text", "actor", "action", "resource",
+                   "severity", "service", "category"]
+
+    def enrich_prefix(n, k):
+        return force(enrich_turns(parse_turns(src(n, k)), catalog), enrich_cols)
+
+    def full_agg(n, k):
+        return sink_counts(enrich_turns(parse_turns(src(n, k)), catalog),
+                           DEFAULT_ROUTES)
+
+    legs = [
+        (f"{tag}_{n}_{k}", fn, n, k)
+        for n in (rows_small, rows_large)
+        for k in (8, 32)
+        for tag, fn in (("enrich", enrich_prefix), ("agg", full_agg))
+    ]
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).select(
+            F.avg(F.pmod(F.xxhash64("id"), F.lit(1000)))
+        ).collect()
+        return time.perf_counter() - t0
+
+    for _name, fn, n, k in legs:  # JIT warm every plan shape
+        fn(n, k).collect()
+    best_probe = min(probe() for _ in range(3))
+
+    clean_runs: list[dict] = []
+    all_runs: list[dict] = []
+    for attempt in range(max_attempts):
+        p_before = probe()
+        run = {}
+        for name, fn, n, k in legs:
+            t0 = time.perf_counter()
+            fn(n, k).collect()
+            run[name] = round(time.perf_counter() - t0, 3)
+        p_after = probe()
+        best_probe = min(best_probe, p_before, p_after)
+        clean = (
+            p_before <= PROBE_TOLERANCE * best_probe
+            and p_after <= PROBE_TOLERANCE * best_probe
+        )
+        all_runs.append(run)
+        if clean:
+            clean_runs.append(run)
+        print(f"run {attempt + 1}: clean={clean} ({len(clean_runs)}/{n_clean})",
+              file=sys.stderr)
+        if len(clean_runs) >= n_clean:
+            break
+
+    use = clean_runs or all_runs
+    best = {key: min(r[key] for r in use) for key in use[0]}
+    out = {"metric": "terminal_agg_increment_vs_rows",
+           "clean_runs": len(clean_runs), "legs": best, "increments": {}}
+    for n in (rows_small, rows_large):
+        for k in (8, 32):
+            out["increments"][f"d_{n}_{k}"] = round(
+                best[f"agg_{n}_{k}"] - best[f"enrich_{n}_{k}"], 3
+            )
+    d_s32, d_l32 = out["increments"][f"d_{rows_small}_32"], out["increments"][f"d_{rows_large}_32"]
+    d_s8, d_l8 = out["increments"][f"d_{rows_small}_8"], out["increments"][f"d_{rows_large}_8"]
+    # growth ratio ≈ 1 → fixed overhead; ≈ rows_large/rows_small → data-scaled
+    out["growth_32"] = round(d_l32 / d_s32, 2) if d_s32 > 0 else None
+    out["growth_8"] = round(d_l8 / d_s8, 2) if d_s8 > 0 else None
+    out["rows_ratio"] = round(rows_large / rows_small, 2)
+    print(json.dumps(out))
+    with open(f"{REPO}/BENCH/terminal_agg_check.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+
+## Terminal-agg increment vs row count (per-leg MIN over {len(use)} {'clean ' if clean_runs else ''}runs)
+
+Increment = (full job with per-sink agg) − (enrich prefix), the same
+subtraction stage_scaling.py uses for `route_agg`.
+
+| rows | Δt8 (s) | Δt32 (s) |
+|---|---|---|
+| {rows_small:,} | {d_s8} | {d_s32} |
+| {rows_large:,} | {d_l8} | {d_l32} |
+
+Rows grew {out['rows_ratio']}×; the increment grew {out['growth_8']}× (k=8) /
+{out['growth_32']}× (k=32). A growth ratio ≈ 1 with a {out['rows_ratio']}× data-size change
+means the terminal agg's cost is dominated by fixed per-job constants
+(reduce-task scheduling + an O(k·routes)-row exchange after map-side
+partial aggregation), not data-scaled work — its sub-ceiling thread-scaling
+ratio vanishes relative to the data-scaled stages at production row counts.
+
+Reproduce: `python scripts/terminal_agg_check.py {rows_small} {rows_large} {n_clean}`
+""")
+
+
+if __name__ == "__main__":
+    main()

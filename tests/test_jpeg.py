@@ -1,0 +1,100 @@
+"""Baseline JPEG codec (functions/jpeg.py) + its Spark decode path.
+
+Reference parity note: the reference pipeline treats media payloads as opaque
+bytes end-to-end (falcon client.go — byte-identity projection); the decode
+surface here is the LLM-data-pipeline extension, implemented from the public
+T.81 spec.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from hatchery_spark.functions.jpeg import (
+    JPEG_MAGIC,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_gray,
+)
+from hatchery_spark.functions.multimodal import (
+    DecoderUnavailable,
+    decode_media,
+    real_decode_image,
+    synthetic_jpeg_media_df,
+)
+
+
+@pytest.mark.parametrize(
+    "gray,sub,rst,w,h",
+    [
+        (0, "444", 0, 16, 12),
+        (255, "420", 0, 17, 13),   # non-multiple-of-16 dims exercise MCU crop
+        (100, "444", 2, 24, 12),   # restart markers
+        (187, "420", 2, 33, 29),   # 4:2:0 + RST + odd dims
+        (7, "420", 0, 8, 8),       # image smaller than one 420 MCU
+    ],
+)
+def test_solid_roundtrip_exact(gray, sub, rst, w, h):
+    # unit quantization tables: the only nonzero coefficient is the Y DC term,
+    # quantized by 1 — decode is bit-exact, every pixel == gray on all channels
+    img = decode_jpeg(encode_jpeg(w, h, gray, sub, rst))
+    assert img.shape == (h, w, 3)
+    assert img.dtype == np.uint8
+    assert (img == gray).all()
+
+
+def test_gray_arbitrary_content_roundtrip():
+    # full decode surface: forward DCT, AC runs/ZRL/EOB, DC prediction.
+    # unit quantization → only loss is rounding coefficients to ints; the
+    # per-pixel error bound is a couple of LSBs.
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(21, 37)).astype(np.float64)
+    dec = decode_jpeg(encode_jpeg_gray(img))
+    assert dec.shape == (21, 37, 3)
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # gray replicates channels
+    assert np.abs(dec[:, :, 0].astype(np.float64) - img).max() <= 2.0
+
+
+def test_gray_roundtrip_with_restart_markers():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 40)).astype(np.float64)
+    dec = decode_jpeg(encode_jpeg_gray(img, restart_interval=3))
+    assert np.abs(dec[:, :, 0].astype(np.float64) - img).max() <= 2.0
+
+
+def test_unsupported_modes_are_gated_not_faked():
+    progressive = (
+        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC2, 8) + bytes(6) + b"\xff\xd9"
+    )
+    with pytest.raises(DecoderUnavailable):
+        decode_jpeg(progressive)
+    with pytest.raises(DecoderUnavailable):
+        decode_jpeg(b"notajpeg")
+
+
+def test_truncated_stream_is_an_error_not_a_hang():
+    payload = encode_jpeg(16, 16, 50)
+    with pytest.raises(Exception):
+        decode_jpeg(payload[: len(payload) - 8])
+
+
+def test_real_decode_image_handles_jpeg():
+    grid = real_decode_image(encode_jpeg(16, 12, 77))
+    assert grid.shape == (12, 16)
+    assert float(grid.min()) == float(grid.max()) == 77.0
+
+
+def test_decode_media_jpeg_statuses(spark):
+    out = decode_media(synthetic_jpeg_media_df(spark, 32)).toPandas()
+    out = out.set_index("media_id").sort_index()
+    for i in range(32):
+        row = out.loc[i]
+        if i % 8 == 7:
+            assert row["decode_status"] == "decoder_unavailable"
+            assert row["px_mean"] is None or np.isnan(row["px_mean"])
+        else:
+            assert row["decode_status"] == "ok_jpeg"
+            assert row["width"] == 16 + i % 9
+            assert row["height"] == 12 + i % 5
+            assert row["px_mean"] == float((i * 11) % 256)
