@@ -137,9 +137,30 @@ def main() -> None:
     out["growth_32"] = round(d_l32 / d_s32, 2) if d_s32 > 0 else None
     out["growth_8"] = round(d_l8 / d_s8, 2) if d_s8 > 0 else None
     out["rows_ratio"] = round(rows_large / rows_small, 2)
+    out["eff_inc_small"] = round((d_s8 / d_s32) / 4, 3) if d_s32 > 0 else None
+    out["eff_inc_large"] = round((d_l8 / d_l32) / 4, 3) if d_l32 > 0 else None
+    # data-driven verdict — the k=8 legs are the longer, less noise-sensitive
+    # signal, so the growth classification reads them
+    fixed = out["growth_8"] is not None and out["growth_8"] < (1 + out["rows_ratio"]) / 2
+    out["verdict"] = "fixed_overhead" if fixed else "data_scaled"
     print(json.dumps(out))
     with open(f"{REPO}/BENCH/terminal_agg_check.json", "w") as f:
         json.dump(out, f, indent=1)
+
+    if fixed:
+        narrative = f"""A k=8 growth of {out['growth_8']}× under a {out['rows_ratio']}× data-size change
+means the terminal agg's cost is dominated by fixed per-job constants
+(reduce-task scheduling + an O(k·routes)-row exchange after map-side
+partial aggregation), not data-scaled work — its sub-ceiling thread-scaling
+ratio vanishes relative to the data-scaled stages at production row counts."""
+    else:
+        narrative = f"""The k=8 increment tracks the data size ({out['growth_8']}× for
+{out['rows_ratio']}× rows): the route_agg increment is data-scaled work (explode router +
+map-side partial agg run once per routed row; the post-shuffle exchange stays
+O(k·routes) rows). Its incremental 8→32 efficiency was {out['eff_inc_small']} at
+{rows_small:,} rows and {out['eff_inc_large']} at {rows_large:,} — degrading with working-set
+size, the signature of single-box memory-bus saturation (same bucket as the
+scan/enrich stages, which a real cluster scales per-node)."""
 
     with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
         f.write(f"""
@@ -155,11 +176,7 @@ subtraction stage_scaling.py uses for `route_agg`.
 | {rows_large:,} | {d_l8} | {d_l32} |
 
 Rows grew {out['rows_ratio']}×; the increment grew {out['growth_8']}× (k=8) /
-{out['growth_32']}× (k=32). A growth ratio ≈ 1 with a {out['rows_ratio']}× data-size change
-means the terminal agg's cost is dominated by fixed per-job constants
-(reduce-task scheduling + an O(k·routes)-row exchange after map-side
-partial aggregation), not data-scaled work — its sub-ceiling thread-scaling
-ratio vanishes relative to the data-scaled stages at production row counts.
+{out['growth_32']}× (k=32). {narrative}
 
 Reproduce: `python scripts/terminal_agg_check.py {rows_small} {rows_large} {n_clean}`
 """)
