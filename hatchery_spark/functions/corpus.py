@@ -1,4 +1,6 @@
-"""Corpus-level text statistics: TF-IDF keywords + character entropy.
+"""Corpus-level text statistics: TF-IDF keywords, character entropy,
+boilerplate removal, repetition stats, chunking, vocab induction, and
+char-bigram LM perplexity scoring.
 
 Both follow the explode → codegen'd-aggregate shape (see
 dedup.minhash_signature_staged for the rationale): one row per (doc, unit),
@@ -283,6 +285,107 @@ def chunk_documents(
         F.least(F.lit(chunk_tokens), F.col("_n") - F.col("chunk_idx") * step)
         .cast("int")
         .alias("n_tokens"),
+    )
+
+
+def char_bigram_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, ctx, nxt) rows: every adjacent character pair of every doc.
+
+    Codegen'd: posexplode of a position sequence + two substrings — no
+    Python, no HOF. Docs shorter than 2 chars yield no rows.
+    """
+    t = F.col(text_col)
+    return (
+        df.filter(t.isNotNull() & (F.length(t) >= 2))
+        .select(
+            F.col(id_col),
+            t.alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.length(t) - 1)).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ctx"),
+            F.col("_t").substr(F.col("_i") + 1, F.lit(1)).alias("nxt"),
+        )
+    )
+
+
+def char_lm_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a character-bigram language model with add-one smoothing.
+
+    The CCNet recipe (Wenzek et al., arXiv:1911.00359) filters web text by
+    LM perplexity against a trusted reference corpus; this is that shape
+    with a character bigram model (order kept low so the model is exactly
+    SQL-expressible and the smoothed math has a closed form — swapping in a
+    higher order only grows the count frames).
+
+    Returns (counts, ctx_totals, vocab_size):
+      * counts     — one row per SEEN (ctx, nxt) pair with its count: at
+        most |vocab|² rows regardless of corpus size (broadcast-able).
+      * ctx_totals — one row per seen ctx with the total pair count.
+      * vocab_size — single row `v`: distinct chars observed in pairs.
+    All three are vocabulary-sized aggregates with map-side partial
+    combine — the exchanges carry character keys, never corpus text.
+    """
+    pairs = char_bigram_pairs(df, text_col, id_col)
+    counts = pairs.groupBy("ctx", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    ctx_totals = counts.groupBy("ctx").agg(F.sum("c").alias("tot"))
+    # chars seen in pairs == chars among counts' keys (counts is the pair
+    # dedup), so totals AND vocab both derive from the VOCAB-SIZED counts
+    # frame, never from a second pass over raw pairs. The three outputs
+    # share counts' lineage — persist counts (it is ≤ |vocab|² rows) when
+    # the training corpus is large enough that re-running its scan matters
+    vocab_size = (
+        counts.select(F.col("ctx").alias("ch"))
+        .union(counts.select(F.col("nxt").alias("ch")))
+        .agg(F.count_distinct("ch").alias("v"))
+    )
+    return counts, ctx_totals, vocab_size
+
+
+def char_lm_perplexity(
+    df: DataFrame,
+    counts: DataFrame,
+    ctx_totals: DataFrame,
+    vocab_size: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents by bits-per-character under a trained char-bigram LM —
+    the perplexity gate of CCNet-style quality filtering (low = reference-like
+    prose, high = junk/boilerplate/wrong-language).
+
+    Add-one smoothing gives one closed form for all three cases:
+    P(nxt|ctx) = (c + 1) / (tot + V) with c, tot = 0 when unseen (unseen ctx
+    degenerates to uniform 1/V). Output: (id, n_bigrams, bits_per_char),
+    docs with ≥ 1 bigram only.
+
+    Scale shape: the doc side explodes to character pairs (narrow, codegen),
+    the model joins are FORCED BROADCAST (both frames are vocabulary-bounded
+    by construction — ≤ |V|² rows however large the training corpus), and the
+    only shuffle is the per-doc aggregate, partial-combined map-side to one
+    row per doc per task. Nothing Python-side; for multi-KB docs an Arrow
+    kernel over a broadcast dict would cut the explode row inflation (the
+    char_entropy lesson) at the cost of leaving codegen — the JVM form is
+    the oracle-checkable reference shape.
+    """
+    pairs = char_bigram_pairs(df, text_col, id_col)
+    joined = (
+        pairs.join(F.broadcast(counts), ["ctx", "nxt"], "left")
+        .join(F.broadcast(ctx_totals), ["ctx"], "left")
+        .crossJoin(F.broadcast(vocab_size))
+    )
+    logp = F.log2(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("tot"), F.lit(0)) + F.col("v"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(-F.avg(logp), 4).alias("bits_per_char"),
     )
 
 

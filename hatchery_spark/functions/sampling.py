@@ -107,6 +107,88 @@ def mixture_sample(
     return df.filter(F.substring(key, 1, 4) < thr)
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.25,
+    source_col: str = "source",
+    key_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: per-source rates ∝ n_s^alpha.
+
+    The multilingual/multi-domain balancing rule (mBERT/XLM-R style,
+    Conneau et al. arXiv:1911.02116 §3): sample source s with probability
+    proportional to n_s^alpha, so alpha=1 preserves the natural mix,
+    alpha=0 equalizes sources, and 0<alpha<1 upweights the tail. The
+    expected output size is target_frac · N rows split across sources by
+    the tempered weights; a source whose quota exceeds its size is kept
+    whole (rate capped at 1).
+
+    Unlike `mixture_sample` the rates are COMPUTED FROM THE DATA: one
+    vocabulary-sized count aggregate → tempered weight → per-source rate,
+    joined back as a forced broadcast (the frame has one row per source).
+    Selection stays md5-keyed — deterministic, cluster-size-stable, and
+    nested in rate like every other sampler here. Output adds the applied
+    `rate` (rounded) for audit.
+    """
+    by_src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    stats = by_src.agg(
+        F.sum(F.pow("n_s", F.lit(alpha))).alias("z"),
+        F.sum("n_s").alias("n_total"),
+    )
+    weights = by_src.crossJoin(F.broadcast(stats)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("n_total")
+            * F.pow("n_s", F.lit(alpha))
+            / F.col("z")
+            / F.col("n_s"),
+        ).alias("rate"),
+    )
+    # 4-hex md5-prefix threshold, the package-wide sampling convention
+    # (sample_threshold), computed in-column: 'g' sorts above any hex char
+    # so rate 1.0 keeps everything
+    n16 = F.round(F.col("rate") * 65536).cast("int")
+    thr = F.when(n16 >= 65536, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(n16)), 4, "0")
+    )
+    key = F.md5(F.coalesce(F.col(key_col), F.lit("")))
+    return (
+        df.join(F.broadcast(weights), source_col)
+        .filter(F.substring(key, 1, 4) < thr)
+        .withColumn("rate", F.round("rate", 6))
+    )
+
+
+def shuffle_for_training(
+    df: DataFrame,
+    salt: str = "",
+    key_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data serving order.
+
+    Pre-training readers consume shards sequentially, so the corpus must be
+    written in a random-but-reproducible global order (same order at any
+    cluster size, re-shuffleable per epoch by changing `salt`). The order
+    key is md5(salt ‖ key): range-partition on it, sort within partitions —
+    a total order across output files WITHOUT a single-reducer global sort;
+    each task sorts its own range and file k precedes file k+1 entirely.
+    repartitionByRange samples the key distribution (md5 is uniform, so
+    ranges balance) — the standard Spark total-order-write shape.
+    """
+    shuffled = df.withColumn(
+        "_shuffle_key", F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    )
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return shuffled.repartitionByRange(n, "_shuffle_key").sortWithinPartitions(
+        "_shuffle_key"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -1057,6 +1057,51 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-based mixture: per-lang rates ∝ n^0.5 (XLM-R style domain
+    balancing), target 30% of the corpus; rates computed from the data and
+    broadcast back; md5-keyed deterministic selection."""
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, alpha=0.5, target_frac=0.3, source_col="lang"
+    ).select("doc_id", "lang", "rate")
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality gate: char-bigram model with add-one smoothing
+    trained on the doc_id%10==0 reference slice, scoring every other doc in
+    bits-per-char. Model frames are vocabulary-bounded and broadcast; the
+    only shuffle is the per-doc aggregate."""
+    from hatchery_spark.functions.corpus import char_lm_perplexity, char_lm_train
+
+    docs = load(spark, sf_dir, "documents")
+    counts, totals, v = char_lm_train(docs.filter(F.col("doc_id") % 10 == 0))
+    return char_lm_perplexity(docs.filter(F.col("doc_id") % 10 != 0), counts, totals, v)
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic global training shuffle: first 200 docs in
+    md5('ep1' ‖ doc_id) order with their positions. The production path is
+    shuffle_for_training's range-partition + in-partition sort (total order
+    across output files with no single reducer — cross-partition ordering is
+    pytest-asserted); this query value-checks the ORDER KEY itself, with the
+    rank window running over the already-limited 200-row frame."""
+    from pyspark.sql import Window
+    from hatchery_spark.functions.sampling import shuffle_for_training
+
+    docs = load(spark, sf_dir, "documents")
+    top = (
+        shuffle_for_training(docs, salt="ep1")
+        .select("doc_id", F.col("_shuffle_key").alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(200)
+    )
+    w = Window.orderBy("shuffle_key")
+    return top.withColumn("pos", F.row_number().over(w).cast("int"))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Token-budget sequence packing: greedy offset bins per source."""
     from hatchery_spark.functions.sampling import pack_sequences
@@ -1769,6 +1814,51 @@ def oracle_catalog() -> dict[str, str]:
                      AS int) AS sample_rank
               FROM documents) t
             WHERE sample_rank <= 20""",
+        "doc_temperature_sample": """
+            WITH by_s AS (SELECT lang AS s, count(*) AS n_s
+                          FROM documents GROUP BY 1),
+            st AS (SELECT sum(pow(n_s, 0.5)) AS z, sum(n_s) AS n_total
+                   FROM by_s),
+            w AS (SELECT s, least(1.0, 0.3 * n_total * pow(n_s, 0.5) / z / n_s)
+                         AS rate
+                  FROM by_s, st),
+            thr AS (SELECT s, rate,
+                      CASE WHEN cast(round(rate * 65536) AS int) >= 65536 THEN 'g'
+                           ELSE lpad(lower(to_hex(cast(round(rate * 65536) AS int))),
+                                     4, '0') END AS t
+                    FROM w)
+            SELECT d.doc_id, d.lang, round(w.rate, 6) AS rate
+            FROM documents d JOIN thr w ON d.lang = w.s
+            WHERE substring(md5(coalesce(d.text, '')), 1, 4) < w.t""",
+        "doc_lm_perplexity": """
+            WITH pairs AS (
+              SELECT doc_id, substr(text, i, 1) AS ctx, substr(text, i + 1, 1) AS nxt
+              FROM documents, unnest(range(1, length(text))) AS t(i)
+              WHERE text IS NOT NULL AND length(text) >= 2),
+            counts AS (SELECT ctx, nxt, count(*) AS c FROM pairs
+                       WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+            totals AS (SELECT ctx, sum(c) AS tot FROM counts GROUP BY 1),
+            vocab AS (SELECT count(DISTINCT ch) AS v FROM (
+                        SELECT ctx AS ch FROM pairs WHERE doc_id % 10 = 0
+                        UNION ALL
+                        SELECT nxt FROM pairs WHERE doc_id % 10 = 0) u)
+            SELECT p.doc_id, cast(count(*) AS int) AS n_bigrams,
+                   round(-avg(log2((coalesce(c.c, 0) + 1.0)
+                                   / (coalesce(t.tot, 0) + v.v))), 4)
+                     AS bits_per_char
+            FROM pairs p
+            LEFT JOIN counts c ON p.ctx = c.ctx AND p.nxt = c.nxt
+            LEFT JOIN totals t ON p.ctx = t.ctx
+            CROSS JOIN vocab v
+            WHERE p.doc_id % 10 <> 0
+            GROUP BY p.doc_id""",
+        "doc_shuffle_order": """
+            SELECT doc_id, shuffle_key,
+                   cast(row_number() OVER (ORDER BY shuffle_key) AS int) AS pos
+            FROM (SELECT doc_id,
+                         md5(concat('ep1', cast(doc_id AS varchar))) AS shuffle_key
+                  FROM documents
+                  ORDER BY shuffle_key LIMIT 200) t""",
         "doc_pack_sequences": """
             SELECT doc_id, source,
               cast(coalesce(sum(n_tokens) OVER (
@@ -2371,6 +2461,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,
         "media_jpeg_decode": q_media_jpeg_decode,
+        "doc_lm_perplexity": q_lm_perplexity,
+        "doc_temperature_sample": q_temperature_sample,
+        "doc_shuffle_order": q_shuffle_order,
         # round-1 failures (fixed in r2; need a driver-green row)
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_neardup": q_simhash_neardup,

@@ -120,3 +120,103 @@ def test_mixture_sample_rates_and_nesting(spark):
     # unknown source falls to default_rate=0.0 → dropped
     extra = spark.createDataFrame([(9999, "unknown", "zz")], "doc_id long, source string, text string")
     assert mixture_sample(extra, {"books": 1.0}).count() == 0
+
+
+# ---------------------------------------------------------------- temperature
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # 160 web / 40 chat / 10 code — skew makes the tempered rates distinct
+    rows = [
+        (i, f"document body {i} {i*7%13}", "web" if i < 160 else ("chat" if i < 200 else "code"))
+        for i in range(210)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_alpha1_is_uniform_rate(skewed_docs):
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    # alpha=1 preserves the natural mix: every source gets rate == target_frac
+    out = temperature_sample(skewed_docs, alpha=1.0, target_frac=0.5)
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    assert all(abs(v - 0.5) < 1e-9 for v in rates.values()), rates
+
+
+def test_temperature_alpha0_equalizes_quotas(skewed_docs):
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    # alpha=0: every source's expected sampled COUNT is equal (rate ∝ 1/n_s)
+    out = temperature_sample(skewed_docs, alpha=0.0, target_frac=0.3)
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    # expected per-source quota = 0.3 * 210 / 3 = 21 rows
+    assert abs(rates["web"] - 21 / 160) < 1e-6
+    assert abs(rates["chat"] - 21 / 40) < 1e-6
+    assert rates["code"] == 1.0  # quota 21 > 10 rows -> capped
+
+
+def test_temperature_rate_caps_at_one(skewed_docs):
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    # huge target: small sources' quotas exceed their size -> rate capped at 1,
+    # and every row of the capped source survives
+    out = temperature_sample(skewed_docs, alpha=0.0, target_frac=0.9)
+    code = out.filter(F.col("source") == "code")
+    assert code.count() == 10
+    assert all(r.rate == 1.0 for r in code.select("rate").distinct().collect())
+
+
+def test_temperature_stable_under_repartition(skewed_docs):
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    a = {r.doc_id for r in temperature_sample(skewed_docs, 0.5, 0.4).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in temperature_sample(skewed_docs.repartition(17), 0.5, 0.4)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- global shuffle
+
+
+def test_shuffle_total_order_across_partitions(docs):
+    from hatchery_spark.functions.sampling import shuffle_for_training
+
+    sh = shuffle_for_training(docs, salt="ep1", num_partitions=5)
+    parts = (
+        sh.select(
+            F.spark_partition_id().alias("pid"), "_shuffle_key"
+        )
+        .groupBy("pid")
+        .agg(F.min("_shuffle_key").alias("lo"), F.max("_shuffle_key").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    assert len(parts) > 1  # range partitioning actually split
+    for prev, cur in zip(parts, parts[1:]):
+        assert prev.hi <= cur.lo  # file k entirely precedes file k+1
+
+
+def test_shuffle_order_stable_under_input_partitioning(docs):
+    from hatchery_spark.functions.sampling import shuffle_for_training
+
+    def order(df):
+        rows = shuffle_for_training(df, salt="ep1").select("doc_id", "_shuffle_key").collect()
+        return [r.doc_id for r in sorted(rows, key=lambda r: r._shuffle_key)]
+
+    assert order(docs) == order(docs.repartition(23))
+
+
+def test_shuffle_salt_changes_order(docs):
+    from hatchery_spark.functions.sampling import shuffle_for_training
+
+    def order(salt):
+        rows = shuffle_for_training(docs, salt=salt).select("doc_id", "_shuffle_key").collect()
+        return [r.doc_id for r in sorted(rows, key=lambda r: r._shuffle_key)]
+
+    assert order("ep1") != order("ep2")  # new epoch, new permutation
+    assert sorted(order("ep1")) == sorted(order("ep2"))  # same rows
