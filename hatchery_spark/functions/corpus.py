@@ -288,6 +288,124 @@ def chunk_documents(
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# built with types.StructType (not a DDL string) so importing this module
+# never needs an active SparkSession to parse the schema
+_GOPHER_SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("n_words", T.IntegerType()),
+        T.StructField("mean_word_len", T.DoubleType()),
+        T.StructField("symbol_word_ratio", T.DoubleType()),
+        T.StructField("ellipsis_line_frac", T.DoubleType()),
+        T.StructField("bullet_line_frac", T.DoubleType()),
+        T.StructField("alpha_word_frac", T.DoubleType()),
+        T.StructField("n_stopwords", T.IntegerType()),
+        T.StructField("dup_line_frac", T.DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_GOPHER_SIGNAL_SCHEMA)
+def _gopher_signals(text: pd.Series) -> pd.DataFrame:
+    """Per-doc Gopher quality signals, Arrow-batched (one Python pass per doc
+    over its token/line lists — no (doc, token) row inflation, no shuffle; the
+    char_entropy lesson applied to per-token work).
+
+    Tokenization splits on the ASCII whitespace class [ \\t\\n\\f\\r\\x0b]
+    explicitly — Java/RE2 \\s is ASCII-only while Python's is Unicode, so a
+    bare \\s here would diverge from both the package's JVM splits and the
+    DuckDB oracle. Like F.split, leading/trailing separators keep their empty
+    tokens.
+    """
+    import math
+    import re
+
+    ws = re.compile(r"[ \t\n\f\r\x0b]+")
+    out = {k: [] for k in (
+        "n_words", "mean_word_len", "symbol_word_ratio", "ellipsis_line_frac",
+        "bullet_line_frac", "alpha_word_frac", "n_stopwords", "dup_line_frac",
+    )}
+    alpha = re.compile(r"[a-zA-Z]")
+
+    def r4(v: float) -> float:
+        # round half AWAY from zero (the JVM F.round / DuckDB convention) —
+        # Python's built-in round is half-even and diverges on exact ties
+        # like 1/32 = 0.03125
+        return math.floor(v * 10000 + 0.5) / 10000
+
+    for s in text:
+        words = ws.split(s)
+        lines = s.split("\n")
+        nw, nl = len(words), len(lines)
+        out["n_words"].append(nw)
+        out["mean_word_len"].append(r4(sum(len(w) for w in words) / nw))
+        out["symbol_word_ratio"].append(r4((s.count("#") + s.count("...")) / nw))
+        out["ellipsis_line_frac"].append(
+            r4(sum(1 for l in lines if l.endswith("...")) / nl)
+        )
+        out["bullet_line_frac"].append(
+            r4(sum(1 for l in lines if l.startswith(("•", "-", "*"))) / nl)
+        )
+        out["alpha_word_frac"].append(
+            r4(sum(1 for w in words if alpha.search(w)) / nw)
+        )
+        lowered = {w.lower() for w in words}
+        out["n_stopwords"].append(sum(1 for sw in GOPHER_STOPWORDS if sw in lowered))
+        out["dup_line_frac"].append(r4(1.0 - len(set(lines)) / nl))
+    return pd.DataFrame(out)
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_ellipsis_line_frac: float = 0.3,
+    max_bullet_line_frac: float = 0.9,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_line_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-rule composite quality gate (Rae et al. arXiv:2112.11446 §A1.1):
+    word-count band, mean word length band, symbol-to-word ratio, ellipsis- and
+    bullet-line fractions, alphabetic-word fraction, stopword floor, and the
+    duplicate-line fraction — one boolean per rule plus the conjunctive `keep`.
+
+    Scale shape: ONE Arrow pandas_udf pass computes every signal (the per-token
+    and per-line work that would be interpreted HOFs or an exploded shuffle in
+    pure SQL form) — a narrow per-row map with no shuffle at all; the rule
+    thresholds are codegen'd comparisons over the struct fields. Thresholds are
+    Gopher's published defaults; NULL text is excluded (no signals to gate).
+    """
+    sig = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _gopher_signals(F.col(text_col)).alias("_s")
+    ).select(id_col, "_s.*")
+    checks = {
+        "ok_word_count": F.col("n_words").between(min_words, max_words),
+        "ok_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "ok_symbols": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "ok_ellipsis": F.col("ellipsis_line_frac") <= max_ellipsis_line_frac,
+        "ok_bullets": F.col("bullet_line_frac") <= max_bullet_line_frac,
+        "ok_alpha": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "ok_stopwords": F.col("n_stopwords") >= min_stopwords,
+        "ok_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+    }
+    out = sig
+    for name, cond in checks.items():
+        out = out.withColumn(name, cond)
+    keep = F.lit(True)
+    for name in checks:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 def char_bigram_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

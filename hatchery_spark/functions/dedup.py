@@ -85,6 +85,52 @@ def exact_dedup_window(
     return out.select(id_col, "dup_count", *rest)
 
 
+def dedup_lines_first_occurrence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style cross-corpus line dedup: every line survives exactly ONCE
+    globally — at its first occurrence (smallest (doc_id, position)) — and
+    every later repeat is dropped, including repeats inside one document.
+    Complements `corpus.remove_boilerplate_lines`, which drops frequent lines
+    EVERYWHERE (threshold semantics) rather than keeping one canonical copy.
+
+    Scale shape: explode lines once, pick each line's first occurrence with a
+    hash AGGREGATE (min over the composite key id·10⁶+pos — map-side combined,
+    one row per distinct line on the exchange; never a window sort over
+    whale-keyed line partitions, where the empty line alone would serialize a
+    corpus-wide partition), rejoin by md5(line) (32-byte keys co-partition
+    both sides; md5 not xxhash64 so the DuckDB oracle can replay it), and
+    rebuild documents with ONE order-restoring aggregate, the
+    remove_boilerplate_lines rebuild shape. The composite key bounds
+    id < ~9.2·10¹² at ≤10⁶ lines/doc — document-scale safe.
+
+    Returns (id, clean_text, kept_lines, removed_lines); docs whose every
+    line was seen earlier survive with clean_text = ''.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5("_line")).withColumn(
+        "_key", F.col(id_col) * 1_000_000 + F.col("_pos")
+    )
+    first = lines.groupBy("_h").agg(F.min("_key").alias("_first_key"))
+    marked = lines.join(first, "_h")
+    kept_struct = F.when(
+        F.col("_key") == F.col("_first_key"), F.struct("_pos", "_line")
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(kept_struct).cast("int").alias("kept_lines"),
+        (F.count(F.lit(1)) - F.count(kept_struct)).cast("int").alias("removed_lines"),
+    )
+
+
 # ---------------------------------------------------------------- minhash LSH
 
 def char_shingles(text: Column, k: int = 5) -> Column:

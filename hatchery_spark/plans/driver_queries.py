@@ -1057,6 +1057,26 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher-rule composite quality gate (word/line-shape signals + per-rule
+    booleans + conjunctive keep), one Arrow pass per doc; thresholds loosened
+    from the 50-word floor so both verdicts appear on the short synthetic
+    docs."""
+    from hatchery_spark.functions.corpus import gopher_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return gopher_filter(docs, min_words=20, min_mean_word_len=2.0, min_stopwords=1)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-corpus first-occurrence line dedup (CCNet shape): each line
+    survives once globally; documents rebuilt in original line order."""
+    from hatchery_spark.functions.dedup import dedup_lines_first_occurrence
+
+    docs = load(spark, sf_dir, "documents")
+    return dedup_lines_first_occurrence(docs)
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-based mixture: per-lang rates ∝ n^0.5 (XLM-R style domain
     balancing), target 30% of the corpus; rates computed from the data and
@@ -1814,6 +1834,67 @@ def oracle_catalog() -> dict[str, str]:
                      AS int) AS sample_rank
               FROM documents) t
             WHERE sample_rank <= 20""",
+        "doc_gopher_filter": """
+            WITH sig AS (
+              SELECT doc_id,
+                cast(len(ws) AS int) AS n_words,
+                round(length(regexp_replace(text, '[ \t\n\f\r\v]+', '', 'g'))
+                      / cast(len(ws) AS double), 4) AS mean_word_len,
+                round(((length(text) - length(replace(text, '#', '')))
+                       + (length(text) - length(replace(text, '...', ''))) / 3)
+                      / cast(len(ws) AS double), 4) AS symbol_word_ratio,
+                round(len(list_filter(ls, x -> ends_with(x, '...')))
+                      / cast(len(ls) AS double), 4) AS ellipsis_line_frac,
+                round(len(list_filter(ls, x -> starts_with(x, chr(8226))
+                                            OR starts_with(x, '-')
+                                            OR starts_with(x, '*')))
+                      / cast(len(ls) AS double), 4) AS bullet_line_frac,
+                round(len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))
+                      / cast(len(ws) AS double), 4) AS alpha_word_frac,
+                cast(len(list_intersect(
+                       list_distinct(list_transform(ws, x -> lower(x))),
+                       ['the','be','to','of','and','that','have','with']))
+                     AS int) AS n_stopwords,
+                round(1.0 - len(list_distinct(ls)) / cast(len(ls) AS double), 4)
+                  AS dup_line_frac
+              FROM (SELECT doc_id,
+                           string_split_regex(text, '[ \t\n\f\r\v]+') AS ws,
+                           string_split(text, chr(10)) AS ls,
+                           text
+                    FROM documents WHERE text IS NOT NULL) b)
+            SELECT *,
+              (n_words BETWEEN 20 AND 100000) AS ok_word_count,
+              (mean_word_len BETWEEN 2.0 AND 10.0) AS ok_word_len,
+              (symbol_word_ratio <= 0.1) AS ok_symbols,
+              (ellipsis_line_frac <= 0.3) AS ok_ellipsis,
+              (bullet_line_frac <= 0.9) AS ok_bullets,
+              (alpha_word_frac >= 0.8) AS ok_alpha,
+              (n_stopwords >= 1) AS ok_stopwords,
+              (dup_line_frac <= 0.3) AS ok_dup_lines,
+              ((n_words BETWEEN 20 AND 100000)
+               AND (mean_word_len BETWEEN 2.0 AND 10.0)
+               AND symbol_word_ratio <= 0.1 AND ellipsis_line_frac <= 0.3
+               AND bullet_line_frac <= 0.9 AND alpha_word_frac >= 0.8
+               AND n_stopwords >= 1 AND dup_line_frac <= 0.3) AS keep
+            FROM sig""",
+        "doc_line_dedup": """
+            WITH lines AS (
+              SELECT b.doc_id, u.i - 1 AS pos, ls[u.i] AS line,
+                     b.doc_id * 1000000 + (u.i - 1) AS key
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM documents) b,
+                   unnest(range(1, len(b.ls) + 1)) AS u(i)),
+            firsts AS (SELECT md5(line) AS h, min(key) AS first_key
+                       FROM lines GROUP BY 1)
+            SELECT l.doc_id,
+              coalesce(string_agg(CASE WHEN l.key = f.first_key THEN l.line END,
+                                  chr(10) ORDER BY l.pos), '') AS clean_text,
+              cast(count(CASE WHEN l.key = f.first_key THEN 1 END) AS int)
+                AS kept_lines,
+              cast(count(*) - count(CASE WHEN l.key = f.first_key THEN 1 END)
+                   AS int) AS removed_lines
+            FROM lines l JOIN firsts f ON md5(l.line) = f.h
+            GROUP BY l.doc_id""",
         "doc_temperature_sample": """
             WITH by_s AS (SELECT lang AS s, count(*) AS n_s
                           FROM documents GROUP BY 1),
@@ -2464,6 +2545,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lm_perplexity": q_lm_perplexity,
         "doc_temperature_sample": q_temperature_sample,
         "doc_shuffle_order": q_shuffle_order,
+        "doc_gopher_filter": q_gopher_filter,
+        "doc_line_dedup": q_line_dedup,
         # round-1 failures (fixed in r2; need a driver-green row)
         "doc_minhash_neardup": q_minhash_neardup,
         "doc_simhash_neardup": q_simhash_neardup,
