@@ -784,3 +784,85 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    sample_mod: int | None = None,
+    kmeans_iters: int = 10,
+    seed: int = 42,
+    max_cluster: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    clustering embeddings with a coarse k-means quantizer and pruning
+    near-identical pairs WITHIN each cluster — the clustering bounds the
+    candidate set so no all-pairs comparison ever happens, which is what
+    makes semantic dedup tractable at 10^9+ documents. Components of
+    cosine-≥-threshold pairs collapse to one representative: the MINIMUM id
+    (deterministic and engine-replayable; the paper keeps a low-centroid-
+    similarity member, a within-cluster ranking choice that changes WHICH
+    member survives but not HOW MANY — min-id matches this package's
+    exact_dedup/resolve_duplicate_groups convention).
+
+    Returns one row per input vector: (id, rep_id, keep) — `rep_id` is the
+    semantic component's canonical id (self when the vector paired with
+    nothing), `keep` marks the survivor of each component.
+
+    Scale shape: one driver-bounded quantizer fit (hash sample ≤ 100k rows),
+    one Arrow-matmul assignment pass (narrow, no shuffle), a self-join keyed
+    on the INT cell id with degenerate clusters capped at `max_cluster`
+    members (`capped_band_pairs` — the shared banded-pairing shape), vectors
+    re-joined by id only for the exact-cosine verify, then min-label
+    connected components over the PAIRED nodes only (the dup set, small
+    relative to the corpus at realistic dup rates). The final labels join
+    back to the corpus is AQE-broadcast when the dup set is small and a
+    narrow (id, id) shuffle join otherwise. NOTE: this call is EAGER (the
+    quantizer fit and the component iteration both run jobs), unlike the
+    lazy builders in this module.
+
+    Recall caveat (inherent to SemDeDup, not this implementation): a
+    ≥-threshold pair straddling a Voronoi boundary lands in different
+    clusters and is never compared. At the defaults (high threshold ⇒
+    near-parallel vectors) boundary splits are rare; lower `n_centroids`
+    trades candidate-set size for recall.
+    """
+    from hatchery_spark.functions.dedup import (
+        capped_band_pairs,
+        resolve_duplicate_groups,
+    )
+
+    index = build_ivf_index(
+        df, n_centroids=n_centroids, sample_mod=sample_mod,
+        kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+    )
+    cells = index.cells
+    band_rows = cells.select(
+        F.col(id_col), F.lit(0).alias("band"), F.col("cell").alias("cluster")
+    )
+    cand = capped_band_pairs(band_rows, id_col, "cluster", max_cluster)
+    v = cells.select(F.col(id_col), F.col("_cv"))
+    pairs = (
+        cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_cv").alias("v_a")), "id_a")
+        .join(v.select(F.col(id_col).alias("id_b"), F.col("_cv").alias("v_b")), "id_b")
+        .withColumn("cosine", F.round(_cosine(F.col("v_a"), F.col("v_b")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = resolve_duplicate_groups(pairs)
+    rep = F.coalesce(F.col("canonical_id"), F.col(id_col))
+    return (
+        df.select(F.col(id_col))
+        .join(
+            labels.select(F.col("doc_id").alias(id_col), "canonical_id"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            rep.alias("rep_id"),
+            (rep == F.col(id_col)).alias("keep"),
+        )
+    )

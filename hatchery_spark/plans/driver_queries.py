@@ -1308,6 +1308,22 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(corpus, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-then-prune semantic dedup): coarse k-means cells
+    bound the candidate pairs, exact cosine verifies, components collapse to
+    the min id. On the twin-augmented corpus every >=0.9 pair is
+    near-parallel, so cluster-local pruning equals the global brute-force
+    components the oracle computes."""
+    from hatchery_spark.functions.similarity import semdedup
+
+    base = _emb_base(spark, sf_dir).filter(F.col("vec_id") < 500)
+    twins = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        _perturb(F.col("embedding"), F.lit(0.1)).alias("embedding"),
+    )
+    return semdedup(base.unionByName(twins), threshold=0.9, n_centroids=16)
+
+
 def q_pq_topk(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
     rescore): with n_probe covering the true neighbors' cells and a
@@ -1638,6 +1654,41 @@ cpairs AS (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM cpairs WHERE cosine >= 0.9"""
+
+# same twin augmentation; global brute-force components over >=0.9 pairs.
+# rep = min id in component, keep = (id == rep), unpaired ids keep themselves.
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT vec_id, cast(embedding AS double[]) AS e FROM embeddings WHERE vec_id < 500
+),
+twins AS (
+  SELECT vec_id + 1000 AS vec_id,
+         list_transform(range(1, 65), i -> e[i] + 0.1 * e[(i % 64) + 1]) AS e
+  FROM base
+),
+aug AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+cpairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+),
+thr AS (SELECT id_a, id_b FROM cpairs WHERE cosine >= 0.9),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM thr
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM thr
+),
+walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+),
+resolved AS (SELECT node, min(label) AS canonical FROM walk GROUP BY node)
+SELECT a.vec_id,
+       coalesce(r.canonical, a.vec_id) AS rep_id,
+       coalesce(r.canonical, a.vec_id) = a.vec_id AS keep
+FROM aug a LEFT JOIN resolved r ON r.node = a.vec_id"""
 
 _MEDIA_ORACLE = """
 SELECT i AS media_id,
@@ -2479,6 +2530,7 @@ def oracle_catalog() -> dict[str, str]:
         "emb_ivf_topk": _TOPK_AUG_ORACLE,
         "emb_pq_topk": _TOPK_AUG_ORACLE,
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
+        "emb_semdedup": _SEMDEDUP_ORACLE,
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
         "media_real_decode": """
@@ -2539,6 +2591,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green remainder.
     return {
         # round-4 additions: never driver-sampled — first in line
+        "emb_semdedup": q_semdedup,
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,
         "media_jpeg_decode": q_media_jpeg_decode,

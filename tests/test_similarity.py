@@ -270,3 +270,55 @@ def test_ivf_pq_pool_recall_degrades_gracefully(spark):
     # self-match (cosine 1.0) survives any pool size
     top1 = {r.query_id: r.vec_id for r in got if r.rank == 1}
     assert top1 == {0: 0, 1: 1, 2: 2}
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """Exact duplicates (and near-parallel copies) collapse to the min id;
+    everything unpaired keeps itself."""
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(60, 32))
+    vecs[40] = vecs[3]                      # exact dup of 3
+    vecs[41] = vecs[3] * 1.7               # scaled copy — cosine 1.0
+    vecs[42] = vecs[7] + rng.normal(size=32, scale=0.01)  # near dup of 7
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.rep_id, r.keep) for r in sim.semdedup(
+        emb, threshold=0.95, n_centroids=4
+    ).collect()}
+    assert len(out) == 60
+    assert out[3] == (3, True)
+    assert out[40] == (3, False) and out[41] == (3, False)
+    assert out[42] == (7, False) and out[7] == (7, True)
+    # a random 32-dim pair is nowhere near cosine 0.95 — all others survive
+    assert sum(1 for rep, keep in out.values() if keep) == 57
+
+
+def test_semdedup_matches_brute_force_components(spark):
+    """Cluster-then-prune finds exactly the global >=threshold components on
+    a corpus whose dup pairs are near-parallel (the SemDeDup regime)."""
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(80, 16))
+    for i, j in [(50, 0), (51, 0), (60, 1)]:   # chain 0-50-51 + pair 1-60
+        vecs[i] = vecs[j] + rng.normal(size=16, scale=0.02)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r.vec_id, r.rep_id, r.keep) for r in sim.semdedup(
+        emb, threshold=0.98, n_centroids=4
+    ).collect()}
+
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(vn @ vn.T, 4)
+    parent = list(range(80))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a in range(80):
+        for b in range(a + 1, 80):
+            if sims[a, b] >= 0.98:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i), find(i) == i) for i in range(80)}
+    assert got == want
