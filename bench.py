@@ -230,6 +230,12 @@ def main() -> None:
             # round-4
             ("emb_pq_topk", dq.q_pq_topk),
             ("pipeline_funnel_single_scan", _funnel_single_scan),
+            ("doc_gopher_filter", dq.q_gopher_filter),
+            ("doc_line_dedup", dq.q_line_dedup),
+            ("doc_lm_perplexity", dq.q_lm_perplexity),
+            ("doc_temperature_sample", dq.q_temperature_sample),
+            ("doc_shuffle_order", dq.q_shuffle_order),
+            ("emb_semdedup", dq.q_semdedup),
         ]:
             measure(
                 name,
