@@ -236,6 +236,7 @@ def main() -> None:
             ("doc_temperature_sample", dq.q_temperature_sample),
             ("doc_shuffle_order", dq.q_shuffle_order),
             ("emb_semdedup", dq.q_semdedup),
+            ("doc_bpe_train", dq.q_bpe_train),
         ]:
             measure(
                 name,

@@ -541,3 +541,84 @@ def vocab_topk(
             ).cast("int"),
         )
     )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first `k` BPE merge rules from a corpus (Sennrich et al.,
+    arXiv:1508.07909): repeatedly count adjacent symbol pairs across the
+    word-frequency vocabulary and merge the most frequent pair everywhere.
+    Returns (step, left_sym, right_sym, freq) — step 1 is the first merge.
+
+    Scale shape — the classic BPE trick, distributed: the CORPUS is touched
+    exactly once (whitespace split → explode → word-count aggregate,
+    map-side combined, exchange carries one row per distinct word); every
+    merge iteration then runs on the VOCABULARY frame (distinct words ×
+    counts — millions of rows for a 100 TB corpus, not trillions). Each
+    iteration is one explode + weighted count aggregate + a 1-ROW collect
+    (the argmax pair) + a codegen'd literal `replace` over the vocab;
+    `localCheckpoint` truncates the growing loop lineage each round, the
+    resolve_duplicate_groups lesson. This call is EAGER (k jobs).
+
+    Words are lowercased and restricted to ^[a-z]+$ — the sentinel encoding
+    `<s1><s2>…` brackets every symbol, so merging pair (a,b) is the literal
+    replacement `<a><b>` → `<ab>`; non-overlapping left-to-right `replace`
+    on a fully bracketed string IS greedy BPE merge order, and the same
+    call exists verbatim in DuckDB, which makes every iteration
+    SQL-replayable (the `doc_bpe_train` oracle chains k CTE stages).
+    Ties break on (freq desc, left_sym asc, right_sym asc), deterministic
+    in both engines over the ASCII alphabet.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit("<"),
+            F.array_join(F.split(F.col("w"), ""), "><"),
+            F.lit(">"),
+        ).alias("repr"),
+        "cnt",
+    ).localCheckpoint()
+
+    merges = []
+    for step in range(1, k + 1):
+        syms = F.split(F.expr("trim(BOTH '<>' FROM repr)"), "><")
+        n = F.size(syms)
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, n - 1).alias("l"),
+                        F.slice(syms, 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        best = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        l, r, freq = best[0]["l"], best[0]["r"], int(best[0]["freq"])
+        merges.append((step, l, r, freq))
+        vocab = vocab.select(
+            F.replace(
+                F.col("repr"), F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>")
+            ).alias("repr"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, freq bigint"
+    )

@@ -1324,6 +1324,18 @@ def q_semdedup(spark, sf_dir):
     return semdedup(base.unionByName(twins), threshold=0.9, n_centroids=16)
 
 
+def q_bpe_train(spark, sf_dir):
+    """First 8 BPE merge rules learned from the corpus (Sennrich
+    1508.07909): corpus touched once (word-count agg), then every merge
+    iteration runs on the vocabulary frame. The sentinel `<a><b>` → `<ab>`
+    literal-replace encoding makes each iteration SQL-replayable — the
+    oracle chains 8 identical CTE stages."""
+    from hatchery_spark.functions.corpus import train_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, k=8)
+
+
 def q_pq_topk(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
     rescore): with n_probe covering the true neighbors' cells and a
@@ -1654,6 +1666,37 @@ cpairs AS (
   FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, cosine FROM cpairs WHERE cosine >= 0.9"""
+
+def _bpe_oracle(k: int) -> str:
+    """k chained CTE stages replaying train_bpe_merges merge-by-merge:
+    p<i> counts adjacent symbol pairs (weighted by word count), b<i> is the
+    argmax with the (freq desc, l, r) tie-break, w<i> applies the literal
+    sentinel replace. Generated, but static ANSI SQL once built."""
+    stages = [
+        """w0 AS (
+  SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS repr, cnt
+  FROM (SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+')) AS w
+              FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))"""
+    ]
+    for i in range(1, k + 1):
+        stages.append(f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS freq
+  FROM (SELECT string_split(trim(repr, '<>'), '><') AS syms, cnt FROM w{i - 1}),
+       unnest(range(1, len(syms))) AS u(i)
+  GROUP BY 1, 2),
+b{i} AS (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
+w{i} AS (
+  SELECT replace(repr, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS repr, cnt
+  FROM w{i - 1}, b{i} b)""")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT cast({i} AS int) AS step, l AS left_sym, r AS right_sym,"
+        f" cast(freq AS bigint) AS freq FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + selects
+
 
 # same twin augmentation; global brute-force components over >=0.9 pairs.
 # rep = min id in component, keep = (id == rep), unpaired ids keep themselves.
@@ -2531,6 +2574,7 @@ def oracle_catalog() -> dict[str, str]:
         "emb_pq_topk": _TOPK_AUG_ORACLE,
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
         "emb_semdedup": _SEMDEDUP_ORACLE,
+        "doc_bpe_train": _bpe_oracle(8),
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
         "media_real_decode": """
@@ -2591,6 +2635,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green remainder.
     return {
         # round-4 additions: never driver-sampled — first in line
+        "doc_bpe_train": q_bpe_train,
         "emb_semdedup": q_semdedup,
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,

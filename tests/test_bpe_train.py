@@ -1,0 +1,79 @@
+"""Distributed BPE merge training vs the reference sequential algorithm."""
+
+import collections
+
+from hatchery_spark.functions.corpus import train_bpe_merges
+
+
+def _ref_bpe(wordcounts, k):
+    """Sennrich et al. 1508.07909 — sequential reference algorithm."""
+    vocab = {tuple(w): c for w, c in wordcounts.items()}
+    merges = []
+    for step in range(1, k + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), f = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, f))
+        new = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        vocab = new
+    return merges
+
+
+def test_bpe_classic_corpus(spark):
+    """The textbook low/lower/newest/widest corpus: es, est, lo, low…"""
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.freq)
+        for r in train_bpe_merges(df, k=6).orderBy("step").collect()
+    ]
+    want = _ref_bpe({"low": 5, "lower": 2, "newest": 6, "widest": 3}, 6)
+    assert got == want
+    assert got[0] == (1, "e", "s", 9) and got[1] == (2, "es", "t", 9)
+
+
+def test_bpe_parity_on_random_corpus(spark):
+    """Merge-sequence parity with the sequential reference on a messier
+    corpus (repeats inside words, ties, non-alpha tokens filtered)."""
+    words = (
+        ["banana"] * 7 + ["bandana"] * 4 + ["ananas"] * 5 + ["cabana"] * 3
+        + ["na"] * 2 + ["x1x", "##", "MiXeD"]  # non-[a-z]+ dropped; MiXeD lowercased
+    )
+    rows = [(i, " ".join(words[i::3])) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wc = collections.Counter(w.lower() for w in words)
+    for bad in ("x1x", "##"):
+        del wc[bad]
+    got = [
+        (r.step, r.left_sym, r.right_sym, r.freq)
+        for r in train_bpe_merges(df, k=10).orderBy("step").collect()
+    ]
+    assert got == _ref_bpe(wc, 10)
+
+
+def test_bpe_stable_under_repartition(spark):
+    text = " ".join(["alpha beta beta gamma alpha"] * 20)
+    df = spark.createDataFrame([(i, text) for i in range(10)], "doc_id long, text string")
+    a = train_bpe_merges(df, k=4).collect()
+    b = train_bpe_merges(df.repartition(7), k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_exhausts_gracefully(spark):
+    """Single-char words yield no pairs — fewer than k merges, no error."""
+    df = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
+    assert train_bpe_merges(df, k=5).count() == 0
