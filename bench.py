@@ -237,6 +237,7 @@ def main() -> None:
             ("doc_shuffle_order", dq.q_shuffle_order),
             ("emb_semdedup", dq.q_semdedup),
             ("doc_bpe_train", dq.q_bpe_train),
+            ("doc_bpe_encode", dq.q_bpe_encode),
         ]:
             measure(
                 name,

@@ -622,3 +622,47 @@ def train_bpe_merges(
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, freq bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned BPE merge list (the output rows of
+    `train_bpe_merges`, applied in step order): per-doc
+    (id, n_words, n_tokens) — n_tokens is the post-merge symbol count, the
+    number a packing/budgeting stage actually needs.
+
+    Scale shape: the merge chain runs ONCE over the DISTINCT-WORD frame
+    (k chained codegen'd literal `replace` calls — k is tokenizer-sized,
+    corpus-independent), then per-word token counts rejoin the exploded
+    corpus by word and aggregate per doc. Two shuffles total (distinct
+    words; per-doc agg), both map-side combined; the merge chain itself
+    never touches corpus-sized data. Same [a-z]+ word scope as training;
+    out-of-scope words count 0 tokens (they carry no learned merges).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    repr_col = F.concat(
+        F.lit("<"), F.array_join(F.split(F.col("w"), ""), "><"), F.lit(">")
+    )
+    for m in sorted(merges, key=lambda m: m[0]):
+        _, l, r = m[0], m[1], m[2]
+        repr_col = F.replace(repr_col, F.lit(f"<{l}><{r}>"), F.lit(f"<{l}{r}>"))
+    word_tokens = (
+        words.select("w").distinct().select(
+            "w", F.size(F.split(repr_col, "><")).alias("n_tok")
+        )
+    )
+    return (
+        words.join(word_tokens, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_tok").cast("int").alias("n_tokens"),
+        )
+    )

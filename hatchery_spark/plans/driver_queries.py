@@ -1336,6 +1336,21 @@ def q_bpe_train(spark, sf_dir):
     return train_bpe_merges(docs, k=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Train 8 BPE merges on the corpus, then tokenize the corpus with them:
+    per-doc (n_words, n_tokens). The merge chain runs once over the
+    distinct-word frame; the oracle replays train + encode in one CTE
+    chain."""
+    from hatchery_spark.functions.corpus import bpe_encode, train_bpe_merges
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges(docs, k=8).collect()
+    ]
+    return bpe_encode(docs, merges)
+
+
 def q_pq_topk(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
     rescore): with n_probe covering the true neighbors' cells and a
@@ -1667,14 +1682,16 @@ cpairs AS (
 )
 SELECT id_a, id_b, cosine FROM cpairs WHERE cosine >= 0.9"""
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle(k: int, encode: bool = False) -> str:
     """k chained CTE stages replaying train_bpe_merges merge-by-merge:
     p<i> counts adjacent symbol pairs (weighted by word count), b<i> is the
     argmax with the (freq desc, l, r) tie-break, w<i> applies the literal
-    sentinel replace. Generated, but static ANSI SQL once built."""
+    sentinel replace. With encode=True the final vocab w<k> instead
+    tokenizes the corpus (bpe_encode's per-doc word/token counts).
+    Generated, but static ANSI SQL once built."""
     stages = [
         """w0 AS (
-  SELECT '<' || array_to_string(string_split(w, ''), '><') || '>' AS repr, cnt
+  SELECT w, '<' || array_to_string(string_split(w, ''), '><') || '>' AS repr, cnt
   FROM (SELECT w, count(*) AS cnt
         FROM (SELECT unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+')) AS w
               FROM documents)
@@ -1688,8 +1705,19 @@ def _bpe_oracle(k: int) -> str:
   GROUP BY 1, 2),
 b{i} AS (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
 w{i} AS (
-  SELECT replace(repr, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS repr, cnt
+  SELECT w, replace(repr, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS repr, cnt
   FROM w{i - 1}, b{i} b)""")
+    if encode:
+        final = f""",
+tok AS (SELECT w, cast(len(string_split(repr, '><')) AS int) AS n_tok FROM w{k}),
+docw AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+')) AS w
+        FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$'))
+SELECT d.doc_id, cast(count(*) AS int) AS n_words, cast(sum(t.n_tok) AS int) AS n_tokens
+FROM docw d JOIN tok t USING (w) GROUP BY d.doc_id"""
+        return "WITH " + ",\n".join(stages) + final
     selects = "\nUNION ALL\n".join(
         f"SELECT cast({i} AS int) AS step, l AS left_sym, r AS right_sym,"
         f" cast(freq AS bigint) AS freq FROM b{i}"
@@ -2575,6 +2603,7 @@ def oracle_catalog() -> dict[str, str]:
         "emb_near_dup": _NEARDUP_EMB_ORACLE,
         "emb_semdedup": _SEMDEDUP_ORACLE,
         "doc_bpe_train": _bpe_oracle(8),
+        "doc_bpe_encode": _bpe_oracle(8, encode=True),
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
         "media_real_decode": """
@@ -2636,6 +2665,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-4 additions: never driver-sampled — first in line
         "doc_bpe_train": q_bpe_train,
+        "doc_bpe_encode": q_bpe_encode,
         "emb_semdedup": q_semdedup,
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,

@@ -77,3 +77,24 @@ def test_bpe_exhausts_gracefully(spark):
     """Single-char words yield no pairs — fewer than k merges, no error."""
     df = spark.createDataFrame([(0, "a b c a b")], "doc_id long, text string")
     assert train_bpe_merges(df, k=5).count() == 0
+
+
+def test_bpe_encode_counts(spark):
+    """Tokenizing with the learned merges: 'newest' (6 chars) compresses to
+    n+ew+est = 3 tokens after 6 merges; out-of-scope words don't count."""
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(0, text), (1, "newest low ## 42")], "doc_id long, text string"
+    )
+    from hatchery_spark.functions.corpus import bpe_encode
+
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges(df.filter("doc_id = 0"), k=6).collect()
+    ]
+    out = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_encode(df, merges).collect()}
+    # doc 1: newest -> [n, ewest] = 2 tokens (merge 6 fuses ew+est);
+    # low -> [low] = 1; '##' and '42' are out of scope
+    assert out[1] == (2, 3)
+    # doc 0: 16 words; low=1, lower=3 (low,e,r), newest=2, widest=4 (w,i,d,est)
+    assert out[0] == (16, 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4)
