@@ -114,6 +114,7 @@ def temperature_sample(
     source_col: str = "source",
     key_col: str = "text",
     id_col: str = "doc_id",
+    weight=None,
 ) -> DataFrame:
     """Temperature-based mixture sampling: per-source rates ∝ n_s^alpha.
 
@@ -131,8 +132,16 @@ def temperature_sample(
     Selection stays md5-keyed — deterministic, cluster-size-stable, and
     nested in rate like every other sampler here. Output adds the applied
     `rate` (rounded) for audit.
+
+    Pass `weight` (a Column, e.g. a token count) to budget in TOKEN MASS
+    instead of documents: n_s becomes sum(weight) per source, so the
+    tempered quotas and target_frac apply to what a training run actually
+    consumes — expected sampled mass per source is rate_s · T_s with the
+    same ∝ T_s^alpha split (docs are still the sampling unit; selection
+    stays md5-keyed and nested).
     """
-    by_src = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    mass = F.count(F.lit(1)) if weight is None else F.sum(weight)
+    by_src = df.groupBy(source_col).agg(mass.alias("n_s"))
     stats = by_src.agg(
         F.sum(F.pow("n_s", F.lit(alpha))).alias("z"),
         F.sum("n_s").alias("n_total"),

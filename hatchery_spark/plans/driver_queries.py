@@ -1089,6 +1089,19 @@ def q_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang", "rate")
 
 
+def q_token_temperature_sample(spark, sf_dir):
+    """Token-mass temperature mixture: per-lang rates ∝ T_s^0.5 where T_s is
+    the source's whitespace-token mass — the budget a training run actually
+    consumes. Same md5-keyed deterministic selection."""
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), r"[ \t\n\f\r\x0b]+"))
+    return temperature_sample(
+        docs, alpha=0.5, target_frac=0.3, source_col="lang", weight=w
+    ).select("doc_id", "lang", "rate")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality gate: char-bigram model with add-one smoothing
     trained on the doc_id%10==0 reference slice, scoring every other doc in
@@ -2033,6 +2046,24 @@ def oracle_catalog() -> dict[str, str]:
             SELECT d.doc_id, d.lang, round(w.rate, 6) AS rate
             FROM documents d JOIN thr w ON d.lang = w.s
             WHERE substring(md5(coalesce(d.text, '')), 1, 4) < w.t""",
+        "doc_token_temperature_sample": """
+            WITH by_s AS (SELECT lang AS s,
+                            sum(len(string_split_regex(text, '[ \t\n\f\r\x0b]+')))
+                              AS n_s
+                          FROM documents GROUP BY 1),
+            st AS (SELECT sum(pow(n_s, 0.5)) AS z, sum(n_s) AS n_total
+                   FROM by_s),
+            w AS (SELECT s, least(1.0, 0.3 * n_total * pow(n_s, 0.5) / z / n_s)
+                         AS rate
+                  FROM by_s, st),
+            thr AS (SELECT s, rate,
+                      CASE WHEN cast(round(rate * 65536) AS int) >= 65536 THEN 'g'
+                           ELSE lpad(lower(to_hex(cast(round(rate * 65536) AS int))),
+                                     4, '0') END AS t
+                    FROM w)
+            SELECT d.doc_id, d.lang, round(w.rate, 6) AS rate
+            FROM documents d JOIN thr w ON d.lang = w.s
+            WHERE substring(md5(coalesce(d.text, '')), 1, 4) < w.t""",
         "doc_lm_perplexity": """
             WITH pairs AS (
               SELECT doc_id, substr(text, i, 1) AS ctx, substr(text, i + 1, 1) AS nxt
@@ -2666,6 +2697,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions: never driver-sampled — first in line
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
+        "doc_token_temperature_sample": q_token_temperature_sample,
         "emb_semdedup": q_semdedup,
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,

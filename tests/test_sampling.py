@@ -167,6 +167,25 @@ def test_temperature_rate_caps_at_one(skewed_docs):
     assert all(r.rate == 1.0 for r in code.select("rate").distinct().collect())
 
 
+def test_temperature_token_weight_budgets_mass_not_docs(spark):
+    from hatchery_spark.functions.sampling import temperature_sample
+
+    # web: 10 docs × 100 tokens; chat: 100 docs × 1 token. By DOC count chat
+    # dominates (100 vs 10); by TOKEN mass web dominates (1000 vs 100). With
+    # alpha=0 and weight=tokens, each source's expected sampled MASS is
+    # frac·T_total/k, so rate_s = frac·T_total/(k·T_s).
+    rows = [(i, " ".join(["tok"] * 100), "web") for i in range(10)]
+    rows += [(100 + i, "tok", "chat") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = F.size(F.split(F.col("text"), r"\s+"))
+    out = temperature_sample(df, alpha=0.0, target_frac=0.4, weight=w)
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    # T_total=1100, quota per source = 0.4*1100/2 = 220 token mass
+    assert abs(rates["web"] - 220 / 1000) < 1e-6
+    assert rates["chat"] == 1.0  # quota 220 > 100 available -> capped
+    # doc-count budgeting would have given chat rate 22/100, not 1.0
+
+
 def test_temperature_stable_under_repartition(skewed_docs):
     from hatchery_spark.functions.sampling import temperature_sample
 
