@@ -238,6 +238,12 @@ def main() -> None:
             ("emb_semdedup", dq.q_semdedup),
             ("doc_bpe_train", dq.q_bpe_train),
             ("doc_bpe_encode", dq.q_bpe_encode),
+            ("pipeline_sft_render", dq.q_sft_render),
+            ("doc_nb_quality", dq.q_nb_quality),
+            ("doc_dsir_select", dq.q_dsir_select),
+            ("doc_substring_dedup", dq.q_substring_dedup),
+            ("doc_bm25_topk", dq.q_bm25_topk),
+            ("doc_k_anonymize", dq.q_k_anonymize),
         ]:
             measure(
                 name,

@@ -666,3 +666,294 @@ def bpe_encode(
             F.sum("n_tok").cast("int").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes quality classifier (GPT-3 appendix A / PaLM-style filtering)
+# ---------------------------------------------------------------------------
+
+_WS = r"[ \t\n\f\r\x0b]+"  # explicit ASCII class: identical in Java and RE2
+
+
+def _ws_tokens(df: DataFrame, text_col: str, *extra) -> DataFrame:
+    """Lowercased whitespace tokens, empties dropped: (extra…, token)."""
+    return df.select(
+        *extra,
+        F.explode(F.split(F.lower(F.col(text_col)), _WS)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def nb_quality_train(
+    df: DataFrame, label, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train a binary Naive Bayes token classifier for quality filtering.
+
+    GPT-3 (2005.14165 appendix A) and PaLM filter web crawl by a linear
+    classifier scoring "reference-corpus-like" vs "raw crawl"; multinomial
+    NB with add-one smoothing is that classifier in closed form — fully
+    SQL-replayable, one pass, no iterative optimizer.
+
+    `label` is a boolean Column evaluated per training row (True = positive
+    / reference class). Returns (token_counts, class_stats):
+
+      * token_counts — one row per SEEN token: (token, c_pos, c_neg).
+        Vocabulary-sized however large the corpus — broadcastable.
+      * class_stats  — ONE row: (n_pos, n_neg, v, d_pos, d_neg) = per-class
+        token totals, distinct-token count, per-class doc counts.
+
+    Scale shape: the only corpus-sized stage is the token explode feeding a
+    map-side-combined hash aggregate keyed on token; class totals and vocab
+    derive from the vocabulary-sized counts frame, doc priors from a
+    two-long-column scan of the input.
+    """
+    lab = df.select(label.alias("_pos"), F.col(text_col))
+    toks = _ws_tokens(lab, text_col, "_pos")
+    counts = toks.groupBy("token").agg(
+        F.sum(F.col("_pos").cast("long")).alias("c_pos"),
+        F.sum((~F.col("_pos")).cast("long")).alias("c_neg"),
+    )
+    token_stats = counts.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    doc_stats = lab.agg(
+        F.sum(F.col("_pos").cast("long")).alias("d_pos"),
+        F.sum((~F.col("_pos")).cast("long")).alias("d_neg"),
+    )
+    return counts, token_stats.crossJoin(F.broadcast(doc_stats))
+
+
+def nb_quality_score(
+    df: DataFrame,
+    token_counts: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a trained NB classifier: (id, n_tokens, nb_logit).
+
+    nb_logit = ln((d_pos+1)/(d_neg+1))                          [prior]
+             + Σ_tokens [ln(c_t+1) − ln(c_f+1)]                 [per-token]
+             + n_tokens · [ln(n_neg+v) − ln(n_pos+v)]           [normalizer]
+
+    with c = 0 for unseen tokens — the add-one closed form, factored so the
+    corpus-sized aggregate carries ONE double (the per-token sum) and the
+    vocabulary-independent terms attach after the aggregate. Positive logit
+    = more reference-like than crawl-like. Docs with ≥1 token only.
+
+    The model joins are FORCED BROADCAST (both frames vocabulary-bounded by
+    construction); the only shuffle is the per-doc aggregate, map-side
+    combined. Same plan family as char_lm_perplexity.
+    """
+    toks = _ws_tokens(df, text_col, F.col(id_col))
+    per_tok = toks.join(F.broadcast(token_counts), "token", "left").select(
+        id_col,
+        (
+            F.log(F.coalesce(F.col("c_pos"), F.lit(0)) + 1)
+            - F.log(F.coalesce(F.col("c_neg"), F.lit(0)) + 1)
+        ).alias("_term"),
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum("_term").alias("_s"),
+    )
+    return agg.crossJoin(F.broadcast(class_stats)).select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.log((F.col("d_pos") + 1) / (F.col("d_neg") + 1))
+            + F.col("_s")
+            + F.col("n_tokens")
+            * (F.log(F.col("n_neg") + F.col("v")) - F.log(F.col("n_pos") + F.col("v"))),
+            4,
+        ).alias("nb_logit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed-ngram importance resampling
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    df: DataFrame,
+    target,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-ngram importance weights for data selection (DSIR, Xie et al.
+    arXiv:2302.03169): log w(d) = Σ_f ln p_target(b_f) − ln p_raw(b_f) over
+    d's hashed uni+bigram features, bag-of-buckets models with add-one
+    smoothing. Returns (id, n_feats, log_w) for every RAW (non-target) doc;
+    resample by log_w + Gumbel noise for the selected subset.
+
+    `target` is a boolean Column: True rows define the target distribution,
+    False rows are the raw pool being weighted. Features hash through
+    md5 → first 8 hex digits → pmod n_buckets (md5 so the exact bucket
+    assignment replays in any engine; swap xxhash64 for production speed —
+    the plan is identical).
+
+    Scale shape: bucket-count frames are ≤ n_buckets rows (broadcast
+    always); the factored form attaches the normalizer ln(N_raw+B) −
+    ln(N_target+B) AFTER the per-doc aggregate so the corpus-sized exchange
+    carries one double. Bigrams come from a codegen'd zip_with over the
+    token array — per-token array HOFs cost ~15 µs/row interpreted, so at
+    production scale swap the feature extractor for an Arrow pandas_udf
+    (the ngram_decontaminate lesson); the JVM form is the oracle-checkable
+    reference shape.
+    """
+    lab = df.select(F.col(id_col), target.alias("_t"), F.col(text_col))
+    toks = F.filter(F.split(F.lower(F.col(text_col)), _WS), lambda t: t != "")
+    big = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = lab.select(
+        id_col, "_t", F.explode(F.concat(toks, big)).alias("feat")
+    ).select(
+        id_col,
+        "_t",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    bcounts = feats.groupBy("b").agg(
+        F.sum(F.col("_t").cast("long")).alias("c_t"),
+        F.sum((~F.col("_t")).cast("long")).alias("c_r"),
+    )
+    totals = bcounts.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    per_feat = (
+        feats.filter(~F.col("_t"))
+        .join(F.broadcast(bcounts), "b", "left")
+        .select(
+            id_col,
+            (
+                F.log(F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                - F.log(F.coalesce(F.col("c_r"), F.lit(0)) + 1)
+            ).alias("_term"),
+        )
+    )
+    agg = per_feat.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_feats"), F.sum("_term").alias("_s")
+    )
+    return agg.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        "n_feats",
+        F.round(
+            F.col("_s")
+            + F.col("n_feats")
+            * (F.log(F.col("n_r") + F.lit(n_buckets)) - F.log(F.col("n_t") + F.lit(n_buckets))),
+            4,
+        ).alias("log_w"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    df: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR importance weights — samples k docs
+    WITHOUT replacement with P(d) ∝ w(d), deterministically: the Gumbel noise
+    g = −ln(−ln(u)) derives u from md5(text) (cluster-size-stable like every
+    sampler here), and argtop-k of log_w + g is exactly weighted sampling
+    without replacement (Gumbel-max trick). Spark plans the k-cut as
+    TakeOrderedAndProject — each partition forwards only its local top k.
+    Ties (byte-identical texts share u AND log_w) break on id desc.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = weights.join(df.select(id_col, text_col), id_col).select(
+        id_col,
+        "n_feats",
+        "log_w",
+        F.round(F.col("log_w") - F.log(-F.log(u)), 4).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.desc(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the corpus for one query string — the
+    lexical-retrieval primitive of curation workflows (find benchmark-like
+    docs, audit what a filter kept, nearest-neighbor sanity checks without
+    embeddings). Lucene's non-negative idf form:
+
+        idf(t)  = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+        score   = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+
+    Returns (id, n_terms_hit, score) for the top k docs (score desc, id asc).
+
+    Scale shape: ONE corpus pass — the token explode feeds a single per-doc
+    aggregate computing doc length AND one conditional-sum tf per query term
+    (query terms are a handful of literal columns, the funnel_steps
+    chained-conditional-agg pattern), so the corpus never shuffles twice and
+    never shuffles by token. The per-term stack, df_t, and the (N, avgdl)
+    row are all ≤ |terms|- or 1-sized frames (broadcast); the k-cut plans
+    as TakeOrderedAndProject.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    toks = _ws_tokens(df, text_col, F.col(id_col))
+    per_doc = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("token") == t).cast("long")).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    quoted = [t.replace("'", "''") for t in terms]  # terms as safe SQL literals
+    stack = ", ".join(f"'{t}', _tf{i}" for i, t in enumerate(quoted))
+    tf = per_doc.select(
+        id_col, "dl", F.expr(f"stack({len(terms)}, {stack}) AS (token, tf)")
+    ).filter(F.col("tf") > 0)
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("_s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+            F.round(F.sum("_s"), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -209,49 +209,17 @@ def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     )
 
 
-# bytes-per-pixel by PNG color type (8-bit depth): gray, RGB, palette (not
-# supported), gray+alpha, RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels by PNG color type: gray, RGB, palette (1 index/px), gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def decode_png(content: bytes) -> np.ndarray:
-    """Parse an 8-bit non-interlaced PNG into an (h, w, channels) uint8 array.
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the per-scanline filter (None/Sub/Up/Average/Paeth, PNG spec §9).
 
-    Stdlib-only: chunk walk → zlib-inflate the IDAT stream → undo the
-    per-scanline filter (None/Sub/Up/Average/Paeth, PNG spec §9). Supports
-    color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8 —
-    the overwhelming share of real-world PNGs; palette/16-bit/interlaced
-    raise DecoderUnavailable (honest gap, not an error row).
+    `stride` is the filtered row width in BYTES, `bpp` the filter's
+    left-neighbor distance in bytes (max(1, bits_per_pixel // 8) per spec —
+    1 for sub-byte palette depths). Returns (height, stride) uint8.
     """
-    import struct
-    import zlib
-
-    if not content.startswith(PNG_MAGIC):
-        raise DecoderUnavailable("not a PNG payload")
-    pos, idat, meta = len(PNG_MAGIC), [], None
-    while pos + 8 <= len(content):
-        (length,), tag = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
-        data = content[pos + 8 : pos + 8 + length]
-        if len(data) != length:
-            raise ValueError("truncated PNG chunk")
-        if tag == b"IHDR":
-            meta = struct.unpack(">IIBBBBB", data)
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length  # length + tag + data + crc
-    if meta is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    width, height, depth, color_type, _comp, _filt, interlace = meta
-    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
-        raise DecoderUnavailable(
-            f"PNG variant not supported (depth={depth}, color_type={color_type}, "
-            f"interlace={interlace})"
-        )
-    ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
@@ -265,25 +233,92 @@ def decode_png(content: bytes) -> np.ndarray:
             out[y] = line & 0xFF
         elif f == 1:  # Sub: add left neighbor (sequential per pixel)
             for x in range(stride):
-                left = out[y, x - ch] if x >= ch else 0
+                left = out[y, x - bpp] if x >= bpp else 0
                 out[y, x] = (line[x] + left) & 0xFF
         elif f == 2:  # Up — vectorized over the scanline
             out[y] = (line + prev) & 0xFF
         elif f == 3:  # Average
             for x in range(stride):
-                left = int(out[y, x - ch]) if x >= ch else 0
+                left = int(out[y, x - bpp]) if x >= bpp else 0
                 out[y, x] = (line[x] + (left + int(prev[x])) // 2) & 0xFF
         elif f == 4:  # Paeth
             for x in range(stride):
-                a = int(out[y, x - ch]) if x >= ch else 0
+                a = int(out[y, x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 out[y, x] = (line[x] + pred) & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {f}")
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Parse a non-interlaced PNG into an (h, w, channels) uint8 array.
+
+    Stdlib-only: chunk walk → zlib-inflate the IDAT stream → unfilter.
+    Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit
+    depths 8 and 16, and type 3 (palette) at depths 1/2/4/8 — together the
+    full non-interlaced PNG matrix. 16-bit samples render to 8-bit via the
+    high byte (exact for the canonical 0xHHHH = 0xHH·257 encoding); palette
+    indices resolve through PLTE to RGB (tRNS alpha ignored). Adam7
+    interlacing raises DecoderUnavailable (honest gap, not an error row).
+    """
+    import struct
+    import zlib
+
+    if not content.startswith(PNG_MAGIC):
+        raise DecoderUnavailable("not a PNG payload")
+    pos, idat, meta, plte = len(PNG_MAGIC), [], None, None
+    while pos + 8 <= len(content):
+        (length,), tag = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, color_type, _comp, _filt, interlace = meta
+    ok = (color_type in (0, 2, 4, 6) and depth in (8, 16)) or (
+        color_type == 3 and depth in (1, 2, 4, 8)
+    )
+    if not ok or interlace != 0:
+        raise DecoderUnavailable(
+            f"PNG variant not supported (depth={depth}, color_type={color_type}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    bits = ch * depth
+    stride = (width * bits + 7) // 8
+    bpp = max(1, bits // 8)
+    out = _png_unfilter(zlib.decompress(b"".join(idat)), height, stride, bpp)
+    if color_type == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing or malformed PLTE")
+        if depth == 8:
+            idx = out
+        else:  # 1/2/4-bit: unpack each row's bits into per-pixel indices
+            bitrows = np.unpackbits(out, axis=1)[:, : width * depth]
+            idx = bitrows.reshape(height, width, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+            idx = (idx * weights).sum(axis=2).astype(np.uint8)
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return pal[idx.reshape(height, width)]
+    if depth == 16:
+        samples = out.reshape(height, stride).view(">u2").astype(np.uint16)
+        return (samples >> 8).astype(np.uint8).reshape(height, width, ch)
     return out.reshape(height, width, ch)
 
 

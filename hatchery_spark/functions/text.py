@@ -279,3 +279,46 @@ def sink_object_name(
         F.lit("."),
         F.lit(ext),
     )
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    redacted: str = "[SUPPRESSED]",
+) -> DataFrame:
+    """k-anonymity suppression over quasi-identifier columns (Sweeney, IJUFKS
+    2002): any combination of `quasi_cols` values shared by FEWER than k rows
+    is suppressed (each quasi value replaced by `redacted`), so every
+    surviving quasi combination is ≥ k-anonymous — the release gate for
+    training corpora carrying user-linked metadata, complementing
+    `redact_pii` (which scrubs identifiers INSIDE the text).
+
+    Adds `group_n` (the combination's cohort size) and `suppressed`. NULL
+    quasi values form their own cohort (the aggregate and the rejoin key
+    both go through a sentinel-coalesced composite key — a plain multi-column
+    join would silently orphan NULL rows, since SQL NULL never equals NULL).
+
+    Scale shape: cohort sizes come from a map-side-combined aggregate over
+    the composite key (combination-cardinality-sized frame, ≪ corpus) and
+    rejoin broadcast-when-small (AQE decides); quasi columns rewrite in
+    place with a codegen'd `when` — no second corpus shuffle, no window
+    over whale cohorts.
+    """
+    qk = F.concat_ws(
+        "\u0001",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in quasi_cols],
+    )
+    sizes = (
+        df.select(qk.alias("_qk"))
+        .groupBy("_qk")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+    )
+    joined = df.withColumn("_qk", qk).join(sizes, "_qk", "inner")
+    suppressed = F.col("group_n") < k
+    out = joined.withColumn("suppressed", suppressed)
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(suppressed, F.lit(redacted)).otherwise(F.col(c).cast("string"))
+        )
+    return out.drop("_qk")

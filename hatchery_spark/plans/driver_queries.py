@@ -1102,6 +1102,73 @@ def q_token_temperature_sample(spark, sf_dir):
     ).select("doc_id", "lang", "rate")
 
 
+def q_sft_render(spark, sf_dir):
+    """Transcripts → SFT training documents: one rendered ChatML-style doc
+    per conversation with 0-based [start,end) character loss-mask spans over
+    assistant turns — the terminal assembly step of a transcripts→training
+    pipeline. One conv_id exchange serves both the offset window and the
+    final aggregate."""
+    from hatchery_spark.operators.sft import render_sft_documents
+
+    return render_sft_documents(transcripts(spark, sf_dir))
+
+
+def q_nb_quality(spark, sf_dir):
+    """GPT-3-style quality classifier: multinomial NB (add-one) trained with
+    lang='en' as the reference class, scoring every doc. Vocabulary-bounded
+    model frames broadcast; one corpus-sized per-doc aggregate."""
+    from hatchery_spark.functions.corpus import nb_quality_score, nb_quality_train
+
+    docs = load(spark, sf_dir, "documents")
+    counts, stats = nb_quality_train(docs, F.col("lang") == "en")
+    return nb_quality_score(docs, counts, stats).withColumn(
+        "keep", F.col("nb_logit") > 0
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection: hashed uni+bigram importance weights of non-en
+    docs against the en target distribution, Gumbel top-40 resample (exact
+    weighted sampling without replacement, deterministic via md5-derived
+    noise)."""
+    from hatchery_spark.functions.corpus import dsir_importance, dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_importance(docs, F.col("lang") == "en", n_buckets=8192)
+    return dsir_resample(w, docs, k=40)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr span dedup (Lee et al. 2107.06499): remove every char
+    covered by a 20-gram occurring ≥2 times corpus-wide; per-doc island
+    merge + ordered segment rebuild, all on one doc_id exchange."""
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(load(spark, sf_dir, "documents"), k=20)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 (Lucene idf) top-25 for a fixed query: one token explode
+    feeds doc lengths + query-term tfs; query-sized frames broadcast;
+    TakeOrderedAndProject k-cut."""
+    from hatchery_spark.functions.corpus import bm25_topk
+
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), "spark hash join window merge", k=25
+    )
+
+
+def q_k_anonymize(spark, sf_dir):
+    """k-anonymity release gate over (lang, source): cohorts smaller than 25
+    get both quasi values suppressed; cohort size + flag attached. Sentinel
+    composite key so NULL quasi values cohort together."""
+    from hatchery_spark.functions.text import k_anonymize
+
+    return k_anonymize(
+        load(spark, sf_dir, "documents"), ["lang", "source"], k=25
+    ).select("doc_id", "lang", "source", "group_n", "suppressed")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality gate: char-bigram model with add-one smoothing
     trained on the doc_id%10==0 reference slice, scoring every other doc in
@@ -2064,6 +2131,160 @@ def oracle_catalog() -> dict[str, str]:
             SELECT d.doc_id, d.lang, round(w.rate, 6) AS rate
             FROM documents d JOIN thr w ON d.lang = w.s
             WHERE substring(md5(coalesce(d.text, '')), 1, 4) < w.t""",
+        "pipeline_sft_render": p + """, r AS (
+              SELECT conv_id, turn_idx, role, text,
+                     '<|' || role || '|>' || chr(10) || text || chr(10) AS rt
+              FROM transcripts),
+            o AS (
+              SELECT *, coalesce(sum(len(rt)) OVER (
+                  PARTITION BY conv_id ORDER BY turn_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM r)
+            SELECT conv_id,
+              cast(count(*) AS int) AS n_turns,
+              cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS int)
+                AS n_loss_turns,
+              cast(sum(len(rt)) AS int) AS n_chars,
+              round(sum(CASE WHEN role = 'assistant' THEN len(text) ELSE 0 END)
+                    * 1.0 / sum(len(rt)), 6) AS loss_frac,
+              string_agg(rt, '' ORDER BY turn_idx) AS text,
+              coalesce(string_agg(CASE WHEN role = 'assistant'
+                  THEN (off + len(role) + 5) || ':'
+                       || (off + len(role) + 5 + len(text)) END,
+                  ',' ORDER BY turn_idx), '') AS loss_spans
+            FROM o GROUP BY conv_id""",
+        "doc_substring_dedup": """
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            pos AS (SELECT doc_id, text,
+                      unnest(range(1, greatest(len(text) - 19, 0) + 1)) AS p
+                    FROM docs),
+            h AS (SELECT doc_id, p, md5(substring(text, p, 20)) AS hh FROM pos),
+            counts AS (SELECT hh, count(*) AS n FROM h GROUP BY hh),
+            dup AS (SELECT doc_id, p FROM h JOIN counts USING (hh)
+                    WHERE n >= 2),
+            fl AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL
+                               OR p > lag(p) OVER w + 20 THEN 1 ELSE 0 END AS nw
+                   FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            isl0 AS (SELECT doc_id, p,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS island
+                     FROM fl),
+            isl AS (SELECT doc_id, island, min(p) AS s, max(p) + 20 AS e
+                    FROM isl0 GROUP BY doc_id, island),
+            seg AS (SELECT doc_id, s, e,
+                      coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+                        AS seg_from
+                    FROM isl),
+            agg AS (SELECT g.doc_id,
+                      cast(count(*) AS int) AS n_islands,
+                      cast(sum(g.e - g.s) AS int) AS n_removed,
+                      string_agg(substring(d.text, g.seg_from, g.s - g.seg_from),
+                                 '' ORDER BY g.s) AS head,
+                      max(g.e) AS tail_from
+                    FROM seg g JOIN docs d USING (doc_id) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+              CASE WHEN a.doc_id IS NULL THEN d.text
+                   ELSE a.head || substring(d.text, cast(a.tail_from AS int)) END
+                AS text,
+              coalesce(a.n_islands, 0) AS n_islands,
+              coalesce(a.n_removed, 0) AS n_removed
+            FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+        "doc_bm25_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+'))
+                  AS token
+              FROM documents),
+            tk AS (SELECT * FROM toks WHERE token <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+                   WHERE token IN ('spark', 'hash', 'join', 'window', 'merge')
+                   GROUP BY doc_id, token),
+            dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+            sc AS (SELECT tf.doc_id,
+                     ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                       AS s
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                           JOIN dft ON tf.token = dft.token, st)
+            SELECT doc_id, cast(count(*) AS int) AS n_terms_hit,
+                   round(sum(s), 4) AS score
+            FROM sc GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 25""",
+        "doc_k_anonymize": """
+            WITH keyed AS (
+              SELECT doc_id, lang, source,
+                concat_ws(chr(1), coalesce(lang, chr(0)),
+                          coalesce(source, chr(0))) AS qk
+              FROM documents),
+            sizes AS (SELECT qk, count(*) AS group_n FROM keyed GROUP BY qk)
+            SELECT k.doc_id,
+              CASE WHEN s.group_n < 25 THEN '[SUPPRESSED]' ELSE k.lang END
+                AS lang,
+              CASE WHEN s.group_n < 25 THEN '[SUPPRESSED]' ELSE k.source END
+                AS source,
+              s.group_n, s.group_n < 25 AS suppressed
+            FROM keyed k JOIN sizes s ON k.qk = s.qk""",
+        "doc_nb_quality": """
+            WITH lab AS (SELECT doc_id, lang = 'en' AS pos, lower(text) AS lt
+                         FROM documents),
+            tok AS (SELECT doc_id, pos,
+                      unnest(string_split_regex(lt, '[ \t\n\f\r\x0b]+')) AS token
+                    FROM lab),
+            tk AS (SELECT * FROM tok WHERE token <> ''),
+            counts AS (SELECT token,
+                         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_neg
+                       FROM tk GROUP BY token),
+            ts AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+                          count(*) AS v
+                   FROM counts),
+            ds AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS d_pos,
+                          sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS d_neg
+                   FROM lab),
+            agg AS (SELECT k.doc_id, count(*) AS n_tokens,
+                      sum(ln(coalesce(c.c_pos, 0) + 1.0)
+                          - ln(coalesce(c.c_neg, 0) + 1.0)) AS s
+                    FROM tk k LEFT JOIN counts c ON k.token = c.token
+                    GROUP BY k.doc_id)
+            SELECT doc_id, n_tokens, nb_logit, nb_logit > 0 AS keep FROM (
+              SELECT a.doc_id, cast(a.n_tokens AS int) AS n_tokens,
+                round(ln((d_pos + 1.0) / (d_neg + 1.0)) + a.s
+                      + a.n_tokens * (ln(n_neg + v * 1.0) - ln(n_pos + v * 1.0)),
+                      4) AS nb_logit
+              FROM agg a, ts, ds)""",
+        "doc_dsir_select": """
+            WITH lab AS (SELECT doc_id, lang = 'en' AS t, text,
+                           list_filter(string_split_regex(lower(text),
+                             '[ \t\n\f\r\x0b]+'), x -> x <> '') AS a
+                         FROM documents),
+            uni AS (SELECT doc_id, t, unnest(a) AS f FROM lab),
+            big AS (SELECT doc_id, t, a[i] || ' ' || a[i + 1] AS f
+                    FROM lab, unnest(range(1, len(a))) AS u(i)),
+            feats AS (SELECT doc_id, t,
+                        cast('0x' || substring(md5(f), 1, 8) AS bigint) % 8192 AS b
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+            bc AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_t,
+                          sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS c_r
+                   FROM feats GROUP BY b),
+            tot AS (SELECT sum(c_t) AS n_t, sum(c_r) AS n_r FROM bc),
+            agg AS (SELECT f.doc_id, count(*) AS n_feats,
+                      sum(ln(coalesce(c.c_t, 0) + 1.0)
+                          - ln(coalesce(c.c_r, 0) + 1.0)) AS s
+                    FROM feats f LEFT JOIN bc c ON f.b = c.b
+                    WHERE NOT f.t GROUP BY f.doc_id),
+            w AS (SELECT a.doc_id, cast(a.n_feats AS int) AS n_feats,
+                    round(a.s + a.n_feats * (ln(n_r + 8192.0) - ln(n_t + 8192.0)),
+                          4) AS log_w
+                  FROM agg a, tot),
+            g AS (SELECT w.*,
+                    round(w.log_w - ln(-ln(
+                      (cast('0x' || substring(md5(d.text), 1, 8) AS bigint) + 0.5)
+                      / 4294967296.0)), 4) AS gumbel_key
+                  FROM w JOIN documents d ON w.doc_id = d.doc_id)
+            SELECT * FROM g ORDER BY gumbel_key DESC, doc_id DESC LIMIT 40""",
         "doc_lm_perplexity": """
             WITH pairs AS (
               SELECT doc_id, substr(text, i, 1) AS ctx, substr(text, i + 1, 1) AS nxt
@@ -2698,6 +2919,12 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,
+        "pipeline_sft_render": q_sft_render,
+        "doc_nb_quality": q_nb_quality,
+        "doc_dsir_select": q_dsir_select,
+        "doc_substring_dedup": q_substring_dedup,
+        "doc_bm25_topk": q_bm25_topk,
+        "doc_k_anonymize": q_k_anonymize,
         "emb_semdedup": q_semdedup,
         "emb_pq_topk": q_pq_topk,
         "pipeline_funnel_single_scan": q_funnel_single_scan,

@@ -195,18 +195,117 @@ def test_png_unsupported_variants_and_corrupt():
 
     with pytest.raises(DecoderUnavailable):
         decode_png(b"not a png")
-    # palette color type (3) is an honest gap
     def chunk(tag, data):
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    # Adam7 interlacing is the remaining honest gap
+    inter = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with pytest.raises(DecoderUnavailable):
+        decode_png(inter)
+    # palette PNG WITHOUT a PLTE chunk is malformed → parse error, not a gap
     pal = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + chunk(b"IEND", b""))
-    with pytest.raises(DecoderUnavailable):
+    with pytest.raises(ValueError):
         decode_png(pal)
     # truncated payload is a parse ERROR (decode_error row), not a codec gap
     with pytest.raises(Exception) as ei:
         decode_png(encode_png(8, 8, (1, 2, 3))[:30])
     assert not isinstance(ei.value, DecoderUnavailable)
+
+
+def _chunk(tag, data):
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _palette_png(idx, palette, depth):
+    """Encode an (h, w) index array as a depth-{1,2,4,8} palette PNG
+    (filter 0 rows, packed bits big-endian-first per spec)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC
+
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h):
+        bits = np.unpackbits(idx[y].astype(np.uint8)[:, None], axis=1)[:, 8 - depth:]
+        packed = np.packbits(bits.reshape(-1))
+        out += b"\x00" + bytes(packed)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    plte = bytes(np.asarray(palette, dtype=np.uint8).reshape(-1))
+    return (PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+            + _chunk(b"IDAT", zlib.compress(bytes(out))) + _chunk(b"IEND", b""))
+
+
+def test_png_palette_depths_decode_to_rgb():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    rng = np.random.default_rng(5)
+    for depth, npal in ((1, 2), (2, 4), (4, 4), (8, 4)):
+        # width 5: not a multiple of 8/depth — exercises bit-row trimming
+        idx = rng.integers(0, npal, size=(3, 5), dtype=np.uint8)
+        got = decode_png(_palette_png(idx, palette[:npal], depth))
+        expect = np.asarray(palette[:npal], dtype=np.uint8)[idx]
+        assert (got == expect).all(), depth
+
+
+def test_png_16bit_decodes_high_byte():
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC, decode_png
+
+    h, w = 2, 3
+    px = np.array(
+        [[(0xAB, 0x12, 0xFF), (0x01, 0x80, 0x7F), (0x00, 0xFE, 0x33)]] * h,
+        dtype=np.uint16,
+    )
+    samples = (px.astype(np.uint16) * 257).astype(">u2")  # 0xHH -> 0xHHHH
+    out = bytearray()
+    for y in range(h):
+        out += b"\x00" + samples[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    png = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(bytes(out))) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (h, w, 3)
+    assert (got == px.astype(np.uint8)).all()
+
+
+def test_png_16bit_up_filter():
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC, decode_png
+
+    # row0: filter 0 raw; row1: filter 2 (Up) deltas — checks byte-level
+    # unfiltering composes with 16-bit sample reassembly
+    h, w = 2, 4
+    r0 = np.array([0x1234, 0xABCD, 0x0001, 0xFF00], dtype=">u2")
+    r1 = np.array([0x1235, 0xABCE, 0x0003, 0xFF04], dtype=">u2")
+    d1 = (
+        np.frombuffer(r1.tobytes(), np.uint8).astype(np.int32)
+        - np.frombuffer(r0.tobytes(), np.uint8).astype(np.int32)
+    ) % 256
+    out = b"\x00" + r0.tobytes() + b"\x02" + bytes(d1.astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    png = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(out)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    # gray 16-bit, 4 samples/row -> shape (2, 4, 1); high bytes
+    assert got.shape == (2, 4, 1)
+    assert list(got[0, :, 0]) == [0x12, 0xAB, 0x00, 0xFF]
+    assert list(got[1, :, 0]) == [0x12, 0xAB, 0x00, 0xFF]
 
 
 def test_decode_media_handles_png(spark):

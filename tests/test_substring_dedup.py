@@ -1,0 +1,90 @@
+"""ExactSubstr span dedup: brute-force parity, self-repeats, edge cases."""
+
+import pytest
+
+
+def _brute(rows, k):
+    """Reference implementation: remove the union of [i, i+k) spans whose
+    k-gram occurs >= 2 times across the corpus (1-based i)."""
+    from collections import Counter
+
+    counts = Counter()
+    for _, t in rows:
+        for i in range(len(t) - k + 1):
+            counts[t[i : i + k]] += 1
+    out = {}
+    for d, t in rows:
+        covered = [False] * len(t)
+        for i in range(len(t) - k + 1):
+            if counts[t[i : i + k]] >= 2:
+                for j in range(i, i + k):
+                    covered[j] = True
+        cleaned = "".join(c for c, cov in zip(t, covered) if not cov)
+        # islands = maximal covered runs
+        islands = 0
+        prev = False
+        for cov in covered:
+            if cov and not prev:
+                islands += 1
+            prev = cov
+        out[d] = (cleaned, islands, sum(covered))
+    return out
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    shared = "THIS LICENSE TEXT IS COPIED VERBATIM EVERYWHERE"  # 47 chars
+    rows = [
+        (1, f"unique preamble one {shared} unique tail one"),
+        (2, f"a different start {shared} and a different end"),
+        (3, "totally original content with no repeats at all here"),
+        (4, "shorty"),  # < k: untouched
+        (5, "ABCDEFGHIJKLMNOPQRSTUV" * 2),  # self-repeat inside one doc
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_matches_brute_force(planted):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    rows, df = planted
+    k = 20
+    expect = _brute(rows, k)
+    got = {
+        r.doc_id: (r.text, r.n_islands, r.n_removed)
+        for r in remove_duplicate_substrings(df, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_shared_span_removed_from_all_occurrences(planted):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    _, df = planted
+    got = {r.doc_id: r for r in remove_duplicate_substrings(df, k=20).collect()}
+    assert "LICENSE" not in got[1].text and "LICENSE" not in got[2].text
+    assert got[1].text.startswith("unique preamble one")
+    assert got[3].text.endswith("at all here") and got[3].n_removed == 0
+    assert got[4].text == "shorty" and got[4].n_islands == 0
+    # self-repeat: every position of doc 5 is covered (period-22 repeat)
+    assert got[5].text == "" and got[5].n_islands == 1
+
+
+def test_removed_count_equals_length_delta(planted):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    rows, df = planted
+    orig = dict(rows)
+    for r in remove_duplicate_substrings(df, k=20).collect():
+        assert len(orig[r.doc_id]) - len(r.text) == r.n_removed
+
+
+def test_stable_under_repartition(planted):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    _, df = planted
+    a = sorted(map(tuple, remove_duplicate_substrings(df, k=20).collect()))
+    b = sorted(
+        map(tuple, remove_duplicate_substrings(df.repartition(13), k=20).collect())
+    )
+    assert a == b
