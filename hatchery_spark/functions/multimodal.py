@@ -2,7 +2,8 @@
 
 The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested. The codec layer is split honestly:
-  * REAL stdlib decoders for PPM (P6), PNG (8-bit, zlib IDAT + scanline
+  * REAL stdlib decoders for PPM (P6), PNG (the full matrix — all color
+    types, depths 1-16, non-interlaced + Adam7; zlib IDAT + scanline
     unfiltering) and baseline JPEG (T.81 sequential Huffman, jpeg.py)
     images plus PCM WAV audio — bytes are actually parsed into
     pixels/samples (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`,
@@ -172,7 +173,8 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
 
 
 # ---------------------------------------------------------------- real codecs
-# PPM (P6), PNG (8-bit, non-interlaced), baseline JPEG (jpeg.py) and WAV
+# PPM (P6), PNG (all color types/depths, non-interlaced + Adam7), baseline
+# JPEG (jpeg.py) and WAV
 # (PCM) are fully decodable with the standard library + numpy, so for these
 # four formats the decode step is REAL: bytes → parsed pixels / samples.
 # Progressive JPEG and MP4 remain behind DecoderUnavailable (their codecs
@@ -255,16 +257,49 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_samples(
+    raw: bytes, width: int, height: int, depth: int, ch: int
+) -> np.ndarray:
+    """Unfilter one (sub-)image's filtered scanlines and render them to
+    (height, width, ch) uint8 samples — the shared step between the
+    non-interlaced whole image and each Adam7 reduced pass (every pass is
+    independently filtered at its own stride, PNG spec §8.2). 16-bit samples
+    reduce to their high byte; sub-byte depths (palette) unpack MSB-first
+    with the row's padding bits trimmed. `ch` is 1 for palette (indices).
+    """
+    bits = ch * depth
+    stride = (width * bits + 7) // 8
+    out = _png_unfilter(raw, height, stride, max(1, bits // 8))
+    if depth == 16:
+        samples = out.reshape(height, stride).view(">u2").astype(np.uint16)
+        return (samples >> 8).astype(np.uint8).reshape(height, width, ch)
+    if depth == 8:
+        return out.reshape(height, width, ch)
+    bitrows = np.unpackbits(out, axis=1)[:, : width * depth]
+    idx = bitrows.reshape(height, width, depth)
+    weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    return (idx * weights).sum(axis=2).astype(np.uint8).reshape(height, width, 1)
+
+
 def decode_png(content: bytes) -> np.ndarray:
-    """Parse a non-interlaced PNG into an (h, w, channels) uint8 array.
+    """Parse a PNG into an (h, w, channels) uint8 array.
 
     Stdlib-only: chunk walk → zlib-inflate the IDAT stream → unfilter.
     Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit
-    depths 8 and 16, and type 3 (palette) at depths 1/2/4/8 — together the
-    full non-interlaced PNG matrix. 16-bit samples render to 8-bit via the
-    high byte (exact for the canonical 0xHHHH = 0xHH·257 encoding); palette
-    indices resolve through PLTE to RGB (tRNS alpha ignored). Adam7
-    interlacing raises DecoderUnavailable (honest gap, not an error row).
+    depths 8 and 16, and type 3 (palette) at depths 1/2/4/8 — the full PNG
+    matrix — in both non-interlaced and Adam7-interlaced form (each of the
+    7 reduced passes is independently unfiltered at its own stride, then
+    scattered onto the output grid, spec §8.2). 16-bit samples render to
+    8-bit via the high byte (exact for the canonical 0xHHHH = 0xHH·257
+    encoding); palette indices resolve through PLTE to RGB (tRNS alpha
+    ignored).
     """
     import struct
     import zlib
@@ -292,34 +327,40 @@ def decode_png(content: bytes) -> np.ndarray:
     ok = (color_type in (0, 2, 4, 6) and depth in (8, 16)) or (
         color_type == 3 and depth in (1, 2, 4, 8)
     )
-    if not ok or interlace != 0:
+    if not ok or interlace not in (0, 1):
         raise DecoderUnavailable(
             f"PNG variant not supported (depth={depth}, color_type={color_type}, "
             f"interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color_type]
-    bits = ch * depth
-    stride = (width * bits + 7) // 8
-    bpp = max(1, bits // 8)
-    out = _png_unfilter(zlib.decompress(b"".join(idat)), height, stride, bpp)
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        samples = _png_samples(raw, width, height, depth, ch)
+    else:  # Adam7: 7 independently filtered reduced images, scattered back
+        bits = ch * depth
+        samples = np.zeros((height, width, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            w_p = (width - x0 + dx - 1) // dx
+            h_p = (height - y0 + dy - 1) // dy
+            if w_p <= 0 or h_p <= 0:
+                continue  # empty pass emits no scanlines (spec §8.2)
+            n = h_p * (1 + (w_p * bits + 7) // 8)
+            samples[y0::dy, x0::dx] = _png_samples(
+                raw[off : off + n], w_p, h_p, depth, ch
+            )
+            off += n
+        if off != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     if color_type == 3:
         if plte is None or len(plte) % 3:
             raise ValueError("palette PNG missing or malformed PLTE")
-        if depth == 8:
-            idx = out
-        else:  # 1/2/4-bit: unpack each row's bits into per-pixel indices
-            bitrows = np.unpackbits(out, axis=1)[:, : width * depth]
-            idx = bitrows.reshape(height, width, depth)
-            weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.uint8)
-            idx = (idx * weights).sum(axis=2).astype(np.uint8)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
-        return pal[idx.reshape(height, width)]
-    if depth == 16:
-        samples = out.reshape(height, stride).view(">u2").astype(np.uint16)
-        return (samples >> 8).astype(np.uint8).reshape(height, width, ch)
-    return out.reshape(height, width, ch)
+        return pal[idx]
+    return samples
 
 
 def encode_ppm(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:

@@ -198,11 +198,17 @@ def test_png_unsupported_variants_and_corrupt():
     def chunk(tag, data):
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
-    # Adam7 interlacing is the remaining honest gap
+    # short interlaced payload (2x2 RGB Adam7 needs 15 bytes) is a parse
+    # ERROR (decode_error row), not a codec gap
     inter = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
              + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
-    with pytest.raises(DecoderUnavailable):
+    with pytest.raises(ValueError):
         decode_png(inter)
+    # interlace method 2 does not exist → honest gap, not an error row
+    bad_i = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    with pytest.raises(DecoderUnavailable):
+        decode_png(bad_i)
     # palette PNG WITHOUT a PLTE chunk is malformed → parse error, not a gap
     pal = (PNG_MAGIC + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + chunk(b"IEND", b""))
@@ -356,3 +362,89 @@ def test_media_thumbnails_real_pixels(spark):
     assert (t[:, :4] == 10.0).all() and (t[:, 4:] == 250.0).all()
     assert out[0].thumb_mean == 130.0
     assert out[1].decode_status == "decoder_unavailable"
+
+
+def _adam7_png(samples, depth, color_type, palette=None):
+    """Encode (h, w, ch) samples as an Adam7-interlaced PNG: each non-empty
+    reduced pass emitted as filter-0 rows at the pass's own stride (sub-byte
+    index rows packed MSB-first per pass row; 16-bit as 0xHH·257 big-endian)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC, _ADAM7
+
+    h, w = samples.shape[:2]
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            if depth == 16:
+                out += b"\x00" + (row.astype(np.uint16) * 257).astype(">u2").tobytes()
+            elif depth == 8:
+                out += b"\x00" + row.astype(np.uint8).tobytes()
+            else:
+                bits = np.unpackbits(
+                    row.reshape(-1).astype(np.uint8)[:, None], axis=1
+                )[:, 8 - depth:]
+                out += b"\x00" + bytes(np.packbits(bits.reshape(-1)))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1)
+    png = PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _chunk(b"PLTE", bytes(np.asarray(palette, dtype=np.uint8).reshape(-1)))
+    return png + _chunk(b"IDAT", zlib.compress(bytes(out))) + _chunk(b"IEND", b"")
+
+
+def test_png_adam7_rgb_all_shapes():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    # odd/small shapes exercise empty passes and per-pass ceil widths
+    for h, w in ((1, 1), (2, 2), (3, 7), (7, 5), (8, 8), (9, 10)):
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = decode_png(_adam7_png(arr, 8, 2))
+        assert (got == arr).all(), (h, w)
+
+
+def test_png_adam7_palette_subbyte():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    rng = np.random.default_rng(13)
+    idx = rng.integers(0, 4, size=(5, 5, 1), dtype=np.uint8)
+    got = decode_png(_adam7_png(idx, 4, 3, palette=palette))
+    assert (got == np.asarray(palette, dtype=np.uint8)[idx[:, :, 0]]).all()
+
+
+def test_png_adam7_16bit_gray():
+    import numpy as np
+    from hatchery_spark.functions.multimodal import decode_png
+
+    arr = np.arange(9, dtype=np.uint8).reshape(3, 3, 1) * 20
+    got = decode_png(_adam7_png(arr, 16, 0))
+    assert (got == arr).all()
+
+
+def test_png_adam7_up_filter_is_per_pass():
+    import struct
+    import zlib
+
+    import numpy as np
+    from hatchery_spark.functions.multimodal import PNG_MAGIC, decode_png
+
+    # 4x1 gray8: passes 1 (row 0), 5 (row 2), 7 (rows 1 and 3). Pass 7's
+    # second scanline uses the Up filter — its predecessor must be pass 7's
+    # OWN first row (image row 1), not the image's row 2.
+    stream = (b"\x00" + bytes([10])      # pass 1 -> y=0
+              + b"\x00" + bytes([20])    # pass 5 -> y=2
+              + b"\x00" + bytes([100])   # pass 7 row 0 -> y=1
+              + b"\x02" + bytes([5]))    # pass 7 row 1 (Up) -> y=3
+    ihdr = struct.pack(">IIBBBBB", 1, 4, 8, 0, 0, 0, 1)
+    png = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", zlib.compress(stream)) + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got[:, 0, 0].tolist() == [10, 100, 20, 105]
