@@ -244,6 +244,7 @@ def main() -> None:
             ("doc_substring_dedup", dq.q_substring_dedup),
             ("doc_bm25_topk", dq.q_bm25_topk),
             ("doc_k_anonymize", dq.q_k_anonymize),
+            ("rel_zorder", dq.q_zorder),
         ]:
             measure(
                 name,
@@ -273,6 +274,16 @@ def main() -> None:
             "rows": s.get("rows"),
             "turns_per_sec_median": s.get("turns_per_sec_median"),
         }
+        # cross-run pooled estimators (throttle-robust; scaling_bench.py)
+        hist_path = os.path.join(os.path.dirname(scaling_path),
+                                 "scaling_history.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                h = json.load(f)
+            scaling["pooled_median"] = h.get("pooled_median")
+            scaling["pooled_minmin_efficiency"] = h.get("pooled_minmin_efficiency")
+            scaling["pooled_clean_pairs"] = h.get("pooled_clean_pairs")
+            scaling["pooled_run_count"] = h.get("pooled_run_count")
     print(
         json.dumps(
             {

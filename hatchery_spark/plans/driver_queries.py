@@ -1169,6 +1169,23 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over events(user_id, value): each
+    column uniform-gridded to 1024 cells over its [min, max] (ONE broadcast
+    single-row aggregate — the fact table never shuffles), cells
+    bit-interleaved into one long via flat codegen'd shift terms. Closed-form
+    arithmetic, replayed verbatim by the oracle. The write path
+    (sinks.write_zordered) range-partitions this key so every parquet file
+    carries tight min/max stats on BOTH columns at once;
+    tests/test_zorder.py asserts the resulting file-skipping directly."""
+    from hatchery_spark.sinks import zorder_values
+
+    ev = load(spark, sf_dir, "events")
+    return zorder_values(ev, ["user_id", "value"], bits=10).select(
+        "event_id", F.col("_zvalue").alias("zvalue")
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality gate: char-bigram model with add-one smoothing
     trained on the doc_id%10==0 reference slice, scoring every other doc in
@@ -1530,6 +1547,40 @@ def q_lineage_totals(spark, sf_dir):
 # ----------------------------------------------------------------------------
 
 _LEGACY_PATTERN = r"sev=(debug|info|warn|error|critical) user=(\S+) op=(\S+) obj=(\S+)"
+
+def _zorder_oracle() -> str:
+    """Replay of sinks.zorder_values(events, [user_id, value], bits=10): the
+    same uniform-grid cell arithmetic (identical operation order, so IEEE
+    doubles agree bit-for-bit) and the same column-major bit interleave,
+    generated as 20 flat shift terms."""
+    terms = " + ".join(
+        f"(((c{j} >> {i}) & 1) << {i * 2 + j})"
+        for j in range(2)
+        for i in range(10)
+    )
+
+    def cell(j: int, expr: str) -> str:
+        return (
+            f"CASE WHEN {expr} IS NULL THEN NULL "
+            f"WHEN hi{j} = lo{j} THEN 0 ELSE least(1023, greatest(0, "
+            f"CAST(floor((({expr} - lo{j}) * 1024.0) / (hi{j} - lo{j})) "
+            f"AS BIGINT))) END"
+        )
+
+    return f"""
+        WITH r AS (SELECT min(CAST(user_id AS DOUBLE)) AS lo0,
+                          max(CAST(user_id AS DOUBLE)) AS hi0,
+                          min("value") AS lo1, max("value") AS hi1
+                   FROM events),
+        c AS (SELECT event_id,
+                {cell(0, "CAST(user_id AS DOUBLE)")} AS c0,
+                {cell(1, '"value"')} AS c1
+              FROM events, r)
+        SELECT event_id, CAST({terms} AS BIGINT) AS zvalue FROM c"""
+
+
+_ZORDER_ORACLE = _zorder_oracle()
+
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
@@ -2213,6 +2264,7 @@ def oracle_catalog() -> dict[str, str]:
                    round(sum(s), 4) AS score
             FROM sc GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25""",
+        "rel_zorder": _ZORDER_ORACLE,
         "doc_k_anonymize": """
             WITH keyed AS (
               SELECT doc_id, lang, source,
@@ -2916,6 +2968,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green remainder.
     return {
         # round-4 additions: never driver-sampled — first in line
+        "rel_zorder": q_zorder,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

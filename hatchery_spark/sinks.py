@@ -109,6 +109,100 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(name)
 
 
+def zorder_values(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 10,
+    out_col: str = "_zvalue",
+) -> DataFrame:
+    """Append a Z-order (Morton) key interleaving the given numeric columns'
+    grid cells — the multi-dimensional clustering key behind data-skipping
+    layouts (Delta `OPTIMIZE ZORDER BY`, Iceberg sort orders; Morton 1966).
+    A file layout ordered by the Z-key keeps rows that are close in EVERY
+    clustered dimension close on disk, so parquet min/max footer stats stay
+    tight on all of them at once and a predicate on ANY clustered column
+    prunes most files — a lexicographic sort only ever prunes its leading
+    column.
+
+    Each column maps to a 2^bits-cell uniform grid over its [min, max] —
+    ONE single-row global aggregate broadcast back (the corpus-count
+    crossJoin pattern); the fact table itself never shuffles. Cell bits then
+    interleave column-major (bit i of column j lands at position
+    i*len(cols)+j) as bits×k flat codegen'd integer terms — the minhash
+    wide-expression pattern, entirely inside whole-stage codegen. Degenerate
+    columns (min == max) land in cell 0. NULLs propagate to a NULL key (sort
+    them to one end or filter upstream).
+
+    The closed form is engine-replayable arithmetic (floor/least/greatest/
+    shifts on doubles+longs, no hashing), which is what the `rel_zorder`
+    oracle replays verbatim in DuckDB.
+    """
+    if not cols:
+        raise ValueError("zorder_values: need at least one column")
+    n = 1 << bits
+    k = len(cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    out = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    cell_cols = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+        raw = F.floor(((v - lo) * F.lit(float(n))) / (hi - lo))
+        # least/greatest SKIP nulls (return the extreme of the non-null args),
+        # so a NULL input needs an explicit guard to yield a NULL key
+        cell = (
+            F.when(v.isNull(), F.lit(None).cast("long"))
+            .when(hi == lo, F.lit(0))
+            .otherwise(F.least(F.lit(n - 1), F.greatest(F.lit(0), raw)))
+        )
+        cell_cols.append(f"_cell_{c}")
+        out = out.withColumn(f"_cell_{c}", cell.cast("long"))
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"_cell_{c}"), i).bitwiseAND(F.lit(1)),
+                i * k + j,
+            )
+    return out.withColumn(out_col, z).drop(
+        *[f"_min_{c}" for c in cols],
+        *[f"_max_{c}" for c in cols],
+        *cell_cols,
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 10,
+) -> None:
+    """Write parquet clustered on the Z-order key: `repartitionByRange` over
+    the Morton value gives every output file a contiguous z-range — i.e.
+    tight min/max footer stats on EVERY clustered column simultaneously — so
+    point/box predicates on any subset of the clustered columns skip most
+    files at planning time. The range partitioner SAMPLES the key to pick
+    boundaries (no global sort; one shuffle, same cost class as any
+    repartition), and the in-partition sort keeps row groups tight within
+    each file. tests/test_zorder.py asserts the skipping property directly
+    from the written files' stats.
+    """
+    z = zorder_values(df, cols, bits=bits)
+    (
+        z.repartitionByRange(n_files, F.col("_zvalue"))
+        .sortWithinPartitions("_zvalue")
+        .drop("_zvalue")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def compact_parquet_sink(
     spark: SparkSession,
     src: str,
