@@ -630,3 +630,135 @@ def session_window_counts(
             "last_ts",
         )
     )
+
+
+def ann_ingest_writer(
+    store_dir: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch function: continuous ANN-index ingest against a FROZEN
+    coarse quantizer — the streaming counterpart of
+    `similarity.build_ivf_index` (train the quantizer ONCE on a bootstrap
+    corpus, then append forever — the standard IVF serving practice; the
+    centroid matrix is O(n_cells × dim) and ships in the closure, exactly
+    as in the batch Arrow-matmul assignment).
+
+    Each micro-batch's vectors are cell-assigned and appended to a
+    CELL-PARTITIONED, batch-versioned store:
+
+        store_dir/cell=<nearest centroid>/v=<batch_id>/
+
+    written with dynamic partition overwrite, so a replayed batch replaces
+    its own partitions byte-for-byte (the route_fanout_batch_writer
+    contract) and the store never rewrites history — batch b's write is
+    O(|batch b|) however large the index has grown. The query side
+    (`search_ann_store`) partition-prunes to probed cells, so a top-k probe
+    reads ~corpus·n_probe/n_cells rows regardless of how many batches have
+    ever been ingested.
+    """
+    from hatchery_spark.functions.similarity import _cell_assign_udf
+
+    assign1 = _cell_assign_udf(centroids, 1)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("_cv"),
+            )
+            .withColumn("cell", F.element_at(assign1(F.col("_cv")), 1))
+            .withColumn("v", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "v")
+            .parquet(store_dir)
+        )
+
+    return _write
+
+
+def run_ann_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available input through the ANN-ingest writer (availableNow
+    trigger — one ingest tick; same harness as the dedup streams)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(
+            ann_ingest_writer(store_dir, centroids, id_col, vec_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def search_ann_store(
+    spark: SparkSession,
+    store_dir: str,
+    centroids,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+):
+    """Top-k cosine against the ingested store, reading only probed cells.
+
+    The probed-cell union is computed from the query batch first (bounded by
+    n_cells ints — queries are batch-sized, cells are few) and pushed as a
+    partition filter on the store scan, so the read is pruned at PLANNING
+    time to cell=… directories; `ivf_search` then runs its exact-cosine
+    candidate join on the pruned scan. The store must have been written by
+    `ann_ingest_writer` with the SAME centroid matrix (the quantizer is part
+    of the index's identity, as in any IVF system).
+    """
+    from hatchery_spark.functions.similarity import (
+        IVFIndex,
+        _cell_assign_udf,
+        ivf_search,
+    )
+
+    n_probe = min(n_probe, len(centroids))
+    assign_n = _cell_assign_udf(centroids, n_probe)
+    probed = [
+        r.cell
+        for r in queries.select(
+            F.explode(
+                assign_n(F.col(vec_col).cast("array<double>"))
+            ).alias("cell")
+        )
+        .distinct()
+        .collect()
+    ]
+    cells = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("cell").isin(probed))
+        .select(id_col, "_cv", "cell")
+    )
+    index = IVFIndex(centroids, cells)
+    return ivf_search(
+        index,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )

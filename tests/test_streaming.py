@@ -395,3 +395,63 @@ def test_streaming_neardup_history_scan_is_pruned(spark, tmp_path):
     got = {(r.hist_id, r.new_id) for r in cand.collect()}
     assert (0, 10) in got
     assert all(h == 0 and n == 10 for h, n in got)
+
+
+def test_ann_ingest_stream_and_pruned_search(spark, tmp_path):
+    """Continuous ANN ingest against a frozen quantizer: vectors arriving in
+    different micro-batches are all searchable; the search scan
+    partition-prunes to the probed cells; a re-drain from the same
+    checkpoint adds nothing to the store."""
+    import numpy as np
+
+    from hatchery_spark.functions.similarity import spherical_kmeans
+    from hatchery_spark.streaming.stream import (
+        run_ann_ingest_stream,
+        search_ann_store,
+    )
+
+    rng = np.random.default_rng(7)
+    # two well-separated clusters -> a 2-cell quantizer is stable
+    a = rng.normal((5, 0, 0, 0), 0.1, (20, 4))
+    b = rng.normal((0, 5, 0, 0), 0.1, (20, 4))
+    cents = spherical_kmeans(np.vstack([a, b]), 2, seed=1)
+
+    schema = "vec_id long, embedding array<double>"
+    inp, store, ck = (str(tmp_path / p) for p in ("in", "store", "ck"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in a[i]]) for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [(100 + i, [float(x) for x in b[i]]) for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    # one file per trigger -> the two input files become separate batches
+    run_ann_ingest_stream(
+        spark, inp, store, ck, schema, cents, max_files_per_trigger=1
+    )
+    assert spark.read.parquet(store).count() == 40
+
+    # a query near cluster b retrieves ONLY batch-2 vectors; near cluster a
+    # only batch-1 — i.e. both batches are live in one index
+    qb = spark.createDataFrame(
+        [(0, [0.0, 5.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    hits_b = search_ann_store(spark, store, cents, qb, k=3, n_probe=1)
+    plan = hits_b._jdf.queryExecution().executedPlan().toString()
+    got_b = [r.vec_id for r in hits_b.collect()]
+    assert len(got_b) == 3 and all(v >= 100 for v in got_b)
+    qa = spark.createDataFrame(
+        [(1, [5.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got_a = [r.vec_id for r in search_ann_store(
+        spark, store, cents, qa, k=3, n_probe=1).collect()]
+    assert len(got_a) == 3 and all(v < 100 for v in got_a)
+
+    # the store scan is pruned at planning time to the probed cell dirs
+    assert "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "cell" in pf
+
+    # re-drain from the same checkpoint: no new batches, store unchanged
+    run_ann_ingest_stream(spark, inp, store, ck, schema, cents)
+    assert spark.read.parquet(store).count() == 40
