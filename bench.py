@@ -245,6 +245,7 @@ def main() -> None:
             ("doc_bm25_topk", dq.q_bm25_topk),
             ("doc_k_anonymize", dq.q_k_anonymize),
             ("rel_zorder", dq.q_zorder),
+            ("doc_group_split", dq.q_group_split),
         ]:
             measure(
                 name,

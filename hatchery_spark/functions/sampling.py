@@ -221,3 +221,61 @@ def pack_sequences(
     return df.withColumn("bin_offset", offset.cast("long")).withColumn(
         "bin_id", F.floor(F.col("bin_offset") / F.lit(budget)).cast("int")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every row of a GROUP lands in
+    the same split, so near-duplicates that share the group key (a domain,
+    a source crawl, a conversation) can never straddle the train/eval
+    boundary — the standard contamination guard when row-level random
+    splits would leak (Kaggle GroupKFold semantics at corpus scale).
+
+    `fractions` maps split name → target fraction (must sum to ~1). The
+    group's md5(salt ‖ group) is mapped to [0, 1) via its first 8 hex chars
+    and compared against the cumulative fraction boundaries — a pure
+    codegen'd expression per row: NO shuffle, NO group enumeration, stable
+    under repartition, re-drawable with `salt`. Groups are atomic, so
+    realized fractions converge to the targets only as group count grows
+    (one whale group can dominate a split — that is inherent to grouped
+    splitting, not this implementation).
+
+    NULL groups form one group of their own (coalesced sentinel), keeping
+    NULL-keyed rows together rather than scattering them.
+    """
+    if not fractions:
+        raise ValueError("group_split: fractions must be non-empty")
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"group_split: fractions sum to {total}, expected 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

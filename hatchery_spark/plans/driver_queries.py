@@ -1169,6 +1169,20 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_group_split(spark, sf_dir):
+    """Leakage-safe grouped train/val/test assignment over documents by
+    source: every row of a source lands in one split (near-dups sharing a
+    source can never straddle train/eval). Pure codegen'd md5-boundary
+    expression — no shuffle, no group enumeration; oracle replays the hex
+    decode positionally and the boundary floats from the same additions."""
+    from hatchery_spark.functions.sampling import group_split
+
+    docs = load(spark, sf_dir, "documents")
+    return group_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r4"
+    ).select("doc_id", "source", "split")
+
+
 def q_zorder(spark, sf_dir):
     """Z-order (Morton) clustering key over events(user_id, value): each
     column uniform-gridded to 1024 cells over its [min, max] (ONE broadcast
@@ -1547,6 +1561,36 @@ def q_lineage_totals(spark, sf_dir):
 # ----------------------------------------------------------------------------
 
 _LEGACY_PATTERN = r"sev=(debug|info|warn|error|critical) user=(\S+) op=(\S+) obj=(\S+)"
+
+def _group_split_oracle() -> str:
+    """Replay of sampling.group_split(documents, 'source', train/val/test,
+    salt='r4'): same md5-prefix → [0,1) mapping (hex digits decoded
+    positionally — DuckDB has no conv()) and the same cumulative-boundary
+    CASE, with boundaries computed by the SAME Python float additions the
+    Spark side uses, so the IEEE rounding of 0.8 + 0.1 agrees exactly."""
+    digits = "0123456789abcdef"
+    terms = " + ".join(
+        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    fracs = {"train": 0.8, "val": 0.1, "test": 0.1}
+    acc, whens = 0.0, []
+    names = list(fracs)
+    for name in names[:-1]:
+        acc += fracs[name]
+        whens.append(f"WHEN u < {acc!r} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return f"""
+        WITH g AS (SELECT doc_id, source,
+                     substr(md5('r4' || CAST(source AS VARCHAR)), 1, 8) AS h
+                   FROM documents),
+        u AS (SELECT doc_id, source,
+                CAST({terms} AS DOUBLE) / 4294967296.0 AS u FROM g)
+        SELECT doc_id, source, {case} AS split FROM u"""
+
+
+_GROUP_SPLIT_ORACLE = _group_split_oracle()
+
 
 def _zorder_oracle() -> str:
     """Replay of sinks.zorder_values(events, [user_id, value], bits=10): the
@@ -2265,6 +2309,7 @@ def oracle_catalog() -> dict[str, str]:
             FROM sc GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25""",
         "rel_zorder": _ZORDER_ORACLE,
+        "doc_group_split": _GROUP_SPLIT_ORACLE,
         "doc_k_anonymize": """
             WITH keyed AS (
               SELECT doc_id, lang, source,
@@ -2969,6 +3014,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-4 additions: never driver-sampled — first in line
         "rel_zorder": q_zorder,
+        "doc_group_split": q_group_split,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

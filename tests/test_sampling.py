@@ -239,3 +239,49 @@ def test_shuffle_salt_changes_order(docs):
 
     assert order("ep1") != order("ep2")  # new epoch, new permutation
     assert sorted(order("ep1")) == sorted(order("ep2"))  # same rows
+
+
+def test_group_split_groups_are_atomic(spark):
+    from hatchery_spark.functions.sampling import group_split
+
+    rows = [(i, f"domain-{i % 40}") for i in range(400)] + [(1000, None), (1001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = group_split(df, "source", {"train": 0.8, "val": 0.1, "test": 0.1})
+    # every group maps to exactly one split (NULL forms its own group)
+    per_group = (
+        out.groupBy("source")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r.n == 1 for r in per_group)
+    nulls = {r.split for r in out.filter(F.col("source").isNull()).collect()}
+    assert len(nulls) == 1
+
+
+def test_group_split_fractions_converge_and_salt_redraws(spark):
+    from hatchery_spark.functions.sampling import group_split
+
+    df = spark.createDataFrame(
+        [(i, f"g{i}") for i in range(4000)], "doc_id long, source string"
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {
+        r.split: r.n
+        for r in group_split(df, "source", fr)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert abs(got["train"] / 4000 - 0.8) < 0.03
+    assert abs(got["val"] / 4000 - 0.1) < 0.02
+    # a different salt reassigns a nontrivial share of groups
+    a = group_split(df, "source", fr, salt="a").select("doc_id", "split")
+    b = (
+        group_split(df, "source", fr, salt="b")
+        .select("doc_id", F.col("split").alias("split_b"))
+    )
+    moved = a.join(b, "doc_id").filter(F.col("split") != F.col("split_b")).count()
+    assert moved > 200
+
+    with pytest.raises(ValueError):
+        group_split(df, "source", {"train": 0.5})
