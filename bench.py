@@ -246,6 +246,7 @@ def main() -> None:
             ("doc_k_anonymize", dq.q_k_anonymize),
             ("rel_zorder", dq.q_zorder),
             ("doc_group_split", dq.q_group_split),
+            ("doc_hybrid_topk", dq.q_hybrid_topk),
         ]:
             measure(
                 name,

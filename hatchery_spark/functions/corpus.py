@@ -957,3 +957,69 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query: str,
+    query_vec: list[float],
+    k: int = 10,
+    k_rrf: int = 60,
+    pool: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused with Reciprocal Rank Fusion
+    (Cormack, Clarke & Buettcher, SIGIR'09):
+
+        rrf(d) = Σ_r 1/(k_rrf + rank_r(d))
+
+    over the BM25 ranking and the exact-cosine ranking, each truncated to a
+    `pool` of candidates. RRF is the standard hybrid combiner because it
+    fuses RANKS, not scores — no per-ranker score calibration exists or is
+    needed; a doc absent from one pool simply contributes only the other
+    ranker's term (RRF over truncated lists). Ids in `docs` and `vectors`
+    must refer to the same documents.
+
+    Scale shape: each ranker is its existing single-pass operator ending in
+    a TakeOrderedAndProject pool cut, so rank assignment runs on POOL-sized
+    frames (the single-partition windows below are bounded at `pool` rows
+    by construction — never corpus-sized); fusion is a full-outer join of
+    two pool-sized frames plus one final k-cut. The corpus is touched
+    exactly once per modality.
+    """
+    from hatchery_spark.functions.similarity import cosine_topk
+
+    spark = docs.sparkSession
+    bm = bm25_topk(docs, query, k=pool, text_col=text_col, id_col=id_col)
+    wb = Window.orderBy(F.desc("score"), F.col(id_col))
+    bm_r = bm.select(
+        F.col(id_col).alias("_id"), F.row_number().over(wb).alias("bm25_rank")
+    )
+    qdf = spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])],
+        "query_id long, embedding array<double>",
+    )
+    cs = cosine_topk(vectors, qdf, k=pool, id_col=vec_id_col, vec_col=vec_col)
+    cs_r = cs.select(
+        F.col(vec_id_col).alias("_id"), F.col("rank").alias("cosine_rank")
+    )
+    fused = bm_r.join(cs_r, "_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(k_rrf) + F.col("cosine_rank")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            F.col("_id").alias(id_col),
+            F.round(rrf, 6).alias("rrf_score"),
+            "bm25_rank",
+            "cosine_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1169,6 +1169,23 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_hybrid_topk(spark, sf_dir):
+    """Hybrid BM25+dense retrieval fused with Reciprocal Rank Fusion
+    (SIGIR'09): both rankers truncate to a 50-candidate pool (each ends in
+    a TakeOrderedAndProject cut; the rank windows run on pool-sized frames,
+    never corpus-sized), then a full-outer join of the two pools + the k-cut.
+    Dense query = embedding of vec_id 0; lexical query shared with
+    doc_bm25_topk."""
+    from hatchery_spark.functions.corpus import hybrid_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return hybrid_topk(
+        docs, emb, "spark hash join window merge", qv, k=10, pool=50
+    )
+
+
 def q_group_split(spark, sf_dir):
     """Leakage-safe grouped train/val/test assignment over documents by
     source: every row of a source lands in one split (near-dups sharing a
@@ -2308,6 +2325,55 @@ def oracle_catalog() -> dict[str, str]:
                    round(sum(s), 4) AS score
             FROM sc GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 25""",
+        "doc_hybrid_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+'))
+                  AS token
+              FROM documents),
+            tk AS (SELECT * FROM toks WHERE token <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY doc_id),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+                   WHERE token IN ('spark', 'hash', 'join', 'window', 'merge')
+                   GROUP BY doc_id, token),
+            dft AS (SELECT token, count(*) AS df_t FROM tf GROUP BY token),
+            sc AS (SELECT tf.doc_id,
+                     ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                       AS s
+                   FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+                           JOIN dft ON tf.token = dft.token, st),
+            bm AS (SELECT doc_id, round(sum(s), 4) AS score
+                   FROM sc GROUP BY doc_id
+                   ORDER BY score DESC, doc_id LIMIT 50),
+            bmr AS (SELECT doc_id,
+                      cast(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS int) AS bm25_rank
+                    FROM bm),
+            qv AS (SELECT cast(embedding AS double[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+            cv AS (SELECT vec_id, cast(embedding AS double[]) AS cv
+                   FROM embeddings),
+            cos AS (SELECT vec_id,
+                      round(list_dot_product(cv.cv, qv.qv)
+                        / (sqrt(list_dot_product(cv.cv, cv.cv))
+                           * sqrt(list_dot_product(qv.qv, qv.qv))), 4)
+                        AS cosine
+                    FROM cv, qv),
+            csr AS (SELECT vec_id,
+                      cast(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                        AS int) AS cosine_rank
+                    FROM cos ORDER BY cosine DESC, vec_id LIMIT 50),
+            f AS (SELECT coalesce(bmr.doc_id, csr.vec_id) AS doc_id,
+                         bmr.bm25_rank, csr.cosine_rank
+                  FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.vec_id)
+            SELECT doc_id,
+              round(coalesce(1.0 / (60 + bm25_rank), 0.0)
+                    + coalesce(1.0 / (60 + cosine_rank), 0.0), 6) AS rrf_score,
+              bm25_rank, cosine_rank
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "rel_zorder": _ZORDER_ORACLE,
         "doc_group_split": _GROUP_SPLIT_ORACLE,
         "doc_k_anonymize": """
@@ -3015,6 +3081,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions: never driver-sampled — first in line
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
+        "doc_hybrid_topk": q_hybrid_topk,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

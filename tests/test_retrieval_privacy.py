@@ -75,3 +75,56 @@ def test_k_anonymize_null_cohort_groups_together(spark):
     out = k_anonymize(df, ["lang", "source"], k=3).collect()
     assert all(r.group_n == 4 and not r.suppressed for r in out)
     assert all(r.lang is None for r in out)  # kept branch preserves NULL
+
+
+def test_hybrid_topk_matches_bruteforce_rrf(spark):
+    """RRF fusion equals the closed form computed from independent
+    brute-force BM25 and cosine rankings, including a doc present in only
+    one ranker's pool."""
+    import math
+
+    from hatchery_spark.functions.corpus import bm25_topk, hybrid_topk
+    from hatchery_spark.functions.similarity import cosine_topk
+
+    docs = [
+        (0, "spark join join planner"),
+        (1, "spark window window window merge"),
+        (2, "totally unrelated prose about cats"),
+        (3, "hash join merge spark"),
+    ]
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.95, 0.05]),   # lexically irrelevant but dense-similar
+        (3, [0.0, 1.0]),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    query, qv, pool, krrf = "spark join", [1.0, 0.0], 3, 60
+
+    bm_rank = {
+        r.doc_id: i + 1
+        for i, r in enumerate(bm25_topk(ddf, query, k=pool).collect())
+    }
+    qdf = spark.createDataFrame(
+        [(0, qv)], "query_id long, embedding array<double>"
+    )
+    cs_rank = {
+        r.vec_id: r.rank for r in cosine_topk(vdf, qdf, k=pool).collect()
+    }
+    expect = {}
+    for d in set(bm_rank) | set(cs_rank):
+        s = 0.0
+        if d in bm_rank:
+            s += 1.0 / (krrf + bm_rank[d])
+        if d in cs_rank:
+            s += 1.0 / (krrf + cs_rank[d])
+        expect[d] = round(s * 10**6) / 10**6
+
+    got = hybrid_topk(ddf, vdf, query, qv, k=4, k_rrf=krrf, pool=pool).collect()
+    assert {r.doc_id: r.rrf_score for r in got} == pytest.approx(expect)
+    # doc 2 is in the dense pool only -> its bm25_rank is NULL, score still set
+    row2 = next(r for r in got if r.doc_id == 2)
+    assert row2.bm25_rank is None and row2.cosine_rank is not None
+    # fused order puts the doubly-ranked docs first
+    assert got[0].bm25_rank is not None and got[0].cosine_rank is not None
