@@ -247,6 +247,7 @@ def main() -> None:
             ("rel_zorder", dq.q_zorder),
             ("doc_group_split", dq.q_group_split),
             ("doc_hybrid_topk", dq.q_hybrid_topk),
+            ("doc_unigram_tokens", dq.q_unigram_tokens),
         ]:
             measure(
                 name,

@@ -1023,3 +1023,207 @@ def hybrid_topk(
         .orderBy(F.desc("rrf_score"), F.col(id_col))
         .limit(k)
     )
+
+
+def _viterbi_segment_udf(logp: dict, max_piece_len: int):
+    """Arrow UDF: best unigram-LM segmentation per DISTINCT word (Viterbi
+    over character positions; the piece table ships in the closure, the
+    IVF-centroid pattern). Ties prefer the shorter final piece (strict
+    `>` with piece length ascending) — mirrored by the sequential reference
+    implementation in tests."""
+
+    @pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        out = []
+        for w in words:
+            n = len(w)
+            best_score = [-1e18] * (n + 1)
+            best_len = [0] * (n + 1)
+            best_score[0] = 0.0
+            for i in range(1, n + 1):
+                for piece_len in range(1, min(max_piece_len, i) + 1):
+                    lp = logp.get(w[i - piece_len : i])
+                    if lp is None:
+                        continue
+                    s = best_score[i - piece_len] + lp
+                    if s > best_score[i]:
+                        best_score[i], best_len[i] = s, piece_len
+            pieces, i = [], n
+            while i > 0:
+                piece_len = best_len[i]
+                if piece_len == 0:  # char outside the trained alphabet
+                    pieces = None
+                    break
+                pieces.append(w[i - piece_len : i])
+                i -= piece_len
+            out.append(pieces[::-1] if pieces is not None else None)
+        return pd.Series(out)
+
+    return seg
+
+
+def train_unigram(
+    df: DataFrame,
+    vocab_size: int = 120,
+    max_piece_len: int = 4,
+    seed_factor: int = 8,
+    prune_frac: float = 0.25,
+    text_col: str = "text",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo, arXiv:1804.10959 — the
+    SentencePiece algorithm; hard-EM/Viterbi variant): seed a large piece
+    vocabulary from frequent substrings, alternate (re-estimate piece
+    probabilities from Viterbi segmentations) with (prune the
+    lowest-probability multi-char pieces) until `vocab_size` remains.
+    Returns (piece, logprob). Single-character pieces are never pruned, so
+    every word stays segmentable (character coverage).
+
+    Scale shape — the BPE distribution generalized: the CORPUS is touched
+    exactly once (word-count aggregate; exchange carries one row per
+    distinct word). Seeding explodes substrings of the VOCABULARY frame
+    (≤ len·max_piece_len rows per distinct word) into a map-side-combined
+    weighted count. Each EM round runs the Viterbi UDF over the DISTINCT-
+    WORD frame with the piece table broadcast in the closure, then one
+    piece-count aggregate; driver traffic per round is the piece table
+    itself (≤ seed_factor·vocab_size rows, bounded like the IVF quantizer
+    sample) — never corpus- or vocabulary-frame-sized. This call is EAGER.
+
+    No SQL oracle exists for the catalog query (Viterbi DP is not
+    reasonably SQL-expressible) — the driver records a rows-only check;
+    correctness is pinned by sequential-reference parity in
+    tests/test_unigram.py instead (the BPE parity-test pattern).
+    """
+    import math
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+
+    # ---- seed: frequent substrings (all chars kept unconditionally)
+    subs = (
+        words.select(
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("pos"),
+            F.col("w"),
+        )
+        .select(
+            "cnt",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len),
+                        F.length("w") - F.col("pos") + 1,
+                    ),
+                )
+            ).alias("plen"),
+            "pos",
+            "w",
+        )
+        .select(
+            F.expr("substring(w, pos, plen)").alias("piece"),
+            F.col("cnt"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    chars = {
+        r.piece: r.freq
+        for r in subs.filter(F.length("piece") == 1).collect()
+    }
+    multi_top = (
+        subs.filter(F.length("piece") > 1)
+        .orderBy(F.desc("freq"), F.col("piece"))
+        .limit(max(0, seed_factor * vocab_size - len(chars)))
+        .collect()
+    )
+    counts = dict(chars)
+    counts.update({r.piece: r.freq for r in multi_top})
+
+    def to_logp(c: dict) -> dict:
+        total = sum(c.values())
+        return {p: math.log(v / total) for p, v in c.items()}
+
+    for _ in range(max_rounds):
+        logp = to_logp(counts)
+        seg = _viterbi_segment_udf(logp, max_piece_len)
+        est = (
+            words.select("cnt", F.explode(seg(F.col("w"))).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("freq"))
+            .collect()
+        )
+        est_counts = {r.piece: r.freq for r in est}
+        # character coverage: chars survive with add-one floor even when the
+        # current segmentation never picks them
+        counts = {
+            p: est_counts.get(p, 0) + (1 if len(p) == 1 else 0)
+            for p in counts
+            if len(p) == 1 or est_counts.get(p, 0) > 0
+        }
+        n_over = len(counts) - vocab_size
+        if n_over <= 0:
+            break
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (pc[1], pc[0]),
+        )
+        # gradual pruning (≤ prune_frac of multi-char pieces per round) so
+        # surviving pieces get re-estimated between drops, the SentencePiece
+        # schedule; never drop more than needed to reach vocab_size
+        n_drop = min(n_over, max(1, int(len(multi) * prune_frac)), len(multi))
+        for p, _c in multi[:n_drop]:
+            del counts[p]
+        if len(counts) <= vocab_size:
+            break
+    logp = to_logp(counts)
+    return spark.createDataFrame(
+        sorted(logp.items()), "piece string, logprob double"
+    ).select("piece", F.round("logprob", 6).alias("logprob"))
+
+
+def unigram_token_counts(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Per-document token counts under a trained unigram-LM vocabulary —
+    the budgeting number packing/chunking consumes (mirror of
+    `bpe_encode`). Viterbi runs once per DISTINCT word (piece table
+    collected — vocabulary-bounded — and shipped in the UDF closure), then
+    a by-word rejoin puts counts back on the corpus; words outside the
+    trained alphabet (out-of-coverage) count 1 token each, the unk
+    convention."""
+    logp = {r.piece: r.logprob for r in pieces.collect()}
+    seg = _viterbi_segment_udf(logp, max_piece_len)
+    toks = _ws_tokens(df, text_col, F.col(id_col))
+    wordfreq = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    distinct_words = wordfreq.select("token").distinct()
+    n_pieces = distinct_words.select(
+        "token",
+        F.coalesce(F.size(seg(F.col("token"))), F.lit(1)).alias("_np"),
+    )
+    per_word = wordfreq.join(n_pieces, "token")
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum(F.col("n") * F.greatest(F.col("_np"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )

@@ -1169,6 +1169,24 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_unigram_tokens(spark, sf_dir):
+    """Unigram-LM (SentencePiece, Kudo 1804.10959) per-doc token counts:
+    train on the corpus (hard-EM + gradual prune; corpus touched once,
+    EM rounds run on the distinct-word frame with the piece table in the
+    UDF closure), then Viterbi-encode distinct words and rejoin. No SQL
+    oracle — Viterbi DP is not reasonably SQL-expressible — so the driver
+    records a rows-only check; correctness is pinned by sequential-
+    reference parity in tests/test_unigram.py (the BPE pattern)."""
+    from hatchery_spark.functions.corpus import (
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pieces = train_unigram(docs, vocab_size=80)
+    return unigram_token_counts(docs, pieces)
+
+
 def q_hybrid_topk(spark, sf_dir):
     """Hybrid BM25+dense retrieval fused with Reciprocal Rank Fusion
     (SIGIR'09): both rankers truncate to a 50-candidate pool (each ends in
@@ -3082,6 +3100,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
         "doc_hybrid_topk": q_hybrid_topk,
+        "doc_unigram_tokens": q_unigram_tokens,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,
