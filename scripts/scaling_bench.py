@@ -42,6 +42,99 @@ sys.path.insert(0, REPO)
 PROBE_TOLERANCE = 1.3
 
 
+def _cross_run_section(pooled: dict, hw_ceiling: float, scan_ceiling: float) -> str:
+    """Cross-run history + throttle-robust pooled estimators (markdown).
+    Normalization uses the cross-run MEDIAN ceilings when recorded (each
+    run's own ceiling calibration is throttle-noisy too)."""
+    hw_ceiling = pooled.get("pooled_hw_ceiling") or hw_ceiling
+    scan_ceiling = pooled.get("pooled_scan_ceiling") or scan_ceiling
+    same = [r for r in pooled["runs"]
+            if r["rows"] == pooled["pooled_rows"] and r.get("dispersion_ok", True)]
+    rows = "\n".join(
+        f"| {i + 1} | {r['median']} | {len(r['clean_pair_efficiencies'])} | "
+        f"{r['best_sec']['8']} | {r['best_sec']['32']} |"
+        for i, r in enumerate(same)
+    )
+    med, mm = pooled["pooled_median"], pooled["pooled_minmin_efficiency"]
+    return f"""
+
+## Cross-run history ({pooled['pooled_rows']:,} rows, every dispersion-clean run of this build)
+
+Single-run medians are noisy draws on a burst-throttling host — a burst
+landing on a t8 leg INFLATES apparent efficiency, on a t32 leg it deflates
+it, and the probe brackets can miss mid-leg bursts. Cross-run pooling is the
+control: every clean pair from every run enters one sample, and the per-leg
+MINIMA give a second estimator that contamination cannot move (throttle only
+ever slows a leg, so min(t8)/min(t32) converges to the un-throttled ratio).
+
+| run | median eff | clean pairs | best t8 (s) | best t32 (s) |
+|---|---|---|---|---|
+{rows}
+
+* **Pooled median over {pooled['pooled_clean_pairs']} clean pairs = {med}**
+  (vs JVM-compute ceiling {hw_ceiling}: **{round(med / hw_ceiling, 3)}**;
+  vs scan ceiling {scan_ceiling}: **{round(med / scan_ceiling, 3)}**)
+* **min/min estimator = {mm}** (best legs {pooled['pooled_best_sec']['8']} s /
+  {pooled['pooled_best_sec']['32']} s; vs JVM ceiling:
+  **{round(mm / hw_ceiling, 3)}**)
+
+The two estimators agreeing within a few points is the cross-check that the
+reported figure reflects the job, not the host's throttle schedule.
+"""
+
+
+def _stage_section() -> str:
+    """Re-embed the per-stage breakdown (scripts/stage_scaling.py) if its
+    JSON exists, so regenerating this file never loses the attribution."""
+    path = f"{REPO}/BENCH/stage_scaling.json"
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    rows = "\n".join(
+        f"| {r['stage']} | {r['t8']} | {r['t32']} | {r['dt8']} | {r['dt32']} | "
+        f"{r['eff_cumulative']} | {r['eff_incremental']} |"
+        for r in d["stages"]
+    )
+    incs = {r["stage"]: r for r in d["stages"]}
+    parse_eff = incs.get("parse", {}).get("eff_incremental")
+    scan_eff = incs.get("scan", {}).get("eff_incremental")
+    enrich_eff = incs.get("enrich", {}).get("eff_incremental")
+    return f"""
+
+## Per-stage scaling breakdown (per-leg MIN over {d['clean_runs']} clean runs, {d['rows']:,} rows)
+
+Each stage is a PREFIX of the job plan forced through a cheap hash-sum over
+exactly the columns that stage produces; Δ columns are the stage's
+incremental cost, and incremental efficiency = (Δt8/Δt32)/4 attributes the
+single-box 8→32 gap to specific stages. Per-leg timings are the MINIMUM over
+clean runs: probes can miss a burst landing mid-leg, and a leg can run slower
+than the hardware allows but never faster.
+
+| stage (cumulative prefix) | t8 (s) | t32 (s) | Δt8 | Δt32 | eff cumulative | eff incremental |
+|---|---|---|---|---|---|---|
+{rows}
+
+Note the `route_agg` CUMULATIVE row: it is the full pipeline shape at
+per-leg minima — a third, throttle-robust efficiency estimate. Its chain
+(parse → enrich → sink_counts) omits `prepare`'s window/fallback steps, so
+its absolute seconds run slightly below the job pairs'; compare the
+efficiency, not the times. Together the three estimators bracket the job.
+
+Interpretation: the pure-CPU stages (the regex parse at **{parse_eff}**, the
+job's largest increment) scale at or near the box's pure-JVM ceiling — the
+pipeline's own operators add no serial bottleneck. The below-ceiling terms
+are the memory-bandwidth-shared ones (scan/decompress **{scan_eff}**, the
+broadcast-probe enrich **{enrich_eff}**): 32 threads share ONE machine's
+memory bus, the exact resource a real N→4N cluster scales per-node (each
+executor brings its own memory channels and disks). The terminal per-sink
+aggregate's increment was separately shown to grow ~linearly with input rows
+(BENCH/terminal_agg_check.json) — data-scaled work, not fixed overhead.
+
+Reproduce: `python scripts/stage_scaling.py {d['rows']} {d['clean_runs']}`
+"""
+
+
 def main() -> None:
     # 40M rows: at this host's un-throttled ~1.5M turns/sec the 8-task leg runs
     # ~25-30 s, so fixed per-job overhead (scheduling, task launch, broadcast,
@@ -231,6 +324,51 @@ def main() -> None:
     with open(f"{REPO}/BENCH/scaling.json", "w") as f:
         json.dump(result, f)
 
+    # ---- cross-run pooling: this host throttles in bursts, so any single
+    # run's median is a noisy draw. Two throttle-robust cross-run estimators:
+    # (a) the median over ALL clean pairs of every dispersion-clean run, and
+    # (b) min(t8)/min(t32) across runs — throttle only ever SLOWS a leg, so
+    # per-leg minima converge to the un-throttled times and their ratio is a
+    # consistent point estimate that no single contaminated leg can move.
+    hist_path = f"{REPO}/BENCH/scaling_history.json"
+    runs = []
+    if os.path.exists(hist_path):
+        with open(hist_path) as f:
+            runs = json.load(f).get("runs", [])
+    runs.append({
+        "rows": n_rows,
+        "median": eff_median,
+        "clean_pair_efficiencies": effs,
+        "best_sec": {"8": best8, "32": best32},
+        "dispersion_ok": dispersion_ok,
+        "hw_ceiling": hw_ceiling,
+        "scan_ceiling": scan_ceiling,
+    })
+    same = [r for r in runs
+            if r["rows"] == n_rows and r.get("dispersion_ok", True)]
+    pooled_effs = sorted(e for r in same for e in r["clean_pair_efficiencies"])
+    pool8 = min(r["best_sec"]["8"] for r in same)
+    pool32 = min(r["best_sec"]["32"] for r in same)
+    # ceilings re-calibrate each run and are themselves throttle-noisy:
+    # normalize pooled estimators against the cross-run MEDIAN ceiling
+    hw_ceils = [r["hw_ceiling"] for r in same if r.get("hw_ceiling")]
+    scan_ceils = [r["scan_ceiling"] for r in same if r.get("scan_ceiling")]
+    pooled = {
+        "runs": runs,
+        "pooled_rows": n_rows,
+        "pooled_run_count": len(same),
+        "pooled_clean_pairs": len(pooled_effs),
+        "pooled_median": round(statistics.median(pooled_effs), 3),
+        "pooled_minmin_efficiency": round((pool8 / pool32) / 4, 3),
+        "pooled_best_sec": {"8": pool8, "32": pool32},
+        "pooled_hw_ceiling": round(statistics.median(hw_ceils), 3)
+        if hw_ceils else None,
+        "pooled_scan_ceiling": round(statistics.median(scan_ceils), 3)
+        if scan_ceils else None,
+    }
+    with open(hist_path, "w") as f:
+        json.dump(pooled, f, indent=1)
+
     job_rows = "\n".join(
         f"| {i + 1} | {p['t8']} | {p['t32']} | {p['eff']} | "
         f"{'yes' if p['clean'] else 'no'} | {p['probes'][0]} / {p['probes'][1]} |"
@@ -302,7 +440,7 @@ headline path). Steady-state absolute throughput on this host:
 ~{thr32 / 1e6:.2f}M turns/sec at 32 tasks (median clean window).
 
 Reproduce: `python scripts/scaling_bench.py {n_rows} {n_clean} {max_attempts}`
-""")
+{_cross_run_section(pooled, hw_ceiling, scan_ceiling)}{_stage_section()}""")
 
 
 if __name__ == "__main__":

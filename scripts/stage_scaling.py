@@ -181,27 +181,9 @@ def main() -> None:
     with open(f"{REPO}/BENCH/stage_scaling.json", "w") as f:
         json.dump(result, f, indent=1)
 
-    table = "\n".join(
-        f"| {r['stage']} | {r['t8']} | {r['t32']} | {r['dt8']} | {r['dt32']} | "
-        f"{r['eff_cumulative']} | {r['eff_incremental']} |"
-        for r in rows
-    )
-    with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
-        f.write(f"""
-
-## Per-stage scaling breakdown (per-leg MIN over {len(use)} {'clean ' if clean_runs else ''}runs, {n_rows:,} rows)
-
-Each stage is a PREFIX of the job plan forced through a cheap hash-sum over
-exactly the columns that stage produces; Δ columns are the stage's
-incremental cost, and incremental efficiency = (Δt8/Δt32)/4 attributes the
-single-box 8→32 gap to specific stages.
-
-| stage (cumulative prefix) | t8 (s) | t32 (s) | Δt8 | Δt32 | eff cumulative | eff incremental |
-|---|---|---|---|---|---|---|
-{table}
-
-Reproduce: `python scripts/stage_scaling.py {n_rows} {n_clean} {max_attempts}`
-""")
+    # BENCH/BASELINE.md is regenerated by scripts/scaling_bench.py, which
+    # embeds this breakdown from BENCH/stage_scaling.json — run it after
+    # this script to refresh the markdown.
 
 
 if __name__ == "__main__":
