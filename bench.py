@@ -248,6 +248,7 @@ def main() -> None:
             ("doc_group_split", dq.q_group_split),
             ("doc_hybrid_topk", dq.q_hybrid_topk),
             ("doc_unigram_tokens", dq.q_unigram_tokens),
+            ("doc_c4_clean", dq.q_c4_clean),
         ]:
             measure(
                 name,

@@ -1227,3 +1227,47 @@ def unigram_token_counts(
             .alias("n_tokens")
         )
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al., arXiv:1910.10683 §2.2), the classic
+    web-corpus line/page filter. Line level: keep only lines that end in a
+    terminal punctuation mark, contain ≥ `min_words_per_line` words, and do
+    not mention "javascript". Page level: flag pages that keep fewer than
+    `min_kept_lines` lines, contain "{" (code), or "lorem ipsum"
+    (placeholder text). Returns every input row with
+    (clean_text, kept_lines, dropped_lines, page_kept) so callers either
+    filter on the flag or audit what would drop.
+
+    Scale shape: ZERO shuffles at any corpus size — one narrow codegen'd
+    map: split → HOF `filter` with collection expressions (regexp + word
+    count + substring test per LINE, not per token row) → array_join.
+    Nothing explodes, nothing aggregates; the whole operator rides
+    WholeStageCodegen. Word counting uses the explicit ASCII whitespace
+    class so the DuckDB oracle's RE2 semantics match Java's exactly.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"] *$')
+        & (F.size(F.split(F.trim(l), r"[ \t\f\r\x0b]+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    low = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("int").alias("kept_lines"),
+        (F.size(lines) - F.size(kept)).cast("int").alias("dropped_lines"),
+        (
+            (F.size(kept) >= min_kept_lines)
+            & ~F.col(text_col).contains("{")
+            & ~low.contains("lorem ipsum")
+        ).alias("page_kept"),
+    )

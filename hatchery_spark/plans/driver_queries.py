@@ -1169,6 +1169,16 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning (Raffel 1910.10683 §2.2): terminal-punctuation
+    + ≥5-word + no-javascript line filter, page flags for code braces,
+    lorem ipsum, and <3 kept lines. ZERO shuffles — one narrow codegen'd
+    HOF map; the oracle replays the same lambda in DuckDB list_filter."""
+    from hatchery_spark.functions.corpus import c4_clean
+
+    return c4_clean(load(spark, sf_dir, "documents"))
+
+
 def q_unigram_tokens(spark, sf_dir):
     """Unigram-LM (SentencePiece, Kudo 1804.10959) per-doc token counts:
     train on the corpus (hard-EM + gradual prune; corpus touched once,
@@ -2394,6 +2404,22 @@ def oracle_catalog() -> dict[str, str]:
             FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "rel_zorder": _ZORDER_ORACLE,
         "doc_group_split": _GROUP_SPLIT_ORACLE,
+        "doc_c4_clean": """
+            WITH s AS (
+              SELECT doc_id, text,
+                string_split(text, chr(10)) AS lines,
+                list_filter(string_split(text, chr(10)), l ->
+                  regexp_matches(l, '[.!?"] *$')
+                  AND len(string_split_regex(trim(l), '[ \t\f\r\x0b]+')) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM documents)
+            SELECT doc_id,
+              coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+              CAST(len(kept) AS int) AS kept_lines,
+              CAST(len(lines) - len(kept) AS int) AS dropped_lines,
+              len(kept) >= 3 AND NOT contains(text, '{')
+                AND NOT contains(lower(text), 'lorem ipsum') AS page_kept
+            FROM s""",
         "doc_k_anonymize": """
             WITH keyed AS (
               SELECT doc_id, lang, source,
@@ -3101,6 +3127,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_group_split": q_group_split,
         "doc_hybrid_topk": q_hybrid_topk,
         "doc_unigram_tokens": q_unigram_tokens,
+        "doc_c4_clean": q_c4_clean,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

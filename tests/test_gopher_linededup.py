@@ -96,3 +96,33 @@ def test_line_dedup_stable_under_repartition(spark):
     d = dict(a)
     assert d[0] == "common header\nbody 0\ncommon footer"
     assert d[5] == "body 5"
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from hatchery_spark.functions.corpus import c4_clean
+
+    good = "this line has five proper words."
+    docs = [
+        (0, "\n".join([good, good + "!", 'a quoted five word line here"'])),
+        (1, "\n".join([good, "no terminal punctuation here at all",
+                       "too short.", "uses javascript on this line."])),
+        (2, "\n".join([good, good, good]) + "\nif (x) { return; }"),
+        (3, "\n".join([good, good, good, "Lorem Ipsum filler text here."])),
+        (4, "\n".join([good, good])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+
+    # doc 0: all three lines survive; page kept
+    assert out[0].kept_lines == 3 and out[0].page_kept
+    assert out[0].clean_text == docs[0][1]
+    # doc 1: no-punct, short, and javascript lines all drop
+    assert out[1].kept_lines == 1 and out[1].dropped_lines == 3
+    assert not out[1].page_kept  # fewer than 3 kept lines
+    # doc 2: brace page flagged regardless of kept count
+    assert out[2].kept_lines == 3 and not out[2].page_kept
+    # doc 3: lorem ipsum page flagged (case-insensitive); the lorem line
+    # itself passes the LINE rules
+    assert out[3].kept_lines == 4 and not out[3].page_kept
+    # doc 4: two kept lines -> page dropped
+    assert not out[4].page_kept
