@@ -988,8 +988,9 @@ def hybrid_topk(
     a TakeOrderedAndProject pool cut, so rank assignment runs on POOL-sized
     frames (the single-partition windows below are bounded at `pool` rows
     by construction — never corpus-sized); fusion is a full-outer join of
-    two pool-sized frames plus one final k-cut. The corpus is touched
-    exactly once per modality.
+    two pool-sized frames plus one final k-cut (planned as a sort-merge
+    join — FULL OUTER has no broadcast form — over ≤pool-row inputs, so the
+    sort is trivial). The corpus is touched exactly once per modality.
     """
     from hatchery_spark.functions.similarity import cosine_topk
 
@@ -1245,12 +1246,15 @@ def c4_clean(
     (clean_text, kept_lines, dropped_lines, page_kept) so callers either
     filter on the flag or audit what would drop.
 
-    Scale shape: ZERO shuffles at any corpus size — one narrow codegen'd
-    map: split → HOF `filter` with collection expressions (regexp + word
-    count + substring test per LINE, not per token row) → array_join.
-    Nothing explodes, nothing aggregates; the whole operator rides
-    WholeStageCodegen. Word counting uses the explicit ASCII whitespace
-    class so the DuckDB oracle's RE2 semantics match Java's exactly.
+    Scale shape: ZERO shuffles at any corpus size — one narrow JVM map:
+    split → HOF `filter` with collection expressions (regexp + word count +
+    substring test per LINE, not per token row) → array_join. Nothing
+    explodes, nothing aggregates. The HOF lambda is an interpreted
+    expression (a plain Project over the scan, outside codegen), which is
+    fine here because its cost is per LINE — bounded by lines/doc — not
+    per token, where interpreted HOFs hurt (the char_entropy lesson). Word
+    counting uses the explicit ASCII whitespace class so the DuckDB
+    oracle's RE2 semantics match Java's exactly.
     """
     lines = F.split(F.col(text_col), "\n")
     kept = F.filter(

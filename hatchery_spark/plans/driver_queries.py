@@ -1172,8 +1172,9 @@ def q_k_anonymize(spark, sf_dir):
 def q_c4_clean(spark, sf_dir):
     """C4 line/page cleaning (Raffel 1910.10683 §2.2): terminal-punctuation
     + ≥5-word + no-javascript line filter, page flags for code braces,
-    lorem ipsum, and <3 kept lines. ZERO shuffles — one narrow codegen'd
-    HOF map; the oracle replays the same lambda in DuckDB list_filter."""
+    lorem ipsum, and <3 kept lines. ZERO shuffles — one narrow JVM HOF
+    map (per-LINE interpreted lambda, a single Project over the scan);
+    the oracle replays the same lambda in DuckDB list_filter."""
     from hatchery_spark.functions.corpus import c4_clean
 
     return c4_clean(load(spark, sf_dir, "documents"))
