@@ -249,6 +249,7 @@ def main() -> None:
             ("doc_hybrid_topk", dq.q_hybrid_topk),
             ("doc_unigram_tokens", dq.q_unigram_tokens),
             ("doc_c4_clean", dq.q_c4_clean),
+            ("doc_substring_dedup_xx", dq.q_substring_dedup_xx),
         ]:
             measure(
                 name,

@@ -845,12 +845,26 @@ def cluster_representatives(
 # ------------------------------------------------------- exact substring dedup
 
 
+def _gram_hash_col(gram_hash: str, k: int):
+    """k-gram key for ExactSubstr counting. `md5` (hex string) is the
+    engine-replayable default — the DuckDB oracle computes the same key.
+    `xxhash64` keys the SAME pipeline on an 8-byte long instead of a
+    32-char string: no hex-string allocation per position and ~1/4 the
+    exchange width on the count and dup-position joins. Output is
+    IDENTICAL either way (the hash is internal to counting; the driver
+    gate proves it by running the xx variant against the md5 oracle).
+    Collision risk 2^-64-scale, the package-wide digest convention."""
+    gram = F.expr(f"substring(_t, p, {k})")
+    return F.md5(gram) if gram_hash == "md5" else F.xxhash64(gram)
+
+
 def remove_duplicate_substrings(
     df: DataFrame,
     k: int = 20,
     min_count: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    gram_hash: str = "md5",
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al., arXiv:2107.06499 §4.1): excise
     every character covered by a length-k substring that occurs ≥ min_count
@@ -882,6 +896,8 @@ def remove_duplicate_substrings(
          (duplication-sized; AQE broadcasts it when small).
     """
     text, did = F.col(text_col), F.col(id_col)
+    if gram_hash not in ("md5", "xxhash64"):
+        raise ValueError(f"remove_duplicate_substrings: unknown gram_hash {gram_hash!r}")
     npos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
     pos = df.select(
         did.alias("_id"),
@@ -891,7 +907,7 @@ def remove_duplicate_substrings(
                 F.array().cast("array<int>")
             )
         ).alias("p"),
-    ).select("_id", "p", F.md5(F.expr(f"substring(_t, p, {k})")).alias("h"))
+    ).select("_id", "p", _gram_hash_col(gram_hash, k).alias("h"))
     counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
     dup = pos.join(
         counts.filter(F.col("n") >= min_count).select("h"), "h"

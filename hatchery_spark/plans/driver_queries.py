@@ -1147,6 +1147,18 @@ def q_substring_dedup(spark, sf_dir):
     return remove_duplicate_substrings(load(spark, sf_dir, "documents"), k=20)
 
 
+def q_substring_dedup_xx(spark, sf_dir):
+    """ExactSubstr with the xxhash64 gram key: identical output to the md5
+    form (the hash is internal to counting — this query shares the md5
+    oracle, so the driver gate itself proves the equivalence) at ~1/4 the
+    exchange width and no per-position hex-string allocation."""
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(
+        load(spark, sf_dir, "documents"), k=20, gram_hash="xxhash64"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 (Lucene idf) top-25 for a fixed query: one token explode
     feeds doc lengths + query-term tfs; query-sized frames broadcast;
@@ -3113,6 +3125,7 @@ def oracle_catalog() -> dict[str, str]:
     oracles["pipeline_funnel_single_scan"] = oracles["pipeline_funnel"]
     oracles["emb_quantized_topk"] = oracles["emb_cosine_topk"]
     oracles["pipeline_asof_salted"] = oracles["pipeline_asof_last_event"]
+    oracles["doc_substring_dedup_xx"] = oracles["doc_substring_dedup"]
     return oracles
 
 
@@ -3129,6 +3142,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_topk": q_hybrid_topk,
         "doc_unigram_tokens": q_unigram_tokens,
         "doc_c4_clean": q_c4_clean,
+        "doc_substring_dedup_xx": q_substring_dedup_xx,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

@@ -88,3 +88,23 @@ def test_stable_under_repartition(planted):
         map(tuple, remove_duplicate_substrings(df.repartition(13), k=20).collect())
     )
     assert a == b
+
+
+def test_gram_hash_variants_identical_output(spark):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "a duplicated span lives here: the quick brown fox jumps over it"),
+        (2, "completely unique text without any repeated twenty gram at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    md = sorted(remove_duplicate_substrings(df, k=20).collect())
+    xx = sorted(
+        remove_duplicate_substrings(df, k=20, gram_hash="xxhash64").collect()
+    )
+    assert md == xx
+
+    import pytest
+    with pytest.raises(ValueError):
+        remove_duplicate_substrings(df, gram_hash="sha1")
