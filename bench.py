@@ -250,6 +250,7 @@ def main() -> None:
             ("doc_unigram_tokens", dq.q_unigram_tokens),
             ("doc_c4_clean", dq.q_c4_clean),
             ("doc_substring_dedup_xx", dq.q_substring_dedup_xx),
+            ("rel_upsert_merge", dq.q_upsert_merge),
         ]:
             measure(
                 name,

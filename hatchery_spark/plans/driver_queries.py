@@ -1181,6 +1181,39 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_upsert_merge(spark, sf_dir):
+    """MERGE INTO semantics on plain frames (sinks.merge_frames): updates
+    replace matched keys (partial column set — untouched columns survive),
+    new keys insert, flagged keys delete (the redaction primitive). One
+    full-outer join + per-column coalesce; the update/insert/delete sets
+    are derived deterministically from orders so the oracle replays them.
+    The partition-pruned WRITE path (upsert_partitioned) is pytest-proven
+    byte-identical on untouched partitions."""
+    from hatchery_spark.sinks import merge_frames
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    upd = o.filter(key % 97 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    ins = o.filter(key % 181 == 0).select(
+        (key + 10_000_000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice") / 2, 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    dels = o.filter((key % 131 == 0) & (key % 97 != 0)).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("_del"),
+    )
+    updates = upd.unionByName(ins).unionByName(dels)
+    return merge_frames(o, updates, "o_orderkey", delete_col="_del")
+
+
 def q_c4_clean(spark, sf_dir):
     """C4 line/page cleaning (Raffel 1910.10683 §2.2): terminal-punctuation
     + ≥5-word + no-javascript line filter, page flags for code braces,
@@ -2417,6 +2450,23 @@ def oracle_catalog() -> dict[str, str]:
             FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "rel_zorder": _ZORDER_ORACLE,
         "doc_group_split": _GROUP_SPLIT_ORACLE,
+        "rel_upsert_merge": """
+            WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            u AS (
+              SELECT o_orderkey, round(o_totalprice * 2, 2) AS o_totalprice,
+                     FALSE AS _del
+              FROM orders WHERE o_orderkey % 97 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, round(o_totalprice / 2, 2), FALSE
+              FROM orders WHERE o_orderkey % 181 = 0
+              UNION ALL
+              SELECT o_orderkey, CAST(NULL AS DOUBLE), TRUE
+              FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey % 97 <> 0)
+            SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   b.o_custkey,
+                   coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+            FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+            WHERE NOT coalesce(u._del, FALSE)""",
         "doc_c4_clean": """
             WITH s AS (
               SELECT doc_id, text,
@@ -3143,6 +3193,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_tokens": q_unigram_tokens,
         "doc_c4_clean": q_c4_clean,
         "doc_substring_dedup_xx": q_substring_dedup_xx,
+        "rel_upsert_merge": q_upsert_merge,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,
         "doc_token_temperature_sample": q_token_temperature_sample,

@@ -264,3 +264,91 @@ def read_table(
             raise IcebergUnavailable("no Iceberg catalog configured")
         return spark.read.table(target)
     raise ValueError(f"unknown table_format: {table_format!r}")
+
+
+def merge_frames(
+    base: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics as a pure frame transform (the computation inside
+    Delta/Iceberg `MERGE INTO`, expressed on plain DataFrames): rows keyed
+    by `key_col` — an update row REPLACES the base row with its key, a new
+    key INSERTS, and (when `delete_col` names a boolean column on
+    `updates`) a flagged row DELETES the key entirely — the
+    right-to-be-forgotten primitive a curation pipeline needs for
+    redaction/correction passes.
+
+    Implementation is one full-outer join on the key with per-column
+    coalesce(update, base). Update frames are small relative to the base in
+    every real merge — AQE plans the join accordingly; for repeated merges
+    against a bucketed base table the join co-locates with zero base
+    shuffle (`write_bucketed_table`).
+    """
+    upd_cols = [c for c in updates.columns if c != delete_col]
+    if key_col not in upd_cols:
+        raise ValueError(f"merge_frames: updates must carry {key_col!r}")
+    missing = [c for c in upd_cols if c not in base.columns]
+    if missing:
+        raise ValueError(f"merge_frames: updates carry unknown columns {missing}")
+    b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
+    u = updates.select(
+        [F.col(c).alias(f"_u_{c}") for c in upd_cols]
+        + ([F.col(delete_col).alias("_u_del")] if delete_col else [])
+    )
+    joined = b.join(
+        u, b[f"_b_{key_col}"] == u[f"_u_{key_col}"], "full_outer"
+    )
+    if delete_col:
+        joined = joined.filter(~F.coalesce(F.col("_u_del"), F.lit(False)))
+    out_cols = []
+    for c in base.columns:
+        if c in upd_cols:
+            out_cols.append(
+                F.coalesce(F.col(f"_u_{c}"), F.col(f"_b_{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"_b_{c}").alias(c))
+    return joined.select(out_cols)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    part_col: str,
+    delete_col: str | None = None,
+) -> list:
+    """Surgical MERGE into a partitioned parquet table WITHOUT a table
+    format: only the partitions that contain affected keys are read,
+    merged (`merge_frames`), and rewritten under DYNAMIC partition
+    overwrite — every untouched partition's files stay byte-identical on
+    disk (asserted by tests/test_sink_maintenance.py). This is the
+    mutation path Iceberg/Delta provide transactionally, expressed with
+    the same partition-pruning discipline for plain parquet sinks; at
+    10^12 rows a redaction touching k partitions costs O(k partitions),
+    not a table rewrite. Returns the touched partition values.
+
+    Caveats vs a real table format (stated, not hidden): the rewrite of a
+    touched partition is not atomic across partitions, and concurrent
+    writers need external coordination — promote the sink to Iceberg
+    (`write_table`) when those guarantees matter. `updates` rows must
+    carry the partition value their key lives in (the usual layout where
+    the partition derives from the row, e.g. days(ts)).
+    """
+    touched = [
+        r[0] for r in updates.select(part_col).distinct().collect()
+    ]
+    if not touched:
+        return []
+    base = spark.read.parquet(path).filter(F.col(part_col).isin(touched))
+    merged = merge_frames(base, updates, key_col, delete_col=delete_col)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(path)
+    )
+    return sorted(touched)

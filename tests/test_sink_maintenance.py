@@ -147,3 +147,72 @@ def test_compact_empty_source_keeps_partitioned_layout(spark, tmp_path):
     # particular no flat part-*.parquet that would break the partition layout
     data_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
     assert data_files == []
+
+
+def test_merge_frames_update_insert_delete(spark):
+    from hatchery_spark.sinks import merge_frames
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, 99.0, False),   # update: only v changes, name survives
+         (4, 40.0, False),   # insert: new key, name is NULL
+         (3, None, True)],   # delete
+        "k long, v double, _del boolean",
+    )
+    out = {r.k: r for r in
+           merge_frames(base, updates, "k", delete_col="_del").collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].name == "a" and out[1].v == 10.0       # untouched
+    assert out[2].name == "b" and out[2].v == 99.0       # partial update
+    assert out[4].name is None and out[4].v == 40.0      # insert
+
+    import pytest
+    with pytest.raises(ValueError):
+        merge_frames(base, updates.withColumnRenamed("v", "nope"), "k",
+                     delete_col="_del")
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from hatchery_spark.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)],
+        "k long, dt string, v double",
+    )
+    base.repartition(1).write.partitionBy("dt").parquet(path)
+
+    def file_state(part):
+        return {
+            fp: hashlib.md5(open(fp, "rb").read()).hexdigest()
+            for fp in sorted(glob.glob(f"{path}/dt={part}/part-*.parquet"))
+        }
+
+    before_d1, before_d2 = file_state("d1"), file_state("d2")
+
+    updates = spark.createDataFrame(
+        [(0, "d0", 999.0, False),    # update in d0
+         (90, "d0", 90.0, False),    # insert into d0
+         (3, "d0", None, True)],     # delete from d0
+        "k long, dt string, v double, _del boolean",
+    )
+    touched = upsert_partitioned(spark, path, updates, "k", "dt",
+                                 delete_col="_del")
+    assert touched == ["d0"]
+
+    # untouched partitions byte-identical
+    assert file_state("d1") == before_d1
+    assert file_state("d2") == before_d2
+
+    got = {r.k: r.v for r in
+           spark.read.parquet(path).filter("dt = 'd0'").collect()}
+    assert got[0] == 999.0 and got[90] == 90.0 and 3 not in got
+    assert len(got) == 10  # 10 base keys in d0, -1 delete +1 insert
+    # the other partitions' rows are intact
+    assert spark.read.parquet(path).count() == 30 - 1 + 1
