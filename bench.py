@@ -251,6 +251,7 @@ def main() -> None:
             ("doc_c4_clean", dq.q_c4_clean),
             ("doc_substring_dedup_xx", dq.q_substring_dedup_xx),
             ("rel_upsert_merge", dq.q_upsert_merge),
+            ("doc_substring_dedup_within", dq.q_substring_dedup_within),
         ]:
             measure(
                 name,

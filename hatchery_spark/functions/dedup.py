@@ -865,6 +865,7 @@ def remove_duplicate_substrings(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_hash: str = "md5",
+    scope: str = "corpus",
 ) -> DataFrame:
     """ExactSubstr deduplication (Lee et al., arXiv:2107.06499 §4.1): excise
     every character covered by a length-k substring that occurs ≥ min_count
@@ -898,6 +899,8 @@ def remove_duplicate_substrings(
     text, did = F.col(text_col), F.col(id_col)
     if gram_hash not in ("md5", "xxhash64"):
         raise ValueError(f"remove_duplicate_substrings: unknown gram_hash {gram_hash!r}")
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"remove_duplicate_substrings: unknown scope {scope!r}")
     npos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
     pos = df.select(
         did.alias("_id"),
@@ -908,9 +911,15 @@ def remove_duplicate_substrings(
             )
         ).alias("p"),
     ).select("_id", "p", _gram_hash_col(gram_hash, k).alias("h"))
-    counts = pos.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    # scope="doc" keys the gram count by (doc, gram) — WITHIN-document
+    # repetition (the Gopher §A1.1 dup-ngram signals' removal form: a gram
+    # must repeat inside the SAME doc to be excised); "corpus" is the
+    # cross-document ExactSubstr default. Same explode volume either way;
+    # doc scope joins on the composite key.
+    gk = ["h"] if scope == "corpus" else ["_id", "h"]
+    counts = pos.groupBy(*gk).agg(F.count(F.lit(1)).alias("n"))
     dup = pos.join(
-        counts.filter(F.col("n") >= min_count).select("h"), "h"
+        counts.filter(F.col("n") >= min_count).select(*gk), gk
     ).select("_id", "p")
     w = Window.partitionBy("_id").orderBy("p")
     flagged = dup.withColumn(

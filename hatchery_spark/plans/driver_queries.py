@@ -1181,6 +1181,19 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_substring_dedup_within(spark, sf_dir):
+    """WITHIN-document repeated-span removal (scope="doc", k=10): excise
+    every char covered by a 10-gram repeating inside the SAME document —
+    the removal form of Gopher §A1.1's dup-ngram signals (scraper loops,
+    keyword stuffing). Same positional machinery as the corpus form; the
+    gram count keys on (doc, gram)."""
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(
+        load(spark, sf_dir, "documents"), k=10, scope="doc"
+    )
+
+
 def q_upsert_merge(spark, sf_dir):
     """MERGE INTO semantics on plain frames (sinks.merge_frames): updates
     replace matched keys (partial column set — untouched columns survive),
@@ -2450,6 +2463,43 @@ def oracle_catalog() -> dict[str, str]:
             FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "rel_zorder": _ZORDER_ORACLE,
         "doc_group_split": _GROUP_SPLIT_ORACLE,
+        "doc_substring_dedup_within": """
+            WITH docs AS (SELECT doc_id, text FROM documents),
+            pos AS (SELECT doc_id, text,
+                      unnest(range(1, greatest(len(text) - 9, 0) + 1)) AS p
+                    FROM docs),
+            h AS (SELECT doc_id, p, md5(substring(text, p, 10)) AS hh FROM pos),
+            counts AS (SELECT doc_id, hh, count(*) AS n
+                       FROM h GROUP BY doc_id, hh),
+            dup AS (SELECT doc_id, p FROM h JOIN counts USING (doc_id, hh)
+                    WHERE n >= 2),
+            fl AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL
+                               OR p > lag(p) OVER w + 10 THEN 1 ELSE 0 END AS nw
+                   FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+            isl0 AS (SELECT doc_id, p,
+                       sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS island
+                     FROM fl),
+            isl AS (SELECT doc_id, island, min(p) AS s, max(p) + 10 AS e
+                    FROM isl0 GROUP BY doc_id, island),
+            seg AS (SELECT doc_id, s, e,
+                      coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+                        AS seg_from
+                    FROM isl),
+            agg AS (SELECT g.doc_id,
+                      cast(count(*) AS int) AS n_islands,
+                      cast(sum(g.e - g.s) AS int) AS n_removed,
+                      string_agg(substring(d.text, g.seg_from, g.s - g.seg_from),
+                                 '' ORDER BY g.s) AS head,
+                      max(g.e) AS tail_from
+                    FROM seg g JOIN docs d USING (doc_id) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+              CASE WHEN a.doc_id IS NULL THEN d.text
+                   ELSE a.head || substring(d.text, cast(a.tail_from AS int)) END
+                AS text,
+              coalesce(a.n_islands, 0) AS n_islands,
+              coalesce(a.n_removed, 0) AS n_removed
+            FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
         "rel_upsert_merge": """
             WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
             u AS (
@@ -3193,6 +3243,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_tokens": q_unigram_tokens,
         "doc_c4_clean": q_c4_clean,
         "doc_substring_dedup_xx": q_substring_dedup_xx,
+        "doc_substring_dedup_within": q_substring_dedup_within,
         "rel_upsert_merge": q_upsert_merge,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,

@@ -108,3 +108,31 @@ def test_gram_hash_variants_identical_output(spark):
     import pytest
     with pytest.raises(ValueError):
         remove_duplicate_substrings(df, gram_hash="sha1")
+
+
+def test_doc_scope_only_excises_within_document_repeats(spark):
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings
+
+    shared = "this exact twenty char span X"  # appears in docs 0 AND 1 once each
+    docs = [
+        (0, f"prefix one {shared} suffix one"),
+        (1, f"prefix two {shared} suffix two"),
+        (2, "repeat me now! repeat me now! tail"),  # repeats WITHIN doc 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    corpus = {r.doc_id: r for r in
+              remove_duplicate_substrings(df, k=15).collect()}
+    within = {r.doc_id: r for r in
+              remove_duplicate_substrings(df, k=15, scope="doc").collect()}
+
+    # cross-doc shared span: excised under corpus scope, kept under doc scope
+    assert corpus[0].n_removed > 0 and corpus[1].n_removed > 0
+    assert within[0].n_removed == 0 and within[0].text == docs[0][1]
+    assert within[1].n_removed == 0
+    # within-doc repeat: excised under BOTH scopes
+    assert corpus[2].n_removed > 0 and within[2].n_removed > 0
+
+    import pytest
+    with pytest.raises(ValueError):
+        remove_duplicate_substrings(df, scope="paragraph")
