@@ -146,3 +146,90 @@ def test_mixture_nesting_property(spark_prop, texts, low, high):
     lo = {r.doc_id for r in mixture_sample(df, {"s": low}).collect()}
     hi = {r.doc_id for r in mixture_sample(df, {"s": high}).collect()}
     assert lo <= hi
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=25, unique_by=lambda r: r[0],
+    )
+)
+def test_zorder_key_bounded_and_dominance_monotone(spark_prop, rows):
+    """Z-keys stay inside [0, 4^bits); a point that dominates another in
+    BOTH grid cells never gets a smaller Morton key (interleaving preserves
+    per-dimension order)."""
+    from hatchery_spark.sinks import zorder_values
+
+    bits = 4
+    df = spark_prop.createDataFrame(rows, "id long, x double, y double")
+    out = zorder_values(df, ["x", "y"], bits=bits).collect()
+    vals = {r.id: (r.x, r.y, r._zvalue) for r in out}
+    assert all(0 <= z < (1 << (2 * bits)) for _, _, z in vals.values())
+    n = 1 << bits
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    lox, hix, loy, hiy = min(xs), max(xs), min(ys), max(ys)
+
+    def cell(v, lo, hi):
+        if hi == lo:
+            return 0
+        return min(n - 1, max(0, int(((v - lo) * float(n)) // (hi - lo))))
+
+    for ia, (xa, ya, za) in vals.items():
+        for ib, (xb, yb, zb) in vals.items():
+            ca = (cell(xa, lox, hix), cell(ya, loy, hiy))
+            cb = (cell(xb, lox, hix), cell(yb, loy, hiy))
+            if ca[0] >= cb[0] and ca[1] >= cb[1]:
+                assert za >= zb, (ia, ib)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),
+            st.one_of(st.none(), st.text(alphabet="abcdef", max_size=6)),
+        ),
+        min_size=1, max_size=40, unique_by=lambda r: r[0],
+    )
+)
+def test_group_split_total_partition_and_atomicity(spark_prop, rows):
+    """Splits partition the corpus exactly (every row in exactly one split)
+    and groups are atomic, for arbitrary group values including NULL."""
+    import pyspark.sql.functions as F
+    from hatchery_spark.functions.sampling import group_split
+
+    df = spark_prop.createDataFrame(rows, "doc_id long, source string")
+    out = group_split(df, "source", {"train": 0.7, "val": 0.2, "test": 0.1})
+    rowsout = out.collect()
+    assert len(rowsout) == len(rows)
+    assert all(r.split in ("train", "val", "test") for r in rowsout)
+    per_group = {}
+    for r in rowsout:
+        per_group.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(max_size=120), min_size=1, max_size=8))
+def test_c4_clean_text_is_subsequence_of_kept_lines(spark_prop, texts):
+    """clean_text is exactly the kept lines in original order, and counts
+    always reconcile with the doc's line count — for arbitrary text."""
+    from hatchery_spark.functions.corpus import c4_clean
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in c4_clean(df).collect():
+        orig_lines = texts[r.doc_id].split("\n")
+        assert r.kept_lines + r.dropped_lines == len(orig_lines)
+        kept = r.clean_text.split("\n") if r.clean_text else []
+        it = iter(orig_lines)
+        assert all(any(k == o for o in it) for k in kept)  # ordered subseq
