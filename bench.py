@@ -252,6 +252,7 @@ def main() -> None:
             ("doc_substring_dedup_xx", dq.q_substring_dedup_xx),
             ("rel_upsert_merge", dq.q_upsert_merge),
             ("doc_substring_dedup_within", dq.q_substring_dedup_within),
+            ("doc_search_and", dq.q_search_and),
         ]:
             measure(
                 name,

@@ -1275,3 +1275,53 @@ def c4_clean(
             & ~low.contains("lorem ipsum")
         ).alias("page_kept"),
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverted-index postings as ROWS: (token, id, tf). The scalable
+    posting layout — per-token ARRAYS (collect_list) are the classic skew
+    trap: a stopword's posting list is corpus-sized and lands on one
+    executor; as rows, postings hash-partition across tasks, the build is
+    one map-side-combined aggregate, and `sinks.write_bucketed_table`
+    materializes them token-bucketed so term lookups bucket-prune and
+    repeated term-joins co-locate with no exchange (the Lucene
+    segment-postings idea expressed as a bucketed table).
+    """
+    return (
+        _ws_tokens(df, text_col, F.col(id_col))
+        .groupBy("token", id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+
+
+def search_all_terms(
+    postings: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval over a postings frame: documents
+    containing EVERY query term, with their summed term frequency.
+
+    Scale shape: the term filter prunes the postings scan FIRST (on a
+    bucketed index table it also bucket-prunes, touching |terms| buckets),
+    so the single doc-keyed aggregate sees rows ∝ the query terms' postings
+    only — never the full index. HAVING count(distinct token) = n is the
+    standard AND via intersection-free aggregation (no k-way self-join).
+    """
+    terms = sorted({t.lower() for t in terms if t})
+    if not terms:
+        raise ValueError("search_all_terms: empty term list")
+    p = postings.filter(F.col("token").isin(terms))
+    return (
+        p.groupBy(id_col)
+        .agg(
+            F.count_distinct("token").alias("_nt"),
+            F.sum("tf").cast("int").alias("total_tf"),
+        )
+        .filter(F.col("_nt") == len(terms))
+        .select(id_col, "total_tf")
+    )

@@ -1181,6 +1181,21 @@ def q_k_anonymize(spark, sf_dir):
     ).select("doc_id", "lang", "source", "group_n", "suppressed")
 
 
+def q_search_and(spark, sf_dir):
+    """Conjunctive boolean retrieval over inverted postings: docs containing
+    ALL of (spark, join, window), with summed tf. The term filter prunes
+    the postings before the one doc-keyed aggregate (bucket-pruned when the
+    index is materialized via write_bucketed_table); AND is expressed as
+    HAVING count(distinct token) = n — no k-way self-join."""
+    from hatchery_spark.functions.corpus import (
+        inverted_postings,
+        search_all_terms,
+    )
+
+    p = inverted_postings(load(spark, sf_dir, "documents"))
+    return search_all_terms(p, ["spark", "join", "window"])
+
+
 def q_substring_dedup_within(spark, sf_dir):
     """WITHIN-document repeated-span removal (scope="doc", k=10): excise
     every char covered by a 10-gram repeating inside the SAME document —
@@ -2463,6 +2478,19 @@ def oracle_catalog() -> dict[str, str]:
             FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""",
         "rel_zorder": _ZORDER_ORACLE,
         "doc_group_split": _GROUP_SPLIT_ORACLE,
+        "doc_search_and": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(string_split_regex(lower(text), '[ \t\n\f\r\x0b]+'))
+                  AS token
+              FROM documents),
+            tk AS (SELECT * FROM toks WHERE token <> ''),
+            p AS (SELECT token, doc_id, count(*) AS tf FROM tk
+                  WHERE token IN ('spark', 'join', 'window')
+                  GROUP BY token, doc_id)
+            SELECT doc_id, CAST(sum(tf) AS int) AS total_tf
+            FROM p GROUP BY doc_id
+            HAVING count(DISTINCT token) = 3""",
         "doc_substring_dedup_within": """
             WITH docs AS (SELECT doc_id, text FROM documents),
             pos AS (SELECT doc_id, text,
@@ -3244,6 +3272,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": q_c4_clean,
         "doc_substring_dedup_xx": q_substring_dedup_xx,
         "doc_substring_dedup_within": q_substring_dedup_within,
+        "doc_search_and": q_search_and,
         "rel_upsert_merge": q_upsert_merge,
         "doc_bpe_train": q_bpe_train,
         "doc_bpe_encode": q_bpe_encode,

@@ -128,3 +128,62 @@ def test_hybrid_topk_matches_bruteforce_rrf(spark):
     assert row2.bm25_rank is None and row2.cosine_rank is not None
     # fused order puts the doubly-ranked docs first
     assert got[0].bm25_rank is not None and got[0].cosine_rank is not None
+
+
+def test_search_all_terms_and_semantics(spark):
+    from hatchery_spark.functions.corpus import (
+        inverted_postings,
+        search_all_terms,
+    )
+
+    docs = [
+        (0, "spark join window spark"),      # all three, spark twice
+        (1, "spark join only"),              # missing window
+        (2, "window join spark extra words"),
+        (3, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    p = inverted_postings(df)
+    got = {r.doc_id: r.total_tf
+           for r in search_all_terms(p, ["Spark", "join", "window"]).collect()}
+    assert got == {0: 4, 2: 3}  # doc 0: 2+1+1; doc 1 and 3 excluded
+
+    import pytest
+    with pytest.raises(ValueError):
+        search_all_terms(p, [])
+
+
+def test_inverted_index_bucketed_lookup_prunes_buckets(spark, tmp_path):
+    """Materialized via write_bucketed_table, a term lookup reads only the
+    query terms' buckets (SelectedBucketsCount in the scan) — the
+    100TB-index lookup path."""
+    import pyspark.sql.functions as F
+    from hatchery_spark.functions.corpus import inverted_postings
+    from hatchery_spark.sinks import write_bucketed_table
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i % 40} common filler text") for i in range(200)],
+        "doc_id long, text string",
+    )
+    spark.sql("DROP TABLE IF EXISTS inv_idx")
+    write_bucketed_table(
+        inverted_postings(docs), "inv_idx", ["token"], 16,
+        path=str(tmp_path / "idx"),
+    )
+    # autoBucketedScan drops bucketed reading for plain filter queries (no
+    # shuffle to avoid), which also skips bucket PRUNING — turn it off so
+    # the lookup path actually uses the bucket layout
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        scan = spark.table("inv_idx").filter(
+            F.col("token").isin(["token3", "token7"])
+        )
+        plan = scan._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    assert "SelectedBucketsCount" in plan, plan
+    sel = [ln for ln in plan.splitlines() if "SelectedBucketsCount" in ln][0]
+    import re
+    n_sel = int(re.search(r"SelectedBucketsCount: (\d+) out of", sel).group(1))
+    assert n_sel <= 2
+    assert scan.count() == 10  # 5 docs per token value
