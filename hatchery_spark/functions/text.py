@@ -294,21 +294,23 @@ def k_anonymize(
     training corpora carrying user-linked metadata, complementing
     `redact_pii` (which scrubs identifiers INSIDE the text).
 
-    Adds `group_n` (the combination's cohort size) and `suppressed`. NULL
-    quasi values form their own cohort (the aggregate and the rejoin key
-    both go through a sentinel-coalesced composite key — a plain multi-column
-    join would silently orphan NULL rows, since SQL NULL never equals NULL).
+    Adds `group_n` (the combination's cohort size) and `suppressed`. The
+    cohort key is a STRUCT of the quasi columns — struct field comparison
+    treats NULLs as equal in both groupBy and equi-join, so NULL quasi
+    values form their own cohort with no sentinel encoding. (A
+    delimiter-concatenated string key can MERGE distinct quasi
+    combinations whenever a value contains the delimiter/sentinel bytes —
+    inflating group_n and under-suppressing rows below k in a privacy
+    gate; a plain multi-column join would instead orphan NULL rows, since
+    SQL NULL never equals NULL.)
 
     Scale shape: cohort sizes come from a map-side-combined aggregate over
-    the composite key (combination-cardinality-sized frame, ≪ corpus) and
+    the struct key (combination-cardinality-sized frame, ≪ corpus) and
     rejoin broadcast-when-small (AQE decides); quasi columns rewrite in
     place with a codegen'd `when` — no second corpus shuffle, no window
     over whale cohorts.
     """
-    qk = F.concat_ws(
-        "\u0001",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\u0000")) for c in quasi_cols],
-    )
+    qk = F.struct(*[F.col(c) for c in quasi_cols])
     sizes = (
         df.select(qk.alias("_qk"))
         .groupBy("_qk")

@@ -1213,8 +1213,9 @@ def q_upsert_merge(spark, sf_dir):
     """MERGE INTO semantics on plain frames (sinks.merge_frames): updates
     replace matched keys (partial column set — untouched columns survive),
     new keys insert, flagged keys delete (the redaction primitive). One
-    full-outer join + per-column coalesce; the update/insert/delete sets
-    are derived deterministically from orders so the oracle replays them.
+    full-outer join with key-match-gated column replacement (an update CAN
+    null a column); the update/insert/delete sets are derived
+    deterministically from orders so the oracle replays them.
     The partition-pruned WRITE path (upsert_partitioned) is pytest-proven
     byte-identical on untouched partitions."""
     from hatchery_spark.sinks import merge_frames
@@ -2542,7 +2543,8 @@ def oracle_catalog() -> dict[str, str]:
               FROM orders WHERE o_orderkey % 131 = 0 AND o_orderkey % 97 <> 0)
             SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
                    b.o_custkey,
-                   coalesce(u.o_totalprice, b.o_totalprice) AS o_totalprice
+                   CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                        ELSE b.o_totalprice END AS o_totalprice
             FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
             WHERE NOT coalesce(u._del, FALSE)""",
         "doc_c4_clean": """
@@ -2562,19 +2564,15 @@ def oracle_catalog() -> dict[str, str]:
                 AND NOT contains(lower(text), 'lorem ipsum') AS page_kept
             FROM s""",
         "doc_k_anonymize": """
-            WITH keyed AS (
-              SELECT doc_id, lang, source,
-                concat_ws(chr(1), coalesce(lang, chr(0)),
-                          coalesce(source, chr(0))) AS qk
-              FROM documents),
-            sizes AS (SELECT qk, count(*) AS group_n FROM keyed GROUP BY qk)
-            SELECT k.doc_id,
-              CASE WHEN s.group_n < 25 THEN '[SUPPRESSED]' ELSE k.lang END
+            SELECT doc_id,
+              CASE WHEN group_n < 25 THEN '[SUPPRESSED]' ELSE lang END
                 AS lang,
-              CASE WHEN s.group_n < 25 THEN '[SUPPRESSED]' ELSE k.source END
+              CASE WHEN group_n < 25 THEN '[SUPPRESSED]' ELSE source END
                 AS source,
-              s.group_n, s.group_n < 25 AS suppressed
-            FROM keyed k JOIN sizes s ON k.qk = s.qk""",
+              group_n, group_n < 25 AS suppressed
+            FROM (SELECT doc_id, lang, source,
+                    count(*) OVER (PARTITION BY lang, source) AS group_n
+                  FROM documents)""",
         "doc_nb_quality": """
             WITH lab AS (SELECT doc_id, lang = 'en' AS pos, lower(text) AS lt
                          FROM documents),

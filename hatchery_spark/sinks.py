@@ -114,6 +114,7 @@ def zorder_values(
     cols: list[str],
     bits: int = 10,
     out_col: str = "_zvalue",
+    cells: str = "uniform",
 ) -> DataFrame:
     """Append a Z-order (Morton) key interleaving the given numeric columns'
     grid cells — the multi-dimensional clustering key behind data-skipping
@@ -133,12 +134,36 @@ def zorder_values(
     columns (min == max) land in cell 0. NULLs propagate to a NULL key (sort
     them to one end or filter upstream).
 
-    The closed form is engine-replayable arithmetic (floor/least/greatest/
+    Cell assignment (`cells`):
+      * "uniform" (default) — 2^bits-cell uniform grid over [min, max].
+        Oracle-replayable closed form, but a single outlier (or any
+        power-law column: doc lengths, token counts) collapses most rows
+        into a handful of cells and the footer-stats skipping property
+        largely vanishes.
+      * "quantile" — cell boundaries from `approx_percentile` (2^bits − 1
+        equi-depth cuts; Delta's OPTIMIZE uses rank-based cells for the
+        same reason). ONE extra bounded aggregate (the boundary row is
+        2^bits doubles per column, broadcast with the min/max row); cells
+        stay balanced under ANY marginal distribution. Ties at a boundary
+        land in the lower cell; the approx rank error only shifts
+        boundaries, never breaks the interleave.
+
+    The uniform form is engine-replayable arithmetic (floor/least/greatest/
     shifts on doubles+longs, no hashing), which is what the `rel_zorder`
     oracle replays verbatim in DuckDB.
     """
     if not cols:
         raise ValueError("zorder_values: need at least one column")
+    if bits * len(cols) > 63:
+        # shiftleft on longs wraps its distance mod 64 — past 63 the
+        # interleave silently corrupts the clustering key
+        raise ValueError(
+            f"zorder_values: bits*len(cols) = {bits * len(cols)} exceeds the "
+            f"63 usable bits of a long key; use bits <= {63 // len(cols)} "
+            f"for {len(cols)} columns"
+        )
+    if cells not in ("uniform", "quantile"):
+        raise ValueError(f"zorder_values: unknown cells mode {cells!r}")
     n = 1 << bits
     k = len(cols)
     aggs = []
@@ -147,12 +172,31 @@ def zorder_values(
             F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
             F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
         ]
+        if cells == "quantile":
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"),
+                    F.array(*[F.lit(i / n) for i in range(1, n)]),
+                    F.lit(10_000),
+                ).alias(f"_qs_{c}")
+            )
     out = df.crossJoin(F.broadcast(df.agg(*aggs)))
     cell_cols = []
     for c in cols:
         v = F.col(c).cast("double")
         lo, hi = F.col(f"_min_{c}"), F.col(f"_max_{c}")
-        raw = F.floor(((v - lo) * F.lit(float(n))) / (hi - lo))
+        if cells == "quantile":
+            # cell = #boundaries strictly below v — a codegen'd HOF
+            # aggregate over the broadcast 2^bits−1 boundary array; equal
+            # boundary values (heavy ties) collapse adjacent cells, which
+            # is the correct equi-depth behavior
+            raw = F.aggregate(
+                F.col(f"_qs_{c}"),
+                F.lit(0).cast("long"),
+                lambda acc, q: acc + F.when(q < v, F.lit(1)).otherwise(F.lit(0)),
+            )
+        else:
+            raw = F.floor(((v - lo) * F.lit(float(n))) / (hi - lo))
         # least/greatest SKIP nulls (return the extreme of the non-null args),
         # so a NULL input needs an explicit guard to yield a NULL key
         cell = (
@@ -172,6 +216,7 @@ def zorder_values(
     return out.withColumn(out_col, z).drop(
         *[f"_min_{c}" for c in cols],
         *[f"_max_{c}" for c in cols],
+        *([f"_qs_{c}" for c in cols] if cells == "quantile" else []),
         *cell_cols,
     )
 
@@ -182,6 +227,7 @@ def write_zordered(
     cols: list[str],
     n_files: int = 32,
     bits: int = 10,
+    cells: str = "uniform",
 ) -> None:
     """Write parquet clustered on the Z-order key: `repartitionByRange` over
     the Morton value gives every output file a contiguous z-range — i.e.
@@ -193,7 +239,7 @@ def write_zordered(
     each file. tests/test_zorder.py asserts the skipping property directly
     from the written files' stats.
     """
-    z = zorder_values(df, cols, bits=bits)
+    z = zorder_values(df, cols, bits=bits, cells=cells)
     (
         z.repartitionByRange(n_files, F.col("_zvalue"))
         .sortWithinPartitions("_zvalue")
@@ -280,8 +326,13 @@ def merge_frames(
     right-to-be-forgotten primitive a curation pipeline needs for
     redaction/correction passes.
 
-    Implementation is one full-outer join on the key with per-column
-    coalesce(update, base). Update frames are small relative to the base in
+    Implementation is one full-outer join on the key. Column replacement is
+    gated on KEY-MATCH PRESENCE (an explicit match indicator on the update
+    side), not per-column coalesce — so an update row CAN set a carried
+    column to NULL, which is exactly what a redaction pass that nulls out
+    fields needs (`UPDATE SET col = u.col` semantics; a coalesce form would
+    silently keep the base value). Columns the update frame doesn't carry
+    keep their base values. Update frames are small relative to the base in
     every real merge — AQE plans the join accordingly; for repeated merges
     against a bucketed base table the join co-locates with zero base
     shuffle (`write_bucketed_table`).
@@ -295,6 +346,7 @@ def merge_frames(
     b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
     u = updates.select(
         [F.col(c).alias(f"_u_{c}") for c in upd_cols]
+        + [F.lit(True).alias("_u_matched")]
         + ([F.col(delete_col).alias("_u_del")] if delete_col else [])
     )
     joined = b.join(
@@ -302,11 +354,15 @@ def merge_frames(
     )
     if delete_col:
         joined = joined.filter(~F.coalesce(F.col("_u_del"), F.lit(False)))
+    # _u_matched is TRUE on matched and insert rows, NULL on base-only rows
+    take_upd = F.col("_u_matched").isNotNull()
     out_cols = []
     for c in base.columns:
         if c in upd_cols:
             out_cols.append(
-                F.coalesce(F.col(f"_u_{c}"), F.col(f"_b_{c}")).alias(c)
+                F.when(take_upd, F.col(f"_u_{c}"))
+                .otherwise(F.col(f"_b_{c}"))
+                .alias(c)
             )
         else:
             out_cols.append(F.col(f"_b_{c}").alias(c))
@@ -329,7 +385,10 @@ def upsert_partitioned(
     mutation path Iceberg/Delta provide transactionally, expressed with
     the same partition-pruning discipline for plain parquet sinks; at
     10^12 rows a redaction touching k partitions costs O(k partitions),
-    not a table rewrite. Returns the touched partition values.
+    not a table rewrite. A touched partition left EMPTY by deletes is
+    removed from disk explicitly (dynamic overwrite alone never rewrites a
+    partition absent from the output). Returns the touched partition
+    values.
 
     Caveats vs a real table format (stated, not hidden): the rewrite of a
     touched partition is not atomic across partitions, and concurrent
@@ -344,11 +403,34 @@ def upsert_partitioned(
     if not touched:
         return []
     base = spark.read.parquet(path).filter(F.col(part_col).isin(touched))
-    merged = merge_frames(base, updates, key_col, delete_col=delete_col)
+    merged = merge_frames(base, updates, key_col, delete_col=delete_col).localCheckpoint()
     (
         merged.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(part_col)
         .parquet(path)
     )
+    # Dynamic overwrite only replaces partitions PRESENT in the written
+    # output — a touched partition whose every row was deleted produces no
+    # output partition, so its old files would survive and the "deleted"
+    # rows resurface on read (a silent data-retention failure for the
+    # right-to-be-forgotten use). Diff and delete those directories
+    # explicitly. `merged` is checkpointed above so this distinct doesn't
+    # re-run the merge join.
+    remaining = {r[0] for r in merged.select(part_col).distinct().collect()}
+    emptied = [v for v in touched if v not in remaining]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for v in emptied:
+            try:
+                escaped = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(
+                    str(v)
+                )
+            except Exception:
+                escaped = str(v)
+            pdir = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_col}={escaped}")
+            fs = pdir.getFileSystem(hconf)
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
     return sorted(touched)

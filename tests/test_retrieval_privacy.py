@@ -187,3 +187,22 @@ def test_inverted_index_bucketed_lookup_prunes_buckets(spark, tmp_path):
     n_sel = int(re.search(r"SelectedBucketsCount: (\d+) out of", sel).group(1))
     assert n_sel <= 2
     assert scan.count() == 10  # 5 docs per token value
+
+
+def test_k_anonymize_delimiter_bytes_do_not_merge_cohorts(spark):
+    # struct cohort key: values containing \x01/\x00 (the old composite-key
+    # delimiter/sentinel bytes) must NOT merge distinct quasi combinations —
+    # a merged cohort inflates group_n and under-suppresses in a privacy gate
+    from hatchery_spark.functions.text import k_anonymize
+
+    rows = (
+        [(f"a{i}", "a\x01b", "c") for i in range(3)]      # cohort of 3: kept
+        + [(f"b{i}", "a", "b\x01c") for i in range(2)]    # cohort of 2: suppressed
+        + [("n0", None, "x"), ("n1", "\x00", "x")]        # NULL vs literal NUL
+    )
+    df = spark.createDataFrame(rows, "doc_id string, lang string, source string")
+    out = {r.doc_id: r for r in k_anonymize(df, ["lang", "source"], k=3).collect()}
+    assert not out["a0"].suppressed and out["a0"].group_n == 3
+    assert out["b0"].suppressed and out["b0"].group_n == 2
+    # NULL and the literal "\x00" string are DIFFERENT cohorts (size 1 each)
+    assert out["n0"].group_n == 1 and out["n1"].group_n == 1

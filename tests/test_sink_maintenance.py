@@ -216,3 +216,47 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert len(got) == 10  # 10 base keys in d0, -1 delete +1 insert
     # the other partitions' rows are intact
     assert spark.read.parquet(path).count() == 30 - 1 + 1
+
+
+def test_merge_frames_update_can_null_a_column(spark):
+    # column replacement is key-match-gated, NOT coalesce: an update row
+    # nulling a field (redaction) must actually null it
+    from hatchery_spark.sinks import merge_frames
+
+    base = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "k long, name string, v double"
+    )
+    updates = spark.createDataFrame([(1, None)], "k long, v double")
+    out = {r.k: r for r in merge_frames(base, updates, "k").collect()}
+    assert out[1].v is None          # NULL update wins on the matched key
+    assert out[1].name == "alice"    # non-carried column survives
+    assert out[2].v == 20.0
+
+
+def test_upsert_partitioned_deletes_emptied_partition(spark, tmp_path):
+    # deleting EVERY key of a partition must remove its files — dynamic
+    # overwrite alone never rewrites a partition absent from the output,
+    # so the "deleted" rows would silently resurface on read
+    import glob
+
+    from hatchery_spark.sinks import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(i)) for i in range(30)],
+        "k long, dt string, v double",
+    )
+    base.repartition(1).write.partitionBy("dt").parquet(path)
+
+    d1_keys = [i for i in range(30) if i % 3 == 1]
+    updates = spark.createDataFrame(
+        [(k, "d1", None, True) for k in d1_keys],
+        "k long, dt string, v double, _del boolean",
+    )
+    touched = upsert_partitioned(spark, path, updates, "k", "dt",
+                                 delete_col="_del")
+    assert touched == ["d1"]
+    assert glob.glob(f"{path}/dt=d1") == []          # directory is gone
+    back = spark.read.parquet(path)
+    assert back.filter("dt = 'd1'").count() == 0     # rows do not resurface
+    assert back.count() == 20                        # other partitions intact

@@ -99,3 +99,38 @@ def test_zorder_layout_skips_files_on_every_dimension(spark, tmp_path):
         (r.id, r.x, r.y) for r in spark.read.parquet(zpath).collect()
     )
     assert got == sorted(rows)
+
+
+def test_zorder_bits_overflow_guard(spark):
+    # shiftleft wraps its distance mod 64 on longs: past 63 key bits the
+    # interleave silently corrupts — must refuse, not wrap
+    df = spark.createDataFrame([(1.0,) * 7], ", ".join(f"c{i} double" for i in range(7)))
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_values(df, [f"c{i}" for i in range(7)], bits=10)
+    # 7 cols at bits=9 (63 bits) is legal
+    assert zorder_values(df, [f"c{i}" for i in range(7)], bits=9).count() == 1
+
+
+def test_zorder_quantile_cells_skip_on_powerlaw_column(spark, tmp_path):
+    # One extreme outlier collapses the uniform min/max grid: every normal
+    # x lands in cell 0, so the z-key carries no x information and a band
+    # predicate on x prunes (almost) nothing. Equi-depth quantile cells
+    # keep the x spread and restore the skipping property.
+    rows = [(i, float(i), float(i % 32)) for i in range(1023)]
+    rows.append((1023, 1.0e9, 7.0))  # the outlier
+    df = spark.createDataFrame(rows, "id long, x double, y double").repartition(8)
+
+    upath, qpath = str(tmp_path / "uniform"), str(tmp_path / "quantile")
+    write_zordered(df, upath, ["x", "y"], n_files=16, bits=5, cells="uniform")
+    write_zordered(df, qpath, ["x", "y"], n_files=16, bits=5, cells="quantile")
+
+    # columns written as (id, x, y) -> x is column index 1
+    u_hit, u_total = _files_overlapping(upath, 1, 200.0, 300.0)
+    q_hit, q_total = _files_overlapping(qpath, 1, 200.0, 300.0)
+    assert u_hit >= u_total - 1, (u_hit, u_total)   # uniform grid: no pruning
+    assert q_hit <= q_total // 2, (q_hit, q_total)  # quantile cells: pruned
+
+    # same rows come back; NULL/degenerate guards unchanged
+    assert sorted(r.id for r in spark.read.parquet(qpath).collect()) == sorted(
+        r[0] for r in rows
+    )
