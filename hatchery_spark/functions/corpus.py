@@ -668,6 +668,210 @@ def bpe_encode(
     )
 
 
+def _apply_merges_sequential(symbols: list, ranks: dict) -> int:
+    """Apply a BPE merge table to one word with SEQUENTIAL-PASS semantics —
+    the exact behavior of k chained left-to-right `replace` calls (each
+    merge gets ONE full pass, in step order; a pair created by a LATER
+    merge never revisits an earlier step) — without iterating the full
+    table. At each round the word's adjacent pairs are scanned for the
+    minimum merge step STRICTLY ABOVE the last applied step; all other
+    table entries are skipped for free, so cost is O(len² · merges that
+    actually fire), independent of table size. Returns the final symbol
+    count. `ranks` maps (left, right) → step."""
+    last = 0
+    while len(symbols) > 1:
+        best = None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and r > last and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(symbols):
+            if (
+                i + 1 < len(symbols)
+                and ranks.get((symbols[i], symbols[i + 1])) == best
+            ):
+                out.append(symbols[i] + symbols[i + 1])
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+        last = best
+    return len(symbols)
+
+
+def bpe_encode_arrow(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`bpe_encode` for PRODUCTION-SIZED merge tables: same output contract
+    (id, n_words, n_tokens), same sequential-pass semantics, but the merge
+    table is applied inside an Arrow `pandas_udf` over the DISTINCT-WORD
+    frame (the `unigram_token_counts` Viterbi pattern) instead of k chained
+    `F.replace` expressions. The chained-expression form dies in Catalyst
+    (analyzer stack depth / 64 KB codegen method limits) thousands of
+    levels below a real ~32k-merge vocabulary; here the table is a dict in
+    the UDF closure — k only affects closure size, never plan size, and
+    per-word cost is O(len² · merges that fire) via the min-next-step scan
+    (`_apply_merges_sequential`), not O(k).
+
+    Scale shape is unchanged from `bpe_encode`: the corpus is exploded
+    once, the UDF runs once per DISTINCT word, and two map-side-combined
+    shuffles (distinct words; per-doc agg) are the only exchanges. Shares
+    the `doc_bpe_encode` oracle at small k — the driver gate itself proves
+    the Arrow variant matches the chained-replace replay.
+    """
+    ranks = {(m[1], m[2]): int(m[0]) for m in merges}
+
+    @pandas_udf("int")
+    def n_tok(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_apply_merges_sequential(list(w), ranks) for w in words],
+            dtype="int32",
+        )
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    word_tokens = words.select("w").distinct().select("w", n_tok("w").alias("n_tok"))
+    return (
+        words.join(word_tokens, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum("n_tok").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def train_bpe_merges_local(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> DataFrame:
+    """`train_bpe_merges` for PRODUCTION-SIZED k: identical greedy algorithm
+    and tie-breaks ((freq desc, left asc, right asc); one full left-to-right
+    pass per merge), but the per-merge iteration runs on the DRIVER over the
+    collected word-frequency table with INCREMENTAL pair-count updates —
+    zero Spark jobs per merge instead of one. The distributed loop's cost
+    model is corpus-right but driver-wrong: 32k merges = 32k sequential
+    argmax jobs ≈ hours of scheduler latency at ANY corpus size.
+
+    Scale split: the corpus-sized work (word counting) stays distributed
+    and touches the corpus ONCE; the vocabulary-sized work (pair counting,
+    argmax, merge application) is driver-local — the unigram-LM piece-table
+    pattern, where driver traffic is bounded by the VOCABULARY, not the
+    corpus. `max_words` caps the collected vocabulary at the top-N words by
+    (count desc, word asc) — a TakeOrderedAndProject cut, the standard
+    trainer bound (every production BPE trainer caps candidate words; the
+    dropped tail is rare words whose pair mass is negligible). With
+    max_words=None the table is exact and the output is bit-identical to
+    `train_bpe_merges` (pytest-proven; `doc_bpe_train_local` shares the
+    `doc_bpe_train` oracle so the driver gate proves it too).
+
+    Per merge: argmax via a lazily-invalidated heap (O(log P) per touched
+    pair) and pair-count updates only around actual replacement sites —
+    the textbook fast BPE trainer (Sennrich 1508.07909 §3 describes the
+    algorithm; implementation here is original).
+    """
+    import heapq
+
+    spark = df.sparkSession
+    words_df = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if max_words is not None:
+        words_df = words_df.orderBy(F.desc("cnt"), F.asc("w")).limit(max_words)
+    rows = words_df.collect()
+    words = [(list(r["w"]), int(r["cnt"])) for r in rows]
+
+    from collections import Counter
+
+    def word_pairs(syms) -> Counter:
+        c: Counter = Counter()
+        for i in range(len(syms) - 1):
+            c[(syms[i], syms[i + 1])] += 1
+        return c
+
+    # pair -> total weighted count; pair -> {word_idx} ever containing it
+    # (membership may go stale after merges — a stale pass over a word
+    # without the pair is a clean no-op, see below)
+    pair_counts: Counter = Counter()
+    pair_words: dict = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for p, n in word_pairs(syms).items():
+            pair_counts[p] += n * cnt
+            pair_words.setdefault(p, set()).add(wi)
+
+    # lazily-invalidated heap: any entry whose count no longer matches
+    # pair_counts is discarded on pop; every count CHANGE pushes the fresh
+    # value so the live count is always somewhere in the heap
+    heap = [(-n, p[0], p[1]) for p, n in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges = []
+    for step in range(1, k + 1):
+        best = None
+        while heap:
+            negn, l, r = heap[0]
+            cur = pair_counts.get((l, r))
+            if cur is None or -negn != cur:
+                heapq.heappop(heap)  # stale entry
+                continue
+            best = (l, r, cur)
+            break
+        if best is None:
+            break
+        l, r, freq = best
+        merges.append((step, l, r, freq))
+        merged = l + r
+        for wi in sorted(pair_words.pop((l, r), ())):
+            syms, cnt = words[wi]
+            old = word_pairs(syms)
+            if (l, r) not in old:
+                continue  # stale membership — word changed under this pair
+            out, i = [], 0
+            while i < len(syms):
+                # one left-to-right non-overlapping pass, exactly like the
+                # literal replace in the distributed form
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new = word_pairs(out)
+            for p in set(old) | set(new):
+                d = (new.get(p, 0) - old.get(p, 0)) * cnt
+                if d == 0:
+                    continue
+                n = pair_counts[p] + d
+                if n <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = n
+                    heapq.heappush(heap, (-n, p[0], p[1]))
+                if d > 0:
+                    pair_words.setdefault(p, set()).add(wi)
+            words[wi] = (out, cnt)
+        pair_counts.pop((l, r), None)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, freq bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Naive Bayes quality classifier (GPT-3 appendix A / PaLM-style filtering)
 # ---------------------------------------------------------------------------

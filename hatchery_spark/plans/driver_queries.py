@@ -1582,6 +1582,38 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, merges)
 
 
+def q_bpe_train_local(spark, sf_dir):
+    """Driver-local incremental BPE trainer (zero Spark jobs per merge —
+    the scale fix for the distributed loop's one-argmax-job-per-round cost
+    at real 32k vocabularies): corpus-sized word counting stays
+    distributed, vocabulary-sized pair iteration runs on the driver with
+    heap argmax + incremental pair-count updates. SHARES the doc_bpe_train
+    oracle — the gate proves bit-parity with the distributed greedy."""
+    from hatchery_spark.functions.corpus import train_bpe_merges_local
+
+    return train_bpe_merges_local(load(spark, sf_dir, "documents"), k=8)
+
+
+def q_bpe_encode_arrow(spark, sf_dir):
+    """BPE tokenization via the Arrow-UDF merge application over the
+    distinct-word frame (the unigram Viterbi pattern) — survives
+    production 32k-merge tables where the k-chained replace expression
+    dies in Catalyst (pytest-validated at k=1200). SHARES the
+    doc_bpe_encode oracle — the gate proves output parity with the
+    chained-replace form at small k."""
+    from hatchery_spark.functions.corpus import (
+        bpe_encode_arrow,
+        train_bpe_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges_local(docs, k=8).collect()
+    ]
+    return bpe_encode_arrow(docs, merges)
+
+
 def q_pq_topk(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
     rescore): with n_probe covering the true neighbors' cells and a
@@ -3252,6 +3284,8 @@ def oracle_catalog() -> dict[str, str]:
     oracles["emb_quantized_topk"] = oracles["emb_cosine_topk"]
     oracles["pipeline_asof_salted"] = oracles["pipeline_asof_last_event"]
     oracles["doc_substring_dedup_xx"] = oracles["doc_substring_dedup"]
+    oracles["doc_bpe_train_local"] = oracles["doc_bpe_train"]
+    oracles["doc_bpe_encode_arrow"] = oracles["doc_bpe_encode"]
     return oracles
 
 
@@ -3262,7 +3296,11 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query that has never received a driver CORRECTNESS row, then the
     # long-green remainder.
     return {
-        # round-4 additions: never driver-sampled — first in line
+        # round-5 additions first, then round-4 queries with exactly one
+        # green driver row; multi-round-green queries rotate to the tail
+        "doc_bpe_train_local": q_bpe_train_local,
+        "doc_bpe_encode_arrow": q_bpe_encode_arrow,
+        # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
         "doc_hybrid_topk": q_hybrid_topk,

@@ -98,3 +98,111 @@ def test_bpe_encode_counts(spark):
     assert out[1] == (2, 3)
     # doc 0: 16 words; low=1, lower=3 (low,e,r), newest=2, widest=4 (w,i,d,est)
     assert out[0] == (16, 5 * 1 + 2 * 3 + 6 * 2 + 3 * 4)
+
+
+def _chained_replace_count(word, merges):
+    """Literal chained-replace reference (the distributed bpe_encode form):
+    bracketed sentinel string, one left-to-right pass per merge in order."""
+    s = "<" + "><".join(word) + ">"
+    for _step, l, r in sorted(merges, key=lambda m: m[0]):
+        s = s.replace(f"<{l}><{r}>", f"<{l}{r}>")
+    return s.count("<")
+
+
+def test_bpe_local_trainer_matches_distributed(spark):
+    """Driver-local incremental trainer == distributed greedy, bit-for-bit
+    (same argmax tie-breaks, same left-to-right pass)."""
+    from hatchery_spark.functions.corpus import train_bpe_merges_local
+
+    words = (
+        ["banana"] * 7 + ["bandana"] * 4 + ["ananas"] * 5 + ["cabana"] * 3
+        + ["na"] * 2 + ["assesses"] * 6 + ["mississippi"] * 2
+    )
+    rows = [(i, " ".join(words[i::3])) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in train_bpe_merges_local(df, k=25).orderBy("step").collect()]
+    want = [tuple(r) for r in train_bpe_merges(df, k=25).orderBy("step").collect()]
+    assert got == want and len(got) > 10
+
+
+def test_bpe_local_trainer_max_words_cap(spark):
+    """The vocabulary cap keeps only the top-N words by (count desc, word
+    asc) — training then equals training on that sub-corpus exactly."""
+    from hatchery_spark.functions.corpus import train_bpe_merges_local
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["common"] * 50 + ["alsocommon"] * 40 + ["rare"] * 1))],
+        "doc_id long, text string",
+    )
+    capped = [
+        tuple(r)
+        for r in train_bpe_merges_local(df, k=8, max_words=2).orderBy("step").collect()
+    ]
+    sub = spark.createDataFrame(
+        [(0, " ".join(["common"] * 50 + ["alsocommon"] * 40))],
+        "doc_id long, text string",
+    )
+    want = [tuple(r) for r in train_bpe_merges_local(sub, k=8).orderBy("step").collect()]
+    assert capped == want
+
+
+def test_bpe_encode_arrow_matches_chained(spark):
+    """Arrow encode == chained-replace encode on the same merge table."""
+    from hatchery_spark.functions.corpus import bpe_encode, bpe_encode_arrow
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(0, text), (1, "newest low ## 42"), (2, "zzz")], "doc_id long, text string"
+    )
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges(df.filter("doc_id = 0"), k=6).collect()
+    ]
+    a = {r.doc_id: (r.n_words, r.n_tokens) for r in bpe_encode(df, merges).collect()}
+    b = {r.doc_id: (r.n_words, r.n_tokens)
+         for r in bpe_encode_arrow(df, merges).collect()}
+    assert a == b
+
+
+def test_bpe_arrow_survives_production_merge_count(spark):
+    """k >= 1000 merges — far past where the chained-replace expression dies
+    in Catalyst. Train locally (zero per-merge Spark jobs), encode with the
+    Arrow UDF, and verify 30 words against the literal chained-replace
+    reference applied in pure Python."""
+    import random
+
+    from hatchery_spark.functions.corpus import (
+        _apply_merges_sequential,
+        bpe_encode_arrow,
+        train_bpe_merges_local,
+    )
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(4, 12)))
+        for _ in range(1500)
+    ]
+    counts = {w: rng.randint(1, 50) for w in vocab}
+    text = " ".join(w for w, c in counts.items() for _ in range(min(c, 5)))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(2)], "doc_id long, text string"
+    )
+    merges_df = train_bpe_merges_local(df, k=1200)
+    merges = [(r.step, r.left_sym, r.right_sym) for r in merges_df.collect()]
+    assert len(merges) >= 1000, len(merges)
+
+    ranks = {(l, r): s for s, l, r in merges}
+    sample = rng.sample(sorted(set(vocab)), 30)
+    for w in sample:
+        assert _apply_merges_sequential(list(w), ranks) == _chained_replace_count(
+            w, merges
+        ), w
+
+    out = bpe_encode_arrow(df, merges).collect()
+    assert len(out) == 2
+    want_tokens = sum(
+        _chained_replace_count(w, merges)
+        for w, c in counts.items()
+        for _ in range(min(c, 5))
+    )
+    assert all(r.n_tokens == want_tokens for r in out)
