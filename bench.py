@@ -301,6 +301,8 @@ def main() -> None:
             # round-5
             ("doc_bpe_train_local", dq.q_bpe_train_local),
             ("doc_bpe_encode_arrow", dq.q_bpe_encode_arrow),
+            ("doc_substring_dedup_sa", dq.q_substring_dedup_sa),
+            ("doc_substring_dedup_sa_within", dq.q_substring_dedup_sa_within),
         ]:
             measure(
                 name,

@@ -921,6 +921,23 @@ def remove_duplicate_substrings(
     dup = pos.join(
         counts.filter(F.col("n") >= min_count).select(*gk), gk
     ).select("_id", "p")
+    return _excise_dup_positions(df, dup, k, text_col, id_col)
+
+
+def _excise_dup_positions(
+    df: DataFrame,
+    dup: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared ExactSubstr rebuild: given the (\\_id, p) frame of duplicated
+    1-based gram positions, merge [p, p+k) intervals into islands, excise
+    them, and rebuild every doc (steps 3–5 of the positional form's
+    docstring). One doc_id exchange serves the island-merge windows and the
+    rebuild agg; untouched docs return via a LEFT join against the
+    duplication-sized island frame."""
+    text, did = F.col(text_col), F.col(id_col)
     w = Window.partitionBy("_id").orderBy("p")
     flagged = dup.withColumn(
         "_new",
@@ -958,3 +975,221 @@ def remove_duplicate_substrings(
         F.coalesce(F.col("n_islands"), F.lit(0)).alias("n_islands"),
         F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
     )
+
+
+# ----------------------------------------------------- ExactSubstr, fast path
+
+# odd 64-bit polynomial-hash base (FNV-1a prime): odd => invertible mod 2^64,
+# and every power stays well-mixed under the natural uint64 wraparound
+_GRAM_BASE = 0x100000001B3
+
+
+def _gram_hash_powers(k: int) -> np.ndarray:
+    """B^(k-1-t) mod 2^64 for t = 0..k-1, computed in exact Python ints
+    (numpy SCALAR uint64 multiplication warns on overflow; array ops wrap
+    silently, which is what the hashing below relies on)."""
+    return np.array(
+        [pow(_GRAM_BASE, k - 1 - t, 1 << 64) for t in range(k)], dtype=np.uint64
+    )
+
+
+def _gram_hashes(text: str, k: int, powers: np.ndarray) -> np.ndarray:
+    """uint64 polynomial rolling hash of every k-CHARACTER gram (1 per
+    position, matching substring(text, i, k) semantics — UTF-32 code
+    points, not bytes). Vectorized: k fused multiply-adds over the code
+    point array, wrapping mod 2^64."""
+    c = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = c.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    acc = np.zeros(n, dtype=np.uint64)
+    for t in range(k):
+        acc += c[t : t + n] * powers[t]
+    return acc
+
+
+def _excise_islands_local(text: str, pos0: np.ndarray, k: int):
+    """Merge 0-based dup positions into [start, end) islands and rebuild the
+    doc locally: returns (clean_text, n_islands, n_removed) — the numpy/str
+    mirror of `_excise_dup_positions`' window form."""
+    if pos0.size == 0:
+        return text, 0, 0
+    breaks = np.nonzero(pos0[1:] > pos0[:-1] + k)[0] + 1
+    starts = pos0[np.concatenate(([0], breaks))]
+    ends = pos0[np.concatenate((breaks - 1, [pos0.size - 1]))] + k
+    pieces, prev = [], 0
+    for s, e in zip(starts, ends):
+        pieces.append(text[prev:s])
+        prev = int(e)
+    pieces.append(text[prev:])
+    return "".join(pieces), int(starts.size), int((ends - starts).sum())
+
+
+def remove_duplicate_substrings_fast(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "corpus",
+    dup_filter: str = "auto",
+    broadcast_cap: int = 4_000_000,
+) -> DataFrame:
+    """`remove_duplicate_substrings` (ExactSubstr, Lee et al. 2107.06499
+    §4.1) without the per-position explode: identical output contract
+    (id, text, n_islands, n_removed), but gram counting and span excision
+    run VECTORIZED inside mapInPandas — the paper's own answer to the
+    positional form (its released tooling scans shard-local suffix arrays;
+    a sorted k-gram-hash array is exactly a depth-k suffix array, and
+    np.unique IS that sort).
+
+    Two passes over the corpus, zero corpus-sized windows:
+      1. shard-local counts — per Arrow batch, uint64 rolling-hash every
+         position (k fused multiply-adds, no per-position substring/md5)
+         and np.unique-count; emit (h, n) rows. Spark's partial hash agg
+         map-side-combines shards, then the global sum keeps hashes with
+         count ≥ min_count — a DISTINCT-DUPLICATED-GRAM-sized frame.
+      2. excision — dup_filter picks how docs meet that frame:
+           * "broadcast" (or "auto" when it fits `broadcast_cap`): the dup
+             hashes ship as ONE sorted uint64 array via sc.broadcast;
+             each doc re-hashes, np.searchsorted membership, island merge
+             + rebuild ALL LOCALLY — no join, no window, no second
+             shuffle of anything corpus-sized.
+           * "join" (or "auto" overflow): positions emit as primitive
+             (id, p, h) rows — 20 bytes each vs the positional form's
+             hex-string md5 — joined to the dup frame, then the shared
+             `_excise_dup_positions` window rebuild. The unbounded-dup
+             safety net: nothing ever has to fit on the driver.
+       scope="doc" needs no global state at all: within-doc counts and
+       excision happen in ONE mapInPandas pass.
+
+    Hash note: replaces exact-gram (md5) equality with a 64-bit rolling
+    hash — same 2^-64-scale collision class the xxhash64 variant already
+    carries (a collision can only over-remove). Shares the
+    `doc_substring_dedup` oracle, the hash-agnosticism the driver gate
+    proves for the xx variant.
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"remove_duplicate_substrings_fast: unknown scope {scope!r}")
+    if dup_filter not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"remove_duplicate_substrings_fast: unknown dup_filter {dup_filter!r}"
+        )
+    spark = df.sparkSession
+    powers = _gram_hash_powers(k)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(text_col, T.StringType()),
+            T.StructField("n_islands", T.IntegerType()),
+            T.StructField("n_removed", T.IntegerType()),
+        ]
+    )
+
+    def _doc_rows(pdf, dup_sorted):
+        ids, texts, isl, rem = [], [], [], []
+        for did, t in zip(pdf[id_col], pdf[text_col]):
+            if not isinstance(t, str):
+                ids.append(did); texts.append(t); isl.append(0); rem.append(0)
+                continue
+            g = _gram_hashes(t, k, powers)
+            if g.size == 0:
+                mask = np.zeros(0, dtype=bool)
+            elif dup_sorted is None:  # scope="doc": within-doc counts
+                u, cnt = np.unique(g, return_counts=True)
+                mask = cnt[np.searchsorted(u, g)] >= min_count
+            elif dup_sorted.size == 0:
+                mask = np.zeros(g.size, dtype=bool)
+            else:
+                idx = np.searchsorted(dup_sorted, g)
+                idx = np.minimum(idx, dup_sorted.size - 1)
+                mask = dup_sorted[idx] == g
+            clean, ni, nr = _excise_islands_local(t, np.nonzero(mask)[0], k)
+            ids.append(did); texts.append(clean); isl.append(ni); rem.append(nr)
+        return pd.DataFrame(
+            {id_col: ids, text_col: texts, "n_islands": isl, "n_removed": rem}
+        )
+
+    if scope == "doc":
+        def excise_local(batches):
+            for pdf in batches:
+                yield _doc_rows(pdf, None)
+
+        return df.select(id_col, text_col).mapInPandas(excise_local, out_schema)
+
+    # pass 1: shard-local gram counts -> global >= min_count filter
+    def shard_counts(batches):
+        for pdf in batches:
+            hs = [
+                _gram_hashes(t, k, powers)
+                for t in pdf[text_col]
+                if isinstance(t, str)
+            ]
+            hs = [h for h in hs if h.size]
+            if not hs:
+                continue
+            u, cnt = np.unique(np.concatenate(hs), return_counts=True)
+            yield pd.DataFrame(
+                {"h": u.view(np.int64), "n": cnt.astype(np.int64)}
+            )
+
+    counts = df.select(text_col).mapInPandas(
+        shard_counts, "h long, n long"
+    )
+    dup = (
+        counts.groupBy("h")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+
+    dup_pdf = None
+    if dup_filter in ("auto", "broadcast"):
+        limit = None if dup_filter == "broadcast" else broadcast_cap + 1
+        dup_pdf = (dup.limit(limit).toPandas() if limit else dup.toPandas())
+        if dup_filter == "auto" and len(dup_pdf) > broadcast_cap:
+            dup_pdf = None  # too big for the driver — fall through to join
+
+    if dup_pdf is not None:
+        dup_sorted = np.sort(dup_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64))
+        dup_bc = spark.sparkContext.broadcast(dup_sorted)
+
+        def excise_bcast(batches):
+            arr = dup_bc.value
+            for pdf in batches:
+                yield _doc_rows(pdf, arr)
+
+        return df.select(id_col, text_col).mapInPandas(excise_bcast, out_schema)
+
+    # join path: primitive position rows ⋈ dup hashes, shared window rebuild
+    def positions(batches):
+        for pdf in batches:
+            ids, ps, hs = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                g = _gram_hashes(t, k, powers)
+                if g.size:
+                    ids.extend([did] * g.size)
+                    ps.extend(range(1, g.size + 1))
+                    hs.append(g)
+            if not hs:
+                continue
+            yield pd.DataFrame(
+                {
+                    "_id": ids,
+                    "p": np.asarray(ps, dtype=np.int32),
+                    "h": np.concatenate(hs).view(np.int64),
+                }
+            )
+
+    pos_schema = T.StructType(
+        [
+            T.StructField("_id", df.schema[id_col].dataType),
+            T.StructField("p", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+    pos = df.select(id_col, text_col).mapInPandas(positions, pos_schema)
+    dup_pos = pos.join(dup, "h").select("_id", "p")
+    return _excise_dup_positions(df, dup_pos, k, text_col, id_col)

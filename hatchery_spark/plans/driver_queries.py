@@ -1159,6 +1159,30 @@ def q_substring_dedup_xx(spark, sf_dir):
     )
 
 
+def q_substring_dedup_sa(spark, sf_dir):
+    """ExactSubstr via shard-local VECTORIZED gram counting (the sorted
+    k-gram-hash array is a depth-k suffix array — the paper's own scan
+    shape): uint64 rolling hashes + np.unique counts inside mapInPandas,
+    global ≥2 filter broadcast as one sorted array, island merge + rebuild
+    entirely doc-local — no positional explode, no corpus-sized window.
+    SHARES the md5-form oracle (hash-agnosticism the gate proves, as with
+    the xxhash64 variant)."""
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings_fast
+
+    return remove_duplicate_substrings_fast(load(spark, sf_dir, "documents"), k=20)
+
+
+def q_substring_dedup_sa_within(spark, sf_dir):
+    """Within-document fast form (scope='doc', k=10): counts AND excision in
+    ONE mapInPandas pass — zero global state, zero shuffles. Shares the
+    positional within-doc oracle."""
+    from hatchery_spark.functions.dedup import remove_duplicate_substrings_fast
+
+    return remove_duplicate_substrings_fast(
+        load(spark, sf_dir, "documents"), k=10, scope="doc"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 (Lucene idf) top-25 for a fixed query: one token explode
     feeds doc lengths + query-term tfs; query-sized frames broadcast;
@@ -3286,6 +3310,8 @@ def oracle_catalog() -> dict[str, str]:
     oracles["doc_substring_dedup_xx"] = oracles["doc_substring_dedup"]
     oracles["doc_bpe_train_local"] = oracles["doc_bpe_train"]
     oracles["doc_bpe_encode_arrow"] = oracles["doc_bpe_encode"]
+    oracles["doc_substring_dedup_sa"] = oracles["doc_substring_dedup"]
+    oracles["doc_substring_dedup_sa_within"] = oracles["doc_substring_dedup_within"]
     return oracles
 
 
@@ -3300,6 +3326,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "doc_bpe_train_local": q_bpe_train_local,
         "doc_bpe_encode_arrow": q_bpe_encode_arrow,
+        "doc_substring_dedup_sa": q_substring_dedup_sa,
+        "doc_substring_dedup_sa_within": q_substring_dedup_sa_within,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,

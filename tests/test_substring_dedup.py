@@ -136,3 +136,86 @@ def test_doc_scope_only_excises_within_document_repeats(spark):
     import pytest
     with pytest.raises(ValueError):
         remove_duplicate_substrings(df, scope="paragraph")
+
+
+@pytest.mark.parametrize("dup_filter", ["broadcast", "join"])
+def test_fast_variant_matches_positional(planted, dup_filter):
+    """Vectorized two-pass form == positional-explode form, on both the
+    broadcast and the join global-filter paths."""
+    from hatchery_spark.functions.dedup import (
+        remove_duplicate_substrings,
+        remove_duplicate_substrings_fast,
+    )
+
+    rows, df = planted
+    k = 20
+    want = {
+        r.doc_id: (r.text, r.n_islands, r.n_removed)
+        for r in remove_duplicate_substrings(df, k=k).collect()
+    }
+    got = {
+        r.doc_id: (r.text, r.n_islands, r.n_removed)
+        for r in remove_duplicate_substrings_fast(
+            df, k=k, dup_filter=dup_filter
+        ).collect()
+    }
+    assert got == want
+
+
+def test_fast_variant_random_corpus_and_scopes(spark):
+    """Messier corpus (overlapping plants, adjacency, unicode, NULL text,
+    repartition) — fast == positional for corpus AND doc scope."""
+    import random
+
+    from hatchery_spark.functions.dedup import (
+        remove_duplicate_substrings,
+        remove_duplicate_substrings_fast,
+    )
+
+    rng = random.Random(3)
+    alpha = "abcdé ∂"
+    plants = ["".join(rng.choice(alpha) for _ in range(25)) for _ in range(4)]
+    rows = []
+    for i in range(40):
+        t = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+        for p in plants:
+            if rng.random() < 0.3:
+                cut = rng.randint(0, len(t))
+                t = t[:cut] + p + t[cut:]
+        rows.append((i, t))
+    rows.append((98, rows[5][1]))      # whole-doc duplicate
+    rows.append((99, None))            # NULL text stays NULL
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+
+    for scope, kk in (("corpus", 12), ("doc", 8)):
+        want = {
+            r.doc_id: (r.text, r.n_islands, r.n_removed)
+            for r in remove_duplicate_substrings(df, k=kk, scope=scope).collect()
+        }
+        got = {
+            r.doc_id: (r.text, r.n_islands, r.n_removed)
+            for r in remove_duplicate_substrings_fast(df, k=kk, scope=scope).collect()
+        }
+        assert got == want, scope
+
+
+def test_fast_variant_auto_overflow_falls_to_join(spark):
+    """dup_filter='auto' with a tiny broadcast_cap must take the join path
+    and still match."""
+    from hatchery_spark.functions.dedup import (
+        remove_duplicate_substrings,
+        remove_duplicate_substrings_fast,
+    )
+
+    rows = [(i, "SHARED-BOILERPLATE-SPAN-" + str(i % 2) * 5) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_id: r.text for r in remove_duplicate_substrings(df, k=10).collect()
+    }
+    got = {
+        r.doc_id: r.text
+        for r in remove_duplicate_substrings_fast(
+            df, k=10, broadcast_cap=1
+        ).collect()
+    }
+    assert got == want
