@@ -89,10 +89,12 @@ def main() -> None:
     def _membw_probe() -> float:
         # a plain big memcpy saturates the memory bus exactly the way
         # shuffle/scan row materialization does — a bus-throttle burst
-        # shows up here when the CPU probe stays clean
+        # shows up here when the CPU probe stays clean. 6×128 MiB keeps the
+        # probe long enough (~0.3 s) that scheduler noise stays ≪ the 1.3×
+        # gate
         t0 = time.perf_counter()
-        _membw_src.copy()
-        _membw_src.copy()
+        for _ in range(6):
+            _membw_src.copy()
         return time.perf_counter() - t0
 
     def _scan_probe() -> float:
@@ -158,8 +160,8 @@ def main() -> None:
         syn = spark.read.parquet(f"{work}/transcripts")
         cat = service_catalog_df(spark)
 
-        # fixed scan-probe table (~16 MB), written once before any gating
-        spark.range(0, 2_000_000, 1, 8).select(
+        # fixed scan-probe table (~64 MB), written once before any gating
+        spark.range(0, 8_000_000, 1, 8).select(
             F.col("id"), F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("v"),
             F.sha2(F.col("id").cast("string"), 256).alias("pad"),
         ).write.mode("overwrite").parquet(f"{work}/scan_probe")

@@ -1,13 +1,15 @@
-"""Baseline JPEG codec, standard-library + numpy only.
+"""JPEG codec (sequential + progressive Huffman), stdlib + numpy only.
 
 Closes the round-3 gap that the real-codec path covered PPM/PNG/WAV but
 left JPEG — the dominant real-corpus image format — behind
 DecoderUnavailable. Everything here is implemented from the public spec
-(ITU-T T.81): baseline sequential DCT, Huffman entropy coding, 8-bit
-samples, 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0),
-restart markers. Progressive (SOF2), arithmetic coding, 12-bit, and
-hierarchical modes raise DecoderUnavailable — honest gaps, same contract
-as PNG palette/16-bit.
+(ITU-T T.81): baseline/extended sequential DCT (SOF0/SOF1) AND progressive
+DCT (SOF2 — spectral selection, successive approximation, DC/AC
+first+refinement scans per G.1.2/G.2, interleaved DC scans, EOB runs,
+inter-scan table redefinition), Huffman entropy coding, 8-bit samples,
+1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
+markers. Arithmetic coding, 12-bit, and hierarchical modes raise
+DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
 
 The encoder exists to make deterministic, closed-form-checkable test
 payloads (solid-color images with unit quantization tables decode back
@@ -311,46 +313,201 @@ def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid Huffman code")
 
 
-def _decode_block(br, dc_tab, ac_tab, qt, pred):
-    coef = np.zeros(64, dtype=np.float64)
-    t = _huff_decode(br, dc_tab)
-    diff = _receive_extend(br, t)
-    dc = pred + diff
-    coef[0] = dc * qt[0]
-    k = 1
-    while k < 64:
-        rs = _huff_decode(br, ac_tab)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL: sixteen zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        coef[_ZIGZAG[k]] = _receive_extend(br, s) * qt[k]
-        k += 1
-    block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-    return block + 128.0, dc
+def _decode_band(br, blk, Ss, Se, Ah, Al, preds, cid, eobrun, dc_tab, ac_tab):
+    """Decode one data unit's contribution for one scan into `blk` (the
+    64-int zigzag-order coefficient vector of that block). Covers all four
+    progressive scan classes (T.81 G.2) AND sequential as the Ss=0 Se=63
+    Ah=Al=0 special case. `eobrun` is the scan's shared end-of-band run
+    state (1-slot list); `preds` the per-component DC predictors."""
+    k = Ss
+    if Ss == 0:
+        if Ah == 0:  # DC first (or sequential full-band)
+            t = _huff_decode(br, dc_tab)
+            dc = preds[cid] + _receive_extend(br, t)
+            preds[cid] = dc
+            blk[0] = dc << Al
+        else:  # DC refinement: one appended bit at position Al
+            if br.bit():
+                blk[0] |= 1 << Al
+        if Se == 0:
+            return
+        k = 1
+    if Ah == 0:  # AC first / sequential AC
+        if eobrun[0] > 0:
+            eobrun[0] -= 1
+            return
+        while k <= Se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL: sixteen zeros
+                    k += 16
+                    continue
+                # EOBn: run of (1<<r)+bits(r) all-zero bands incl. this one
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += br.bits(r)
+                break
+            k += r
+            if k > Se:
+                raise ValueError("AC run past end of block")
+            blk[k] = _receive_extend(br, s) << Al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3): newly-nonzero coefficients arrive with
+    # runs counted over ZERO-HISTORY positions only; every nonzero-history
+    # position passed over consumes one correction bit
+    p1, m1 = 1 << Al, -1 << Al
+
+    def correct(idx):
+        if br.bit() and not (blk[idx] & p1):
+            blk[idx] += p1 if blk[idx] >= 0 else m1
+
+    if eobrun[0] == 0:
+        while k <= Se:
+            rs = _huff_decode(br, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += br.bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement symbol")
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        # inside an EOB run the band still carries correction bits for
+        # every nonzero-history coefficient
+        while k <= Se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _comp_geometry(frame):
+    """Per-component block geometry: MCU-padded plane grid (pb) and the
+    component's own non-interleaved grid (cb, T.81 A.2.2 — ceil of the
+    scaled sample dimensions, NOT the MCU-padded ones)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    geo = {}
+    for c in frame["comps"]:
+        comp_w = -(-frame["w"] * c["h"] // hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        geo[c["id"]] = {
+            "pb_x": mcus_x * c["h"], "pb_y": mcus_y * c["v"],
+            "cb_x": -(-comp_w // 8), "cb_y": -(-comp_h // 8),
+        }
+    return hmax, vmax, mcus_x, mcus_y, geo
+
+
+def _decode_scan(content, pos, frame, scan, store, dc_tabs, ac_tabs, ri):
+    """Entropy-decode one scan into the coefficient store; returns the byte
+    position of the next marker. Interleaved (ns>1) scans walk MCUs;
+    single-component scans walk the component's own block raster."""
+    ns_comps, Ss, Se, Ah, Al = scan
+    by_id = {c["id"]: c for c in frame["comps"]}
+    hmax, vmax, mcus_x, mcus_y, geo = _comp_geometry(frame)
+    preds = {sc["id"]: 0 for sc in ns_comps}
+    eobrun = [0]
+    br = _BitReader(content, pos)
+
+    def tabs(sc):
+        dc = dc_tabs.get(sc["dc"]) if Ss == 0 and Ah == 0 else None
+        ac = ac_tabs.get(sc["ac"]) if Se > 0 else None
+        return dc, ac
+
+    if len(ns_comps) == 1:
+        sc = ns_comps[0]
+        g = geo[sc["id"]]
+        units = [(sc, by, bx) for by in range(g["cb_y"]) for bx in range(g["cb_x"])]
+        per_unit = [units[i : i + 1] for i in range(len(units))]
+    else:
+        per_unit = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for sc in ns_comps:
+                    c = by_id[sc["id"]]
+                    for v in range(c["v"]):
+                        for h2 in range(c["h"]):
+                            blocks.append((sc, my * c["v"] + v, mx * c["h"] + h2))
+                per_unit.append(blocks)
+
+    n_unit = 0
+    for blocks in per_unit:
+        if ri and n_unit and n_unit % ri == 0:
+            br.align()
+            p = br.pos
+            while content[p] != 0xFF or content[p + 1] == 0x00:
+                p += 1
+            if not (0xD0 <= content[p + 1] <= 0xD7):
+                raise ValueError("expected restart marker")
+            br = _BitReader(content, p + 2)
+            preds = {sc["id"]: 0 for sc in ns_comps}
+            eobrun = [0]
+        for sc, by, bx in blocks:
+            dc_tab, ac_tab = tabs(sc)
+            blk = store[sc["id"]][by, bx]
+            try:
+                _decode_band(
+                    br, blk, Ss, Se, Ah, Al, preds, sc["id"], eobrun,
+                    dc_tab, ac_tab,
+                )
+            except _MarkerReached as m:
+                raise ValueError(
+                    f"entropy stream ended early at byte {m.pos}"
+                ) from None
+        n_unit += 1
+
+    br.align()
+    p = br.pos
+    while p + 1 < len(content) and (
+        content[p] != 0xFF or content[p + 1] == 0x00
+    ):
+        p += 1
+    return p
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Parse a baseline JPEG into an (h, w, 3) uint8 RGB array (grayscale
-    inputs replicate to 3 channels). Stdlib + numpy only: segment walk →
-    Huffman-decoded MCU stream → dequantize → inverse zigzag → IDCT (two
-    8×8 matmuls per block) → chroma upsample → YCbCr→RGB. Baseline/extended
-    sequential Huffman (SOF0/SOF1) with any sampling factors and restart
-    markers; progressive/arithmetic/12-bit raise DecoderUnavailable."""
+    """Parse a JPEG into an (h, w, 3) uint8 RGB array (grayscale inputs
+    replicate to 3 channels). Stdlib + numpy only: segment walk → scans
+    entropy-decoded into a per-component COEFFICIENT STORE (zigzag order)
+    → dequantize → inverse zigzag → vectorized IDCT (one einsum per
+    component) → chroma upsample → YCbCr→RGB. Baseline/extended sequential
+    Huffman (SOF0/SOF1) AND progressive Huffman (SOF2 — spectral selection
+    and successive approximation, DC and AC first/refinement scans,
+    interleaved DC scans, EOB runs, per-scan table redefinition), any
+    sampling factors, restart markers. Arithmetic coding, 12-bit, and
+    hierarchical modes raise DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None
+    store = None
     restart_interval = 0
+    saw_scan = False
     pos = 2
-    scan_components = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -371,7 +528,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     tbl = np.frombuffer(data[i : i + 128], dtype=">u2").astype(np.float64)
                     i += 128
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive Huffman
             precision, h, w, nc = struct.unpack(">BHHB", data[:6])
             if precision != 8:
                 raise DecoderUnavailable("only 8-bit precision supported")
@@ -380,8 +537,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise DecoderUnavailable("only baseline sequential Huffman JPEG supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise DecoderUnavailable(
+                "only sequential/progressive Huffman JPEG supported"
+            )
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
             while i < len(data):
@@ -394,67 +553,47 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = data[0]
-            scan_components = []
+            scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + c * 2], data[2 + c * 2]
-                scan_components.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
-            pos = pos + 2 + length
-            break
+                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            Ss, Se, ahal = data[1 + ns * 2 : 4 + ns * 2]
+            Ah, Al = ahal >> 4, ahal & 0x0F
+            if store is None:
+                _, _, _, _, geo = _comp_geometry(frame)
+                store = {
+                    cid: np.zeros((g["pb_y"], g["pb_x"], 64), dtype=np.int32)
+                    for cid, g in geo.items()
+                }
+            pos = _decode_scan(
+                content, pos + 2 + length, frame,
+                (scan_comps, Ss, Se, Ah, Al),
+                store, dc_tabs, ac_tabs, restart_interval,
+            )
+            saw_scan = True
+            continue
         pos = pos + 2 + length
-    if frame is None or scan_components is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
 
     comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    for sc in scan_components:
-        by_id[sc["id"]]["dc_tab"] = dc_tabs[sc["dc"]]
-        by_id[sc["id"]]["ac_tab"] = ac_tabs[sc["ac"]]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-frame["w"] // (8 * hmax))
-    mcus_y = -(-frame["h"] // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8))
-        for c in comps
-    }
-
-    br = _BitReader(content, pos)
-    preds = {c["id"]: 0 for c in comps}
-    n_mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                # align to the RST marker and reset DC predictors
-                br.align()
-                p = br.pos
-                while content[p] != 0xFF or content[p + 1] == 0x00:
-                    p += 1
-                if not (0xD0 <= content[p + 1] <= 0xD7):
-                    raise ValueError("expected restart marker")
-                br = _BitReader(content, p + 2)
-                preds = {c["id"]: 0 for c in comps}
-            for c in comps:
-                qt = qtables[c["tq"]]
-                for v in range(c["v"]):
-                    for h2 in range(c["h"]):
-                        try:
-                            block, preds[c["id"]] = _decode_block(
-                                br, c["dc_tab"], c["ac_tab"], qt, preds[c["id"]]
-                            )
-                        except _MarkerReached as m:
-                            raise ValueError(
-                                f"entropy stream ended early at byte {m.pos}"
-                            ) from None
-                        y0 = (my * c["v"] + v) * 8
-                        x0 = (mx * c["h"] + h2) * 8
-                        planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
-            n_mcu += 1
-
     h, w = frame["h"], frame["w"]
     full = {}
     for c in comps:
-        plane = planes[c["id"]]
+        qt = qtables[c["tq"]]
+        coefs = store[c["id"]].astype(np.float64) * qt[None, None, :]
+        natural = np.zeros_like(coefs)
+        natural[..., _ZIGZAG] = coefs
+        pb_y, pb_x = natural.shape[:2]
+        blocks8 = natural.reshape(pb_y, pb_x, 8, 8)
+        # IDCT of every block at once: Mᵀ·S·M as one einsum per component
+        spatial = np.einsum("au,yxab,bv->yxuv", _DCT_M, blocks8, _DCT_M) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(pb_y * 8, pb_x * 8)
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
@@ -552,4 +691,355 @@ def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:
     bw_.flush()
     body += bw_.out
     out += bytes(body) + b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------- progressive encoder
+#
+# Deterministic SOF2 test payloads exercising every decoder scan class:
+# DC first/refine, AC first/refine (spectral selection bands + successive
+# approximation), interleaved DC scans, EOB runs spanning blocks, custom
+# per-scan Huffman tables, restart markers. Same role as encode_jpeg /
+# encode_jpeg_gray: test-harness encoders, not production ones.
+
+
+class _SymbolCounter:
+    """First pass: histogram the scan's Huffman symbols (bits are free)."""
+
+    def __init__(self) -> None:
+        self.symbols: set[int] = set()
+
+    def symbol(self, s: int) -> None:
+        self.symbols.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Second pass: emit real codes through a _BitWriter."""
+
+    def __init__(self, bw: _BitWriter, codes: dict) -> None:
+        self.bw = bw
+        self.codes = codes
+
+    def symbol(self, s: int) -> None:
+        code, length = self.codes[s]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _custom_table(symbols) -> tuple[list[int], list[int]]:
+    """Canonical all-length-8 Huffman table over exactly the used symbols
+    (sorted for determinism). With < 256 symbols the all-ones 8-bit code
+    stays unassigned, as T.81 C.2 requires."""
+    vals = sorted(symbols)
+    if not vals:
+        vals = [0x00]
+    if len(vals) > 255:
+        raise ValueError("too many AC symbols for a single-length table")
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def _point_dc(v: int, al: int) -> int:
+    return v >> al  # arithmetic shift, T.81 G.1.2.1
+
+
+def _point_ac(v: int, al: int) -> int:
+    return -((-v) >> al) if v < 0 else v >> al  # magnitude shift, G.1.2.2
+
+
+def _enc_dc_first(blocks, al, w, pred_box):
+    for zz in blocks:
+        v = _point_dc(int(zz[0]), al)
+        diff = v - pred_box[0]
+        pred_box[0] = v
+        t = _category(diff)
+        w.symbol(t)
+        if t:
+            w.bits(_extend_bits(diff, t), t)
+
+
+def _enc_dc_refine(blocks, al, w):
+    for zz in blocks:
+        w.bits((_point_dc(int(zz[0]), al)) & 1, 1)
+
+
+def _enc_ac_first(blocks, ss, se, al, w):
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            w.symbol(n << 4)
+            w.bits(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_point_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.symbol(0xF0)
+                run -= 16
+            s = _category(v)
+            w.symbol((run << 4) | s)
+            w.bits(_extend_bits(v, s), s)
+            run = 0
+        if nz[-1] < len(band) - 1:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _enc_ac_refine(blocks, ss, se, al, w):
+    """T.81 G.1.2.3 — the libjpeg-documented algorithm re-derived from the
+    spec: newly-visible coefficients (|v|>>Al == 1) code as (run<<4)|1 +
+    sign bit, runs count ZERO-HISTORY positions only, every nonzero-history
+    position passed over buffers one correction bit (bit Al of |v|), and
+    blocks whose band holds nothing new join an EOB run that carries the
+    buffered bits."""
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, be_bits
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            w.symbol(n << 4)
+            w.bits(eobrun - (1 << n), n)
+            for b in be_bits:
+                w.bits(b, 1)
+            be_bits = []
+            eobrun = 0
+
+    for zz in blocks:
+        absv, neg = [], []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            absv.append((-v if v < 0 else v) >> al)
+            neg.append(v < 0)
+        eob_idx = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob_idx = i
+        r = 0
+        br_bits: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob_idx:
+                flush()
+                w.symbol(0xF0)
+                r -= 16
+                for b in br_bits:
+                    w.bits(b, 1)
+                br_bits = []
+            if a > 1:
+                br_bits.append(a & 1)
+                continue
+            flush()
+            w.symbol((r << 4) | 1)
+            w.bits(0 if neg[i] else 1, 1)
+            for b in br_bits:
+                w.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+DEFAULT_PROGRESSIVE_SCANS = (
+    (0, 0, 0, 1),    # DC first at Al=1
+    (0, 0, 1, 0),    # DC refine
+    (1, 31, 0, 1),   # AC band 1-31 first at Al=1
+    (32, 63, 0, 0),  # AC band 32-63 full precision
+    (1, 31, 1, 0),   # AC band 1-31 refine
+)
+
+
+def encode_jpeg_gray_progressive(
+    img: np.ndarray,
+    scans=DEFAULT_PROGRESSIVE_SCANS,
+    restart_interval: int = 0,
+) -> bytes:
+    """Arbitrary-content single-component PROGRESSIVE JPEG (SOF2, unit
+    quantization): the same quantized coefficients as `encode_jpeg_gray`,
+    entropy-coded across a scan script instead of one pass — so
+    decode_jpeg(progressive) must equal decode_jpeg(sequential) BIT-EXACTLY
+    (asserted in tests), which pins the progressive entropy coding to the
+    already-validated coefficient semantics. Each AC scan gets its own
+    minimal canonical Huffman table (custom DHT per scan, exercising
+    inter-scan table redefinition); restart intervals flush EOB runs and
+    reset predictors per T.81."""
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    padded = np.pad(img, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw_):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.rint(_DCT_M @ block @ _DCT_M.T).astype(np.int64)
+            blocks.append(coef.reshape(-1)[_ZIGZAG])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    chunks = (
+        [blocks]
+        if not restart_interval
+        else [
+            blocks[i : i + restart_interval]
+            for i in range(0, len(blocks), restart_interval)
+        ]
+    )
+
+    for ss, se, ah, al in scans:
+        if ss == 0 and ah == 0:
+            enc = lambda ch, wr, pb: _enc_dc_first(ch, al, wr, pb)  # noqa: E731
+        elif ss == 0:
+            enc = lambda ch, wr, pb: _enc_dc_refine(ch, al, wr)  # noqa: E731
+        elif ah == 0:
+            enc = lambda ch, wr, pb: _enc_ac_first(ch, ss, se, al, wr)  # noqa: E731
+        else:
+            enc = lambda ch, wr, pb: _enc_ac_refine(ch, ss, se, al, wr)  # noqa: E731
+
+        counter = _SymbolCounter()
+        for ch in chunks:
+            enc(ch, counter, [0])
+        needs_table = not (ss == 0 and ah > 0)  # DC refine is table-free
+        if ss == 0 and ah == 0:
+            bits, vals = _STD_DC_LUMA
+            out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+            codes = _canonical_codes(bits, vals)
+        elif needs_table:
+            bits, vals = _custom_table(counter.symbols)
+            out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            codes = _canonical_codes(bits, vals)
+        else:
+            codes = {}
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        body = bytearray()
+        for idx, ch in enumerate(chunks):
+            bw2 = _BitWriter()
+            enc(ch, _ScanWriter(bw2, codes), [0])
+            bw2.flush()
+            body += bw2.out
+            if idx < len(chunks) - 1:
+                body += bytes([0xFF, 0xD0 + (idx % 8)])
+        out += bytes(body)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    gray: int,
+    subsampling: str = "444",
+) -> bytes:
+    """Solid-gray 3-component PROGRESSIVE JPEG: one interleaved DC scan
+    (multi-component progressive scans are DC-only per T.81) followed by
+    three per-component AC scans that are pure EOB runs — exercising
+    interleaved-DC decode, cross-block EOBRUN>1 with appended length bits,
+    and the non-interleaved component raster (which differs from the
+    MCU-padded grid under 4:2:0). Unit quantization ⇒ decodes to every
+    pixel == gray, the encode_jpeg closed form."""
+    if not (0 <= gray <= 255):
+        raise ValueError("gray must be 0..255")
+    hs, vs = (2, 2) if subsampling == "420" else (1, 1)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xDB, b"\x00" + bytes([1] * 64)) + seg(0xDB, b"\x01" + bytes([1] * 64))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0]) + bytes(_STD_DC_LUMA[1]))
+    out += seg(
+        0xC4, bytes([0x01]) + bytes(_STD_DC_CHROMA[0]) + bytes(_STD_DC_CHROMA[1])
+    )
+
+    # interleaved DC-only scan (Ss=Se=0, Ah=Al=0)
+    dc_y = _canonical_codes(*_STD_DC_LUMA)
+    dc_c = _canonical_codes(*_STD_DC_CHROMA)
+    mcus_x = -(-width // (8 * hs))
+    mcus_y = -(-height // (8 * vs))
+    y_dc = 8 * (gray - 128)
+    bw = _BitWriter()
+    pred_y = 0
+    for _m in range(mcus_x * mcus_y):
+        for _blk in range(hs * vs):
+            diff = y_dc - pred_y
+            pred_y = y_dc
+            t = _category(diff)
+            code, length = dc_y[t]
+            bw.write(code, length)
+            if t:
+                bw.write(_extend_bits(diff, t), t)
+        for _c in range(2):
+            code, length = dc_c[0]
+            bw.write(code, length)
+    bw.flush()
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0]))
+    out += bytes(bw.out)
+
+    # one all-EOB AC scan per component over ITS OWN block raster
+    eob_syms = {n << 4 for n in range(15)}
+    bits, vals = _custom_table(eob_syms)
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+    ac_codes = _canonical_codes(bits, vals)
+    for cid, ch, cv in ((1, hs, vs), (2, 1, 1), (3, 1, 1)):
+        comp_w = -(-width * ch // hs)
+        comp_h = -(-height * cv // vs)
+        n_blocks = (-(-comp_w // 8)) * (-(-comp_h // 8))
+        bw = _BitWriter()
+        wsc = _ScanWriter(bw, ac_codes)
+        remaining = n_blocks
+        while remaining:
+            run = min(remaining, 0x7FFF)
+            n = run.bit_length() - 1
+            wsc.symbol(n << 4)
+            wsc.bits(run - (1 << n), n)
+            remaining -= run
+        bw.flush()
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0]))
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
     return bytes(out)

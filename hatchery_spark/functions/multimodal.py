@@ -4,12 +4,13 @@ The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested. The codec layer is split honestly:
   * REAL stdlib decoders for PPM (P6), PNG (the full matrix — all color
     types, depths 1-16, non-interlaced + Adam7; zlib IDAT + scanline
-    unfiltering) and baseline JPEG (T.81 sequential Huffman, jpeg.py)
-    images plus PCM WAV audio — bytes are actually parsed into
-    pixels/samples (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`,
-    exercised end-to-end by the `media_real_decode` / `media_jpeg_decode`
-    oracle queries);
-  * progressive/arithmetic/12-bit JPEG and MP4 stay behind
+    unfiltering) and JPEG (T.81 sequential AND progressive Huffman —
+    spectral selection + successive approximation, jpeg.py) images plus
+    PCM WAV audio — bytes are actually parsed into pixels/samples
+    (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`, exercised
+    end-to-end by the `media_real_decode` / `media_jpeg_decode` oracle
+    queries);
+  * arithmetic-coded/12-bit/hierarchical JPEG and MP4 stay behind
     `DecoderUnavailable` (those codecs genuinely are not in this
     container) — swapping in PIL/libav is a one-function change; nothing
     else moves.
@@ -89,12 +90,12 @@ def _fake_decode_image(content: bytes, width, height) -> np.ndarray:
 
 
 def real_decode_image(content: bytes) -> np.ndarray:
-    """Real decode where a codec exists (stdlib PPM + PNG + baseline JPEG);
-    raise otherwise.
+    """Real decode where a codec exists (stdlib PPM + PNG + sequential/
+    progressive JPEG); raise otherwise.
 
     Returns a float32 grayscale grid (channel mean; alpha excluded for
-    gray+alpha/RGBA) for the feature stage. Progressive JPEG / MP4 stay
-    behind DecoderUnavailable.
+    gray+alpha/RGBA) for the feature stage. Arithmetic-coded JPEG / MP4
+    stay behind DecoderUnavailable.
     """
     if content.startswith(b"P6"):
         return decode_ppm(content).mean(axis=2).astype(np.float32)
@@ -173,12 +174,12 @@ def extract_media_features(df: DataFrame, use_real_codecs: bool = False) -> Data
 
 
 # ---------------------------------------------------------------- real codecs
-# PPM (P6), PNG (all color types/depths, non-interlaced + Adam7), baseline
-# JPEG (jpeg.py) and WAV
-# (PCM) are fully decodable with the standard library + numpy, so for these
-# four formats the decode step is REAL: bytes → parsed pixels / samples.
-# Progressive JPEG and MP4 remain behind DecoderUnavailable (their codecs
-# genuinely aren't in this container).
+# PPM (P6), PNG (all color types/depths, non-interlaced + Adam7), JPEG
+# (sequential + progressive Huffman, jpeg.py) and WAV (PCM) are fully
+# decodable with the standard library + numpy, so for these four formats
+# the decode step is REAL: bytes → parsed pixels / samples.
+# Arithmetic-coded JPEG and MP4 remain behind DecoderUnavailable (their
+# codecs genuinely aren't in this container).
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
@@ -456,23 +457,37 @@ def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
 def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
     """JPEG media table with closed-form expected stats.
 
-    Solid-gray baseline JPEGs (unit quantization tables → the round trip is
-    EXACT: every decoded pixel equals the encoded gray, no rounding), rotating
-    through 4:4:4 / 4:2:0 sampling and restart-marker intervals so the decoder's
-    chroma-upsample and RST paths are both driver-checked. Every 8th row is a
-    progressive (SOF2) stub — the honest `decoder_unavailable` channel.
+    Solid-gray JPEGs (unit quantization tables → the round trip is EXACT:
+    every decoded pixel equals the encoded gray, no rounding), rotating
+    through 4:4:4 / 4:2:0 sampling and restart-marker intervals so the
+    decoder's chroma-upsample and RST paths are both driver-checked. Every
+    8th row is a PROGRESSIVE (SOF2) payload — interleaved DC scan +
+    per-component EOB-run AC scans — decoded by the same closed form.
+    Every 16th row is an arithmetic-coded (SOF9) stub, the remaining
+    honest `decoder_unavailable` channel.
     """
-    from hatchery_spark.functions.jpeg import JPEG_MAGIC, encode_jpeg
+    from hatchery_spark.functions.jpeg import (
+        JPEG_MAGIC,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     import struct
 
-    progressive_stub = (
-        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC2, 8) + bytes(6) + b"\xff\xd9"
+    arithmetic_stub = (
+        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC9, 8) + bytes(6) + b"\xff\xd9"
     )
     rows = []
     for i in range(n):
-        if i % 8 == 7:
-            content = progressive_stub
+        if i % 16 == 15:
+            content = arithmetic_stub
+        elif i % 8 == 7:
+            content = encode_jpeg_progressive(
+                width=16 + i % 9,
+                height=12 + i % 5,
+                gray=(i * 11) % 256,
+                subsampling="420" if i % 2 else "444",
+            )
         else:
             content = encode_jpeg(
                 width=16 + i % 9,
@@ -596,7 +611,7 @@ def media_thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
     mapInPandas, iterator form; output is the FIXED-width thumbnail vector
     (row-major array<double>) plus its mean/std — never raw bytes — so the
     downstream image-dedup/similarity stages shuffle 64 doubles per image,
-    not megapixel payloads. Formats without a codec (progressive JPEG/MP4)
+    not megapixel payloads. Formats without a codec (arithmetic JPEG/MP4)
     report decoder_unavailable; corrupt payloads report decode_error, never a
     task abort.
     """

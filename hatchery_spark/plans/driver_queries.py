@@ -1690,12 +1690,14 @@ def q_media_real_decode(spark, sf_dir):
 
 
 def q_media_jpeg_decode(spark, sf_dir):
-    """REAL baseline-JPEG codec path (T.81 sequential Huffman, stdlib+numpy,
-    functions/jpeg.py): solid-gray payloads with unit quantization tables
-    decode back bit-exactly, so every pixel stat has a closed form the
-    DuckDB oracle recomputes. Rotates 4:4:4 / 4:2:0 sampling and restart
-    intervals; every 8th row is a progressive (SOF2) stub driving the
-    honest decoder_unavailable channel."""
+    """REAL JPEG codec path (T.81 sequential AND progressive Huffman,
+    stdlib+numpy, functions/jpeg.py): solid-gray payloads with unit
+    quantization tables decode back bit-exactly, so every pixel stat has a
+    closed form the DuckDB oracle recomputes. Rotates 4:4:4 / 4:2:0
+    sampling and restart intervals; every 8th row is PROGRESSIVE
+    (interleaved DC scan + EOB-run AC scans); every 16th an
+    arithmetic-coded (SOF9) stub driving the honest decoder_unavailable
+    channel."""
     from hatchery_spark.functions.multimodal import decode_media, synthetic_jpeg_media_df
 
     return decode_media(synthetic_jpeg_media_df(spark, 64))
@@ -3277,11 +3279,12 @@ def oracle_catalog() -> dict[str, str]:
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "media_jpeg_decode": """
             SELECT i AS media_id, 'image' AS kind,
-              CASE WHEN i % 8 <> 7 THEN cast(16 + i % 9 AS int) END AS width,
-              CASE WHEN i % 8 <> 7 THEN cast(12 + i % 5 AS int) END AS height,
+              CASE WHEN i % 16 <> 15 THEN cast(16 + i % 9 AS int) END AS width,
+              CASE WHEN i % 16 <> 15 THEN cast(12 + i % 5 AS int) END AS height,
               cast(NULL AS int) AS duration_ms,
-              CASE WHEN i % 8 <> 7 THEN cast((i * 11) % 256 AS double) END AS px_mean,
-              CASE WHEN i % 8 <> 7 THEN 'ok_jpeg'
+              CASE WHEN i % 16 <> 15 THEN cast((i * 11) % 256 AS double) END
+                AS px_mean,
+              CASE WHEN i % 16 <> 15 THEN 'ok_jpeg'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "media_thumbnail": """

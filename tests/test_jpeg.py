@@ -64,13 +64,79 @@ def test_gray_roundtrip_with_restart_markers():
 
 
 def test_unsupported_modes_are_gated_not_faked():
-    progressive = (
-        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC2, 8) + bytes(6) + b"\xff\xd9"
+    arithmetic = (
+        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC9, 8) + bytes(6) + b"\xff\xd9"
     )
     with pytest.raises(DecoderUnavailable):
-        decode_jpeg(progressive)
+        decode_jpeg(arithmetic)
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(b"notajpeg")
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_gray_equals_sequential_bit_exact():
+    """The progressive scan script entropy-codes the SAME quantized
+    coefficients as the sequential encoder, so decode must be identical
+    down to the last bit — DC first/refine, two spectral AC bands, AC
+    refine all exercised."""
+    from hatchery_spark.functions.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(29, 37)).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg_gray(img))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img))
+    assert (seq == prog).all()
+
+
+def test_progressive_restart_markers_reset_state():
+    from hatchery_spark.functions.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(24, 48)).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg_gray(img))
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img, restart_interval=3))
+    assert (seq == prog).all()
+
+
+def test_progressive_multi_level_successive_approximation():
+    """Al=2 chain: two refinement passes per band (DC and AC), the deepest
+    successive-approximation shape real encoders emit."""
+    from hatchery_spark.functions.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(17, 23)).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg_gray(img))
+    scans = (
+        (0, 0, 0, 2), (0, 0, 2, 1), (0, 0, 1, 0),
+        (1, 63, 0, 2), (1, 63, 2, 1), (1, 63, 1, 0),
+    )
+    prog = decode_jpeg(encode_jpeg_gray_progressive(img, scans=scans))
+    assert (seq == prog).all()
+
+
+def test_progressive_three_component_solid_closed_form():
+    """Interleaved DC scan + per-component all-EOB AC scans (EOBRUN > 1
+    with appended length bits); under 4:2:0 the AC scans walk the
+    component's own raster, which is smaller than the MCU-padded grid."""
+    from hatchery_spark.functions.jpeg import encode_jpeg_progressive
+
+    for sub in ("444", "420"):
+        for w, h in ((37, 21), (16, 16), (130, 70)):
+            img = decode_jpeg(encode_jpeg_progressive(w, h, 190, subsampling=sub))
+            assert img.shape == (h, w, 3)
+            assert (img == 190).all(), (sub, w, h)
+
+
+def test_progressive_truncated_stream_is_an_error():
+    from hatchery_spark.functions.jpeg import encode_jpeg_gray_progressive
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(16, 16)).astype(np.uint8)
+    payload = encode_jpeg_gray_progressive(img)
+    with pytest.raises(Exception):
+        decode_jpeg(payload[: len(payload) - 10])
 
 
 def test_truncated_stream_is_an_error_not_a_hang():
@@ -90,10 +156,10 @@ def test_decode_media_jpeg_statuses(spark):
     out = out.set_index("media_id").sort_index()
     for i in range(32):
         row = out.loc[i]
-        if i % 8 == 7:
+        if i % 16 == 15:  # arithmetic-coded stub: the honest gap
             assert row["decode_status"] == "decoder_unavailable"
             assert row["px_mean"] is None or np.isnan(row["px_mean"])
-        else:
+        else:  # baseline rows AND progressive rows (i % 8 == 7) decode
             assert row["decode_status"] == "ok_jpeg"
             assert row["width"] == 16 + i % 9
             assert row["height"] == 12 + i % 5
