@@ -305,6 +305,8 @@ def main() -> None:
             ("doc_bpe_encode_arrow", dq.q_bpe_encode_arrow),
             ("doc_substring_dedup_sa", dq.q_substring_dedup_sa),
             ("doc_substring_dedup_sa_within", dq.q_substring_dedup_sa_within),
+            ("doc_bpe_tokenize", dq.q_bpe_tokenize),
+            ("media_gif_frames", dq.q_media_gif_frames),
         ]:
             measure(
                 name,

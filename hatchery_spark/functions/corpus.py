@@ -668,7 +668,7 @@ def bpe_encode(
     )
 
 
-def _apply_merges_sequential(symbols: list, ranks: dict) -> int:
+def _apply_merges_sequential(symbols: list, ranks: dict) -> list:
     """Apply a BPE merge table to one word with SEQUENTIAL-PASS semantics —
     the exact behavior of k chained left-to-right `replace` calls (each
     merge gets ONE full pass, in step order; a pair created by a LATER
@@ -677,7 +677,7 @@ def _apply_merges_sequential(symbols: list, ranks: dict) -> int:
     minimum merge step STRICTLY ABOVE the last applied step; all other
     table entries are skipped for free, so cost is O(len² · merges that
     actually fire), independent of table size. Returns the final symbol
-    count. `ranks` maps (left, right) → step."""
+    list. `ranks` maps (left, right) → step."""
     last = 0
     while len(symbols) > 1:
         best = None
@@ -700,7 +700,7 @@ def _apply_merges_sequential(symbols: list, ranks: dict) -> int:
                 i += 1
         symbols = out
         last = best
-    return len(symbols)
+    return symbols
 
 
 def bpe_encode_arrow(
@@ -731,7 +731,7 @@ def bpe_encode_arrow(
     @pandas_udf("int")
     def n_tok(words: pd.Series) -> pd.Series:
         return pd.Series(
-            [_apply_merges_sequential(list(w), ranks) for w in words],
+            [len(_apply_merges_sequential(list(w), ranks)) for w in words],
             dtype="int32",
         )
 
@@ -746,6 +746,69 @@ def bpe_encode_arrow(
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_words"),
             F.sum("n_tok").cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_tokenize_arrow(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full tokenization — actual TOKEN IDS per document, not just counts:
+    (id, n_words, n_tokens, ids) where `ids` is the comma-joined id
+    sequence over the doc's in-scope words in order. Id scheme is closed
+    form so the oracle can rebuild it: single chars a–z get 0–25, the
+    symbol created by merge step s gets 26+s−1 (first-creating step wins
+    when two merges produce the same surface string). This is the piece a
+    packing/training pipeline actually consumes; `bpe_encode*` only
+    budgets.
+
+    Same scale shape as `bpe_encode_arrow`: merges apply once per DISTINCT
+    word inside an Arrow UDF (plan size independent of k); the per-doc
+    rebuild is ONE order-restoring aggregate over (word-position, ids)
+    structs — the remove_boilerplate_lines rebuild pattern. Docs with no
+    in-scope words produce no row (join semantics, mirrored by the
+    oracle)."""
+    sym_ids = {chr(97 + i): i for i in range(26)}
+    for m in sorted(merges, key=lambda m: m[0]):
+        sym_ids.setdefault(m[1] + m[2], 26 + int(m[0]) - 1)
+    ranks = {(m[1], m[2]): int(m[0]) for m in merges}
+
+    @pandas_udf("string")
+    def tok_ids(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                ",".join(
+                    str(sym_ids[s]) for s in _apply_merges_sequential(list(w), ranks)
+                )
+                for w in words
+            ]
+        )
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")
+        ).alias("wpos", "w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    word_tokens = words.select("w").distinct().select(
+        "w", tok_ids("w").alias("_ids")
+    )
+    return (
+        words.join(word_tokens, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum(F.size(F.split("_ids", ","))).cast("int").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "_ids"))),
+                    lambda s: s["_ids"],
+                ),
+                ",",
+            ).alias("ids"),
         )
     )
 

@@ -454,6 +454,70 @@ def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
     )
 
 
+def synthetic_gif_media_df(spark, n: int = 48) -> DataFrame:
+    """Animated-GIF media table with closed-form per-frame stats.
+
+    Full-canvas solid frames from a 4-gray palette (10+60·c), frame j
+    of row i colored ((i+j) % 4), delays ((i+j) % 3 + 1)·2 hundredths,
+    disposal=leave, interlace on odd rows — every frame mean, timestamp,
+    and duration is SQL arithmetic for the `media_gif_frames` oracle while
+    the decoder runs real LZW/interlace/compositing.
+    """
+    from hatchery_spark.functions.gif import encode_gif
+
+    pal = np.array([[v] * 3 for v in (10, 70, 130, 190)], dtype=np.uint8)
+    rows = []
+    for i in range(n):
+        n_frames = i % 4 + 1
+        w, h = 16 + i % 7, 10 + i % 5
+        frames = [
+            np.full((h, w), (i + j) % 4, dtype=np.uint8) for j in range(n_frames)
+        ]
+        delays = [((i + j) % 3 + 1) * 2 for j in range(n_frames)]
+        content = encode_gif(
+            frames, pal, delays=delays, disposals=[1] * n_frames,
+            interlace=bool(i % 2),
+        )
+        rows.append((i, "video", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def gif_frame_stats(df: DataFrame) -> DataFrame:
+    """REAL video-style frame sampling: decode every GIF frame (LZW +
+    compositing), one output row per frame with its start timestamp (the
+    cumulative delay clock) and pixel mean — the frame-sample stage a
+    video pipeline runs, actually executed instead of stubbed. mapInPandas
+    (iterator form); output rows are fixed-width stats, never pixels."""
+    schema = (
+        "media_id long, frame_idx int, ts_ms int, width int, height int, "
+        "frame_mean double"
+    )
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hatchery_spark.functions.gif import decode_gif
+
+        for b in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "ts_ms", "width", "height",
+                    "frame_mean")}
+            for mid, content in zip(b["media_id"], b["content"]):
+                frames, delays = decode_gif(bytes(content))
+                t = 0
+                for j in range(frames.shape[0]):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["ts_ms"].append(t * 10)
+                    out["width"].append(frames.shape[2])
+                    out["height"].append(frames.shape[1])
+                    out["frame_mean"].append(round(float(frames[j].mean()), 4))
+                    t += delays[j]
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(_frames, schema)
+
+
 def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
     """JPEG media table with closed-form expected stats.
 
@@ -543,6 +607,14 @@ def decode_media(df: DataFrame) -> DataFrame:
                         h, w = img.shape[0], img.shape[1]
                         px = round(float(img.mean()), 4)
                         status = "ok_jpeg"
+                    elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                        from hatchery_spark.functions.gif import decode_gif
+
+                        frames, delays = decode_gif(raw)
+                        h, w = frames.shape[1], frames.shape[2]
+                        dur = int(sum(delays) * 10)  # delays are 1/100 s
+                        px = round(float(frames.mean()), 4)
+                        status = "ok_gif"
                     elif raw.startswith(b"RIFF"):
                         samples, sr, nch = decode_wav(raw)
                         dur = int(len(samples) // nch * 1000 / sr)

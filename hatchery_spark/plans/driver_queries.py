@@ -1638,6 +1638,25 @@ def q_bpe_encode_arrow(spark, sf_dir):
     return bpe_encode_arrow(docs, merges)
 
 
+def q_bpe_tokenize(spark, sf_dir):
+    """Full tokenization with real token IDS (the artifact a training
+    pipeline consumes): 8 merges trained driver-locally, ids assigned by
+    the closed form (chars 0-25, merge step s → 26+s−1), per-doc sequences
+    rebuilt with one order-restoring aggregate. The oracle replays train +
+    id assignment + per-word split + per-doc string_agg end to end."""
+    from hatchery_spark.functions.corpus import (
+        bpe_tokenize_arrow,
+        train_bpe_merges_local,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges_local(docs, k=8).collect()
+    ]
+    return bpe_tokenize_arrow(docs, merges)
+
+
 def q_pq_topk(spark, sf_dir):
     """IVF-PQ ANN (coarse cells + product-quantized ADC scan + exact
     rescore): with n_probe covering the true neighbors' cells and a
@@ -1679,6 +1698,20 @@ def q_media_frame_grid(spark, sf_dir):
     from hatchery_spark.functions.multimodal import sample_video_frames, synthetic_media_df
 
     return sample_video_frames(synthetic_media_df(spark, n=64), every_ms=500)
+
+
+def q_media_gif_frames(spark, sf_dir):
+    """REAL animated-GIF frame sampling (functions/gif.py — LZW decode,
+    interlace, disposal compositing, per the GIF89a spec): one row per
+    decoded frame with its cumulative-delay timestamp and pixel mean.
+    Solid-frame fixtures make every stat closed-form SQL; the decoder
+    still runs the full bit-level path (odd rows are interlaced)."""
+    from hatchery_spark.functions.multimodal import (
+        gif_frame_stats,
+        synthetic_gif_media_df,
+    )
+
+    return gif_frame_stats(synthetic_gif_media_df(spark, 48))
 
 
 def q_media_real_decode(spark, sf_dir):
@@ -2035,12 +2068,15 @@ cpairs AS (
 )
 SELECT id_a, id_b, cosine FROM cpairs WHERE cosine >= 0.9"""
 
-def _bpe_oracle(k: int, encode: bool = False) -> str:
+def _bpe_oracle(k: int, encode: bool = False, tokenize: bool = False) -> str:
     """k chained CTE stages replaying train_bpe_merges merge-by-merge:
     p<i> counts adjacent symbol pairs (weighted by word count), b<i> is the
     argmax with the (freq desc, l, r) tie-break, w<i> applies the literal
     sentinel replace. With encode=True the final vocab w<k> instead
-    tokenizes the corpus (bpe_encode's per-doc word/token counts).
+    tokenizes the corpus (bpe_encode's per-doc word/token counts); with
+    tokenize=True it additionally rebuilds the closed-form TOKEN-ID
+    sequence per doc (chars a-z = 0-25, merge step s = 26+s-1, min step
+    per surface string) — replaying bpe_tokenize_arrow end to end.
     Generated, but static ANSI SQL once built."""
     stages = [
         """w0 AS (
@@ -2060,6 +2096,40 @@ b{i} AS (SELECT l, r, freq FROM p{i} ORDER BY freq DESC, l, r LIMIT 1),
 w{i} AS (
   SELECT w, replace(repr, '<' || b.l || '><' || b.r || '>', '<' || b.l || b.r || '>') AS repr, cnt
   FROM w{i - 1}, b{i} b)""")
+    if tokenize:
+        merge_ids = "\nUNION ALL\n".join(
+            f"SELECT l || r AS sym, 26 + {i} - 1 AS id FROM b{i}"
+            for i in range(1, k + 1)
+        )
+        final = f""",
+symid AS (
+  SELECT sym, min(id) AS id FROM (
+    SELECT chr(cast(i AS int)) AS sym, cast(i - 97 AS int) AS id
+    FROM (SELECT unnest(range(97, 123)) AS i)
+    UNION ALL
+    {merge_ids}
+  ) GROUP BY sym),
+wtok AS (
+  SELECT s.w,
+         string_agg(cast(m.id AS varchar), ',' ORDER BY u.i) AS ids_csv,
+         cast(len(s.syms) AS int) AS n_tok
+  FROM (SELECT w, string_split(trim(repr, '<>'), '><') AS syms FROM w{k}) s,
+       unnest(range(1, len(s.syms) + 1)) AS u(i)
+  JOIN symid m ON m.sym = s.syms[u.i]
+  GROUP BY s.w, len(s.syms)),
+docw AS (
+  SELECT doc_id, ws[u.i] AS w, u.i AS wpos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(text), '[ \t\n\f\r\x0b]+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE regexp_matches(ws[u.i], '^[a-z]+$'))
+SELECT d.doc_id,
+  cast(count(*) AS int) AS n_words,
+  cast(sum(t.n_tok) AS int) AS n_tokens,
+  string_agg(t.ids_csv, ',' ORDER BY d.wpos) AS ids
+FROM docw d JOIN wtok t USING (w) GROUP BY d.doc_id"""
+        return "WITH " + ",\n".join(stages) + final
     if encode:
         final = f""",
 tok AS (SELECT w, cast(len(string_split(repr, '><')) AS int) AS n_tok FROM w{k}),
@@ -3260,6 +3330,7 @@ def oracle_catalog() -> dict[str, str]:
         "emb_semdedup": _SEMDEDUP_ORACLE,
         "doc_bpe_train": _bpe_oracle(8),
         "doc_bpe_encode": _bpe_oracle(8, encode=True),
+        "doc_bpe_tokenize": _bpe_oracle(8, tokenize=True),
         "media_features": _MEDIA_ORACLE,
         "media_frame_grid": _FRAME_GRID_ORACLE,
         "media_real_decode": """
@@ -3277,6 +3348,22 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "media_gif_frames": """
+            WITH g AS (
+              SELECT i, j,
+                     ((i + j) % 3 + 1) * 2 AS delay
+              FROM (SELECT unnest(range(0, 48)) AS i),
+                   (SELECT unnest(range(0, 4)) AS j)
+              WHERE j < i % 4 + 1)
+            SELECT i AS media_id, cast(j AS int) AS frame_idx,
+              cast(coalesce(sum(delay) OVER (
+                     PARTITION BY i ORDER BY j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) * 10 AS int) AS ts_ms,
+              cast(16 + i % 7 AS int) AS width,
+              cast(10 + i % 5 AS int) AS height,
+              cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
+            FROM g""",
         "media_jpeg_decode": """
             SELECT i AS media_id, 'image' AS kind,
               CASE WHEN i % 16 <> 15 THEN cast(16 + i % 9 AS int) END AS width,
@@ -3331,6 +3418,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_encode_arrow": q_bpe_encode_arrow,
         "doc_substring_dedup_sa": q_substring_dedup_sa,
         "doc_substring_dedup_sa_within": q_substring_dedup_sa_within,
+        "media_gif_frames": q_media_gif_frames,
+        "doc_bpe_tokenize": q_bpe_tokenize,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,

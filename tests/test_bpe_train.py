@@ -194,7 +194,7 @@ def test_bpe_arrow_survives_production_merge_count(spark):
     ranks = {(l, r): s for s, l, r in merges}
     sample = rng.sample(sorted(set(vocab)), 30)
     for w in sample:
-        assert _apply_merges_sequential(list(w), ranks) == _chained_replace_count(
+        assert len(_apply_merges_sequential(list(w), ranks)) == _chained_replace_count(
             w, merges
         ), w
 
@@ -206,3 +206,42 @@ def test_bpe_arrow_survives_production_merge_count(spark):
         for _ in range(min(c, 5))
     )
     assert all(r.n_tokens == want_tokens for r in out)
+
+
+def test_bpe_tokenize_ids_reconstruct_the_corpus(spark):
+    """Token-id sequences: ids map back through the vocabulary to symbol
+    strings whose concatenation per word reproduces the word; doc token
+    order = word order; id scheme matches the closed form (chars 0-25,
+    merge step s -> 26+s-1)."""
+    from hatchery_spark.functions.corpus import (
+        bpe_tokenize_arrow,
+        train_bpe_merges,
+        train_bpe_merges_local,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame(
+        [(0, text), (1, "newest low ## 42")], "doc_id long, text string"
+    )
+    merges = [
+        (r.step, r.left_sym, r.right_sym)
+        for r in train_bpe_merges_local(df.filter("doc_id = 0"), k=6).collect()
+    ]
+    # invert the id scheme
+    vocab = {i: chr(97 + i) for i in range(26)}
+    for s, l, r in sorted(merges):
+        vocab.setdefault(26 + s - 1, l + r)
+
+    out = {r.doc_id: r for r in bpe_tokenize_arrow(df, merges).collect()}
+    assert out[1].n_words == 2
+    ids = [int(x) for x in out[1].ids.split(",")]
+    assert len(ids) == out[1].n_tokens
+    assert "".join(vocab[i] for i in ids) == "newestlow"
+    # doc 0: decoding all ids must reproduce the concatenated word stream
+    ids0 = [int(x) for x in out[0].ids.split(",")]
+    assert "".join(vocab[i] for i in ids0) == "low" * 5 + "lower" * 2 + \
+        "newest" * 6 + "widest" * 3
+    # parity sanity vs the distributed trainer's merge list
+    m2 = [(r.step, r.left_sym, r.right_sym)
+          for r in train_bpe_merges(df.filter("doc_id = 0"), k=6).collect()]
+    assert sorted(m2) == sorted(merges)
