@@ -18,8 +18,11 @@ Protocol notes:
     bus/disk burst). Every warm sample is bracketed by THREE probes — a
     ~1 s pure-JVM CPU probe, a large-array memcpy probe (memory
     bandwidth), and a small parquet-scan probe (disk+decode) — and only
-    counts as CLEAN if every probe lands within 1.3× of its own best. warm
-    = min over clean samples (min over all, plus a "throttled" flag, if no
+    counts as CLEAN if every probe lands within 1.3× of its own rolling
+    10th-percentile reference (min-ever gets poisoned by one transient
+    turbo burst; q10 tracks the sustained fast state, while real
+    minutes-long 2-20× throttle bursts still trip the gate). warm = min
+    over clean samples (min over all, plus a "throttled" flag, if no
     clean window was found).
   * Scaling-efficiency evidence (local[8] vs local[32]) comes from
     scripts/scaling_bench.py → BENCH/BASELINE.md.
@@ -107,21 +110,32 @@ def main() -> None:
         return time.perf_counter() - t0
 
     probes = {"cpu": _cpu_probe, "membw": _membw_probe}
-    best_probe: dict[str, float] = {}
+    probe_samples: dict[str, list[float]] = {}
+
+    def _reference(k: str) -> float:
+        # the run's "un-throttled host speed" estimate: the 10th percentile
+        # of every sample of this probe so far. A min-ever reference gets
+        # poisoned by one transient turbo burst (observed: a 0.55 s CPU
+        # probe early in a run whose steady state is 0.75 s flags EVERY
+        # later sample); q10 tracks the sustained fast state instead,
+        # while a genuine throttle burst (minutes-long, 2-20x) still
+        # trips the 1.3x gate
+        xs = sorted(probe_samples[k])
+        return xs[min(len(xs) - 1, len(xs) // 10)]
 
     def probe_all() -> dict[str, float]:
         got = {k: fn() for k, fn in probes.items()}
         for k, v in got.items():
-            best_probe[k] = min(best_probe.get(k, v), v)
+            probe_samples.setdefault(k, []).append(v)
         return got
 
     def _probes_clean(got: dict[str, float]) -> bool:
-        return all(got[k] <= 1.3 * best_probe[k] for k in got)
+        return all(got[k] <= 1.3 * _reference(k) for k in got)
 
     def _init_probes() -> None:
         for fn in probes.values():  # JIT / warm each probe path once
             fn()
-        for _ in range(3):
+        for _ in range(4):
             probe_all()
 
     def measure(name: str, fn, reps: int = 2, max_tries: int = 5) -> None:
@@ -355,8 +369,17 @@ def main() -> None:
                 "queries": warm,
                 "cold_queries": cold,
                 "throttled_queries": throttled,
-                "best_probe_sec": round(best_probe["cpu"], 3),
-                "best_probes": {k: round(v, 4) for k, v in best_probe.items()},
+                "best_probe_sec": round(min(probe_samples["cpu"]), 3),
+                "best_probes": {
+                    k: round(min(v), 4) for k, v in probe_samples.items()
+                },
+                "probe_reference": {
+                    k: round(_reference(k), 4) for k in probe_samples
+                },
+                "probe_p50": {
+                    k: round(sorted(v)[len(v) // 2], 4)
+                    for k, v in probe_samples.items()
+                },
                 "sf": sf,
                 "cpus": CPUS,
                 "synthetic_rows": SYN_ROWS,

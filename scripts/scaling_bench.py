@@ -10,8 +10,9 @@ so the protocol controls for host drift:
     AQE partition-coalescing off for the measurement).
   * Every (k=8, k=32) pair is bracketed by a small fixed CPU PROBE (pure JVM
     compute, ~1 s clean). A pair counts as CLEAN only if both probes land
-    within 1.3× of the best probe ever observed — i.e. the host was NOT
-    throttling while the pair ran. Pairs are collected until ≥ `n_clean`
+    within 1.3× of the run's rolling 10th-percentile probe reference — i.e.
+    the host was NOT throttling while the pair ran (min-ever references get
+    poisoned by transient turbo bursts). Pairs are collected until ≥ `n_clean`
     clean pairs exist (or an attempt/wall-clock cap is hit).
   * The reported figure is the MEDIAN over clean pairs (not best-of-N);
     per-sink counts are asserted identical across every run (parity).
@@ -209,11 +210,19 @@ def main() -> None:
     counts_ref = {r["route_id"]: r["row_count"] for r in build(8).collect()}
     build(32).collect()
     jvm_compute(8, calib_rows // 10).collect()
-    best_probe = min(probe() for _ in range(3))
+    probe_hist = [probe() for _ in range(4)]
+
+    def probe_ref() -> float:
+        # rolling 10th percentile, NOT min-ever: a single transient turbo
+        # burst (observed: one 0.55 s probe in a run whose sustained state
+        # is 0.75 s) would make a min-ever bar unattainable and flag every
+        # later pair; q10 tracks the sustained fast state while real
+        # minutes-long throttle bursts still trip the 1.3x gate
+        xs = sorted(probe_hist)
+        return xs[min(len(xs) - 1, len(xs) // 10)]
 
     def collect_pairs(leg_fn, label: str):
         """Probe-bracketed (8, 32) pairs until n_clean clean ones (or caps)."""
-        nonlocal best_probe
         pairs, clean = [], []
         for attempt in range(max_attempts):
             p_before = probe()
@@ -223,15 +232,10 @@ def main() -> None:
                 leg_fn(k)
                 legs[k] = round(time.perf_counter() - t0, 3)
             p_after = probe()
-            # fold BOTH probes into the running best BEFORE gating: if the
-            # initial calibration probes themselves ran throttled, a later
-            # faster probe must tighten the bar for every subsequent pair
-            best_probe = min(best_probe, p_before, p_after)
+            probe_hist.extend([p_before, p_after])
+            bar = PROBE_TOLERANCE * probe_ref()
             eff = round((legs[8] / legs[32]) / 4, 3)
-            is_clean = (
-                p_before <= PROBE_TOLERANCE * best_probe
-                and p_after <= PROBE_TOLERANCE * best_probe
-            )
+            is_clean = p_before <= bar and p_after <= bar
             pairs.append(
                 {"t8": legs[8], "t32": legs[32], "eff": eff, "clean": is_clean,
                  "probes": [round(p_before, 3), round(p_after, 3)]}

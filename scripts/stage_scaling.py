@@ -106,7 +106,13 @@ def main() -> None:
     for name in order:
         for k in (8, 32):
             stages[name](k).collect()
-    best_probe = min(probe() for _ in range(3))
+    probe_hist = [probe() for _ in range(4)]
+
+    def probe_ref() -> float:
+        # rolling q10, not min-ever — one transient turbo probe would make
+        # the bar unattainable for the rest of the run (see scaling_bench)
+        xs = sorted(probe_hist)
+        return xs[min(len(xs) - 1, len(xs) // 10)]
 
     clean_runs: list[dict] = []
     all_runs: list[dict] = []
@@ -119,11 +125,9 @@ def main() -> None:
                 stages[name](k).collect()
                 run[f"{name}_{k}"] = round(time.perf_counter() - t0, 3)
         p_after = probe()
-        best_probe = min(best_probe, p_before, p_after)
-        clean = (
-            p_before <= PROBE_TOLERANCE * best_probe
-            and p_after <= PROBE_TOLERANCE * best_probe
-        )
+        probe_hist.extend([p_before, p_after])
+        bar = PROBE_TOLERANCE * probe_ref()
+        clean = p_before <= bar and p_after <= bar
         run["clean"] = clean
         all_runs.append(run)
         if clean:
