@@ -164,3 +164,57 @@ def test_decode_media_jpeg_statuses(spark):
             assert row["width"] == 16 + i % 9
             assert row["height"] == 12 + i % 5
             assert row["px_mean"] == float((i * 11) % 256)
+
+
+def test_ac_refine_bitstream_unit_all_branches():
+    """Direct G.1.2.3 encode↔decode on crafted coefficient bands — forces
+    the branches random images rarely hit: ZRL inside a refinement scan
+    (>15 zero-history run before a newly-nonzero coefficient), correction
+    bits buffered across EOB-run blocks (BE), blocks contributing ONLY
+    correction bits, and sign handling on negative refinements."""
+    from hatchery_spark.functions.jpeg import (
+        _BitReader,
+        _BitWriter,
+        _ScanWriter,
+        _SymbolCounter,
+        _canonical_codes,
+        _custom_table,
+        _decode_band,
+        _decode_table,
+        _enc_ac_refine,
+        _point_ac,
+    )
+
+    def blk64(**at):
+        z = np.zeros(64, dtype=np.int64)
+        for k, v in at.items():
+            z[int(k[1:])] = v
+        return z
+
+    blocks = [
+        blk64(z3=5, z50=1, z62=-1),   # history@3 + 46-zero run (ZRL x2) + new
+        blk64(),                      # pure EOB-run member
+        blk64(z10=2),                 # correction-bit-only block (joins run)
+        blk64(z1=1, z2=-4, z40=-1),   # immediate new, negative history, late new
+        blk64(z60=1),                 # flushes the pending run with BE bits
+    ]
+
+    counter = _SymbolCounter()
+    _enc_ac_refine(blocks, 1, 63, 0, counter)
+    bits, vals = _custom_table(counter.symbols)
+    codes = _canonical_codes(bits, vals)
+    bw = _BitWriter()
+    _enc_ac_refine(blocks, 1, 63, 0, _ScanWriter(bw, codes))
+    bw.flush()
+    data = bytes(bw.out) + b"\xff\xd9"
+
+    dec_tab = _decode_table(bits, vals)
+    br = _BitReader(data, 0)
+    eobrun = [0]
+    for zz in blocks:
+        # state after the Al=1 first scan: point-transformed, re-scaled
+        blk = np.array(
+            [_point_ac(int(v), 1) * 2 for v in zz], dtype=np.int32
+        )
+        _decode_band(br, blk, 1, 63, 1, 0, {}, None, eobrun, None, dec_tab)
+        assert (blk[1:] == zz[1:]).all(), (blk[1:], zz[1:])
