@@ -92,13 +92,18 @@ def main() -> None:
     def _membw_probe() -> float:
         # a plain big memcpy saturates the memory bus exactly the way
         # shuffle/scan row materialization does — a bus-throttle burst
-        # shows up here when the CPU probe stays clean. 6×128 MiB keeps the
-        # probe long enough (~0.3 s) that scheduler noise stays ≪ the 1.3×
-        # gate
-        t0 = time.perf_counter()
-        for _ in range(6):
+        # shows up here when the CPU probe stays clean. Each 128 MiB copy
+        # is timed INDIVIDUALLY and the min reported: a JVM GC pause or
+        # page-cache flush from the just-finished query hits one copy, not
+        # the min (summed-copies probes measured bimodal 2× right after
+        # heavy queries; min-of-5 is stable within 1.3× — validated), while
+        # a genuine bus throttle slows every copy
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
             _membw_src.copy()
-        return time.perf_counter() - t0
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
     def _scan_probe() -> float:
         # small fixed parquet aggregate: disk read + decode; a disk-throttle
