@@ -326,6 +326,7 @@ def main() -> None:
             ("doc_substring_dedup_sa_within", dq.q_substring_dedup_sa_within),
             ("doc_bpe_tokenize", dq.q_bpe_tokenize),
             ("media_gif_frames", dq.q_media_gif_frames),
+            ("media_audio_spectral", dq.q_media_audio_spectral),
         ]:
             measure(
                 name,

@@ -412,24 +412,174 @@ def encode_wav(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
     return buf.getvalue()
 
 
+def _mulaw_decode_table() -> np.ndarray:
+    """G.711 μ-law byte → linear int16 expansion table (the public
+    ((m·8+0x84)<<e − 0x84 formula; bytes are stored ones-complemented)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        mag = (((m << 3) + 0x84) << e) - 0x84
+        out[b] = -mag if sign else mag
+    return out
+
+
+_MULAW_TABLE = _mulaw_decode_table()
+
+
+def mulaw_byte(e: int, m: int, negative: bool = False) -> int:
+    """The μ-law byte whose expansion is ±(((m·8+0x84)<<e) − 0x84) —
+    test-fixture inverse of the decode table."""
+    u = (0x80 if negative else 0) | ((e & 7) << 4) | (m & 0xF)
+    return ~u & 0xFF
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
-    """Parse a PCM WAV into (int16 samples interleaved, sample_rate,
-    n_channels). Stdlib-only. Duration must divide the sample count by
-    n_channels — interleaved stereo has 2 samples per frame."""
+    """Parse a WAV into (int16 samples interleaved, sample_rate,
+    n_channels). Stdlib-only: 16-bit PCM via the wave module, G.711 μ-law
+    (format tag 7 — telephony corpora) via a manual RIFF chunk walk +
+    expansion table. Other sample formats raise DecoderUnavailable."""
     import io
     import wave
 
     if not content.startswith(b"RIFF"):
         raise DecoderUnavailable("not a RIFF/WAV payload")
-    with wave.open(io.BytesIO(content), "rb") as w:
-        if w.getsampwidth() != 2:
-            raise DecoderUnavailable("only 16-bit PCM supported")
-        frames = w.readframes(w.getnframes())
-        return (
-            np.frombuffer(frames, dtype=np.int16),
-            w.getframerate(),
-            w.getnchannels(),
-        )
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise DecoderUnavailable("only 16-bit PCM supported")
+            frames = w.readframes(w.getnframes())
+            return (
+                np.frombuffer(frames, dtype=np.int16),
+                w.getframerate(),
+                w.getnchannels(),
+            )
+    except wave.Error:
+        pass  # non-PCM format tag: walk the chunks ourselves
+    import struct as _struct
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (size,) = _struct.unpack("<I", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, nch, sr, _brate, _align, bits = fmt
+    if tag == 7 and bits == 8:  # G.711 μ-law
+        samples = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+        return samples, sr, nch
+    raise DecoderUnavailable(f"unsupported WAV format tag {tag}/{bits}-bit")
+
+
+def encode_wav_sine_sr4(n_samples: int, sample_rate: int, amplitude: int) -> bytes:
+    """Mono 16-bit PCM sine at EXACTLY sample_rate/4: the sample pattern is
+    the integer-exact [0, A, 0, −A], so both the RMS (A/√2) and the
+    dominant rfft bin (n/4 → sr/4 Hz) have closed forms."""
+    import io
+    import wave
+
+    if n_samples % 4:
+        raise ValueError("n_samples must be a multiple of 4")
+    pattern = np.array([0, amplitude, 0, -amplitude], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.tile(pattern, n_samples // 4).tobytes())
+    return buf.getvalue()
+
+
+def encode_wav_mulaw(n_samples: int, sample_rate: int, byte: int) -> bytes:
+    """Minimal mono G.711 μ-law WAV (format tag 7) with a constant byte —
+    manual RIFF writer since the stdlib wave module is PCM-only."""
+    import struct as _struct
+
+    data = bytes([byte]) * n_samples
+    fmt = _struct.pack("<HHIIHH", 7, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(body) - 4) + body
+
+
+def synthetic_audio_media_df(spark, n: int = 48) -> DataFrame:
+    """Audio table with closed-form spectral stats: rows rotate through a
+    bin-aligned sine (dominant = sr/4, rms = A/√2), a constant PCM level
+    (dominant bin 0, rms = |level|), and a constant μ-law byte (decoded
+    magnitude is the G.711 closed form (((m·8)+132)·2^e − 132)."""
+    rows = []
+    for i in range(n):
+        sr = 8000 + 4000 * (i % 3)
+        n_samples = 1024 + 256 * (i % 4)
+        if i % 3 == 0:
+            content = encode_wav_sine_sr4(n_samples, sr, 1000 + 500 * (i % 5))
+        elif i % 3 == 1:
+            content = encode_wav(n_samples, sr, 100 * (i % 7))
+        else:
+            content = encode_wav_mulaw(
+                n_samples, sr, mulaw_byte(e=i % 8, m=(i * 3) % 16)
+            )
+        rows.append((i, "audio", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def wav_spectral_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction (numpy rfft inside mapInPandas): per
+    media row — sample rate, sample count, RMS level, and the dominant
+    spectral frequency in Hz (argmax |rfft| bin scaled by sr/n). The
+    audio analog of the image decode path: features are fixed-width
+    scalars, raw samples never leave the task. Stereo folds to mono by
+    channel mean before the transform."""
+    schema = (
+        "media_id long, sr int, n_samples int, rms double, "
+        "dominant_freq_hz double, decode_status string"
+    )
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {k: [] for k in
+                   ("media_id", "sr", "n_samples", "rms",
+                    "dominant_freq_hz", "decode_status")}
+            for mid, content in zip(b["media_id"], b["content"]):
+                sr = ns = None
+                rms = dom = None
+                try:
+                    samples, rate, nch = decode_wav(bytes(content))
+                    mono = (
+                        samples.reshape(-1, nch).mean(axis=1)
+                        if nch > 1 else samples.astype(np.float64)
+                    )
+                    sr, ns = int(rate), int(mono.size)
+                    rms = round(float(np.sqrt(np.mean(mono * mono))), 4)
+                    spec = np.abs(np.fft.rfft(mono))
+                    peak = int(np.argmax(spec))
+                    dom = round(float(peak * sr / ns), 4)
+                    status = "ok"
+                except DecoderUnavailable:
+                    status = "decoder_unavailable"
+                except Exception:
+                    status = "decode_error"
+                out["media_id"].append(mid)
+                out["sr"].append(sr)
+                out["n_samples"].append(ns)
+                out["rms"].append(rms)
+                out["dominant_freq_hz"].append(dom)
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(_feat, schema)
 
 
 def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:

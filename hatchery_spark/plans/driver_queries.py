@@ -1714,6 +1714,20 @@ def q_media_gif_frames(spark, sf_dir):
     return gif_frame_stats(synthetic_gif_media_df(spark, 48))
 
 
+def q_media_audio_spectral(spark, sf_dir):
+    """REAL audio feature extraction: numpy rfft inside mapInPandas over
+    decoded WAV samples (16-bit PCM via stdlib; G.711 μ-law via a manual
+    RIFF walk + expansion table) — RMS level and dominant spectral
+    frequency per row. Bin-aligned sine / constant-PCM / constant-μ-law
+    fixtures make every stat a closed form the oracle replays."""
+    from hatchery_spark.functions.multimodal import (
+        synthetic_audio_media_df,
+        wav_spectral_features,
+    )
+
+    return wav_spectral_features(synthetic_audio_media_df(spark, 48))
+
+
 def q_media_real_decode(spark, sf_dir):
     """REAL codec path: stdlib-parsed PPM pixels and WAV samples, with
     closed-form expected stats (solid-color / constant-amplitude payloads)."""
@@ -3348,6 +3362,21 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "media_audio_spectral": """
+            SELECT i AS media_id,
+              cast(8000 + 4000 * (i % 3) AS int) AS sr,
+              cast(1024 + 256 * (i % 4) AS int) AS n_samples,
+              CASE WHEN i % 3 = 0 THEN round(sqrt(
+                     cast(1000 + 500 * (i % 5) AS double)
+                     * (1000 + 500 * (i % 5)) / 2.0), 4)
+                   WHEN i % 3 = 1 THEN cast(100 * (i % 7) AS double)
+                   ELSE cast((((i * 3) % 16) * 8 + 132) * power(2, i % 8)
+                             - 132 AS double) END AS rms,
+              CASE WHEN i % 3 = 0
+                   THEN cast(8000 + 4000 * (i % 3) AS double) / 4
+                   ELSE 0.0 END AS dominant_freq_hz,
+              'ok' AS decode_status
+            FROM (SELECT unnest(range(0, 48)) AS i)""",
         "media_gif_frames": """
             WITH g AS (
               SELECT i, j,
@@ -3420,6 +3449,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup_sa_within": q_substring_dedup_sa_within,
         "media_gif_frames": q_media_gif_frames,
         "doc_bpe_tokenize": q_bpe_tokenize,
+        "media_audio_spectral": q_media_audio_spectral,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
