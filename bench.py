@@ -327,6 +327,8 @@ def main() -> None:
             ("doc_bpe_tokenize", dq.q_bpe_tokenize),
             ("media_gif_frames", dq.q_media_gif_frames),
             ("media_audio_spectral", dq.q_media_audio_spectral),
+            ("media_mp4_meta", dq.q_media_mp4_meta),
+            ("doc_bloom_decontaminate", dq.q_bloom_decontaminate),
         ]:
             measure(
                 name,

@@ -577,6 +577,136 @@ def ngram_decontaminate(
     )
 
 
+# ----------------------------------------------------------- bloom filter
+
+
+def _distinct_word_ngrams(text: str | None, n: int) -> list[str]:
+    """Distinct word n-grams as SPACE-JOINED STRINGS, tokenized exactly like
+    `make_gram_hash_udf` (Spark F.split parity: ASCII whitespace class,
+    leading/trailing empties kept) so the DuckDB oracle's
+    string_split_regex + list_transform replay is gram-for-gram identical.
+    Short docs emit one truncated gram (the oracle's greatest(len-n+1, 1))."""
+    import re
+
+    ws = re.split(r"[ \t\n\r\f\x0b]+", text or "")
+    cnt = max(len(ws) - n + 1, 1)
+    return list(dict.fromkeys(" ".join(ws[i : i + n]) for i in range(cnt)))
+
+
+def _bloom_positions(grams: list[str], m_bits: int, k_hashes: int) -> np.ndarray:
+    """(len(grams), k) bit positions. ONE md5 per gram; hash s is hex
+    digits [8s, 8s+8) as an int, mod m — md5 + hex-slice (not xxhash64,
+    which DuckDB lacks) so the oracle replays every position and therefore
+    every FALSE POSITIVE bit-exactly. k ≤ 4 (md5 yields 4 disjoint
+    32-bit slices)."""
+    import hashlib
+
+    if not 1 <= k_hashes <= 4:
+        raise ValueError("k_hashes must be in 1..4 (md5 has 4 32-bit slices)")
+    out = np.empty((len(grams), k_hashes), dtype=np.int64)
+    for gi, g in enumerate(grams):
+        h = hashlib.md5(g.encode("utf-8")).hexdigest()
+        for s in range(k_hashes):
+            out[gi, s] = int(h[8 * s : 8 * s + 8], 16) % m_bits
+    return out
+
+
+def build_bloom_bitmap(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+    build_partitions: int = 8,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over the benchmark side's n-grams:
+    each task ORs its grams' bits into a LOCAL m-bit bitmap and emits ONE
+    binary row; the driver ORs O(partitions) bitmaps. Driver traffic is
+    partitions × m/8 bytes regardless of gram count — the collect-distinct-
+    positions alternative is O(k·|grams|) rows and loses exactly when the
+    filter is worth building. The eval side is coalesced small first (it is
+    suite-sized by definition; a 16 MB bitmap × 8 partitions = 128 MB of
+    one-off driver traffic at the default production m=2^27)."""
+    nbytes = (m_bits + 7) // 8
+
+    def _partial(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen: set[str] = set()
+        for b in batches:
+            for t in b[text_col]:
+                seen.update(_distinct_word_ngrams(t, n))
+        if seen:
+            pos = _bloom_positions(sorted(seen), m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = (
+        benchmark.select(text_col)
+        .coalesce(build_partitions)
+        .mapInPandas(_partial, "bm binary")
+        .toPandas()
+    )
+    if len(parts) == 0:
+        return np.zeros(nbytes, dtype=np.uint8)
+    return np.bitwise_or.reduce(
+        np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts["bm"]]), axis=0
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """ZERO-SHUFFLE benchmark decontamination: the eval suite's n-grams are
+    folded into an m-bit Bloom bitmap (distributed OR build, O(partitions)
+    driver rows), broadcast once, and the 100 TB training corpus is scanned
+    in a single mapInPandas pass — no explode, no join, no corpus-side
+    exchange at ANY corpus size (`ngram_decontaminate`'s broadcast-join form
+    still shuffles matched grams; this form shuffles NOTHING). The price is
+    Bloom false positives — over-removal, the SAFE direction for
+    decontamination — at the classic (1−e^{−kn/m})^k rate; size m per suite
+    (production default m=2^27 → 16 MB for ~10^7 grams at k=3 ≈ 0.1% FP).
+    The small default here (m=2^16) deliberately yields a measurable FP
+    rate so the oracle PROVES the replay covers false positives too.
+
+    Reference analog: hatchery enriches/filters streams against broadcast
+    side state (pkg/usecase/enrich.go:24's small-dimension pattern); this is
+    that pattern with the dimension compressed to a bitmap.
+
+    Returns one row per training doc: (id, total_grams, matched_grams,
+    contaminated) — same contract as `ngram_decontaminate`, with matched
+    counted by the filter (exact matches plus FPs)."""
+    spark = df.sparkSession
+    bitmap = build_bloom_bitmap(benchmark, text_col, n, m_bits, k_hashes)
+    bc = spark.sparkContext.broadcast(bitmap)
+    schema = f"{id_col} long, total_grams long, matched_grams long"
+
+    def _scan(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        bm = bc.value
+        for b in batches:
+            totals, matched = [], []
+            for t in b[text_col]:
+                grams = _distinct_word_ngrams(t, n)
+                pos = _bloom_positions(grams, m_bits, k_hashes)
+                hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+                totals.append(len(grams))
+                matched.append(int(hit.sum()))
+            yield pd.DataFrame(
+                {id_col: b[id_col], "total_grams": totals, "matched_grams": matched}
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(_scan, schema)
+        .withColumn("contaminated", F.col("matched_grams") > 0)
+    )
+
+
 # ---------------------------------------------------------------- simhash
 
 @pandas_udf(T.LongType())

@@ -871,3 +871,81 @@ def media_thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_thumbs, schema)
+
+
+def synthetic_mp4_media_df(spark, n: int = 48) -> DataFrame:
+    """MP4 table with closed-form container metadata: brands, v0/v1 box
+    versions, 1–2 tracks (video + optional audio), largesize mdat and free
+    boxes rotated in; i%16==11 is a non-BMFF payload (decoder_unavailable),
+    i%16==15 a truncated moov (decode_error)."""
+    from .mp4 import encode_mp4
+
+    rows = []
+    for i in range(n):
+        if i % 16 == 11:
+            content = bytes([i % 256]) * 64  # not BMFF at all
+        else:
+            ts = 600 * (1 + i % 4)
+            dur = int(ts * ((3 + i % 5) + 0.5 * (i % 2)))
+            tracks = [("vide", 16.0 * (10 + i % 6), 16.0 * (6 + i % 4))]
+            if i % 2 == 1:
+                tracks.append(("soun", 0.0, 0.0))
+            content = encode_mp4(
+                ["isom", "mp42", "avc1"][i % 3], ts, dur, tracks,
+                largesize_mdat=(i % 8 == 7), free_box=(i % 4 == 2),
+                versions=i % 2,
+            )
+            if i % 16 == 15:
+                content = content[:-20]  # truncate into mdat → framing error
+        rows.append((i, "video", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def mp4_meta_features(df: DataFrame) -> DataFrame:
+    """Container-metadata triage for a video corpus (ISO/IEC 14496-12 box
+    walk in functions/mp4.py): duration, track layout, resolution — the
+    stage a 100 TB video pipeline runs on EVERY object before any codec.
+    Same shape as the image/audio paths: mapInPandas, fixed-width scalars
+    out, payload bytes never leave the task; non-BMFF payloads surface as
+    decoder_unavailable, corrupt framing as decode_error."""
+    schema = (
+        "media_id long, major_brand string, duration_sec double, "
+        "n_tracks int, video_tracks int, audio_tracks int, "
+        "width double, height double, decode_status string"
+    )
+    cols = ("major_brand", "duration_sec", "n_tracks", "video_tracks",
+            "audio_tracks", "width", "height")
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import parse_mp4_meta
+
+        for b in batches:
+            out: dict[str, list] = {k: [] for k in ("media_id",) + cols
+                                    + ("decode_status",)}
+            for mid, content in zip(b["media_id"], b["content"]):
+                vals: dict[str, object] = dict.fromkeys(cols)
+                status = "ok"
+                try:
+                    m = parse_mp4_meta(bytes(content))
+                    vals.update(
+                        major_brand=m.major_brand,
+                        duration_sec=round(m.duration_sec, 4)
+                        if m.duration_sec is not None else None,
+                        n_tracks=m.n_tracks,
+                        video_tracks=m.video_tracks,
+                        audio_tracks=m.audio_tracks,
+                        width=m.width, height=m.height,
+                    )
+                except DecoderUnavailable:
+                    status = "decoder_unavailable"
+                except Exception:
+                    status = "decode_error"
+                out["media_id"].append(mid)
+                for k in cols:
+                    out[k].append(vals[k])
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(_meta, schema)

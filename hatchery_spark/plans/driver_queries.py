@@ -1728,6 +1728,36 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_media_mp4_meta(spark, sf_dir):
+    """Video-corpus container triage: full ISO BMFF box walk (ftyp brand,
+    mvhd timescale/duration, per-trak tkhd 16.16 dimensions + hdlr typing,
+    largesize/free/v0/v1 variants) in mapInPandas; codec payloads stay
+    honestly gated. Closed-form fixtures make every value oracle-checkable,
+    including the decoder_unavailable / decode_error channels."""
+    from hatchery_spark.functions.multimodal import (
+        mp4_meta_features,
+        synthetic_mp4_media_df,
+    )
+
+    return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """ZERO-SHUFFLE decontamination: eval n-grams folded into a broadcast
+    Bloom bitmap (distributed OR build), corpus scanned in one mapInPandas
+    pass — no corpus-side join/explode/exchange at any scale. The small
+    m (2^16) deliberately produces false positives at sf0.01 so the oracle
+    (which replays the md5-slice positions gram-for-gram) PROVES the FP
+    behavior is deterministic and replayable, not just the happy path.
+    Same bench/train split as doc_decontaminate (doc_id % 17)."""
+    from hatchery_spark.functions.dedup import bloom_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return bloom_decontaminate(train, bench, n=5, m_bits=1 << 16, k_hashes=3)
+
+
 def q_media_real_decode(spark, sf_dir):
     """REAL codec path: stdlib-parsed PPM pixels and WAV samples, with
     closed-form expected stats (solid-color / constant-amplitude payloads)."""
@@ -3362,6 +3392,65 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "media_mp4_meta": """
+            SELECT i AS media_id,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE ['isom', 'mp42', 'avc1'][1 + i % 3] END AS major_brand,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE (3 + i % 5) + 0.5 * (i % 2) END AS duration_sec,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE cast(1 + i % 2 AS int) END AS n_tracks,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE cast(1 AS int) END AS video_tracks,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE cast(i % 2 AS int) END AS audio_tracks,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE cast(16 * (10 + i % 6) AS double) END AS width,
+              CASE WHEN i % 16 IN (11, 15) THEN NULL
+                   ELSE cast(16 * (6 + i % 4) AS double) END AS height,
+              CASE WHEN i % 16 = 11 THEN 'decoder_unavailable'
+                   WHEN i % 16 = 15 THEN 'decode_error'
+                   ELSE 'ok' END AS decode_status
+            FROM (SELECT unnest(range(0, 48)) AS i)""",
+        "doc_bloom_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(text, '\\s+') AS ws
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                list_distinct(list_transform(
+                  range(1, greatest(len(ws) - 4, 1) + 1),
+                  i -> array_to_string(ws[i:i+4], ' '))) AS g
+              FROM toks
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 17 = 0
+            ),
+            seeds AS (SELECT unnest([0, 1, 2]) AS s),
+            bits AS (
+              SELECT DISTINCT
+                cast('0x' || substring(md5(gram), 1 + 8 * s, 8) AS bigint)
+                  % 65536 AS pos
+              FROM bench, seeds
+            ),
+            train AS (
+              SELECT doc_id, len(g) AS total_grams, unnest(g) AS gram
+              FROM grams WHERE doc_id % 17 <> 0
+            ),
+            per_gram AS (
+              SELECT doc_id, total_grams, gram,
+                min(CASE WHEN cast('0x' || substring(md5(gram), 1 + 8 * s, 8)
+                                   AS bigint) % 65536
+                              IN (SELECT pos FROM bits)
+                         THEN 1 ELSE 0 END) AS hit
+              FROM train, seeds
+              GROUP BY doc_id, total_grams, gram
+            )
+            SELECT doc_id, max(total_grams) AS total_grams,
+                   cast(sum(hit) AS bigint) AS matched_grams,
+                   sum(hit) > 0 AS contaminated
+            FROM per_gram GROUP BY doc_id""",
         "media_audio_spectral": """
             SELECT i AS media_id,
               cast(8000 + 4000 * (i % 3) AS int) AS sr,
@@ -3450,6 +3539,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_frames": q_media_gif_frames,
         "doc_bpe_tokenize": q_bpe_tokenize,
         "media_audio_spectral": q_media_audio_spectral,
+        "media_mp4_meta": q_media_mp4_meta,
+        "doc_bloom_decontaminate": q_bloom_decontaminate,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
