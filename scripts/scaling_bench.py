@@ -84,6 +84,21 @@ reported figure reflects the job, not the host's throttle schedule.
 """
 
 
+def _cpu_section() -> str:
+    """Re-embed the CPU-work-conservation evidence (scripts/
+    cpu_conservation.py) if its JSON exists, so regenerating this file
+    never loses it."""
+    path = f"{REPO}/BENCH/cpu_conservation.json"
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        d = json.load(f)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cpu_conservation import cpu_section
+
+    return cpu_section(d)
+
+
 def _stage_section() -> str:
     """Re-embed the per-stage breakdown (scripts/stage_scaling.py) if its
     JSON exists, so regenerating this file never loses the attribution."""
@@ -444,7 +459,7 @@ headline path). Steady-state absolute throughput on this host:
 ~{thr32 / 1e6:.2f}M turns/sec at 32 tasks (median clean window).
 
 Reproduce: `python scripts/scaling_bench.py {n_rows} {n_clean} {max_attempts}`
-{_cross_run_section(pooled, hw_ceiling, scan_ceiling)}{_stage_section()}""")
+{_cross_run_section(pooled, hw_ceiling, scan_ceiling)}{_stage_section()}{_cpu_section()}""")
 
 
 if __name__ == "__main__":
