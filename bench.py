@@ -329,6 +329,7 @@ def main() -> None:
             ("media_audio_spectral", dq.q_media_audio_spectral),
             ("media_mp4_meta", dq.q_media_mp4_meta),
             ("doc_bloom_decontaminate", dq.q_bloom_decontaminate),
+            ("media_jpeg12_decode", dq.q_media_jpeg12_decode),
         ]:
             measure(
                 name,

@@ -8,8 +8,8 @@ DCT (SOF2 — spectral selection, successive approximation, DC/AC
 first+refinement scans per G.1.2/G.2, interleaved DC scans, EOB runs,
 inter-scan table redefinition), Huffman entropy coding, 8-bit samples,
 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-markers. Arithmetic coding, 12-bit, and hierarchical modes raise
-DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
+markers; 8- and 12-bit precision (extended sequential, SOF1).
+Arithmetic coding and hierarchical modes raise DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
 
 The encoder exists to make deterministic, closed-form-checkable test
 payloads (solid-color images with unit quantization tables decode back
@@ -162,18 +162,34 @@ def encode_jpeg(
     gray: int,
     subsampling: str = "444",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal valid solid-gray baseline JPEG (deterministic test payloads).
 
     Unit quantization tables make the round trip EXACT for a constant
-    image: the only nonzero coefficient is the Y DC term 8·(gray−128),
+    image: the only nonzero coefficient is the Y DC term 8·(gray−2^(P−1)),
     quantized by 1, so decode returns every pixel == gray with no rounding
     — giving tests and the DuckDB oracle a closed form. 3-component YCbCr
     with 4:4:4 ("444") or 4:2:0 ("420") sampling; optional restart
     markers exercise the decoder's RST path.
+
+    precision=12 emits an EXTENDED SEQUENTIAL frame (SOF1, T.81 table B.1 —
+    12-bit samples are not legal in baseline SOF0). The fixture shares the
+    Annex-K Huffman tables, which cover DC categories ≤ 11, so the 12-bit
+    gray must stay within ±255 of mid-level 2048 (|DC| = 8·|gray−2048| ≤
+    2040 → category 11); real 12-bit encoders ship wider custom tables,
+    and the DECODER handles any category — only this fixture is bounded.
     """
-    if not (0 <= gray <= 255):
-        raise ValueError("gray must be 0..255")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    mid = 1 << (precision - 1)
+    if not (0 <= gray <= (1 << precision) - 1):
+        raise ValueError(f"gray must be 0..{(1 << precision) - 1}")
+    if precision == 12 and abs(gray - mid) > 255:
+        raise ValueError(
+            "12-bit fixture gray must be within ±255 of 2048 "
+            "(Annex-K DC table covers categories ≤ 11)"
+        )
     hs, vs = (2, 2) if subsampling == "420" else (1, 1)
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -182,8 +198,8 @@ def encode_jpeg(
     # two unit quantization tables (id 0 luma, id 1 chroma)
     dqt = seg(0xDB, b"\x00" + bytes([1] * 64)) + seg(0xDB, b"\x01" + bytes([1] * 64))
     sof = seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 3)
+        0xC0 if precision == 8 else 0xC1,
+        struct.pack(">BHHB", precision, height, width, 3)
         + bytes([1, (hs << 4) | vs, 0])   # Y
         + bytes([2, 0x11, 1])             # Cb
         + bytes([3, 0x11, 1]),            # Cr
@@ -210,7 +226,7 @@ def encode_jpeg(
 
     mcus_x = -(-width // (8 * hs))
     mcus_y = -(-height // (8 * vs))
-    y_dc = 8 * (gray - 128)
+    y_dc = 8 * (gray - mid)
 
     body = bytearray()
     bw = _BitWriter()
@@ -496,7 +512,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     Huffman (SOF0/SOF1) AND progressive Huffman (SOF2 — spectral selection
     and successive approximation, DC and AC first/refinement scans,
     interleaved DC scans, EOB runs, per-scan table redefinition), any
-    sampling factors, restart markers. Arithmetic coding, 12-bit, and
+    sampling factors, restart markers, 8- and 12-bit precision (12-bit:
+    level shift 2048, 0..4095 range, uint16 out). Arithmetic coding and
     hierarchical modes raise DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")
@@ -530,13 +547,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 qtables[tq] = tbl
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive Huffman
             precision, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if precision != 8:
-                raise DecoderUnavailable("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise DecoderUnavailable("only 8/12-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "precision": precision}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderUnavailable(
                 "only sequential/progressive Huffman JPEG supported"
@@ -583,6 +600,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]
+    # 12-bit (extended sequential / progressive): level shift 2048, range
+    # 0..4095, uint16 out — same entropy decode, dequant, IDCT machinery
+    mid = float(1 << (frame["precision"] - 1))
+    maxv = (1 << frame["precision"]) - 1
+    out_t = np.uint8 if frame["precision"] == 8 else np.uint16
     full = {}
     for c in comps:
         qt = qtables[c["tq"]]
@@ -592,7 +614,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         pb_y, pb_x = natural.shape[:2]
         blocks8 = natural.reshape(pb_y, pb_x, 8, 8)
         # IDCT of every block at once: Mᵀ·S·M as one einsum per component
-        spatial = np.einsum("au,yxab,bv->yxuv", _DCT_M, blocks8, _DCT_M) + 128.0
+        spatial = np.einsum("au,yxab,bv->yxuv", _DCT_M, blocks8, _DCT_M) + mid
         plane = spatial.transpose(0, 2, 1, 3).reshape(pb_y * 8, pb_x * 8)
         if c["h"] != hmax or c["v"] != vmax:
             plane = np.repeat(
@@ -600,14 +622,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             )
         full[c["id"]] = plane[:h, :w]
     if len(comps) == 1:
-        y = np.clip(full[comps[0]["id"]], 0, 255)
-        return np.dstack([y, y, y]).astype(np.uint8)
+        y = np.clip(full[comps[0]["id"]], 0, maxv)
+        return np.dstack([y, y, y]).astype(out_t)
     ids = [c["id"] for c in comps]
-    y, cb, cr = full[ids[0]], full[ids[1]] - 128.0, full[ids[2]] - 128.0
+    y, cb, cr = full[ids[0]], full[ids[1]] - mid, full[ids[2]] - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.dstack([r, g, b]), 0, 255).round().astype(np.uint8)
+    return np.clip(np.dstack([r, g, b]), 0, maxv).round().astype(out_t)
 
 
 def encode_jpeg_gray(img: np.ndarray, restart_interval: int = 0) -> bytes:

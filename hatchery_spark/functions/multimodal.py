@@ -10,7 +10,7 @@ signatures — is real and tested. The codec layer is split honestly:
     (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`, exercised
     end-to-end by the `media_real_decode` / `media_jpeg_decode` oracle
     queries);
-  * arithmetic-coded/12-bit/hierarchical JPEG and MP4 stay behind
+  * arithmetic-coded/hierarchical JPEG and MP4 CODEC payloads stay behind
     `DecoderUnavailable` (those codecs genuinely are not in this
     container) — swapping in PIL/libav is a one-function change; nothing
     else moves.
@@ -710,6 +710,30 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
                 subsampling="420" if i % 2 else "444",
                 restart_interval=2 if i % 4 == 0 else 0,
             )
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def synthetic_jpeg12_media_df(spark, n: int = 32) -> DataFrame:
+    """12-bit JPEG media table (EXTENDED SEQUENTIAL, SOF1 — medical/scientific
+    imaging's precision). Solid grays within ±255 of mid-level 2048 (the
+    fixture's Annex-K-table category bound; the decoder itself takes any
+    category) with unit quantization → decode is exact, px_mean == gray.
+    Rotates 4:4:4 / 4:2:0 and restart intervals like the 8-bit fixture."""
+    from hatchery_spark.functions.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        content = encode_jpeg(
+            width=16 + i % 9,
+            height=12 + i % 5,
+            gray=2048 + ((i * 37) % 511) - 255,
+            subsampling="420" if i % 2 else "444",
+            restart_interval=2 if i % 4 == 0 else 0,
+            precision=12,
+        )
         rows.append((i, "image", bytearray(content)))
     return spark.createDataFrame(
         rows, "media_id long, kind string, content binary"

@@ -1780,6 +1780,20 @@ def q_media_jpeg_decode(spark, sf_dir):
     return decode_media(synthetic_jpeg_media_df(spark, 64))
 
 
+def q_media_jpeg12_decode(spark, sf_dir):
+    """12-bit JPEG (extended sequential, SOF1): level shift 2048, 0..4095
+    range, uint16 pixels — the same entropy/dequant/IDCT machinery at the
+    higher precision. Solid-gray unit-quantization fixtures decode exactly,
+    so px_mean == gray is a closed form; 4:4:4/4:2:0 + restart markers
+    rotate as in the 8-bit fixture."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_jpeg12_media_df,
+    )
+
+    return decode_media(synthetic_jpeg12_media_df(spark, 32))
+
+
 def q_media_thumbnail(spark, sf_dir):
     """REAL decode → grayscale → area-interpolated 8×8 resize: solid-color
     PPM/PNG payloads give closed-form thumbnails (all pixels = v, std 0).
@@ -3392,6 +3406,14 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "media_jpeg12_decode": """
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              cast(2048 + ((i * 37) % 511) - 255 AS double) AS px_mean,
+              'ok_jpeg' AS decode_status
+            FROM (SELECT unnest(range(0, 32)) AS i)""",
         "media_mp4_meta": """
             SELECT i AS media_id,
               CASE WHEN i % 16 IN (11, 15) THEN NULL
@@ -3541,6 +3563,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio_spectral": q_media_audio_spectral,
         "media_mp4_meta": q_media_mp4_meta,
         "doc_bloom_decontaminate": q_bloom_decontaminate,
+        "media_jpeg12_decode": q_media_jpeg12_decode,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,

@@ -218,3 +218,39 @@ def test_ac_refine_bitstream_unit_all_branches():
         )
         _decode_band(br, blk, 1, 63, 1, 0, {}, None, eobrun, None, dec_tab)
         assert (blk[1:] == zz[1:]).all(), (blk[1:], zz[1:])
+
+
+# ---------------------------------------------------------------- 12-bit
+
+
+def test_12bit_solid_roundtrip_exact():
+    for gray, sub, rst in [(2048, "444", 0), (1793, "420", 2),
+                           (2303, "444", 3), (2100, "420", 0)]:
+        dec = decode_jpeg(
+            encode_jpeg(20, 13, gray, subsampling=sub,
+                        restart_interval=rst, precision=12)
+        )
+        assert dec.dtype == np.uint16
+        assert dec.shape == (13, 20, 3)
+        assert (dec == gray).all()
+
+
+def test_12bit_precision_flows_from_sof_not_caller():
+    # same bytes, no decode-side hint: precision comes from the SOF1 header
+    payload = encode_jpeg(8, 8, 1800, precision=12)
+    assert payload[payload.index(b"\xff\xc1") + 4] == 12
+    assert (decode_jpeg(payload) == 1800).all()
+
+
+def test_12bit_fixture_bounds_enforced():
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, 4095, precision=12)  # category > Annex-K table
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, 4096, precision=12)  # out of 12-bit range
+    with pytest.raises(ValueError):
+        encode_jpeg(8, 8, 100, precision=10)  # only 8/12 legal
+
+
+def test_8bit_output_dtype_unchanged():
+    dec = decode_jpeg(encode_jpeg(8, 8, 77))
+    assert dec.dtype == np.uint8 and (dec == 77).all()
