@@ -330,6 +330,7 @@ def main() -> None:
             ("media_mp4_meta", dq.q_media_mp4_meta),
             ("doc_bloom_decontaminate", dq.q_bloom_decontaminate),
             ("media_jpeg12_decode", dq.q_media_jpeg12_decode),
+            ("emb_kmeans", dq.q_emb_kmeans),
         ]:
             measure(
                 name,

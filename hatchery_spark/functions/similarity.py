@@ -866,3 +866,84 @@ def semdedup(
             (rep == F.col(id_col)).alias("keep"),
         )
     )
+
+
+# ------------------------------------------------------- distributed k-means
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 3,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """DISTRIBUTED Lloyd's k-means over a 100 TB embedding column — the
+    iterative-algorithm pattern on DataFrames: per round, centroids are a
+    k×dim BROADCAST (shipped in the assignment UDF's closure), assignment
+    is one Arrow-vectorized pass, and the centroid update is a map-side-
+    combined JVM aggregate (k×dim AVG partials per partition — the
+    exchange carries k×(dim+1) doubles per partition, never vectors).
+    Driver traffic per round: ONE k-row collect. Contrast with
+    `spherical_kmeans`/`_euclidean_kmeans` above, which fit on a
+    driver-bounded SAMPLE (the IVF/PQ quantizer use case); this is the
+    full-corpus variant for when cluster quality must see every vector
+    (e.g. SemDeDup's clustering stage at paper scale, Abbas et al.
+    2303.09540 §3). The corpus is scanned iters+1 times — Lloyd's is
+    inherently multi-pass; persist the vector column or accept re-scan.
+
+    DETERMINISTIC + cross-engine replayable: init takes the k vectors
+    smallest by md5(id) (cluster-size-stable, like every sampler here),
+    every centroid is rounded to `round_decimals` after each update, and
+    distances are rounded the same before the (dist, cluster) argmin —
+    engine-order float noise (~1e-13) collapses under the rounding, so a
+    DuckDB recursive replay reproduces every assignment exactly.
+
+    Returns (id_col, cluster int) for every row, assigned against the
+    final centroids. Empty clusters keep their previous centroid (both
+    the engine and the oracle replay that rule).
+    """
+    dim = len(
+        df.select(vec_col).limit(1).collect()[0][0]
+    )
+    init_rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = np.round(
+        np.array([r[1] for r in init_rows], dtype=np.float64), round_decimals
+    )
+
+    def _assign_udf(c: np.ndarray):
+        @pandas_udf(T.IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(np.argmin(np.round(d, round_decimals), axis=1))
+
+        return assign
+
+    for _ in range(iters):
+        assigned = df.withColumn("cluster", _assign_udf(cents)(F.col(vec_col)))
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.element_at(F.col(vec_col), j + 1)), round_decimals
+                    ).alias(f"m{j}")
+                    for j in range(dim)
+                ]
+            )
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in stats:
+            nxt[r["cluster"]] = [r[f"m{j}"] for j in range(dim)]
+        cents = nxt
+
+    return df.select(
+        id_col, _assign_udf(cents)(F.col(vec_col)).alias("cluster")
+    )

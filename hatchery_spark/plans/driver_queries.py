@@ -1794,6 +1794,61 @@ def q_media_jpeg12_decode(spark, sf_dir):
     return decode_media(synthetic_jpeg12_media_df(spark, 32))
 
 
+def q_emb_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means (full corpus, not a driver sample):
+    broadcast centroids in the assignment UDF closure, map-side-combined
+    k×dim AVG update, ONE k-row collect per round. Deterministic md5-order
+    init + per-round centroid/distance rounding make every assignment
+    DuckDB-replayable across 3 full iterations."""
+    from hatchery_spark.functions.similarity import kmeans_lloyd
+
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, vec_col="embedding", id_col="vec_id", k=4, iters=3)
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 64, iters: int = 3, rd: int = 6) -> str:
+    """Generate the recursive-CTE replay of kmeans_lloyd: init from md5
+    order, per-iteration assignment (rounded squared-distance argmin with
+    cluster tie-break) and centroid update (per-dim AVG, rounded, empty
+    clusters keeping the previous centroid), final assignment output."""
+    dist = (
+        "round(list_aggregate(list_transform(range(1, %d), j -> "
+        "(cast(e[j] AS double) - c[j]) * (cast(e[j] AS double) - c[j])), "
+        "'sum'), %d)" % (dim + 1, rd)
+    )
+    parts = [
+        "WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster,
+                 list_transform(e, x -> round(cast(x AS double), {rd})) AS c
+          FROM (SELECT md5(cast(vec_id AS varchar)) AS h, vec_id, e
+                FROM emb ORDER BY h, vec_id LIMIT {k}))""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+        a{t}_r AS (
+          SELECT vec_id, e, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {dist}, cluster) AS rk
+          FROM emb, c{t - 1}),
+        a{t} AS (SELECT vec_id, e, cluster FROM a{t}_r WHERE rk = 1),
+        c{t} AS (
+          SELECT c{t - 1}.cluster, coalesce(m.c, c{t - 1}.c) AS c
+          FROM c{t - 1} LEFT JOIN (
+            SELECT cluster, list(mj ORDER BY j) AS c FROM (
+              SELECT cluster, j, round(avg(cast(e[j] AS double)), {rd}) AS mj
+              FROM a{t}, range(1, {dim + 1}) t(j) GROUP BY cluster, j)
+            GROUP BY cluster) m USING (cluster))""")
+    parts.append(f""",
+        fin_r AS (
+          SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {dist}, cluster) AS rk
+          FROM emb, c{iters})
+        SELECT vec_id, cast(cluster AS int) AS cluster FROM fin_r WHERE rk = 1""")
+    return "\n".join(parts)
+
+
 def q_media_thumbnail(spark, sf_dir):
     """REAL decode → grayscale → area-interpolated 8×8 resize: solid-color
     PPM/PNG payloads give closed-form thumbnails (all pixels = v, std 0).
@@ -3406,6 +3461,7 @@ def oracle_catalog() -> dict[str, str]:
                    WHEN i % 3 = 1 THEN 'ok_wav'
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
+        "emb_kmeans": _kmeans_oracle(k=4, dim=64, iters=3, rd=6),
         "media_jpeg12_decode": """
             SELECT i AS media_id, 'image' AS kind,
               cast(16 + i % 9 AS int) AS width,
@@ -3564,6 +3620,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_meta": q_media_mp4_meta,
         "doc_bloom_decontaminate": q_bloom_decontaminate,
         "media_jpeg12_decode": q_media_jpeg12_decode,
+        "emb_kmeans": q_emb_kmeans,
         # round-4 additions with a single green row
         "rel_zorder": q_zorder,
         "doc_group_split": q_group_split,
