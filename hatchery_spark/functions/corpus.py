@@ -1592,3 +1592,40 @@ def search_all_terms(
         .filter(F.col("_nt") == len(terms))
         .select(id_col, "total_tf")
     )
+
+
+def readability(df: DataFrame, text_col: str = "text", rd: int = 4) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — a standard
+    text-quality prior for corpus curation (alongside the Gopher and C4
+    gates above): grade-level bands are a cheap proxy for "is this prose or
+    junk" and a common mixture-weighting feature.
+
+    Counting is the classic regex approximation, chosen because it runs
+    IDENTICALLY in Spark and DuckDB regexp engines (plain ASCII classes, no
+    engine-specific syntax):
+      words     = maximal [a-z]+ runs of lower(text)
+      syllables = maximal vowel-group [aeiouy]+ runs (≥1 per real word)
+      sentences = maximal [.!?]+ runs, floored at 1
+
+    Zero shuffle, pure codegen — one Arrow-free projection at any corpus
+    size. Scores are round(rd) so hashed comparisons are stable.
+    """
+    lower = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    words = F.size(F.regexp_extract_all(lower, F.lit("[a-z]+"), 0))
+    syllables = F.size(F.regexp_extract_all(lower, F.lit("[aeiouy]+"), 0))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(lower, F.lit("[.!?]+"), 0)), F.lit(1)
+    )
+    w = F.greatest(words, F.lit(1)).cast("double")
+    s = sentences.cast("double")
+    y = syllables.cast("double")
+    ease = F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w)
+    grade = F.lit(0.39) * (w / s) + F.lit(11.8) * (y / w) - F.lit(15.59)
+    return df.select(
+        "*",
+        words.cast("int").alias("n_words"),
+        sentences.cast("int").alias("n_sentences"),
+        syllables.cast("int").alias("n_syllables"),
+        F.round(ease, rd).alias("fk_ease"),
+        F.round(grade, rd).alias("fk_grade"),
+    )

@@ -947,3 +947,98 @@ def kmeans_lloyd(
     return df.select(
         id_col, _assign_udf(cents)(F.col(vec_col)).alias("cluster")
     )
+
+
+def pca_power_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 6,
+    rd_cov: int = 6,
+    rd_vec: int = 9,
+    out_rd: int = 6,
+) -> DataFrame:
+    """Distributed PCA: project every embedding onto its corpus's first
+    principal component (the standard 1-D quality/diversity axis for
+    curriculum ordering and outlier pruning of embedding spaces).
+
+    Spark-first decomposition of the textbook algorithm:
+      1. per-dim mean — ONE JVM aggregate, rounded, collected (dim doubles).
+      2. covariance — partition-local centered Gram matrices via
+         `mapInPandas` (one numpy X.T @ X per Arrow batch: the treeAggregate
+         pattern), then a (dim² × partitions)-row shuffle summed JVM-side.
+         Driver traffic: dim² doubles TOTAL, independent of corpus size.
+      3. top eigenvector — power iteration on the dim×dim matrix, driver-
+         side (microseconds; the data never participates).
+      4. projection — pure codegen `zip_with`+`aggregate` fold per row, no
+         Python in the corpus-sized pass.
+
+    Determinism/replay: the covariance is rounded to `rd_cov` BEFORE the
+    power iteration and every iteration vector to `rd_vec`, so a DuckDB
+    unrolled-CTE replay sees bit-identical inputs at every step and the
+    cross-engine float-sum-order noise (~1e-13) collapses under the rounding
+    (the kmeans_lloyd trick). rd_cov is deliberately coarser: covariance
+    entries sum O(corpus) terms, so their engine noise is larger than the
+    64-term matvec sums inside the iteration.
+
+    Returns (id_col, pc1 double) — the centered dot product with the
+    component, rounded to `out_rd`.
+    """
+    first = df.select(vec_col).limit(1).collect()
+    if not first:
+        return df.select(F.col(id_col), F.lit(0.0).alias("pc1")).limit(0)
+    dim = len(first[0][0])
+    n = df.count()
+
+    mean_row = df.agg(
+        *[
+            F.round(F.avg(F.element_at(F.col(vec_col), j + 1)), rd_vec).alias(f"m{j}")
+            for j in range(dim)
+        ]
+    ).collect()[0]
+    mean = np.array([mean_row[f"m{j}"] for j in range(dim)], dtype=np.float64)
+
+    aa, bb = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+    aa_flat, bb_flat = aa.ravel(), bb.ravel()
+
+    def gram_partials(batches):
+        G = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64) - mean
+            G += X.T @ X
+            seen = True
+        if seen:
+            yield pd.DataFrame({"a": aa_flat, "b": bb_flat, "s": G.ravel()})
+
+    cov_rows = (
+        df.select(vec_col)
+        .mapInPandas(gram_partials, "a int, b int, s double")
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("s") / F.lit(float(n)), rd_cov).alias("c"))
+        .collect()
+    )
+    C = np.zeros((dim, dim), dtype=np.float64)
+    for r in cov_rows:
+        C[r["a"], r["b"]] = r["c"]
+
+    # power iteration from the uniform unit vector; every step rounded so the
+    # oracle replay (same rounds, same rounding) is value-exact
+    v = np.full(dim, np.round(1.0 / np.sqrt(float(dim)), rd_vec))
+    for _ in range(iters):
+        u = np.round(C @ v, rd_vec)
+        norm = np.round(np.sqrt(float(u @ u)), rd_vec)
+        if norm == 0.0:
+            break
+        v = np.round(u / norm, rd_vec)
+
+    marr = F.array(*[F.lit(float(x)) for x in mean])
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), marr, lambda x, m: x - m
+    )
+    terms = F.zip_with(centered, varr, lambda x, w: x * w)
+    pc1 = F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return df.select(F.col(id_col), F.round(pc1, out_rd).alias("pc1"))

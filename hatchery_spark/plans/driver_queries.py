@@ -76,6 +76,11 @@ SELECT
 FROM {events}
 """
 
+# transcripts + the per-turn preference signal (events.value) — used by the
+# DPO pair constructor; same text runs in Spark and DuckDB
+TRANSCRIPTS_VALUE_SQL = TRANSCRIPTS_SQL.replace("  ts\nFROM", "  ts,\n  value\nFROM")
+assert TRANSCRIPTS_VALUE_SQL != TRANSCRIPTS_SQL  # replacement anchor must hold
+
 # service catalog for the events-derived transcripts ('view' absent → miss path)
 EVENTS_CATALOG = [
     ("signup", "system", "identity", "idp", "warn"),
@@ -2321,6 +2326,260 @@ SELECT conv_id,
 FROM transcripts WHERE turn_idx = 0"""
 
 
+# ----------------------------------------------------------------------------
+# round-5 session-3 additions: link analysis, preference fitting, SCD2, PCA
+# ----------------------------------------------------------------------------
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease / FK grade — zero-shuffle codegen projection."""
+    from hatchery_spark.functions.corpus import readability
+
+    docs = load(spark, sf_dir, "documents")
+    return readability(docs).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables", "fk_ease", "fk_grade"
+    )
+
+
+def q_scd2(spark, sf_dir):
+    """SCD Type 2 history of each user's event_type attribute — one shuffle
+    on the dimension key serves both window passes."""
+    from hatchery_spark.operators.scd import scd2_build
+
+    ev = load(spark, sf_dir, "events")
+    out = scd2_build(ev, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank over the deterministic event-derived link
+    graph; per-iteration rounding makes the 3 rounds DuckDB-replayable."""
+    from hatchery_spark.functions.graph import derive_event_edges, pagerank
+
+    ev = load(spark, sf_dir, "events")
+    return pagerank(derive_event_edges(ev), iters=3)
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry strengths from the event-derived comparison log (3 MM
+    rounds, Hunter 2004), sum-normalized — the arena-preference reduction."""
+    from hatchery_spark.functions.preferences import (
+        bradley_terry,
+        derive_event_comparisons,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return bradley_terry(derive_event_comparisons(ev), iters=3)
+
+
+def q_pca_project(spark, sf_dir):
+    """First-principal-component projection: mapInPandas partition Gram →
+    rounded covariance → driver power iteration → codegen fold per row."""
+    from hatchery_spark.functions.similarity import pca_power_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_power_project(emb, iters=6)
+
+
+def q_dpo_pairs(spark, sf_dir):
+    """(prompt, chosen, rejected) DPO rows from the per-turn transcript log,
+    using events.value as the per-turn preference signal."""
+    from hatchery_spark.functions.preferences import dpo_pairs
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_events")
+    t = spark.sql(TRANSCRIPTS_VALUE_SQL.format(events="hs_events"))
+    return dpo_pairs(t)
+
+
+def _hex_decode_terms(col: str = "h") -> str:
+    """Positional decode of an 8-hex-char column to BIGINT (no conv in
+    DuckDB) — mirrors graph._md5_prefix_long."""
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+#: deterministic event-derived edge list shared by the pagerank and
+#: Bradley-Terry oracles — replays graph.derive_event_edges verbatim
+_EVENT_EDGE_CTE = f"""
+mx AS (SELECT cast(max(user_id) + 1 AS bigint) AS m FROM events),
+eh AS (SELECT cast(user_id AS bigint) AS a,
+              substr(md5(cast(event_id AS varchar)), 1, 8) AS h, mx.m AS m
+       FROM events, mx),
+edges AS (SELECT a AS src, dst FROM (
+            SELECT a, cast(({_hex_decode_terms("h")}) % m AS bigint) AS dst FROM eh)
+          WHERE a <> dst)"""
+
+
+def _pagerank_oracle(
+    iters: int = 3, damping_pct: int = 85, scale: int = 10**12
+) -> str:
+    """Unrolled-CTE replay of graph.pagerank's FIXED-POINT integer form:
+    every share/contribution/teleport term is BIGINT div/sum — no float
+    rounding exists to disagree on (decimal-tie rank values divided by small
+    outdegrees made round()-based replay systematically engine-dependent)."""
+    parts = [
+        f"WITH {_EVENT_EDGE_CTE},",
+        f"""
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, {scale} // nn.n AS r FROM nodes, nn)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+sh{t} AS (SELECT r.node AS src, r.r // d.outdeg AS share
+          FROM r{t - 1} r JOIN deg d ON d.src = r.node),
+c{t} AS (SELECT e.dst AS node, sum(s.share) AS contrib
+         FROM edges e JOIN sh{t} s ON s.src = e.src GROUP BY e.dst),
+dg{t} AS (SELECT coalesce(sum(r.r), 0) AS dang
+          FROM r{t - 1} r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL),
+r{t} AS (SELECT nodes.node,
+           (({100 - damping_pct} * {scale}) // (100 * nn.n))
+           + ({damping_pct} * (coalesce(c.contrib, 0) + dg.dang // nn.n)) // 100 AS r
+         FROM nodes CROSS JOIN nn CROSS JOIN dg{t} dg
+              LEFT JOIN c{t} c ON c.node = nodes.node)""")
+    parts.append(
+        f"\nSELECT node, cast(r AS double) / {scale}e0 AS pagerank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _bt_oracle(iters: int = 3, rd: int = 7) -> str:
+    """Unrolled replay of preferences.bradley_terry (MM updates + sum-to-N
+    rescale, all aggregates rounded)."""
+    parts = [
+        f"WITH {_EVENT_EDGE_CTE},",
+        """
+cp AS (SELECT src AS winner, dst AS loser FROM edges),
+wn AS (SELECT winner AS item, cast(count(*) AS double) AS w_cnt FROM cp GROUP BY winner),
+g AS (SELECT i, j, cast(count(*) AS double) AS n FROM (
+        SELECT winner AS i, loser AS j FROM cp
+        UNION ALL SELECT loser AS i, winner AS j FROM cp) GROUP BY i, j),
+base AS (SELECT winner AS item FROM cp UNION SELECT loser FROM cp),
+it AS (SELECT base.item, coalesce(wn.w_cnt, 0e0) AS w_cnt
+       FROM base LEFT JOIN wn ON wn.item = base.item),
+ni AS (SELECT cast(count(*) AS double) AS n FROM it),
+p0 AS (SELECT item, cast(1 AS double) AS w FROM it)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS (SELECT g.i AS item, round(sum(g.n / (wi.w + wj.w)), {rd}) AS denom
+         FROM g JOIN p{t - 1} wi ON wi.item = g.i JOIN p{t - 1} wj ON wj.item = g.j
+         GROUP BY g.i),
+raw{t} AS (SELECT it.item,
+             round(CASE WHEN it.w_cnt > 0 THEN it.w_cnt / d.denom ELSE 0e0 END, {rd}) AS w_raw
+           FROM it LEFT JOIN d{t} d ON d.item = it.item),
+s{t} AS (SELECT round(sum(w_raw), {rd}) AS s FROM raw{t}),
+p{t} AS (SELECT item, round(ni.n * w_raw / s{t}.s, {rd}) AS w FROM raw{t}, s{t}, ni)""")
+    parts.append(f"\nSELECT item, w AS bt_score FROM p{iters}")
+    return "".join(parts)
+
+
+def _pca_oracle(
+    dim: int = 64, iters: int = 6, rd_cov: int = 6, rd_vec: int = 9, out_rd: int = 6
+) -> str:
+    """Unrolled replay of similarity.pca_power_project: rounded mean →
+    rounded covariance (coarser rd — its sums span the whole corpus) →
+    power iteration with per-step rounding → rounded projection."""
+    parts = [
+        f"""WITH emb AS (SELECT vec_id, embedding AS e FROM embeddings),
+nn AS (SELECT cast(count(*) AS double) AS n FROM emb),
+m AS (SELECT j, round(avg(cast(e[j] AS double)), {rd_vec}) AS mj
+      FROM emb, range(1, {dim + 1}) t(j) GROUP BY j),
+cs AS (SELECT ma.j AS a, mb.j AS b,
+              sum((cast(e[ma.j] AS double) - ma.mj)
+                  * (cast(e[mb.j] AS double) - mb.mj)) AS s
+       FROM emb, m ma, m mb GROUP BY ma.j, mb.j),
+cov AS (SELECT a, b, round(s / nn.n, {rd_cov}) AS c FROM cs, nn),
+v0 AS (SELECT j, round(cast(1 AS double) / sqrt(cast({dim} AS double)), {rd_vec}) AS r
+       FROM range(1, {dim + 1}) t(j))"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+u{t} AS (SELECT cov.a AS j, round(sum(cov.c * v.r), {rd_vec}) AS u
+         FROM cov JOIN v{t - 1} v ON v.j = cov.b GROUP BY cov.a),
+nm{t} AS (SELECT round(sqrt(sum(u * u)), {rd_vec}) AS s FROM u{t}),
+v{t} AS (SELECT j, round(u / s, {rd_vec}) AS r FROM u{t}, nm{t})""")
+    parts.append(f""",
+fin AS (SELECT (SELECT list(mj ORDER BY j) FROM m) AS ml,
+               (SELECT list(r ORDER BY j) FROM v{iters}) AS vl)
+SELECT vec_id, round(list_aggregate(list_transform(range(1, {dim + 1}),
+         j -> (cast(e[j] AS double) - ml[j]) * vl[j]), 'sum'), {out_rd}) AS pc1
+FROM emb, fin""")
+    return "".join(parts)
+
+
+def _dpo_oracle() -> str:
+    t = TRANSCRIPTS_VALUE_SQL.format(events="events")
+    return f"""
+WITH t AS ({t}),
+p AS (SELECT conv_id, text AS prompt FROM (
+        SELECT conv_id, text,
+               row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+        FROM t WHERE role = 'user') WHERE rn = 1),
+r AS (SELECT conv_id, text, value, turn_idx,
+        row_number() OVER (PARTITION BY conv_id
+                           ORDER BY value DESC, turn_idx ASC) AS rkb,
+        row_number() OVER (PARTITION BY conv_id
+                           ORDER BY value ASC, turn_idx DESC) AS rkw,
+        count(*) OVER (PARTITION BY conv_id) AS nr
+      FROM t WHERE role = 'assistant'),
+c AS (SELECT conv_id, text AS chosen, value AS cv, turn_idx AS ct
+      FROM r WHERE rkb = 1 AND nr >= 2),
+x AS (SELECT conv_id, text AS rejected, value AS rv, turn_idx AS rt
+      FROM r WHERE rkw = 1 AND nr >= 2)
+SELECT p.conv_id, p.prompt, c.chosen, x.rejected,
+       round(c.cv, 6) AS chosen_value, round(x.rv, 6) AS rejected_value
+FROM p JOIN c ON c.conv_id = p.conv_id JOIN x ON x.conv_id = p.conv_id
+WHERE c.ct <> x.rt"""
+
+
+_READABILITY_ORACLE = """
+WITH b AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+c AS (SELECT doc_id,
+        len(regexp_extract_all(t, '[a-z]+')) AS words,
+        len(regexp_extract_all(t, '[aeiouy]+')) AS syl,
+        greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS sent
+      FROM b)
+SELECT doc_id,
+  cast(words AS int) AS n_words,
+  cast(sent AS int) AS n_sentences,
+  cast(syl AS int) AS n_syllables,
+  round(206.835e0 - 1.015e0 * (cast(greatest(words, 1) AS double) / cast(sent AS double))
+        - 84.6e0 * (cast(syl AS double) / cast(greatest(words, 1) AS double)), 4) AS fk_ease,
+  round(0.39e0 * (cast(greatest(words, 1) AS double) / cast(sent AS double))
+        + 11.8e0 * (cast(syl AS double) / cast(greatest(words, 1) AS double))
+        - 15.59e0, 4) AS fk_grade
+FROM c"""
+
+
+_SCD2_ORACLE = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN row_number() OVER w = 1 THEN TRUE
+              WHEN event_type IS DISTINCT FROM lag(event_type) OVER w THEN TRUE
+              ELSE FALSE END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+v AS (SELECT user_id, event_type, ts, event_id FROM s WHERE chg)
+SELECT user_id,
+       cast(row_number() OVER w2 AS int) AS version,
+       event_type,
+       ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       cast(CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS int) AS is_current
+FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
 def oracle_catalog() -> dict[str, str]:
     p = ORACLE_PIPELINE_CTE
     oracles = {
@@ -3462,6 +3721,12 @@ def oracle_catalog() -> dict[str, str]:
                    ELSE 'decoder_unavailable' END AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "emb_kmeans": _kmeans_oracle(k=4, dim=64, iters=3, rd=6),
+        "doc_readability": _READABILITY_ORACLE,
+        "rel_scd2": _SCD2_ORACLE,
+        "graph_pagerank": _pagerank_oracle(iters=3),
+        "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
+        "emb_pca_project": _pca_oracle(dim=64, iters=6),
+        "pipeline_dpo_pairs": _dpo_oracle(),
         "media_jpeg12_decode": """
             SELECT i AS media_id, 'image' AS kind,
               cast(16 + i % 9 AS int) AS width,
@@ -3610,6 +3875,12 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "graph_pagerank": q_pagerank,
+        "pref_bradley_terry": q_bradley_terry,
+        "emb_pca_project": q_pca_project,
+        "pipeline_dpo_pairs": q_dpo_pairs,
+        "rel_scd2": q_scd2,
+        "doc_readability": q_readability,
         "doc_bpe_train_local": q_bpe_train_local,
         "doc_bpe_encode_arrow": q_bpe_encode_arrow,
         "doc_substring_dedup_sa": q_substring_dedup_sa,

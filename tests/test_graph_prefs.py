@@ -1,0 +1,218 @@
+"""Tests for round-5 session-3 operators: PageRank, Bradley-Terry, DPO pairs,
+SCD2, readability, PCA projection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hatchery_spark.functions.graph import derive_event_edges, pagerank
+from hatchery_spark.functions.preferences import (
+    bradley_terry,
+    derive_event_comparisons,
+    dpo_pairs,
+)
+from hatchery_spark.functions.similarity import pca_power_project
+from hatchery_spark.operators.scd import scd2_build
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def _toy_edges(spark):
+    # 1→2, 1→3, 2→3, 4 dangling (appears only as dst via 3→4)
+    rows = [(1, 2), (1, 3), (2, 3), (3, 4)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_pagerank_matches_hand_computation(spark):
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(_toy_edges(spark), iters=2).collect()
+    }
+    # replicate the exact integer recurrence in python
+    S, N, p = 10**12, 4, 85
+    deg = {1: 2, 2: 1, 3: 1}
+    r = {n: S // N for n in (1, 2, 3, 4)}
+    for _ in range(2):
+        share = {u: r[u] // deg[u] for u in deg}
+        contrib = {
+            2: share[1],
+            3: share[1] + share[2],
+            4: share[3],
+        }
+        dang = r[4]
+        r = {
+            n: ((100 - p) * S) // (100 * N)
+            + (p * (contrib.get(n, 0) + dang // N)) // 100
+            for n in (1, 2, 3, 4)
+        }
+    assert got == {n: r[n] / S for n in r}
+
+
+def test_pagerank_mass_and_order(spark):
+    out = pagerank(_toy_edges(spark), iters=3).collect()
+    total = sum(r["pagerank"] for r in out)
+    # floor-div leaks at most a few 1e-12 units per term
+    assert 0.999 < total <= 1.0 + 1e-9
+    ranks = {r["node"]: r["pagerank"] for r in out}
+    # node 3 receives from 1 and 2; node 1 receives nothing but teleport
+    assert ranks[3] > ranks[1]
+
+
+def test_pagerank_partition_invariant(spark):
+    """Integer arithmetic ⇒ bit-identical under any partitioning."""
+    e = _toy_edges(spark)
+    a = sorted(pagerank(e, iters=3).collect())
+    b = sorted(pagerank(e.repartition(7), iters=3).collect())
+    assert a == b
+
+
+def test_derive_event_edges_shape(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    e = derive_event_edges(ev)
+    row = e.agg(
+        F.min("src"), F.max("dst"), F.count(F.lit(1)), F.sum((F.col("src") == F.col("dst")).cast("int"))
+    ).collect()[0]
+    mx = ev.agg(F.max("user_id")).collect()[0][0]
+    assert row[0] >= 0 and row[1] <= mx and row[3] == 0
+    assert row[2] > 0
+
+
+# ------------------------------------------------------------ bradley-terry
+
+
+def test_bradley_terry_dominance(spark):
+    # item 1 beats everyone twice; item 3 never wins
+    rows = [(1, 2), (1, 2), (1, 3), (1, 3), (2, 3), (2, 3)]
+    cmp_df = spark.createDataFrame(rows, "winner long, loser long")
+    scores = {r["item"]: r["bt_score"] for r in bradley_terry(cmp_df, iters=3).collect()}
+    assert scores[1] > scores[2] > scores[3]
+    assert scores[3] == 0.0  # zero-win fixed point
+    assert math.isclose(sum(scores.values()), 3.0, rel_tol=1e-6)  # sum-to-N
+
+
+def test_bradley_terry_symmetry(spark):
+    # perfectly balanced head-to-head → equal strengths
+    rows = [(1, 2), (2, 1), (1, 2), (2, 1)]
+    cmp_df = spark.createDataFrame(rows, "winner long, loser long")
+    scores = {r["item"]: r["bt_score"] for r in bradley_terry(cmp_df, iters=3).collect()}
+    assert scores[1] == scores[2]
+
+
+def test_derive_event_comparisons_no_self(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    c = derive_event_comparisons(ev)
+    assert c.where(F.col("winner") == F.col("loser")).count() == 0
+
+
+# ----------------------------------------------------------------- dpo pairs
+
+
+def test_dpo_pairs_basic(spark):
+    rows = [
+        # conv a: prompt + two assistant turns with distinct values
+        ("a", 0, "user", "ask-a", 0.0),
+        ("a", 1, "assistant", "weak", 1.0),
+        ("a", 2, "assistant", "strong", 9.0),
+        # conv b: only one assistant turn → dropped
+        ("b", 0, "user", "ask-b", 0.0),
+        ("b", 1, "assistant", "only", 5.0),
+        # conv c: tie values → earliest wins chosen, latest wins rejected
+        ("c", 0, "user", "ask-c", 0.0),
+        ("c", 1, "assistant", "first", 2.0),
+        ("c", 2, "assistant", "second", 2.0),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, value double"
+    )
+    out = {r["conv_id"]: r for r in dpo_pairs(t).collect()}
+    assert set(out) == {"a", "c"}
+    assert out["a"]["prompt"] == "ask-a"
+    assert out["a"]["chosen"] == "strong" and out["a"]["rejected"] == "weak"
+    assert out["c"]["chosen"] == "first" and out["c"]["rejected"] == "second"
+
+
+# --------------------------------------------------------------------- scd2
+
+
+def test_scd2_versions(spark):
+    rows = [
+        (1, "A", 10, 1),
+        (1, "A", 20, 2),  # same attr → collapses into version 1
+        (1, "B", 30, 3),  # change → version 2
+        (1, "A", 40, 4),  # change back → version 3 (A again, NOT merged)
+        (2, None, 5, 5),  # NULL attr opens a version
+        (2, None, 6, 6),  # NULL == NULL (null-safe) → still version 1
+        (2, "X", 7, 7),
+    ]
+    log = spark.createDataFrame(rows, "k int, a string, ts int, id int")
+    out = scd2_build(log, "k", "a", "ts", "id").collect()
+    k1 = sorted([r for r in out if r["k"] == 1], key=lambda r: r["version"])
+    assert [(r["version"], r["a"], r["valid_from"], r["valid_to"], r["is_current"]) for r in k1] == [
+        (1, "A", 10, 30, False),
+        (2, "B", 30, 40, False),
+        (3, "A", 40, None, True),
+    ]
+    k2 = sorted([r for r in out if r["k"] == 2], key=lambda r: r["version"])
+    assert [(r["version"], r["a"]) for r in k2] == [(1, None), (2, "X")]
+    assert k2[0]["valid_to"] == 7 and k2[1]["is_current"]
+
+
+# -------------------------------------------------------------- readability
+
+
+def test_readability_hand_values(spark):
+    from hatchery_spark.functions.corpus import readability
+
+    df = spark.createDataFrame([(1, "The cat sat. It purred!")], "doc_id int, text string")
+    r = readability(df).collect()[0]
+    # words: the,cat,sat,it,purred = 5; sentences: '.' and '!' = 2
+    # vowel groups: e,a,a,i,u,e = 6
+    assert r["n_words"] == 5 and r["n_sentences"] == 2 and r["n_syllables"] == 6
+    ease = 206.835 - 1.015 * (5 / 2) - 84.6 * (6 / 5)
+    grade = 0.39 * (5 / 2) + 11.8 * (6 / 5) - 15.59
+    assert r["fk_ease"] == pytest.approx(ease, abs=1e-4)
+    assert r["fk_grade"] == pytest.approx(grade, abs=1e-4)
+
+
+def test_readability_empty_text(spark):
+    from hatchery_spark.functions.corpus import readability
+
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
+    out = readability(df).collect()
+    for r in out:
+        assert r["n_words"] == 0 and r["n_sentences"] == 1
+        assert r["fk_ease"] is not None  # guarded division
+
+
+# ---------------------------------------------------------------------- pca
+
+
+def test_pca_recovers_dominant_axis(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # variance 25 along axis 0, ~0.01 elsewhere
+    n, d = 400, 8
+    x = rng.normal(0, 0.1, (n, d))
+    x[:, 0] += rng.normal(0, 5.0, n)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    out = pca_power_project(df, iters=8).toPandas().sort_values("vec_id")
+    proj = out["pc1"].to_numpy()
+    corr = abs(np.corrcoef(proj, x[:, 0])[0, 1])
+    assert corr > 0.99
+
+
+def test_pca_deterministic(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = sorted(pca_power_project(emb, iters=4).collect())
+    b = sorted(pca_power_project(emb.repartition(5), iters=4).collect())
+    assert a == b
