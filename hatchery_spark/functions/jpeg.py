@@ -8,8 +8,12 @@ DCT (SOF2 — spectral selection, successive approximation, DC/AC
 first+refinement scans per G.1.2/G.2, interleaved DC scans, EOB runs,
 inter-scan table redefinition), Huffman entropy coding, 8-bit samples,
 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-markers; 8- and 12-bit precision (extended sequential, SOF1).
-Arithmetic coding and hierarchical modes raise DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
+markers; 8- and 12-bit precision (extended sequential, SOF1); sequential
+ARITHMETIC coding (SOF9 + DAC conditioning — QM-class coder and Annex F
+statistical models in functions/jpeg_arith.py); LOSSLESS predictive
+coding (SOF3, Annex H, single-component — functions/jpeg_lossless.py).
+Progressive-arithmetic (SOF10) and hierarchical modes raise
+DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
 
 The encoder exists to make deterministic, closed-form-checkable test
 payloads (solid-color images with unit quantization tables decode back
@@ -435,13 +439,34 @@ def _comp_geometry(frame):
     return hmax, vmax, mcus_x, mcus_y, geo
 
 
+def _scan_units(frame, ns_comps):
+    """Block enumeration for one scan: interleaved (ns>1) scans walk MCUs,
+    single-component scans walk the component's own block raster. Shared by
+    the Huffman and arithmetic scan decoders."""
+    by_id = {c["id"]: c for c in frame["comps"]}
+    _, _, mcus_x, mcus_y, geo = _comp_geometry(frame)
+    if len(ns_comps) == 1:
+        sc = ns_comps[0]
+        g = geo[sc["id"]]
+        units = [(sc, by, bx) for by in range(g["cb_y"]) for bx in range(g["cb_x"])]
+        return [units[i : i + 1] for i in range(len(units))]
+    per_unit = []
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            blocks = []
+            for sc in ns_comps:
+                c = by_id[sc["id"]]
+                for v in range(c["v"]):
+                    for h2 in range(c["h"]):
+                        blocks.append((sc, my * c["v"] + v, mx * c["h"] + h2))
+            per_unit.append(blocks)
+    return per_unit
+
+
 def _decode_scan(content, pos, frame, scan, store, dc_tabs, ac_tabs, ri):
     """Entropy-decode one scan into the coefficient store; returns the byte
-    position of the next marker. Interleaved (ns>1) scans walk MCUs;
-    single-component scans walk the component's own block raster."""
+    position of the next marker."""
     ns_comps, Ss, Se, Ah, Al = scan
-    by_id = {c["id"]: c for c in frame["comps"]}
-    hmax, vmax, mcus_x, mcus_y, geo = _comp_geometry(frame)
     preds = {sc["id"]: 0 for sc in ns_comps}
     eobrun = [0]
     br = _BitReader(content, pos)
@@ -451,22 +476,7 @@ def _decode_scan(content, pos, frame, scan, store, dc_tabs, ac_tabs, ri):
         ac = ac_tabs.get(sc["ac"]) if Se > 0 else None
         return dc, ac
 
-    if len(ns_comps) == 1:
-        sc = ns_comps[0]
-        g = geo[sc["id"]]
-        units = [(sc, by, bx) for by in range(g["cb_y"]) for bx in range(g["cb_x"])]
-        per_unit = [units[i : i + 1] for i in range(len(units))]
-    else:
-        per_unit = []
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                blocks = []
-                for sc in ns_comps:
-                    c = by_id[sc["id"]]
-                    for v in range(c["v"]):
-                        for h2 in range(c["h"]):
-                            blocks.append((sc, my * c["v"] + v, mx * c["h"] + h2))
-                per_unit.append(blocks)
+    per_unit = _scan_units(frame, ns_comps)
 
     n_unit = 0
     for blocks in per_unit:
@@ -513,13 +523,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     and successive approximation, DC and AC first/refinement scans,
     interleaved DC scans, EOB runs, per-scan table redefinition), any
     sampling factors, restart markers, 8- and 12-bit precision (12-bit:
-    level shift 2048, 0..4095 range, uint16 out). Arithmetic coding and
-    hierarchical modes raise DecoderUnavailable."""
+    level shift 2048, 0..4095 range, uint16 out), sequential ARITHMETIC
+    coding (SOF9 + DAC — jpeg_arith.py), and single-component LOSSLESS
+    (SOF3 — jpeg_lossless.py; 2..16-bit, all 7 predictors, point
+    transform). Progressive-arithmetic (SOF10) and hierarchical modes
+    raise DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     frame = None
     store = None
     restart_interval = 0
@@ -545,19 +560,37 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     tbl = np.frombuffer(data[i : i + 128], dtype=">u2").astype(np.float64)
                     i += 128
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive Huffman
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
+            # sequential / progressive Huffman, lossless, sequential arith
             precision, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if precision not in (8, 12):
+            if marker == 0xC3:
+                if not 2 <= precision <= 16:
+                    raise DecoderUnavailable("lossless precision 2..16 only")
+            elif precision not in (8, 12):
                 raise DecoderUnavailable("only 8/12-bit precision supported")
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + c * 3 : 9 + c * 3]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "precision": precision}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {
+                "h": h, "w": w, "comps": comps, "precision": precision,
+                "arith": marker == 0xC9, "lossless": marker == 0xC3,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderUnavailable(
-                "only sequential/progressive Huffman JPEG supported"
+                "only sequential/progressive Huffman, lossless (SOF3), and "
+                "sequential arithmetic (SOF9) JPEG supported"
             )
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                val = data[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
+                i += 2
         elif marker == 0xC4:  # DHT — possibly several tables per segment
             i = 0
             while i < len(data):
@@ -585,11 +618,31 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     cid: np.zeros((g["pb_y"], g["pb_x"], 64), dtype=np.int32)
                     for cid, g in geo.items()
                 }
-            pos = _decode_scan(
-                content, pos + 2 + length, frame,
-                (scan_comps, Ss, Se, Ah, Al),
-                store, dc_tabs, ac_tabs, restart_interval,
-            )
+            if frame.get("lossless"):
+                from hatchery_spark.functions.jpeg_lossless import (
+                    decode_lossless_scan,
+                )
+
+                plane, pos = decode_lossless_scan(
+                    content, pos + 2 + length, frame,
+                    (scan_comps, Ss, Se, Ah, Al), dc_tabs, restart_interval,
+                )
+                out_t = np.uint8 if frame["precision"] <= 8 else np.uint16
+                return np.dstack([plane, plane, plane]).astype(out_t)
+            if frame.get("arith"):
+                from hatchery_spark.functions.jpeg_arith import decode_scan_arith
+
+                pos = decode_scan_arith(
+                    content, pos + 2 + length, frame,
+                    (scan_comps, Ss, Se, Ah, Al),
+                    store, dc_cond, ac_cond, restart_interval, _scan_units,
+                )
+            else:
+                pos = _decode_scan(
+                    content, pos + 2 + length, frame,
+                    (scan_comps, Ss, Se, Ah, Al),
+                    store, dc_tabs, ac_tabs, restart_interval,
+                )
             saw_scan = True
             continue
         pos = pos + 2 + length

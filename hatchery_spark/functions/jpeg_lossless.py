@@ -1,0 +1,236 @@
+"""Lossless JPEG (SOF3, ITU-T T.81 Annex H) — decoder + fixture encoder.
+
+The predictive (non-DCT) process: each sample is predicted from its causal
+neighbours with one of seven predictors, and the prediction difference is
+entropy-coded with DC-style Huffman categories (SSSS up to 16, where 16
+carries no extra bits and means diff = 32768). Still used by DNG/medical
+corpora, which is why a multimodal triage stage meets it.
+
+Supported: single-component scans (the overwhelmingly common archival form),
+precisions 2..16, predictors 1..7, point transform, restart intervals.
+Multi-component lossless interleave stays behind DecoderUnavailable (honest
+gap — the per-MCU sample interleave adds bookkeeping, not concepts).
+
+Predictors (H.1.2.1), with a = left, b = above, c = above-left:
+  1: a   2: b   3: c   4: a+b-c   5: a+(b-c)>>1   6: b+(a-c)>>1   7: (a+b)>>1
+First sample (and first sample after a restart): 2^(P-1-Pt). Rest of the
+first line: predictor 1 from the previous sample. First column of later
+lines: predictor 2 (the sample above). Differences are taken modulo 2^16
+(H.1.1.4.1) — the decoder reduces modulo 2^16 likewise, so precision-16
+wraparound is exact. Decoded samples are scaled by << Pt (point transform).
+
+Reference parity note: hatchery never decodes media (objects pass through
+byte-identical, destination/gcs/client.go:76); this module belongs to the
+multimodal feature-extraction surface of the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hatchery_spark.functions.multimodal import DecoderUnavailable
+
+
+def _predict(row_above, row_cur, x: int, y: int, pred: int, p: int, pt: int) -> int:
+    if y == 0 and x == 0:
+        return 1 << (p - 1 - pt)
+    if y == 0:
+        return int(row_cur[x - 1])  # rest of first line: predictor 1
+    if x == 0:
+        return int(row_above[x])  # first column: predictor 2
+    a = int(row_cur[x - 1])
+    b = int(row_above[x])
+    c = int(row_above[x - 1])
+    if pred == 1:
+        return a
+    if pred == 2:
+        return b
+    if pred == 3:
+        return c
+    if pred == 4:
+        return a + b - c
+    if pred == 5:
+        return a + ((b - c) >> 1)
+    if pred == 6:
+        return b + ((a - c) >> 1)
+    if pred == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {pred} out of range 1..7")
+
+
+def decode_lossless_scan(content, pos, frame, scan, dc_tabs, ri):
+    """Decode a single-component SOF3 scan; returns (plane uint16, next marker
+    position). `scan` = (ns_comps, Ss=predictor, Se, Ah, Al=Pt)."""
+    from hatchery_spark.functions.jpeg import _BitReader, _huff_decode
+
+    ns_comps, pred, _se, _ah, pt = scan
+    if len(ns_comps) != 1:
+        raise DecoderUnavailable(
+            "multi-component lossless JPEG scans not supported"
+        )
+    p = frame["precision"]
+    h, w = frame["h"], frame["w"]
+    table = dc_tabs.get(ns_comps[0]["dc"])
+    if table is None:
+        raise ValueError("lossless scan references an undefined DC table")
+
+    plane = np.zeros((h, w), dtype=np.int32)
+    br = _BitReader(content, pos)
+    n_sample = 0
+    restart_origin = None  # (y, x) where the current interval began
+    for y in range(h):
+        for x in range(w):
+            if ri and n_sample and n_sample % ri == 0:
+                br.align()
+                q = br.pos
+                while content[q] != 0xFF or content[q + 1] == 0x00:
+                    q += 1
+                if not (0xD0 <= content[q + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                br = _BitReader(content, q + 2)
+                restart_origin = (y, x)
+            t = _huff_decode(br, table)
+            if t == 16:  # H.1.2.2: SSSS=16 codes diff 32768, no extra bits
+                diff = 32768
+            elif t:
+                # EXTEND (F.2.2.1): top extra bit 0 → negative branch
+                bits = br.bits(t)
+                diff = bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+            else:
+                diff = 0
+            if restart_origin == (y, x):
+                px = 1 << (p - 1 - pt)
+            else:
+                px = _predict(
+                    plane[y - 1] if y else None, plane[y], x, y, pred, p, pt
+                )
+            plane[y, x] = (px + diff) & 0xFFFF  # modulo-2^16 arithmetic
+            n_sample += 1
+    br.align()
+    q = br.pos
+    while q + 1 < len(content) and (content[q] != 0xFF or content[q + 1] == 0x00):
+        q += 1
+    return (plane.astype(np.int64) << pt).astype(np.uint16), q
+
+
+def encode_jpeg_gray_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Single-component SOF3 encoder for fixtures: EXACT round trip by
+    construction (lossless). Emits a custom Huffman DC table sized to the
+    categories actually present (the Annex-K table stops at category 11,
+    too small for 16-bit diffs)."""
+    from hatchery_spark.functions.jpeg import (
+        JPEG_MAGIC,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _extend_bits,
+    )
+
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_gray_lossless expects a 2-D array")
+    maxv = (1 << precision) - 1
+    if img.min() < 0 or img.max() > maxv:
+        raise ValueError(f"samples must fit {precision} bits")
+    pt = point_transform
+    samples = (img.astype(np.int64) >> pt).astype(np.int32)
+    h, w = samples.shape
+    p = precision
+
+    # first pass: differences + the categories used
+    diffs = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                px = 1 << (p - 1 - pt)
+            elif y == 0:
+                px = int(samples[y, x - 1])
+            elif x == 0:
+                px = int(samples[y - 1, x])
+            else:
+                a, b, c = (
+                    int(samples[y, x - 1]),
+                    int(samples[y - 1, x]),
+                    int(samples[y - 1, x - 1]),
+                )
+                px = {
+                    1: a, 2: b, 3: c, 4: a + b - c,
+                    5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            d = (int(samples[y, x]) - px) & 0xFFFF
+            if d >= 0x8000:
+                d -= 0x10000  # representative in [-32768, 32767]
+            diffs[y, x] = d
+
+    # restart intervals re-anchor the prediction — recompute those diffs
+    if restart_interval:
+        n = 0
+        for y in range(h):
+            for x in range(w):
+                if n and n % restart_interval == 0:
+                    d = (int(samples[y, x]) - (1 << (p - 1 - pt))) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                    diffs[y, x] = d
+                    # samples AFTER a restart predict from true neighbours,
+                    # which the first pass already used — only the anchor
+                    # sample changes
+                n += 1
+
+    from collections import Counter
+
+    freq = Counter(
+        16 if d == -32768 else _category(int(d)) for d in diffs.ravel()
+    )
+    cats = [c for c, _ in freq.most_common()]
+    # frequency-skewed canonical code: lengths 1,2,…,n-1,n-1 (Kraft-complete
+    # for any n ≥ 2) — the dominant category costs one bit, so smooth
+    # content actually compresses
+    n = len(cats)
+    lengths = [1] if n == 1 else list(range(1, n)) + [n - 1]
+    bits = [0] * 16
+    for ln in lengths:
+        bits[ln - 1] += 1
+    codes = _canonical_codes(bits, cats)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xC3, struct.pack(">BHHB", p, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(cats))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+
+    bw = _BitWriter()
+    body = bytearray()
+    n = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                bw.flush()
+                body += bw.out + bytes([0xFF, 0xD0 + rst])
+                bw = _BitWriter()
+                rst = (rst + 1) % 8
+            d = int(diffs[y, x])
+            t = 16 if d == -32768 else _category(d)
+            code, length = codes[t]
+            bw.write(code, length)
+            if t and t != 16:
+                bw.write(_extend_bits(d, t), t)
+            n += 1
+    bw.flush()
+    body += bw.out
+    out += bytes(body) + b"\xff\xd9"
+    return bytes(out)

@@ -677,24 +677,27 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
     decoder's chroma-upsample and RST paths are both driver-checked. Every
     8th row is a PROGRESSIVE (SOF2) payload — interleaved DC scan +
     per-component EOB-run AC scans — decoded by the same closed form.
-    Every 16th row is an arithmetic-coded (SOF9) stub, the remaining
-    honest `decoder_unavailable` channel.
+    Every 16th row is ARITHMETIC-CODED (SOF9, QM-class coder + the Annex F
+    statistical models, functions/jpeg_arith.py), decoded by the same
+    closed form; progressive-arithmetic (SOF10) and hierarchical modes
+    remain the honest `decoder_unavailable` channel.
     """
     from hatchery_spark.functions.jpeg import (
-        JPEG_MAGIC,
         encode_jpeg,
         encode_jpeg_progressive,
     )
+    from hatchery_spark.functions.jpeg_arith import encode_jpeg_arith
 
-    import struct
-
-    arithmetic_stub = (
-        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC9, 8) + bytes(6) + b"\xff\xd9"
-    )
     rows = []
     for i in range(n):
         if i % 16 == 15:
-            content = arithmetic_stub
+            content = encode_jpeg_arith(
+                width=16 + i % 9,
+                height=12 + i % 5,
+                gray=(i * 11) % 256,
+                subsampling="420" if i % 2 else "444",
+                restart_interval=2 if i % 4 == 3 else 0,
+            )
         elif i % 8 == 7:
             content = encode_jpeg_progressive(
                 width=16 + i % 9,
@@ -710,6 +713,32 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
                 subsampling="420" if i % 2 else "444",
                 restart_interval=2 if i % 4 == 0 else 0,
             )
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def synthetic_jpeg_lossless_media_df(spark, n: int = 28) -> DataFrame:
+    """LOSSLESS JPEG media table (SOF3, Annex H — DNG/medical archival
+    form) with REAL gradient content: img[y][x] = (x + y + i) % 256.
+    Decode is exact by definition, so px_mean has a closed form the oracle
+    recomputes over the same grid — and because lossless output is
+    predictor-independent, rotating all 7 predictors (plus point transform
+    and restart intervals) proves each one against the same expectation."""
+    from hatchery_spark.functions.jpeg_lossless import encode_jpeg_gray_lossless
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx = np.indices((h, w))
+        img = ((xx + yy + i) % 256).astype(np.int32)
+        content = encode_jpeg_gray_lossless(
+            img,
+            predictor=1 + i % 7,
+            point_transform=i % 3,
+            restart_interval=13 if i % 4 == 3 else 0,
+        )
         rows.append((i, "image", bytearray(content)))
     return spark.createDataFrame(
         rows, "media_id long, kind string, content binary"

@@ -1772,17 +1772,30 @@ def q_media_real_decode(spark, sf_dir):
 
 
 def q_media_jpeg_decode(spark, sf_dir):
-    """REAL JPEG codec path (T.81 sequential AND progressive Huffman,
-    stdlib+numpy, functions/jpeg.py): solid-gray payloads with unit
-    quantization tables decode back bit-exactly, so every pixel stat has a
-    closed form the DuckDB oracle recomputes. Rotates 4:4:4 / 4:2:0
-    sampling and restart intervals; every 8th row is PROGRESSIVE
-    (interleaved DC scan + EOB-run AC scans); every 16th an
-    arithmetic-coded (SOF9) stub driving the honest decoder_unavailable
-    channel."""
+    """REAL JPEG codec path (T.81 sequential, progressive AND arithmetic,
+    stdlib+numpy, functions/jpeg.py + jpeg_arith.py): solid-gray payloads
+    with unit quantization tables decode back bit-exactly, so every pixel
+    stat has a closed form the DuckDB oracle recomputes. Rotates 4:4:4 /
+    4:2:0 sampling and restart intervals; every 8th row is PROGRESSIVE
+    (interleaved DC scan + EOB-run AC scans); every 16th is
+    ARITHMETIC-CODED (SOF9 — QM-class coder, Table D.3 adaptation states,
+    Annex F DC/AC models)."""
     from hatchery_spark.functions.multimodal import decode_media, synthetic_jpeg_media_df
 
     return decode_media(synthetic_jpeg_media_df(spark, 64))
+
+
+def q_media_jpeg_lossless(spark, sf_dir):
+    """Lossless JPEG (SOF3, T.81 Annex H — functions/jpeg_lossless.py):
+    REAL gradient content ((x+y+i)%256), all 7 predictors + point transform
+    + restart intervals rotated; decode is exact, so the oracle recomputes
+    px_mean over the same grid (predictor-independent by losslessness)."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_jpeg_lossless_media_df,
+    )
+
+    return decode_media(synthetic_jpeg_lossless_media_df(spark, 28))
 
 
 def q_media_jpeg12_decode(spark, sf_dir):
@@ -3727,6 +3740,20 @@ def oracle_catalog() -> dict[str, str]:
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
         "emb_pca_project": _pca_oracle(dim=64, iters=6),
         "pipeline_dpo_pairs": _dpo_oracle(),
+        "media_jpeg_lossless": """
+            WITH g AS (
+              SELECT i, x.j AS xj, y.j AS yj
+              FROM (SELECT unnest(range(0, 28)) AS i),
+                   range(0, 24) x(j), range(0, 16) y(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              round(avg(cast((((xj + yj + i) % 256) >> (i % 3)) << (i % 3)
+                            AS double)), 4) AS px_mean,
+              'ok_jpeg' AS decode_status
+            FROM g GROUP BY i""",
         "media_jpeg12_decode": """
             SELECT i AS media_id, 'image' AS kind,
               cast(16 + i % 9 AS int) AS width,
@@ -3827,13 +3854,11 @@ def oracle_catalog() -> dict[str, str]:
             FROM g""",
         "media_jpeg_decode": """
             SELECT i AS media_id, 'image' AS kind,
-              CASE WHEN i % 16 <> 15 THEN cast(16 + i % 9 AS int) END AS width,
-              CASE WHEN i % 16 <> 15 THEN cast(12 + i % 5 AS int) END AS height,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
               cast(NULL AS int) AS duration_ms,
-              CASE WHEN i % 16 <> 15 THEN cast((i * 11) % 256 AS double) END
-                AS px_mean,
-              CASE WHEN i % 16 <> 15 THEN 'ok_jpeg'
-                   ELSE 'decoder_unavailable' END AS decode_status
+              cast((i * 11) % 256 AS double) AS px_mean,
+              'ok_jpeg' AS decode_status
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "media_thumbnail": """
             SELECT i AS media_id,
@@ -3876,6 +3901,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "graph_pagerank": q_pagerank,
+        "media_jpeg_lossless": q_media_jpeg_lossless,
         "pref_bradley_terry": q_bradley_terry,
         "emb_pca_project": q_pca_project,
         "pipeline_dpo_pairs": q_dpo_pairs,

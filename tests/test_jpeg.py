@@ -64,11 +64,11 @@ def test_gray_roundtrip_with_restart_markers():
 
 
 def test_unsupported_modes_are_gated_not_faked():
-    arithmetic = (
-        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xC9, 8) + bytes(6) + b"\xff\xd9"
+    progressive_arith = (
+        JPEG_MAGIC + struct.pack(">BBH", 0xFF, 0xCA, 8) + bytes(6) + b"\xff\xd9"
     )
     with pytest.raises(DecoderUnavailable):
-        decode_jpeg(arithmetic)
+        decode_jpeg(progressive_arith)
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(b"notajpeg")
 
@@ -155,15 +155,12 @@ def test_decode_media_jpeg_statuses(spark):
     out = decode_media(synthetic_jpeg_media_df(spark, 32)).toPandas()
     out = out.set_index("media_id").sort_index()
     for i in range(32):
+        # baseline, progressive (i%8==7) AND arithmetic (i%16==15) all decode
         row = out.loc[i]
-        if i % 16 == 15:  # arithmetic-coded stub: the honest gap
-            assert row["decode_status"] == "decoder_unavailable"
-            assert row["px_mean"] is None or np.isnan(row["px_mean"])
-        else:  # baseline rows AND progressive rows (i % 8 == 7) decode
-            assert row["decode_status"] == "ok_jpeg"
-            assert row["width"] == 16 + i % 9
-            assert row["height"] == 12 + i % 5
-            assert row["px_mean"] == float((i * 11) % 256)
+        assert row["decode_status"] == "ok_jpeg"
+        assert row["width"] == 16 + i % 9
+        assert row["height"] == 12 + i % 5
+        assert row["px_mean"] == float((i * 11) % 256)
 
 
 def test_ac_refine_bitstream_unit_all_branches():

@@ -1,0 +1,84 @@
+"""Lossless JPEG (SOF3, T.81 Annex H): exact round trips across predictors,
+precisions, point transform, restarts. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hatchery_spark.functions.jpeg import decode_jpeg
+from hatchery_spark.functions.jpeg_lossless import encode_jpeg_gray_lossless
+from hatchery_spark.functions.multimodal import DecoderUnavailable
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_lossless_exact_all_predictors(pred):
+    rng = np.random.default_rng(5 + pred)
+    img = rng.integers(0, 256, (21, 34)).astype(np.int32)
+    dec = decode_jpeg(encode_jpeg_gray_lossless(img, predictor=pred))
+    assert dec.dtype == np.uint8 and dec.shape == (21, 34, 3)
+    assert (dec[:, :, 0].astype(int) == img).all()
+    assert (dec[:, :, 0] == dec[:, :, 1]).all()  # grayscale replicate
+
+
+def test_lossless_16bit_exact_with_wraparound_diffs():
+    """Full-range 16-bit noise forces diffs across the whole ±32768 band,
+    including the SSSS=16 no-extra-bits case and mod-2^16 wraparound."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 65536, (17, 23)).astype(np.int64)
+    dec = decode_jpeg(encode_jpeg_gray_lossless(img, predictor=4, precision=16))
+    assert dec.dtype == np.uint16
+    assert (dec[:, :, 0].astype(int) == img).all()
+
+
+def test_lossless_12bit_exact():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, (11, 9)).astype(np.int64)
+    dec = decode_jpeg(encode_jpeg_gray_lossless(img, predictor=6, precision=12))
+    assert dec.dtype == np.uint16
+    assert (dec[:, :, 0].astype(int) == img).all()
+
+
+def test_lossless_point_transform():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (10, 12)).astype(np.int32)
+    dec = decode_jpeg(
+        encode_jpeg_gray_lossless(img, predictor=2, point_transform=2)
+    )
+    assert (dec[:, :, 0].astype(int) == (img >> 2) << 2).all()
+
+
+def test_lossless_restart_markers():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 20)).astype(np.int32)
+    dec = decode_jpeg(
+        encode_jpeg_gray_lossless(img, predictor=7, restart_interval=37)
+    )
+    assert (dec[:, :, 0].astype(int) == img).all()
+
+
+def test_lossless_smooth_content_compresses():
+    """A gradient's diffs are tiny — predictive coding must beat raw size."""
+    img = np.add.outer(np.arange(64), np.arange(64)).astype(np.int32)
+    assert len(encode_jpeg_gray_lossless(img, predictor=4)) < 64 * 64
+
+
+def test_lossless_multi_component_gated():
+    import struct
+
+    from hatchery_spark.functions.jpeg import JPEG_MAGIC
+
+    # hand-built SOF3 header with 3 components, then a 3-component SOS
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    sof = seg(
+        0xC3,
+        struct.pack(">BHHB", 8, 4, 4, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes([0] * 15 + [1]) + bytes([0]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0]))
+    payload = JPEG_MAGIC + sof + dht + sos + b"\x00" + b"\xff\xd9"
+    with pytest.raises(DecoderUnavailable):
+        decode_jpeg(payload)
