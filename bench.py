@@ -331,6 +331,15 @@ def main() -> None:
             ("doc_bloom_decontaminate", dq.q_bloom_decontaminate),
             ("media_jpeg12_decode", dq.q_media_jpeg12_decode),
             ("emb_kmeans", dq.q_emb_kmeans),
+            # round-5 session 3
+            ("graph_pagerank", dq.q_pagerank),
+            ("pref_bradley_terry", dq.q_bradley_terry),
+            ("emb_pca_project", dq.q_pca_project),
+            ("pipeline_dpo_pairs", dq.q_dpo_pairs),
+            ("rel_scd2", dq.q_scd2),
+            ("doc_readability", dq.q_readability),
+            ("media_jpeg_decode", dq.q_media_jpeg_decode),
+            ("media_jpeg_lossless", dq.q_media_jpeg_lossless),
         ]:
             measure(
                 name,

@@ -83,9 +83,13 @@ def pagerank(
     Returns ``(node, pagerank double)`` for every node in src ∪ dst, where
     ``pagerank = r/scale`` (an exact IEEE division of an integer < 2^53).
     """
+    # the edge list is touched by EVERY iteration (plus the node/degree
+    # derivations) — persist it once instead of re-deriving from the source
+    # per use (the canonical iterative-graph pattern; at 100 TB the
+    # re-derivation would re-scan the corpus each round)
     edges = edges.select(
         F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
-    )
+    ).persist()
     # node set + O(1) driver scalars (node count, integer teleport term)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -97,10 +101,29 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
 
     teleport = ((100 - damping_pct) * scale) // (100 * n_nodes)  # exact int
-    ranks = nodes.select("node", F.lit(scale // n_nodes).alias("r")).persist()
-    ranks.count()
+    # Every rank level is persisted LAZILY: the single terminal action
+    # materializes each level once (cache reuse spans stages within a job),
+    # so a 3-iteration run costs 2 jobs total (node count + the action)
+    # instead of 2 extra jobs per round. Eager count + unpersist every 5
+    # rounds bounds lineage depth and cached-level count on long runs.
+    # The dangling-node FLAG is computed once and carried in the rank frame
+    # — per-iteration dangling mass is then a bare aggregate, not an
+    # anti-join repeated every round on an iteration-invariant node set.
+    ranks = (
+        nodes.join(
+            deg.withColumnRenamed("src", "node").withColumn("_d", F.lit(False)),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce(F.col("_d"), F.lit(True)).alias("dangling"),
+            F.lit(scale // n_nodes).alias("r"),
+        )
+        .persist()
+    )
 
-    for _ in range(iters):
+    for it in range(iters):
         # per-node in-flow: edges ⋈ deg ⋈ ranks, grouped on dst — the only
         # corpus-sized shuffles in the loop; per-src share is an exact
         # integer division
@@ -113,15 +136,18 @@ def pagerank(
             .agg(F.sum("share").alias("contrib"))
         )
         # dangling mass: ranks of nodes with no out-edges — ONE row
-        dangling = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang"))
+        dangling = ranks.agg(
+            F.coalesce(F.sum(F.when(F.col("dangling"), F.col("r"))), F.lit(0))
+            .cast("long")
+            .alias("dang")
         )
         new_ranks = (
-            nodes.crossJoin(F.broadcast(dangling))
+            ranks.select("node", "dangling")
+            .crossJoin(F.broadcast(dangling))
             .join(contrib, "node", "left")
             .select(
                 "node",
+                "dangling",
                 (
                     F.lit(teleport)
                     + F.expr(
@@ -132,14 +158,11 @@ def pagerank(
             )
             .persist()
         )
-        new_ranks.count()
-        ranks.unpersist()
+        if (it + 1) % 5 == 0:
+            new_ranks.count()
+            ranks.unpersist()
         ranks = new_ranks
 
-    out = ranks.select(
+    return ranks.select(
         "node", (F.col("r").cast("double") / F.lit(float(scale))).alias("pagerank")
     )
-    # leave `ranks` persisted for the consumer; nodes/deg are no longer needed
-    nodes.unpersist()
-    deg.unpersist()
-    return out

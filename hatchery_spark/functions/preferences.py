@@ -65,10 +65,12 @@ def bradley_terry(
 
     Returns ``(item, bt_score)`` for every item appearing in the log.
     """
+    # the raw log feeds the win counts, both union legs of the pair counts,
+    # and the item set — persist once instead of re-deriving per consumer
     comparisons = comparisons.select(
         F.col("winner").cast("long").alias("winner"),
         F.col("loser").cast("long").alias("loser"),
-    )
+    ).persist()
     # one pass over the corpus-sized log → bounded aggregate frames
     wins = comparisons.groupBy(F.col("winner").alias("item")).agg(
         F.count(F.lit(1)).cast("double").alias("w_cnt")
@@ -90,10 +92,11 @@ def bradley_terry(
     )
     n_items = float(items.count())
 
+    # lazy persists: the terminal action materializes each round's frame
+    # once via the cache (see graph.pagerank); eager cut every 5 rounds
     params = items.select("item", F.lit(1.0).alias("w")).persist()
-    params.count()
 
-    for _ in range(iters):
+    for it in range(iters):
         # denom_i = Σ_j n_ij / (w_i + w_j): pair frame joined to both sides'
         # current strengths (node-sized frames — broadcast-when-small by AQE)
         denom = (
@@ -120,14 +123,12 @@ def bradley_terry(
             )
             .persist()
         )
-        new_params.count()
-        params.unpersist()
+        if (it + 1) % 5 == 0:
+            new_params.count()
+            params.unpersist()
         params = new_params
 
-    out = params.select("item", F.col("w").alias("bt_score"))
-    games.unpersist()
-    items.unpersist()
-    return out
+    return params.select("item", F.col("w").alias("bt_score"))
 
 
 def dpo_pairs(turns: DataFrame, prompt_role: str = "user", response_role: str = "assistant") -> DataFrame:
