@@ -9,11 +9,12 @@ first+refinement scans per G.1.2/G.2, interleaved DC scans, EOB runs,
 inter-scan table redefinition), Huffman entropy coding, 8-bit samples,
 1 or 3 components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
 markers; 8- and 12-bit precision (extended sequential, SOF1); sequential
-ARITHMETIC coding (SOF9 + DAC conditioning — QM-class coder and Annex F
-statistical models in functions/jpeg_arith.py); LOSSLESS predictive
-coding (SOF3, Annex H, single-component — functions/jpeg_lossless.py).
-Progressive-arithmetic (SOF10) and hierarchical modes raise
-DecoderUnavailable — honest gaps, same contract as PNG palette/16-bit.
+AND progressive ARITHMETIC coding (SOF9/SOF10 + DAC conditioning —
+QM-class coder and Annex F/G statistical models in
+functions/jpeg_arith.py); LOSSLESS predictive coding (SOF3, Annex H,
+single-component — functions/jpeg_lossless.py). Lossless-arithmetic
+(SOF11) and hierarchical modes raise DecoderUnavailable — honest gaps,
+same contract as PNG palette/16-bit.
 
 The encoder exists to make deterministic, closed-form-checkable test
 payloads (solid-color images with unit quantization tables decode back
@@ -523,11 +524,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     and successive approximation, DC and AC first/refinement scans,
     interleaved DC scans, EOB runs, per-scan table redefinition), any
     sampling factors, restart markers, 8- and 12-bit precision (12-bit:
-    level shift 2048, 0..4095 range, uint16 out), sequential ARITHMETIC
-    coding (SOF9 + DAC — jpeg_arith.py), and single-component LOSSLESS
-    (SOF3 — jpeg_lossless.py; 2..16-bit, all 7 predictors, point
-    transform). Progressive-arithmetic (SOF10) and hierarchical modes
-    raise DecoderUnavailable."""
+    level shift 2048, 0..4095 range, uint16 out), sequential AND
+    progressive ARITHMETIC coding (SOF9/SOF10 + DAC — jpeg_arith.py), and
+    single-component LOSSLESS (SOF3 — jpeg_lossless.py; 2..16-bit, all 7
+    predictors, point transform). Lossless-arithmetic (SOF11) and
+    hierarchical modes raise DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
@@ -560,8 +561,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     tbl = np.frombuffer(data[i : i + 128], dtype=">u2").astype(np.float64)
                     i += 128
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):
-            # sequential / progressive Huffman, lossless, sequential arith
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # seq/prog Huffman, lossless, seq/prog arithmetic
             precision, h, w, nc = struct.unpack(">BHHB", data[:6])
             if marker == 0xC3:
                 if not 2 <= precision <= 16:
@@ -574,7 +575,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {
                 "h": h, "w": w, "comps": comps, "precision": precision,
-                "arith": marker == 0xC9, "lossless": marker == 0xC3,
+                "arith": marker in (0xC9, 0xCA), "lossless": marker == 0xC3,
             }
         elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise DecoderUnavailable(

@@ -1,4 +1,5 @@
-"""Arithmetic-coded JPEG (SOF9, extended sequential DCT) — decoder + encoders.
+"""Arithmetic-coded JPEG — sequential (SOF9) AND progressive (SOF10)
+decoders + fixture encoders.
 
 Implemented from the public spec (ITU-T T.81): the 113-state probability
 adaptation machine of Table D.3 (plus the fixed ~equiprobable bin the AC sign
@@ -6,7 +7,13 @@ decision uses), the DC difference model of §F.1.4.4.1 / F.2.4.1 (zero /
 sign / magnitude-category / magnitude-bits decisions, conditioning category
 from the previous diff via the DAC L/U bounds), and the AC model of
 §F.1.4.4.2 / F.2.4.2 (per-index EOB and significance bins, Kx low/high
-magnitude-category split, fixed-probability sign). Restart intervals
+magnitude-category split, fixed-probability sign). The progressive scan
+classes (§G with arithmetic entropy coding): DC first on the floor-shifted
+domain, DC refinement as one fixed-probability bit per block, AC first over
+the [Ss, Se] band with magnitude point transform (truncation toward zero),
+and AC successive-approximation refinement (correction bits for previously
+significant coefficients, ±1<<Al for newly significant ones, EOB decisions
+only beyond the previous stage's end-of-block). Restart intervals
 re-initialize the coder, the statistics areas, and the DC predictions.
 
 Coder core: a QM-class binary arithmetic coder with the MPS subinterval at
@@ -322,17 +329,19 @@ def encode_dc_diff(enc: ArithEncoder, stats: list[list[int]], ctx: int,
 
 
 def decode_ac_block(dec: ArithDecoder, stats: list[list[int]],
-                    fixed: list[int], blk, kx: int) -> None:
-    """F.2.4.2: decode AC coefficients (zigzag indices 1..63) into blk."""
-    k = 1
-    while k <= 63:
+                    fixed: list[int], blk, kx: int,
+                    ss: int = 1, se: int = 63, al: int = 0) -> None:
+    """F.2.4.2 (sequential: ss=1 se=63 al=0) and the AC-first progressive
+    scan class (G: band [ss, se], values written << al)."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats[st]):  # EOB
             return
         while dec.decode(stats[st + 1]) == 0:
             st += 3
             k += 1
-            if k > 63:
+            if k > se:
                 raise ValueError("arithmetic AC run overflow")
         sign = dec.decode(fixed)
         st += 2
@@ -352,25 +361,104 @@ def decode_ac_block(dec: ArithDecoder, stats: list[list[int]],
             if dec.decode(stats[st]):
                 v |= m
         v += 1
-        blk[k] = -v if sign else v
+        blk[k] = (-v if sign else v) << al
+        k += 1
+
+
+def decode_ac_refine(dec: ArithDecoder, stats: list[list[int]],
+                     fixed: list[int], blk, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement scan (G / F.2.4.3): one
+    correction bit per previously-nonzero coefficient, newly-significant
+    coefficients set to ±1<<al, EOB decision only beyond the previous
+    stage's end-of-block index."""
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = se
+    while kex >= ss and blk[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats[st]):
+            return  # EOB — the rest of the band is unchanged
+        while True:
+            if blk[k]:  # previously nonzero: one correction bit
+                if dec.decode(stats[st + 2]):
+                    blk[k] += m1 if blk[k] < 0 else p1
+                break
+            if dec.decode(stats[st + 1]):  # newly significant
+                blk[k] = m1 if dec.decode(fixed) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement run overflow")
+        k += 1
+
+
+def encode_ac_refine(enc: ArithEncoder, stats: list[list[int]],
+                     fixed: list[int], coefs, ss: int, se: int,
+                     ah: int, al: int) -> None:
+    """Mirror of decode_ac_refine over the TRUE coefficients: previous-pass
+    visibility is |c|>>ah, this pass reveals bit al."""
+    def cur(k):
+        c = int(coefs[k])
+        return (abs(c) >> al) * (-1 if c < 0 else 1)
+
+    def prev(k):
+        c = int(coefs[k])
+        return (abs(c) >> ah) * (-1 if c < 0 else 1)
+
+    ke = se
+    while ke >= ss and cur(ke) == 0:
+        ke -= 1
+    kex = se
+    while kex >= ss and prev(kex) == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if k > ke:
+                enc.encode(1, stats[st])
+                return
+            enc.encode(0, stats[st])
+        while True:
+            if prev(k):
+                enc.encode((abs(int(coefs[k])) >> al) & 1, stats[st + 2])
+                break
+            if cur(k):
+                enc.encode(1, stats[st + 1])
+                enc.encode(1 if int(coefs[k]) < 0 else 0, fixed)
+                break
+            enc.encode(0, stats[st + 1])
+            st += 3
+            k += 1
         k += 1
 
 
 def encode_ac_block(enc: ArithEncoder, stats: list[list[int]],
-                    fixed: list[int], coefs, kx: int) -> None:
-    """F.1.4.4.2 mirror of decode_ac_block; coefs is the zigzag block."""
-    nz = [k for k in range(1, 64) if coefs[k]]
-    eob = (nz[-1] + 1) if nz else 1
-    k = 1
+                    fixed: list[int], coefs, kx: int,
+                    ss: int = 1, se: int = 63, al: int = 0) -> None:
+    """F.1.4.4.2 mirror of decode_ac_block (band [ss, se], AC point
+    transform = magnitude shift, i.e. truncation toward zero — G.1.2.1);
+    coefs is the zigzag block of TRUE coefficients."""
+    def val_at(k):
+        c = int(coefs[k])
+        return (abs(c) >> al) * (-1 if c < 0 else 1)
+
+    nz = [k for k in range(ss, se + 1) if val_at(k)]
+    eob = (nz[-1] + 1) if nz else ss
+    k = ss
     while k < eob:
         st = 3 * (k - 1)
         enc.encode(0, stats[st])  # not EOB
-        while coefs[k] == 0:
+        while val_at(k) == 0:
             enc.encode(0, stats[st + 1])
             st += 3
             k += 1
         enc.encode(1, stats[st + 1])
-        val = int(coefs[k])
+        val = val_at(k)
         sign = 1 if val < 0 else 0
         enc.encode(sign, fixed)
         v = (-val if sign else val) - 1
@@ -398,7 +486,7 @@ def encode_ac_block(enc: ArithEncoder, stats: list[list[int]],
             mm >>= 1
             enc.encode(1 if v & mm else 0, stats[st])
         k += 1
-    if eob <= 63:
+    if eob <= se:
         enc.encode(1, stats[3 * (eob - 1)])  # EOB decision
 
 
@@ -424,12 +512,12 @@ class _ArithScanState:
 
 def decode_scan_arith(content, pos, frame, scan, store, dc_cond, ac_cond, ri,
                       scan_units):
-    """Arithmetic counterpart of jpeg._decode_scan for sequential (SOF9)
-    scans: full DC+AC per block, Ss/Se/Ah/Al must be the sequential 0/63/0/0.
+    """Arithmetic counterpart of jpeg._decode_scan: sequential scans (SOF9,
+    Ss/Se/Ah/Al = 0/63/0/0) AND every progressive scan class (SOF10 —
+    DC first with point transform, DC refinement via the fixed bin, AC
+    first over [Ss, Se], AC successive-approximation refinement).
     `scan_units` is jpeg.py's unit enumerator (shared block-raster logic)."""
     ns_comps, ss, se, ah, al = scan
-    if (ss, se, ah, al) != (0, 63, 0, 0):
-        raise ValueError("progressive arithmetic scans not supported (SOF10)")
     per_unit = scan_units(frame, ns_comps)
     state = _ArithScanState(content, pos, ns_comps, dc_cond, ac_cond)
     n_unit = 0
@@ -441,18 +529,33 @@ def decode_scan_arith(content, pos, frame, scan, store, dc_cond, ac_cond, ri,
             state = _ArithScanState(content, p + 2, ns_comps, dc_cond, ac_cond)
         for sc, by, bx in blocks:
             blk = store[sc["id"]][by, bx]
-            lo, up = dc_cond.get(sc["dc"], (0, 1))
-            kx = ac_cond.get(sc["ac"], 5)
-            diff, nxt = decode_dc_diff(
-                state.dec, state.dc_stats[sc["dc"]],
-                state.dc_ctx[sc["id"]], lo, up,
-            )
-            state.dc_ctx[sc["id"]] = nxt
-            state.preds[sc["id"]] += diff
-            blk[0] = state.preds[sc["id"]]
-            decode_ac_block(
-                state.dec, state.ac_stats[sc["ac"]], state.fixed, blk, kx,
-            )
+            if ss == 0 and ah == 0:
+                # DC first (sequential scans take this path with al=0)
+                lo, up = dc_cond.get(sc["dc"], (0, 1))
+                diff, nxt = decode_dc_diff(
+                    state.dec, state.dc_stats[sc["dc"]],
+                    state.dc_ctx[sc["id"]], lo, up,
+                )
+                state.dc_ctx[sc["id"]] = nxt
+                state.preds[sc["id"]] += diff
+                blk[0] = state.preds[sc["id"]] << al
+            elif ss == 0 and se == 0 and ah > 0:
+                # DC refinement: ONE fixed-probability bit per block
+                if state.dec.decode(state.fixed):
+                    blk[0] |= 1 << al
+            if se > 0:
+                kx = ac_cond.get(sc["ac"], 5)
+                first_k = max(ss, 1)
+                if ah == 0:
+                    decode_ac_block(
+                        state.dec, state.ac_stats[sc["ac"]], state.fixed,
+                        blk, kx, first_k, se, al,
+                    )
+                else:
+                    decode_ac_refine(
+                        state.dec, state.ac_stats[sc["ac"]], state.fixed,
+                        blk, first_k, se, al,
+                    )
         n_unit += 1
     return state.dec.next_marker()
 
@@ -590,3 +693,78 @@ def encode_jpeg_gray_arith(img: np.ndarray, restart_interval: int = 0) -> bytes:
             n_blk += 1
     body += enc.flush()
     return JPEG_MAGIC + dqt + sof + dri + sos + bytes(body) + b"\xff\xd9"
+
+
+def encode_jpeg_gray_arith_progressive(
+    img: np.ndarray, al_max: int = 1, restart_interval: int = 0
+) -> bytes:
+    """Arbitrary-content single-component PROGRESSIVE arithmetic JPEG
+    (SOF10): DC first + two AC-first bands at point transform ``al_max``,
+    then full successive-approximation refinement chains down to al=0.
+    Because refinement reaches al=0, the decoded pixels must be
+    BIT-IDENTICAL to the sequential decode of the same coefficients —
+    the same cross-codec invariant the SOF9 encoder is tested with."""
+    from hatchery_spark.functions.jpeg import _DCT_M, _ZIGZAG, JPEG_MAGIC
+
+    img = np.asarray(img, dtype=np.float64)
+    h, w = img.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(img, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    zz = np.zeros((bh, bw, 64), dtype=np.int32)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.rint(_DCT_M @ block @ _DCT_M.T).astype(np.int32)
+            zz[by, bx] = coef.reshape(-1)[_ZIGZAG]
+
+    scans = [(0, 0, 0, al_max), (1, 31, 0, al_max), (32, 63, 0, al_max)]
+    for a in range(al_max, 0, -1):
+        scans += [(0, 0, a, a - 1), (1, 31, a, a - 1), (32, 63, a, a - 1)]
+
+    out = bytearray(JPEG_MAGIC)
+    out += _seg(0xDB, b"\x00" + bytes([1] * 64))
+    out += _seg(0xCA, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xCC, bytes([0x00, 0x10, 0x10, 5]))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    for ss, se, ah, al in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        enc = ArithEncoder()
+        dc_stats = new_stats(DC_STAT_BINS)
+        ac_stats = new_stats(AC_STAT_BINS)
+        fixed = [FIXED_BIN, 0]
+        pred, ctx = 0, 0
+        body = bytearray()
+        n_blk, rst = 0, 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and n_blk and n_blk % restart_interval == 0:
+                    body += enc.flush() + bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    enc = ArithEncoder()
+                    dc_stats = new_stats(DC_STAT_BINS)
+                    ac_stats = new_stats(AC_STAT_BINS)
+                    fixed = [FIXED_BIN, 0]
+                    pred, ctx = 0, 0
+                blk = zz[by, bx]
+                if ss == 0 and ah == 0:  # DC first: floor-shifted domain
+                    m = int(blk[0]) >> al
+                    ctx = encode_dc_diff(enc, dc_stats, ctx, m - pred, 0, 1)
+                    pred = m
+                elif ss == 0 and se == 0:  # DC refinement
+                    enc.encode((int(blk[0]) >> al) & 1, fixed)
+                if se > 0:
+                    first_k = max(ss, 1)
+                    if ah == 0:
+                        encode_ac_block(
+                            enc, ac_stats, fixed, blk, 5, first_k, se, al
+                        )
+                    else:
+                        encode_ac_refine(
+                            enc, ac_stats, fixed, blk, first_k, se, ah, al
+                        )
+                n_blk += 1
+        body += enc.flush()
+        out += bytes(body)
+    return bytes(out) + b"\xff\xd9"

@@ -678,9 +678,10 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
     8th row is a PROGRESSIVE (SOF2) payload — interleaved DC scan +
     per-component EOB-run AC scans — decoded by the same closed form.
     Every 16th row is ARITHMETIC-CODED (SOF9, QM-class coder + the Annex F
-    statistical models, functions/jpeg_arith.py), decoded by the same
-    closed form; progressive-arithmetic (SOF10) and hierarchical modes
-    remain the honest `decoder_unavailable` channel.
+    statistical models, functions/jpeg_arith.py) and every 32nd is
+    PROGRESSIVE-ARITHMETIC (SOF10, full refinement chain), both decoded by
+    the same closed form; lossless-arithmetic (SOF11) and hierarchical
+    modes remain the honest `decoder_unavailable` channel.
     """
     from hatchery_spark.functions.jpeg import (
         encode_jpeg,
@@ -690,7 +691,16 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
 
     rows = []
     for i in range(n):
-        if i % 16 == 15:
+        if i % 32 == 31:
+            # PROGRESSIVE arithmetic (SOF10): single-component solid gray —
+            # decode_media replicates to 3 channels, same closed form
+            from hatchery_spark.functions.jpeg_arith import (
+                encode_jpeg_gray_arith_progressive,
+            )
+
+            img = np.full((12 + i % 5, 16 + i % 9), (i * 11) % 256, np.int32)
+            content = encode_jpeg_gray_arith_progressive(img, al_max=1)
+        elif i % 16 == 15:
             content = encode_jpeg_arith(
                 width=16 + i % 9,
                 height=12 + i % 5,

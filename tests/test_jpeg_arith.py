@@ -121,14 +121,35 @@ def test_entropy_bytes_are_marker_safe():
     assert decode_jpeg(payload).shape == (32, 32, 3)
 
 
-def test_progressive_arithmetic_stays_gated():
+def test_progressive_arith_bit_identical_to_huffman():
+    """SOF10 full chain (DC/AC first at al_max + refinements down to al=0)
+    must reconstruct the exact coefficients → pixels identical to the
+    sequential Huffman decode; al_max=2 exercises multi-level refinement
+    (corrections applied twice per coefficient)."""
+    from hatchery_spark.functions.jpeg_arith import (
+        encode_jpeg_gray_arith_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    img = np.clip(rng.normal(128, 40, (24, 31)), 0, 255).round()
+    hf = decode_jpeg(encode_jpeg_gray(img))
+    for al_max in (1, 2):
+        pa = decode_jpeg(encode_jpeg_gray_arith_progressive(img, al_max=al_max))
+        assert (pa == hf).all()
+    pr = decode_jpeg(
+        encode_jpeg_gray_arith_progressive(img, al_max=1, restart_interval=4)
+    )
+    assert (pr == hf).all()
+
+
+def test_lossless_arithmetic_stays_gated():
     from hatchery_spark.functions.jpeg import JPEG_MAGIC
     from hatchery_spark.functions.multimodal import DecoderUnavailable
 
     bad = encode_jpeg_arith(16, 12, 50)
-    # flip SOF9 -> SOF10: scan declares sequential but frame says progressive
+    # flip SOF9 -> SOF11 (lossless arithmetic): the remaining honest gap
     idx = bad.index(b"\xff\xc9")
-    bad = bad[:idx] + b"\xff\xca" + bad[idx + 2 :]
+    bad = bad[:idx] + b"\xff\xcb" + bad[idx + 2 :]
     assert bad.startswith(JPEG_MAGIC)
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(bad)
