@@ -340,6 +340,8 @@ def main() -> None:
             ("doc_readability", dq.q_readability),
             ("media_jpeg_decode", dq.q_media_jpeg_decode),
             ("media_jpeg_lossless", dq.q_media_jpeg_lossless),
+            ("doc_fuzzy_pairs", dq.q_fuzzy_pairs),
+            ("rel_orc_roundtrip", dq.q_orc_roundtrip),
         ]:
             measure(
                 name,

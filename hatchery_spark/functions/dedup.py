@@ -1323,3 +1323,50 @@ def remove_duplicate_substrings_fast(
     pos = df.select(id_col, text_col).mapInPandas(positions, pos_schema)
     dup_pos = pos.join(dup, "h").select("_id", "p")
     return _excise_dup_positions(df, dup_pos, k, text_col, id_col)
+
+
+def deletion_neighborhood_pairs(
+    tokens: DataFrame,
+    col: str = "token",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Edit-distance-1 pair mining via deletion neighborhoods (the FastSS /
+    SymSpell blocking scheme): every string s produces {s} ∪ {s with one
+    character deleted}; any two strings within Levenshtein distance 1 share
+    at least one variant, so candidate pairs come from a VARIANT-KEYED
+    self-join — never an all-pairs or whale-block (first-letter) join —
+    and an exact levenshtein() verify removes the false candidates the
+    blocking admits (e.g. transposition pairs at distance 2 that share a
+    deletion). The curation use: typo/variant clustering of vocabulary
+    before frequency-based filters, entity-resolution blocking.
+
+    Scale shape: explode factor is len(s)+1 (bounded by the token-length
+    cap upstream); the self-join keys on the variant string with AQE
+    handling size; output pairs are distinct (t1 < t2) with the exact
+    distance attached. Only ``max_dist=1`` is supported (the deletion
+    neighborhood of depth 1); deeper neighborhoods multiply the explode.
+    """
+    if max_dist != 1:
+        raise ValueError("deletion_neighborhood_pairs supports max_dist=1 only")
+    t = tokens.select(F.col(col).alias("t")).where(F.col("t").isNotNull()).distinct()
+    tc = F.col("t")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(tc)),
+        lambda i: F.concat(
+            tc.substr(F.lit(1), i - 1),
+            tc.substr(i + 1, F.length(tc) - i),
+        ),
+    )
+    variants = t.select(
+        "t", F.explode(F.array_union(F.array(tc), deletions)).alias("v")
+    )
+    left = variants.select(F.col("t").alias("t1"), "v")
+    right = variants.select(F.col("t").alias("t2"), "v")
+    return (
+        left.join(right, "v")
+        .where(F.col("t1") < F.col("t2"))
+        .select("t1", "t2")
+        .distinct()
+        .withColumn("dist", F.levenshtein("t1", "t2"))
+        .where(F.col("dist") <= max_dist)  # exact verify kills lev-2 candidates
+    )

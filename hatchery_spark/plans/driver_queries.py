@@ -2411,6 +2411,91 @@ def q_dpo_pairs(spark, sf_dir):
     return dpo_pairs(t)
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance-1 typo-pair mining over the corpus vocabulary via
+    deletion-neighborhood blocking (FastSS/SymSpell): variant-keyed
+    self-join candidates + exact levenshtein verify — no all-pairs, no
+    whale first-letter blocks."""
+    from hatchery_spark.functions.dedup import deletion_neighborhood_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    base = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    F.lit("[a-z]+"),
+                    0,
+                )
+            ).alias("token")
+        )
+        .where(F.length("token").between(4, 12))
+        .distinct()
+    )
+    # the synthetic vocabulary is typo-free — plant deterministic typos
+    # (3rd char deleted, md5-gated half of tokens) so the operator's match
+    # path is actually exercised; the oracle replays the same derivation
+    typos = base.where(F.substring(F.md5("token"), 1, 1) < "8").select(
+        F.concat(
+            F.substring("token", 1, 2), F.expr("substring(token, 4)")
+        ).alias("token")
+    )
+    toks = base.union(typos).distinct()
+    return deletion_neighborhood_pairs(toks).select(
+        "t1", "t2", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def q_orc_roundtrip(spark, sf_dir):
+    """Second columnar format end-to-end: lineitem → ORC (Spark's built-in
+    writer) → read back → aggregate. Proves the engine is not
+    parquet-bound; the oracle recomputes the aggregate from the original
+    parquet, so any ORC round-trip corruption value-mismatches."""
+    import tempfile
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    path = tempfile.mkdtemp(prefix="hs_orc_") + "/lineitem_orc"
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+_FUZZY_PAIRS_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT tok AS t FROM (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS tok
+    FROM documents)
+  WHERE len(tok) BETWEEN 4 AND 12),
+toks AS (
+  SELECT DISTINCT t FROM (
+    SELECT t FROM base
+    UNION ALL
+    SELECT substr(t, 1, 2) || substr(t, 4) AS t
+    FROM base WHERE substr(md5(t), 1, 1) < '8')),
+var AS (
+  SELECT DISTINCT t, v FROM (
+    SELECT t, unnest(list_append(
+      list_transform(range(1, len(t) + 1),
+                     i -> substr(t, 1, i - 1) || substr(t, i + 1, len(t) - i)),
+      t)) AS v
+    FROM toks)),
+p AS (SELECT DISTINCT a.t AS t1, b.t AS t2
+      FROM var a JOIN var b ON a.v = b.v AND a.t < b.t)
+SELECT t1, t2, cast(levenshtein(t1, t2) AS int) AS dist
+FROM p WHERE levenshtein(t1, t2) <= 1"""
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
 def _hex_decode_terms(col: str = "h") -> str:
     """Positional decode of an 8-hex-char column to BIGINT (no conv in
     DuckDB) — mirrors graph._md5_prefix_long."""
@@ -3735,6 +3820,8 @@ def oracle_catalog() -> dict[str, str]:
             FROM (SELECT unnest(range(0, 64)) AS i)""",
         "emb_kmeans": _kmeans_oracle(k=4, dim=64, iters=3, rd=6),
         "doc_readability": _READABILITY_ORACLE,
+        "doc_fuzzy_pairs": _FUZZY_PAIRS_ORACLE,
+        "rel_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
@@ -3906,6 +3993,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": q_pca_project,
         "pipeline_dpo_pairs": q_dpo_pairs,
         "rel_scd2": q_scd2,
+        "doc_fuzzy_pairs": q_fuzzy_pairs,
+        "rel_orc_roundtrip": q_orc_roundtrip,
         "doc_readability": q_readability,
         "doc_bpe_train_local": q_bpe_train_local,
         "doc_bpe_encode_arrow": q_bpe_encode_arrow,

@@ -216,3 +216,46 @@ def test_pca_deterministic(spark):
     a = sorted(pca_power_project(emb, iters=4).collect())
     b = sorted(pca_power_project(emb.repartition(5), iters=4).collect())
     assert a == b
+
+
+# ----------------------------------------------------- fuzzy pairs / ORC
+
+
+def test_deletion_neighborhood_pairs(spark):
+    from hatchery_spark.functions.dedup import deletion_neighborhood_pairs
+
+    toks = spark.createDataFrame(
+        [("table",), ("tabel",), ("tble",), ("chair",), ("chairs",),
+         ("stone",), ("stoen",)],  # stoen = transposition → distance 2
+        "token string",
+    )
+    out = {(r["t1"], r["t2"]): r["dist"]
+           for r in deletion_neighborhood_pairs(toks).collect()}
+    assert ("table", "tble") in out      # deletion
+    assert ("chair", "chairs") in out    # insertion
+    assert out[("chair", "chairs")] == 1
+    # transposition pairs share a deletion variant but sit at distance 2 —
+    # the exact verify must reject them
+    assert ("stoen", "stone") not in out
+    # substitution pairs share the deletion at the substituted position
+    toks2 = spark.createDataFrame([("cat",), ("bat",)], "token string")
+    out2 = deletion_neighborhood_pairs(toks2).collect()
+    assert len(out2) == 1 and out2[0]["dist"] == 1
+
+
+def test_orc_roundtrip_matches_parquet(spark):
+    from hatchery_spark.plans.driver_queries import q_orc_roundtrip, load
+    import pyspark.sql.functions as F
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["sum_qty"])
+        for r in q_orc_roundtrip(spark, SF).collect()
+    }
+    li = load(spark, SF, "lineitem")
+    exp = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["sum_qty"])
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .collect()
+    }
+    assert got == exp
