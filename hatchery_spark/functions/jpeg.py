@@ -624,12 +624,16 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     decode_lossless_scan,
                 )
 
-                plane, pos = decode_lossless_scan(
+                if "_planes" not in frame:
+                    frame["_planes"] = {}
+                frame["_pt"] = Al  # point transform (uniform across scans)
+                pos = decode_lossless_scan(
                     content, pos + 2 + length, frame,
                     (scan_comps, Ss, Se, Ah, Al), dc_tabs, restart_interval,
+                    frame["_planes"],
                 )
-                out_t = np.uint8 if frame["precision"] <= 8 else np.uint16
-                return np.dstack([plane, plane, plane]).astype(out_t)
+                saw_scan = True
+                continue
             if frame.get("arith"):
                 from hatchery_spark.functions.jpeg_arith import decode_scan_arith
 
@@ -649,6 +653,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         pos = pos + 2 + length
     if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS")
+
+    if frame.get("lossless"):
+        from hatchery_spark.functions.jpeg_lossless import assemble_lossless
+
+        return assemble_lossless(frame, frame["_planes"])
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)

@@ -6,10 +6,12 @@ entropy-coded with DC-style Huffman categories (SSSS up to 16, where 16
 carries no extra bits and means diff = 32768). Still used by DNG/medical
 corpora, which is why a multimodal triage stage meets it.
 
-Supported: single-component scans (the overwhelmingly common archival form),
-precisions 2..16, predictors 1..7, point transform, restart intervals.
-Multi-component lossless interleave stays behind DecoderUnavailable (honest
-gap — the per-MCU sample interleave adds bookkeeping, not concepts).
+Supported: single-component scans, interleaved multi-component scans (MCU =
+one sample per component — the direct-RGB DNG layout), per-component
+non-interleaved scans, precisions 2..16, predictors 1..7, point transform,
+restart intervals. SUBSAMPLED lossless (unequal sampling factors) stays
+behind DecoderUnavailable — an honest gap; it is vanishingly rare because
+lossless subsampling discards information.
 
 Predictors (H.1.2.1), with a = left, b = above, c = above-left:
   1: a   2: b   3: c   4: a+b-c   5: a+(b-c)>>1   6: b+(a-c)>>1   7: (a+b)>>1
@@ -60,29 +62,48 @@ def _predict(row_above, row_cur, x: int, y: int, pred: int, p: int, pt: int) -> 
     raise ValueError(f"lossless predictor {pred} out of range 1..7")
 
 
-def decode_lossless_scan(content, pos, frame, scan, dc_tabs, ri):
-    """Decode a single-component SOF3 scan; returns (plane uint16, next marker
-    position). `scan` = (ns_comps, Ss=predictor, Se, Ah, Al=Pt)."""
-    from hatchery_spark.functions.jpeg import _BitReader, _huff_decode
+def _read_diff(br, table) -> int:
+    from hatchery_spark.functions.jpeg import _huff_decode
+
+    t = _huff_decode(br, table)
+    if t == 16:  # H.1.2.2: SSSS=16 codes diff 32768, no extra bits
+        return 32768
+    if t:
+        # EXTEND (F.2.2.1): top extra bit 0 → negative branch
+        bits = br.bits(t)
+        return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+    return 0
+
+
+def decode_lossless_scan(content, pos, frame, scan, dc_tabs, ri, planes):
+    """Decode one SOF3 scan into ``planes`` (comp id → int32 sample plane,
+    created on first use); returns the next marker position. Handles both
+    non-interleaved single-component scans and interleaved multi-component
+    scans (MCU = one sample per component — subsampled lossless stays
+    gated). ``scan`` = (ns_comps, Ss=predictor, Se, Ah, Al=Pt)."""
+    from hatchery_spark.functions.jpeg import _BitReader
 
     ns_comps, pred, _se, _ah, pt = scan
-    if len(ns_comps) != 1:
-        raise DecoderUnavailable(
-            "multi-component lossless JPEG scans not supported"
-        )
+    if len(frame["comps"]) > 1 and any(
+        c["h"] != 1 or c["v"] != 1 for c in frame["comps"]
+    ):
+        raise DecoderUnavailable("subsampled lossless JPEG not supported")
     p = frame["precision"]
     h, w = frame["h"], frame["w"]
-    table = dc_tabs.get(ns_comps[0]["dc"])
-    if table is None:
-        raise ValueError("lossless scan references an undefined DC table")
+    tables = {}
+    for sc in ns_comps:
+        tb = dc_tabs.get(sc["dc"])
+        if tb is None:
+            raise ValueError("lossless scan references an undefined DC table")
+        tables[sc["id"]] = tb
+        planes.setdefault(sc["id"], np.zeros((h, w), dtype=np.int32))
 
-    plane = np.zeros((h, w), dtype=np.int32)
     br = _BitReader(content, pos)
-    n_sample = 0
-    restart_origin = None  # (y, x) where the current interval began
+    n_mcu = 0
+    just_restarted = False
     for y in range(h):
         for x in range(w):
-            if ri and n_sample and n_sample % ri == 0:
+            if ri and n_mcu and n_mcu % ri == 0:
                 br.align()
                 q = br.pos
                 while content[q] != 0xFF or content[q + 1] == 0x00:
@@ -90,29 +111,46 @@ def decode_lossless_scan(content, pos, frame, scan, dc_tabs, ri):
                 if not (0xD0 <= content[q + 1] <= 0xD7):
                     raise ValueError("expected restart marker")
                 br = _BitReader(content, q + 2)
-                restart_origin = (y, x)
-            t = _huff_decode(br, table)
-            if t == 16:  # H.1.2.2: SSSS=16 codes diff 32768, no extra bits
-                diff = 32768
-            elif t:
-                # EXTEND (F.2.2.1): top extra bit 0 → negative branch
-                bits = br.bits(t)
-                diff = bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
-            else:
-                diff = 0
-            if restart_origin == (y, x):
-                px = 1 << (p - 1 - pt)
-            else:
-                px = _predict(
-                    plane[y - 1] if y else None, plane[y], x, y, pred, p, pt
-                )
-            plane[y, x] = (px + diff) & 0xFFFF  # modulo-2^16 arithmetic
-            n_sample += 1
+                just_restarted = True
+            for sc in ns_comps:
+                diff = _read_diff(br, tables[sc["id"]])
+                plane = planes[sc["id"]]
+                if just_restarted or (y == 0 and x == 0):
+                    px = 1 << (p - 1 - pt)
+                else:
+                    px = _predict(
+                        plane[y - 1] if y else None, plane[y], x, y, pred, p, pt
+                    )
+                plane[y, x] = (px + diff) & 0xFFFF  # modulo-2^16 arithmetic
+            just_restarted = False
+            n_mcu += 1
     br.align()
     q = br.pos
     while q + 1 < len(content) and (content[q] != 0xFF or content[q + 1] == 0x00):
         q += 1
-    return (plane.astype(np.int64) << pt).astype(np.uint16), q
+    return q
+
+
+def assemble_lossless(frame, planes) -> np.ndarray:
+    """Stack decoded sample planes into the (h, w, 3) output contract:
+    1 component replicates to gray; 3 components stack AS-IS (T.81 defines
+    no color transform for lossless — 3-component lossless is typically
+    direct RGB, e.g. DNG); other counts stay gated."""
+    comps = frame["comps"]
+    pt_shift = frame.get("_pt", 0)
+    out_t = np.uint8 if frame["precision"] <= 8 else np.uint16
+
+    def finish(cid):
+        return (planes[cid].astype(np.int64) << pt_shift).astype(out_t)
+
+    if len(comps) == 1:
+        plane = finish(comps[0]["id"])
+        return np.dstack([plane, plane, plane])
+    if len(comps) == 3:
+        return np.dstack([finish(c["id"]) for c in comps])
+    raise DecoderUnavailable(
+        f"{len(comps)}-component lossless JPEG not supported"
+    )
 
 
 def encode_jpeg_gray_lossless(
@@ -230,6 +268,114 @@ def encode_jpeg_gray_lossless(
             if t and t != 16:
                 bw.write(_extend_bits(d, t), t)
             n += 1
+    bw.flush()
+    body += bw.out
+    out += bytes(body) + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved 3-component SOF3 encoder (direct RGB, no color
+    transform — the DNG-style lossless layout): MCU = one sample per
+    component, all components share one frequency-skewed Huffman table.
+    EXACT round trip by construction."""
+    from hatchery_spark.functions.jpeg import (
+        JPEG_MAGIC,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+        _extend_bits,
+    )
+    from collections import Counter
+
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb_lossless expects (h, w, 3)")
+    if img.min() < 0 or img.max() > 255:
+        raise ValueError("samples must fit 8 bits")
+    h, w, _ = img.shape
+    samples = img.astype(np.int32)
+    p = 8
+
+    def diff_plan():
+        """Yield (y, x, comp, diff) in MCU interleave order with restart
+        re-anchoring — shared by the table pass and the emit pass."""
+        n = 0
+        for y in range(h):
+            for x in range(w):
+                anchored = bool(
+                    restart_interval and n and n % restart_interval == 0
+                )
+                for c in range(3):
+                    s = int(samples[y, x, c])
+                    if anchored or (y == 0 and x == 0):
+                        px = 1 << (p - 1)
+                    elif y == 0:
+                        px = int(samples[y, x - 1, c])
+                    elif x == 0:
+                        px = int(samples[y - 1, x, c])
+                    else:
+                        a, b, cc = (
+                            int(samples[y, x - 1, c]),
+                            int(samples[y - 1, x, c]),
+                            int(samples[y - 1, x - 1, c]),
+                        )
+                        px = {
+                            1: a, 2: b, 3: cc, 4: a + b - cc,
+                            5: a + ((b - cc) >> 1), 6: b + ((a - cc) >> 1),
+                            7: (a + b) >> 1,
+                        }[predictor]
+                    d = (s - px) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                    yield n, d
+                n += 1
+
+    freq = Counter(
+        16 if d == -32768 else _category(d) for _, d in diff_plan()
+    )
+    cats = [c for c, _ in freq.most_common()]
+    n_cats = len(cats)
+    lengths = [1] if n_cats == 1 else list(range(1, n_cats)) + [n_cats - 1]
+    bits = [0] * 16
+    for ln in lengths:
+        bits[ln - 1] += 1
+    codes = _canonical_codes(bits, cats)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(
+        0xC3,
+        struct.pack(">BHHB", p, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(cats))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, predictor, 0, 0]))
+
+    bw = _BitWriter()
+    body = bytearray()
+    cur_mcu, rst = 0, 0
+    for n, d in diff_plan():
+        if n != cur_mcu:  # MCU boundary just crossed
+            cur_mcu = n
+            if restart_interval and n % restart_interval == 0:
+                bw.flush()
+                body += bw.out + bytes([0xFF, 0xD0 + rst])
+                bw = _BitWriter()
+                rst = (rst + 1) % 8
+        t = 16 if d == -32768 else _category(d)
+        code, length = codes[t]
+        bw.write(code, length)
+        if t and t != 16:
+            bw.write(_extend_bits(d, t), t)
     bw.flush()
     body += bw.out
     out += bytes(body) + b"\xff\xd9"

@@ -736,19 +736,34 @@ def synthetic_jpeg_lossless_media_df(spark, n: int = 28) -> DataFrame:
     recomputes over the same grid — and because lossless output is
     predictor-independent, rotating all 7 predictors (plus point transform
     and restart intervals) proves each one against the same expectation."""
-    from hatchery_spark.functions.jpeg_lossless import encode_jpeg_gray_lossless
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless,
+        encode_jpeg_rgb_lossless,
+    )
 
     rows = []
     for i in range(n):
         w, h = 16 + i % 9, 12 + i % 5
         yy, xx = np.indices((h, w))
-        img = ((xx + yy + i) % 256).astype(np.int32)
-        content = encode_jpeg_gray_lossless(
-            img,
-            predictor=1 + i % 7,
-            point_transform=i % 3,
-            restart_interval=13 if i % 4 == 3 else 0,
-        )
+        if i % 4 == 1:
+            # interleaved direct-RGB lossless (DNG layout): per-channel
+            # gradient, same closed form per channel
+            img3 = np.stack(
+                [((xx + yy + i + ch) % 256) for ch in range(3)], axis=2
+            ).astype(np.int32)
+            content = encode_jpeg_rgb_lossless(
+                img3,
+                predictor=1 + i % 7,
+                restart_interval=5 if i % 8 == 5 else 0,
+            )
+        else:
+            img = ((xx + yy + i) % 256).astype(np.int32)
+            content = encode_jpeg_gray_lossless(
+                img,
+                predictor=1 + i % 7,
+                point_transform=i % 3,
+                restart_interval=13 if i % 4 == 3 else 0,
+            )
         rows.append((i, "image", bytearray(content)))
     return spark.createDataFrame(
         rows, "media_id long, kind string, content binary"

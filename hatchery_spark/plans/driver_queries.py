@@ -3829,16 +3829,19 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_dpo_pairs": _dpo_oracle(),
         "media_jpeg_lossless": """
             WITH g AS (
-              SELECT i, x.j AS xj, y.j AS yj
+              SELECT i, x.j AS xj, y.j AS yj, c.j AS ch
               FROM (SELECT unnest(range(0, 28)) AS i),
-                   range(0, 24) x(j), range(0, 16) y(j)
-              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+                   range(0, 24) x(j), range(0, 16) y(j), range(0, 3) c(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5
+                AND (i % 4 = 1 OR c.j = 0))
             SELECT i AS media_id, 'image' AS kind,
               cast(16 + i % 9 AS int) AS width,
               cast(12 + i % 5 AS int) AS height,
               cast(NULL AS int) AS duration_ms,
-              round(avg(cast((((xj + yj + i) % 256) >> (i % 3)) << (i % 3)
-                            AS double)), 4) AS px_mean,
+              round(avg(CASE WHEN i % 4 = 1
+                             THEN cast((xj + yj + i + ch) % 256 AS double)
+                             ELSE cast((((xj + yj + i) % 256) >> (i % 3))
+                                       << (i % 3) AS double) END), 4) AS px_mean,
               'ok_jpeg' AS decode_status
             FROM g GROUP BY i""",
         "media_jpeg12_decode": """

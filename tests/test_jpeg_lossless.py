@@ -63,19 +63,31 @@ def test_lossless_smooth_content_compresses():
     assert len(encode_jpeg_gray_lossless(img, predictor=4)) < 64 * 64
 
 
-def test_lossless_multi_component_gated():
+def test_lossless_rgb_interleaved_exact():
+    from hatchery_spark.functions.jpeg_lossless import encode_jpeg_rgb_lossless
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 17, 3)).astype(np.int32)
+    for pred in (1, 4, 7):
+        dec = decode_jpeg(encode_jpeg_rgb_lossless(img, predictor=pred))
+        assert (dec.astype(int) == img).all()
+    dec = decode_jpeg(encode_jpeg_rgb_lossless(img, predictor=2, restart_interval=5))
+    assert (dec.astype(int) == img).all()
+
+
+def test_lossless_subsampled_gated():
     import struct
 
     from hatchery_spark.functions.jpeg import JPEG_MAGIC
 
-    # hand-built SOF3 header with 3 components, then a 3-component SOS
+    # hand-built SOF3 with UNEQUAL sampling factors (2x1 luma)
     def seg(marker, payload):
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
     sof = seg(
         0xC3,
         struct.pack(">BHHB", 8, 4, 4, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
     dht = seg(0xC4, bytes([0x00]) + bytes([0] * 15 + [1]) + bytes([0]))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 1, 0, 0]))
