@@ -342,6 +342,7 @@ def main() -> None:
             ("media_jpeg_lossless", dq.q_media_jpeg_lossless),
             ("doc_fuzzy_pairs", dq.q_fuzzy_pairs),
             ("rel_orc_roundtrip", dq.q_orc_roundtrip),
+            ("media_mp4_frames", dq.q_media_mp4_frames),
         ]:
             measure(
                 name,

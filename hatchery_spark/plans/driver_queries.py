@@ -1747,6 +1747,23 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_media_mp4_frames(spark, sf_dir):
+    """REAL MP4 video frame decode: the sample map (stsd codec + stts
+    decode times + stsc/stsz/stco chunk layout, ISO 14496-12 §8.5–8.7) is
+    reconstructed per object, each frame's byte range sliced out of mdat,
+    and Motion-JPEG samples decoded by the in-repo T.81 decoder — the
+    video analog of the GIF frame sampler, on the container real corpora
+    use. Multi-chunk stsc, co64, v1 boxes, and 4:2:0 frames rotate through
+    the fixtures; 'avc1' tracks surface the honest decoder_unavailable
+    channel. Solid-gray frames make every stat closed-form SQL."""
+    from hatchery_spark.functions.multimodal import (
+        mp4_frame_stats,
+        synthetic_mjpeg_mp4_df,
+    )
+
+    return mp4_frame_stats(synthetic_mjpeg_mp4_df(spark, 48))
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """ZERO-SHUFFLE decontamination: eval n-grams folded into a broadcast
     Bloom bitmap (distributed OR build), corpus scanned in one mapInPandas
@@ -3942,6 +3959,27 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "media_mp4_frames": """
+            WITH g AS (
+              SELECT i, j, (i + j) % 3 + 1 AS dur,
+                     (i * 17 + j * 31) % 256 AS gray
+              FROM (SELECT unnest(range(0, 48)) AS i),
+                   (SELECT unnest(range(0, 5)) AS j)
+              WHERE j < i % 4 + 2 AND i % 12 <> 11)
+            SELECT i AS media_id, cast(j AS int) AS frame_idx,
+              cast(coalesce(sum(dur) OVER (
+                     PARTITION BY i ORDER BY j
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) * 100 AS int) AS ts_ms,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(gray AS double) AS frame_mean,
+              'ok' AS decode_status
+            FROM g
+            UNION ALL
+            SELECT i, NULL, NULL, NULL, NULL, NULL, 'decoder_unavailable'
+            FROM (SELECT unnest(range(0, 48)) AS i)
+            WHERE i % 12 = 11""",
         "media_jpeg_decode": """
             SELECT i AS media_id, 'image' AS kind,
               cast(16 + i % 9 AS int) AS width,
@@ -3990,6 +4028,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "media_mp4_frames": q_media_mp4_frames,
         "graph_pagerank": q_pagerank,
         "media_jpeg_lossless": q_media_jpeg_lossless,
         "pref_bradley_terry": q_bradley_terry,
