@@ -343,6 +343,7 @@ def main() -> None:
             ("doc_fuzzy_pairs", dq.q_fuzzy_pairs),
             ("rel_orc_roundtrip", dq.q_orc_roundtrip),
             ("media_mp4_frames", dq.q_media_mp4_frames),
+            ("rel_snapshot_timetravel", dq.q_snapshot_timetravel),
         ]:
             measure(
                 name,

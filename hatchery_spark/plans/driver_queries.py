@@ -1747,6 +1747,62 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_snapshot_timetravel(spark, sf_dir):
+    """Snapshot-versioned table end-to-end (hatchery_spark/snapshot.py —
+    the transaction-log commit protocol the Iceberg gate can't execute in
+    this sandbox, run for real): create → append → copy-on-write MERGE
+    (update/insert/delete) → overwrite, four ATOMIC commits, then
+    time-travel reads of ALL four versions. Update math is ×2 / ÷2 only
+    (exponent arithmetic — exact in binary floating point), so every row
+    of every historical snapshot is replayable set algebra for the oracle.
+    Reads are one manifest fetch + a plain pruned parquet scan; appends
+    never touch existing files."""
+    import tempfile
+
+    from hatchery_spark.snapshot import SnapshotTable
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="hs_snap_") + "/orders_snap"
+    t = SnapshotTable.create(spark, path, o.filter(key % 7 == 0),
+                             run_ts="2025-06-03 12:00:00")
+    t.append(o.filter(key % 7 == 1), run_ts="2025-06-03 12:05:00")
+    upd = o.filter((key % 7 == 0) & (key % 3 == 0) & (key % 5 != 0)).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    ins = o.filter((key % 7 == 0) & (key % 11 == 0)).select(
+        (key + 10_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        F.lit(False).alias("_del"),
+    )
+    dels = o.filter((key % 7 == 0) & (key % 5 == 0)).select(
+        "o_orderkey",
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(True).alias("_del"),
+    )
+    t.merge(upd.unionByName(ins).unionByName(dels), "o_orderkey",
+            delete_col="_del", run_ts="2025-06-03 12:10:00")
+    t.overwrite(o.filter(key % 7 == 2), run_ts="2025-06-03 12:15:00")
+
+    parts = []
+    for h in t.history():
+        parts.append(
+            t.read(h["version"]).select(
+                F.lit(h["version"]).cast("int").alias("version"),
+                F.lit(h["action"]).alias("action"),
+                "o_orderkey", "o_custkey", "o_totalprice",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_media_mp4_frames(spark, sf_dir):
     """REAL MP4 video frame decode: the sample map (stsd codec + stts
     decode times + stsc/stsz/stco chunk layout, ISO 14496-12 §8.5–8.7) is
@@ -3959,6 +4015,30 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "rel_snapshot_timetravel": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+            v1 AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+            v2 AS (SELECT * FROM o WHERE o_orderkey % 7 IN (0, 1)),
+            v3 AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 3 = 0
+                               AND o_orderkey % 5 <> 0
+                          THEN o_totalprice * 2
+                          ELSE o_totalprice END AS o_totalprice
+              FROM v2
+              WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 5 = 0)
+              UNION ALL
+              SELECT o_orderkey + 10000000, NULL, o_totalprice / 2
+              FROM o WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 = 0),
+            v4 AS (SELECT * FROM o WHERE o_orderkey % 7 = 2)
+            SELECT cast(1 AS int) AS version, 'create' AS action, * FROM v1
+            UNION ALL
+            SELECT cast(2 AS int), 'append', * FROM v2
+            UNION ALL
+            SELECT cast(3 AS int), 'merge', * FROM v3
+            UNION ALL
+            SELECT cast(4 AS int), 'overwrite', * FROM v4""",
         "media_mp4_frames": """
             WITH g AS (
               SELECT i, j, (i + j) % 3 + 1 AS dur,
@@ -4028,6 +4108,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "rel_snapshot_timetravel": q_snapshot_timetravel,
         "media_mp4_frames": q_media_mp4_frames,
         "graph_pagerank": q_pagerank,
         "media_jpeg_lossless": q_media_jpeg_lossless,
