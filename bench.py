@@ -344,6 +344,7 @@ def main() -> None:
             ("rel_orc_roundtrip", dq.q_orc_roundtrip),
             ("media_mp4_frames", dq.q_media_mp4_frames),
             ("rel_snapshot_timetravel", dq.q_snapshot_timetravel),
+            ("doc_kn_perplexity", dq.q_kn_perplexity),
         ]:
             measure(
                 name,

@@ -507,6 +507,121 @@ def char_lm_perplexity(
     )
 
 
+def word_bigram_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) rows: every adjacent lowercased-word pair. Codegen'd
+    posexplode over the token array — no Python; docs with < 2 tokens
+    yield no rows."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+        )
+        .select(
+            F.col(id_col),
+            F.element_at("_t", F.col("_i")).alias("w1"),
+            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+        )
+    )
+
+
+def kneser_ney_train(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Train an interpolated Kneser-Ney WORD-bigram LM (Kneser & Ney 1995;
+    Chen & Goodman 1999 §2.7) from a reference corpus — the model class
+    KenLM serves in CCNet-style perplexity filtering; the bigram order
+    keeps every term SQL-expressible so the oracle replays the full
+    smoothing math, and higher orders only add count frames.
+
+    Returns (bigrams, ctx, cont, totals):
+      * bigrams — (w1, w2, c): seen-pair counts. Reference-corpus-bounded
+        (distinct pair TYPES, not tokens).
+      * ctx     — (w1, tot, n_follow): context token total c(w1·) and the
+        follower-type count N1+(w1,·) — BOTH derived from the bigrams
+        frame, never a second corpus pass.
+      * cont    — (w2, n_prec): predecessor-type count N1+(·,w2), the
+        continuation numerator.
+      * totals  — ONE row (t_types, v1): total distinct bigram types and
+        vocabulary size + 1 (the unk slot).
+    Every frame is a map-side-combined aggregate whose exchange carries
+    word keys; the corpus is touched exactly once (the bigram explode).
+    """
+    pairs = word_bigram_pairs(df, text_col, id_col)
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = bigrams.groupBy("w1").agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    totals = (
+        bigrams.select(F.col("w1").alias("w"))
+        .union(bigrams.select("w2"))
+        .agg(
+            F.count_distinct("w").alias("_v")
+        )
+        .crossJoin(bigrams.agg(F.count(F.lit(1)).alias("t_types")))
+        .select("t_types", (F.col("_v") + 1).alias("v1"))
+    )
+    return bigrams, ctx, cont, totals
+
+
+def kneser_ney_bits(
+    df: DataFrame,
+    bigrams: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    totals: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents as bits-per-bigram under the interpolated KN model:
+
+      P(w2|w1) = max(c−D,0)/c(w1·) + D·N1+(w1,·)/c(w1·) · Pc(w2)   seen ctx
+                 Pc(w2)                                            unseen ctx
+      Pc(w2)   = (N1+(·,w2) + 1) / (T + V1)    (+1/V1: the unk floor, so
+                                                OOV next-words stay finite)
+
+    Scale shape: the doc side is a codegen'd bigram explode; `ctx`/`cont`
+    are vocabulary-sized → forced broadcast at any corpus size; the
+    (w1,w2)-keyed `bigrams` join is reference-corpus-bounded — a real
+    reference (Wikipedia-scale) broadcasts too, and AQE picks that plan
+    when it fits (left to AQE rather than forced, since bigram TYPES grow
+    faster than vocabulary); totals is one broadcast row. The only
+    corpus-sized exchange is the final per-doc aggregate, map-side
+    combined. Output: (id, n_bigrams, kn_bits), docs with ≥ 1 bigram.
+    """
+    pairs = word_bigram_pairs(df, text_col, id_col)
+    joined = (
+        pairs.join(bigrams, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(F.broadcast(cont), ["w2"], "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = F.lit(discount)
+    pc = (F.coalesce(F.col("n_prec"), F.lit(0)) + 1) / (
+        F.col("t_types") + F.col("v1")
+    )
+    seen_ctx = F.col("tot").isNotNull()
+    p = F.when(
+        seen_ctx,
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)) - d, F.lit(0.0))
+        / F.col("tot")
+        + d * F.col("n_follow") / F.col("tot") * pc,
+    ).otherwise(pc)
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(-F.avg(F.log2(p)), 4).alias("kn_bits"),
+    )
+
+
 def vocab_topk(
     df: DataFrame,
     k: int = 1000,

@@ -1747,6 +1747,27 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney word-bigram perplexity gate (Kneser & Ney
+    1995; the KenLM model class CCNet filters with): reference corpus =
+    docs with doc_id % 17 == 0, every other doc scored in bits-per-bigram.
+    All four model frames are derived from ONE bigram aggregate; the
+    vocabulary-sized ctx/cont frames are forced broadcast, the
+    reference-bounded bigram join is AQE's call, and the corpus side is a
+    pure codegen explode. OOV contexts back off to the continuation
+    distribution with an unk floor — the oracle replays max-discount,
+    interpolation weights, and both backoff branches in full."""
+    from hatchery_spark.functions.corpus import (
+        kneser_ney_bits,
+        kneser_ney_train,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    score = docs.filter(F.col("doc_id") % 17 != 0)
+    return kneser_ney_bits(score, *kneser_ney_train(ref))
+
+
 def q_snapshot_timetravel(spark, sf_dir):
     """Snapshot-versioned table end-to-end (hatchery_spark/snapshot.py —
     the transaction-log commit protocol the Iceberg gate can't execute in
@@ -4015,6 +4036,46 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "doc_kn_perplexity": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
+              FROM documents),
+            big AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM toks, unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2),
+            bc AS (
+              SELECT w1, w2, count(*) AS c FROM big
+              WHERE doc_id % 17 = 0 GROUP BY 1, 2),
+            ctx AS (
+              SELECT w1, sum(c) AS tot, count(*) AS n_follow
+              FROM bc GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS n_prec FROM bc GROUP BY 1),
+            totals AS (
+              SELECT (SELECT count(*) FROM bc) AS t_types,
+                     (SELECT count(DISTINCT w) FROM (
+                        SELECT w1 AS w FROM bc
+                        UNION ALL SELECT w2 FROM bc)) + 1 AS v1),
+            scored AS (
+              SELECT b.doc_id,
+                CASE WHEN ctx.tot IS NOT NULL THEN
+                  greatest(coalesce(bc.c, 0) - 0.75, 0.0) / ctx.tot
+                  + 0.75 * ctx.n_follow / ctx.tot
+                    * (coalesce(cont.n_prec, 0) + 1)
+                      / (totals.t_types + totals.v1)
+                ELSE (coalesce(cont.n_prec, 0) + 1)
+                     / (totals.t_types + totals.v1) END AS p
+              FROM big b
+              LEFT JOIN bc USING (w1, w2)
+              LEFT JOIN ctx USING (w1)
+              LEFT JOIN cont USING (w2)
+              CROSS JOIN totals
+              WHERE b.doc_id % 17 <> 0)
+            SELECT doc_id, cast(count(*) AS int) AS n_bigrams,
+                   round(-avg(log2(p)), 4) AS kn_bits
+            FROM scored GROUP BY doc_id""",
         "rel_snapshot_timetravel": """
             WITH o AS (
               SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
@@ -4108,6 +4169,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_kn_perplexity": q_kn_perplexity,
         "rel_snapshot_timetravel": q_snapshot_timetravel,
         "media_mp4_frames": q_media_mp4_frames,
         "graph_pagerank": q_pagerank,

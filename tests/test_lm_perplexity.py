@@ -85,3 +85,60 @@ def test_scoring_stable_under_repartition(spark):
     assert {(r.doc_id, r.n_bigrams, r.bits_per_char) for r in a} == {
         (r.doc_id, r.n_bigrams, r.bits_per_char) for r in b
     }
+
+
+# ------------------------------------------------------------- Kneser-Ney
+
+
+def test_kneser_ney_hand_example(spark):
+    """Every smoothing branch against hand-computed probabilities:
+    seen pair, seen-ctx/unseen-pair backoff, unseen-ctx continuation."""
+    import math
+
+    from hatchery_spark.functions.corpus import (
+        kneser_ney_bits,
+        kneser_ney_train,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b z"), (11, "q r")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in kneser_ney_bits(score, *kneser_ney_train(ref)).collect()
+    }
+    # model: bc={(a,b):2,(b,a):1,(a,c):1}; ctx a=(3,2), b=(1,1);
+    # cont a=1,b=1,c=1; T=3, V1=4 → Pc(seen)=2/7, Pc(unseen)=1/7
+    p_b_a = (2 - 0.75) / 3 + 0.75 * 2 / 3 * (2 / 7)
+    p_z_b = 0.0 + 0.75 * 1 / 1 * (1 / 7)
+    exp_10 = round(-(math.log2(p_b_a) + math.log2(p_z_b)) / 2, 4)
+    assert out[10].n_bigrams == 2 and out[10].kn_bits == exp_10
+    # unseen context q → pure continuation with unk floor
+    exp_11 = round(-math.log2(1 / 7), 4)
+    assert out[11].n_bigrams == 1 and out[11].kn_bits == exp_11
+
+
+def test_kneser_ney_reference_likes_reference(spark):
+    """Sanity: text drawn from the reference distribution scores fewer
+    bits than shuffled-vocabulary junk."""
+    from hatchery_spark.functions.corpus import (
+        kneser_ney_bits,
+        kneser_ney_train,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "mat the ran dog cat on")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.kn_bits
+        for r in kneser_ney_bits(score, *kneser_ney_train(ref)).collect()
+    }
+    assert out[100] < out[101]
