@@ -345,6 +345,7 @@ def main() -> None:
             ("media_mp4_frames", dq.q_media_mp4_frames),
             ("rel_snapshot_timetravel", dq.q_snapshot_timetravel),
             ("doc_kn_perplexity", dq.q_kn_perplexity),
+            ("doc_url_canonical", dq.q_url_canonical),
         ]:
             measure(
                 name,

@@ -324,3 +324,59 @@ def k_anonymize(
             c, F.when(suppressed, F.lit(redacted)).otherwise(F.col(c).cast("string"))
         )
     return out.drop("_qk")
+
+
+_TRACKING_PARAM = r"^(utm_[^=]*|gclid|fbclid|msclkid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization (RFC 3986 §6 syntax-based normalization plus
+    the tracking-parameter strip every web-crawl pipeline applies before
+    URL-level dedup — the first dedup stage of CommonCrawl/CCNet-style
+    corpora, upstream of content dedup):
+
+      * fragment dropped
+      * scheme and host lowercased; leading `www.` dropped
+      * default ports stripped (http:80 / https:443); others kept
+      * trailing path slashes stripped; empty path → '/'
+      * query: tracking params (utm_*, gclid, fbclid, msclkid) removed,
+        the rest SORTED so parameter order never splits a URL group
+
+    Pure codegen'd string expressions (regexp + one interpreted HOF filter
+    over the split query — parameter-count-sized, not corpus-sized); no
+    Python, no shuffle. Replayable in ANSI SQL, so the oracle checks every
+    rule."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, r":[0-9]+$", ""), r"^www\.", ""
+    )
+    default_port = ((scheme == F.lit("http")) & (port == F.lit("80"))) | (
+        (scheme == F.lit("https")) & (port == F.lit("443"))
+    )
+    port_part = F.when(
+        (port != F.lit("")) & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    path = F.when(path == F.lit(""), F.lit("/")).otherwise(path)
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda kv: (kv != F.lit("")) & ~kv.rlike(_TRACKING_PARAM),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path,
+        F.when(qs != F.lit(""), F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -1747,6 +1747,48 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL-level dedup, stage one of every web-crawl corpus: canonicalize
+    (RFC 3986 normalization + tracking-param strip + query-param sort) and
+    group. Deterministic messy-URL synthesis from doc_id/source — case
+    rotations, www prefixes, default ports, trailing slashes, shuffled and
+    tracking-polluted query strings, fragments — so the oracle states each
+    group's CANONICAL form in closed form and replays the raw-variant
+    count; pure codegen string expressions, one vocabulary-ish exchange."""
+    from hatchery_spark.functions.text import canonicalize_url
+
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    host0 = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.when(k % 3 == 1, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(k % 2 == 0, F.upper(F.concat(F.lit("www."), host0)))
+        .otherwise(host0),
+        F.when(k % 3 == 0, F.lit(":80"))
+        .when(k % 3 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("/docs/"),
+        (k % 50).cast("string"),
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(k % 5 == 1, F.lit("?a=1&b=2&utm_campaign=x"))
+        .when(k % 5 == 2, F.lit("?b=2&a=1"))
+        .when(k % 5 == 3, F.lit(""))
+        .otherwise(F.lit("?gclid=zzz")),
+        F.when(k % 7 == 0, F.lit("#sec2")).otherwise(F.lit("")),
+    )
+    raw = d.select(url.alias("url"))
+    return (
+        raw.select("url", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_urls"),
+            F.count_distinct("url").cast("int").alias("n_variants"),
+        )
+    )
+
+
 def q_kn_perplexity(spark, sf_dir):
     """Interpolated Kneser-Ney word-bigram perplexity gate (Kneser & Ney
     1995; the KenLM model class CCNet filters with): reference corpus =
@@ -4036,6 +4078,35 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "doc_url_canonical": """
+            WITH raw AS (
+              SELECT doc_id,
+                (CASE WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'http' END)
+                || '://'
+                || (CASE WHEN doc_id % 2 = 0
+                         THEN upper('www.' || source || '.example.com')
+                         ELSE source || '.example.com' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN ':80'
+                         WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END)
+                || '/docs/' || cast(doc_id % 50 AS varchar)
+                || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+                || (CASE doc_id % 5
+                      WHEN 0 THEN '?utm_source=tw&b=2&a=1'
+                      WHEN 1 THEN '?a=1&b=2&utm_campaign=x'
+                      WHEN 2 THEN '?b=2&a=1'
+                      WHEN 3 THEN ''
+                      ELSE '?gclid=zzz' END)
+                || (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END)
+                AS url,
+                (CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+                || '://' || source || '.example.com'
+                || '/docs/' || cast(doc_id % 50 AS varchar)
+                || (CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '?a=1&b=2'
+                         ELSE '' END) AS canonical_url
+              FROM documents)
+            SELECT canonical_url, cast(count(*) AS int) AS n_urls,
+                   cast(count(DISTINCT url) AS int) AS n_variants
+            FROM raw GROUP BY canonical_url""",
         "doc_kn_perplexity": """
             WITH toks AS (
               SELECT doc_id,
@@ -4169,6 +4240,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_url_canonical": q_url_canonical,
         "doc_kn_perplexity": q_kn_perplexity,
         "rel_snapshot_timetravel": q_snapshot_timetravel,
         "media_mp4_frames": q_media_mp4_frames,

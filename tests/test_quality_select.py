@@ -130,3 +130,25 @@ def test_dsir_single_token_doc_has_no_bigrams(spark):
     )
     out = dsir_importance(df, F.col("is_target"), n_buckets=64).collect()
     assert len(out) == 1 and out[0].n_feats == 1  # unigram only, no bigram
+
+
+def test_canonicalize_url_rules(spark):
+    from hatchery_spark.functions.text import canonicalize_url
+    import pyspark.sql.functions as F
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&z=1&a=2#frag",
+         "http://ex.com/a/b?a=2&z=1"),
+        ("https://ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default kept
+        ("http://ex.com", "http://ex.com/"),                 # empty path → /
+        ("http://ex.com/p?gclid=1&fbclid=2&msclkid=3", "http://ex.com/p"),
+        ("http://ex.com/p///", "http://ex.com/p"),           # multi slash
+        ("http://ex.com/?b=2&a=1&a=0", "http://ex.com/?a=0&a=1&b=2"),
+        ("http://www.www.ex.com/x", "http://www.ex.com/x"),  # only ONE www.
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
