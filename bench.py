@@ -346,6 +346,7 @@ def main() -> None:
             ("rel_snapshot_timetravel", dq.q_snapshot_timetravel),
             ("doc_kn_perplexity", dq.q_kn_perplexity),
             ("doc_url_canonical", dq.q_url_canonical),
+            ("doc_search_phrase", dq.q_search_phrase),
         ]:
             measure(
                 name,

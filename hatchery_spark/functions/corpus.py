@@ -1709,6 +1709,58 @@ def search_all_terms(
     )
 
 
+def positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional postings as ROWS: (token, id, pos) — one row per token
+    OCCURRENCE (0-based document position). Same skew-safe layout argument
+    as `inverted_postings` taken one level down: per-occurrence rows
+    hash-partition across tasks, a stopword's occurrences never gather
+    anywhere, and the frame is a pure codegen posexplode (no aggregate at
+    all — phrase search consumes occurrences directly). Materialize
+    token-bucketed via `sinks.write_bucketed_table` for pruned lookups,
+    exactly like the tf postings."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
+    )
+    return df.select(F.col(id_col), toks.alias("_t")).select(
+        F.col(id_col), F.posexplode("_t").alias("pos", "token")
+    ).filter(F.col("token") != "")
+
+
+def search_phrase(
+    postings_pos: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase retrieval over positional postings (the Lucene
+    PhraseQuery shape): documents where the terms occur at CONSECUTIVE
+    positions, with the match count.
+
+    k−1 equi-joins on (doc, position+offset), one per phrase term past the
+    first — each side is the pruned posting set of ONE term (bucket-pruned
+    on a materialized index), so join inputs are term-frequency-sized,
+    never index-sized; k is query-sized. Duplicate-token phrases
+    ("table table") work because positions, not tokens, anchor the join.
+    """
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("search_phrase: empty phrase")
+    out = postings_pos.filter(F.col("token") == terms[0]).select(
+        F.col(id_col), F.col("pos").alias("_p")
+    )
+    for k, t in enumerate(terms[1:], start=1):
+        nxt = postings_pos.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - k).alias("_p")
+        )
+        out = out.join(nxt, [id_col, "_p"])
+    return out.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_matches")
+    )
+
+
 def readability(df: DataFrame, text_col: str = "text", rd: int = 4) -> DataFrame:
     """Flesch reading-ease + Flesch-Kincaid grade per document — a standard
     text-quality prior for corpus curation (alongside the Gopher and C4

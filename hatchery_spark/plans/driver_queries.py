@@ -1747,6 +1747,30 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_search_phrase(spark, sf_dir):
+    """Exact-phrase retrieval (Lucene PhraseQuery shape) over positional
+    postings: per-occurrence (token, doc, pos) rows, k−1 equi-joins on
+    (doc, pos+offset) with term-pruned inputs. Two phrases unioned — a
+    duplicate-token bigram ('table table', positions not tokens anchor the
+    join) and a trigram — so the chain depth and the dup-term case are
+    both oracle-checked."""
+    from hatchery_spark.functions.corpus import (
+        positional_postings,
+        search_phrase,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    p = positional_postings(docs)
+    parts = []
+    for phrase in ("table table", "value table part"):
+        parts.append(
+            search_phrase(p, phrase).select(
+                F.lit(phrase).alias("phrase"), "doc_id", "n_matches"
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
 def q_url_canonical(spark, sf_dir):
     """URL-level dedup, stage one of every web-crawl corpus: canonicalize
     (RFC 3986 normalization + tracking-param strip + query-param sort) and
@@ -4078,6 +4102,31 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "doc_search_phrase": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
+              FROM documents),
+            p AS (
+              SELECT doc_id, t[i] AS token, i AS pos
+              FROM toks, unnest(range(1, len(t) + 1)) AS u(i))
+            SELECT 'table table' AS phrase, a.doc_id,
+                   cast(count(*) AS int) AS n_matches
+            FROM p a
+            JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    AND b.token = 'table'
+            WHERE a.token = 'table'
+            GROUP BY a.doc_id
+            UNION ALL
+            SELECT 'value table part', a.doc_id, cast(count(*) AS int)
+            FROM p a
+            JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                    AND b.token = 'table'
+            JOIN p c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                    AND c.token = 'part'
+            WHERE a.token = 'value'
+            GROUP BY a.doc_id""",
         "doc_url_canonical": """
             WITH raw AS (
               SELECT doc_id,
@@ -4240,6 +4289,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_search_phrase": q_search_phrase,
         "doc_url_canonical": q_url_canonical,
         "doc_kn_perplexity": q_kn_perplexity,
         "rel_snapshot_timetravel": q_snapshot_timetravel,

@@ -206,3 +206,29 @@ def test_k_anonymize_delimiter_bytes_do_not_merge_cohorts(spark):
     assert out["b0"].suppressed and out["b0"].group_n == 2
     # NULL and the literal "\x00" string are DIFFERENT cohorts (size 1 each)
     assert out["n0"].group_n == 1 and out["n1"].group_n == 1
+
+
+def test_search_phrase_overlaps_and_dup_terms(spark):
+    from hatchery_spark.functions.corpus import (
+        positional_postings,
+        search_phrase,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # "a a" overlaps: positions 0,1 → 2 matches
+            (2, "A a"),            # case-insensitive, at boundary
+            (3, "a b a"),          # no adjacent "a a"
+            (4, "x y z x y"),      # trigram once, bigram "x y" twice
+        ],
+        "doc_id long, text string",
+    )
+    p = positional_postings(docs)
+    aa = {r.doc_id: r.n_matches for r in search_phrase(p, "a a").collect()}
+    assert aa == {1: 2, 2: 1}
+    xyz = {r.doc_id: r.n_matches
+           for r in search_phrase(p, "x y z").collect()}
+    assert xyz == {4: 1}
+    xy = {r.doc_id: r.n_matches for r in search_phrase(p, "x y").collect()}
+    assert xy == {4: 2}
+    assert search_phrase(p, "z q").count() == 0
