@@ -140,7 +140,7 @@ class SnapshotTable:
 
     def _commit(self, action: str, df: DataFrame | None, live: list[str],
                 parent: int | None, run_ts: str, writer_id: str,
-                schema_json: str) -> int:
+                schema_json: str, txn: tuple[str, int] | None = None) -> int:
         version = (parent or 0) + 1
         added: list[str] = []
         if df is not None:
@@ -148,6 +148,12 @@ class SnapshotTable:
             live = live + [rel]
             added = [rel]
         prev = set() if parent is None else set(self.manifest(parent)["live"])
+        # application-transaction map (the Delta txn/appId idempotence
+        # pattern): carried forward in FULL on every manifest, so the
+        # latest committed version per writer app is one manifest read
+        txns = {} if parent is None else dict(self.manifest(parent).get("txn", {}))
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         manifest = {
             "version": version,
             "parent": parent,
@@ -157,6 +163,7 @@ class SnapshotTable:
             "live": sorted(live),
             "added": added,
             "removed": sorted(prev - set(live)),
+            "txn": txns,
         }
         self._publish(manifest, version, added[0] if added else None, writer_id)
         return version
@@ -201,18 +208,28 @@ class SnapshotTable:
 
     def merge(self, updates: DataFrame, key_col: str,
               delete_col: str | None = None, run_ts: str = "",
-              writer_id: str = "w0") -> int:
+              writer_id: str = "w0",
+              txn: tuple[str, int] | None = None) -> int:
         """Copy-on-write MERGE: current snapshot ⟕⟖ updates
         (sinks.merge_frames semantics — update/insert/delete), published
         as one atomic swap. Readers see the pre-merge or post-merge
-        snapshot, never a mixture."""
+        snapshot, never a mixture. `txn=(app_id, n)` records an
+        application transaction in the manifest — the Delta idempotent-
+        writer pattern a streaming CDC apply uses to make at-least-once
+        batch replays exactly-once (streaming/stream.py cdc_merge_writer)."""
         from .sinks import merge_frames
 
         parent = self.version()
         merged = merge_frames(self.read(parent), updates, key_col,
                               delete_col=delete_col)
         return self._commit("merge", merged, [], parent, run_ts, writer_id,
-                            self.manifest(parent)["schema"])
+                            self.manifest(parent)["schema"], txn=txn)
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest application-transaction number committed by `app_id`
+        (ONE manifest read — the map is carried forward on every commit);
+        None if the app never committed."""
+        return self.manifest().get("txn", {}).get(app_id)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot-isolated read; `version` time-travels. One manifest

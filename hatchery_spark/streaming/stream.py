@@ -762,3 +762,86 @@ def search_ann_store(
         vec_col=vec_col,
         query_id_col=query_id_col,
     )
+
+
+# --------------------------------------------------------------------- CDC
+
+
+def cdc_merge_writer(
+    table_path: str,
+    key_col: str,
+    delete_col: str | None = None,
+    app_id: str = "cdc",
+    run_ts: str = "",
+):
+    """foreachBatch function: apply a CHANGE-DATA-CAPTURE stream to a
+    snapshot table as one atomic MERGE commit per micro-batch.
+
+    Exactly-once on top of foreachBatch's at-least-once, via the Delta
+    txn/appId pattern executed for real: every merge commit records
+    (app_id, batch_id) in the manifest's carried-forward txn map, and the
+    writer SKIPS any batch_id ≤ the table's committed txn for this app —
+    so a driver crash between the table commit and the checkpoint ack
+    replays the batch into a no-op instead of a double-apply. Readers see
+    each batch's changes atomically or not at all (snapshot publish), and
+    every historical batch boundary stays time-travelable.
+
+    Caveat shared with the Delta pattern it mirrors: idempotence is keyed
+    by (app_id, batch_id), so it holds across CHECKPOINTED restarts (same
+    batching); discarding the checkpoint while keeping the table and
+    app_id re-batches the input and must use a fresh app_id.
+
+    Concurrent non-CDC writers are tolerated: a lost commit race refreshes
+    the snapshot and retries the merge against the new parent."""
+    from ..snapshot import ConcurrentCommitError, SnapshotTable
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        table = SnapshotTable(batch_df.sparkSession, table_path)
+        last = table.txn_version(app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch — already committed
+        for attempt in range(3):
+            try:
+                table.merge(batch_df, key_col, delete_col=delete_col,
+                            run_ts=run_ts, writer_id=f"{app_id}-b{batch_id}",
+                            txn=(app_id, batch_id))
+                return
+            except ConcurrentCommitError:
+                if attempt == 2:
+                    raise
+                last = table.txn_version(app_id)
+                if last is not None and batch_id <= last:
+                    return  # the race WAS this batch (duplicate driver)
+
+    return _apply
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    input_path: str,
+    table_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    delete_col: str | None = None,
+    app_id: str = "cdc",
+    run_ts: str = "",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available change files into the snapshot table (availableNow
+    trigger — one CDC apply tick). Change rows carry the key, any subset
+    of the table's columns to update, and optionally a delete flag."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(
+            cdc_merge_writer(table_path, key_col, delete_col, app_id, run_ts)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -133,3 +133,58 @@ def test_manifest_carries_full_live_set(spark, tdir):
     assert len(m["live"]) == 5 and m["action"] == "append"
     with open(os.path.join(tdir, "_log", f"{5:020d}.json")) as f:
         assert json.load(f) == m
+
+
+# ------------------------------------------------------------ CDC streaming
+
+
+def test_cdc_stream_exactly_once(spark, tdir):
+    """Change batches apply as atomic MERGE commits; replayed batch ids
+    are no-ops (Delta txn/appId pattern); each batch boundary stays
+    time-travelable."""
+    import tempfile
+
+    from hatchery_spark.streaming.stream import (
+        cdc_merge_writer,
+        run_cdc_stream,
+    )
+
+    t = SnapshotTable.create(
+        spark, tdir,
+        _df(spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]))
+    work = tempfile.mkdtemp(prefix="hs_cdc_")
+    changes = f"{work}/changes"
+    ckpt = f"{work}/ckpt"
+    schema = "k int, v string, _del boolean"
+    spark.createDataFrame(
+        [(2, "B", False), (5, "e", False), (3, None, True)], schema
+    ).coalesce(1).write.mode("append").parquet(changes)
+
+    run_cdc_stream(spark, changes, tdir, ckpt, schema, "k",
+                   delete_col="_del", app_id="cdc-test")
+    t2 = SnapshotTable(spark, tdir)
+    assert {r.k: r.v for r in t2.read().collect()} == {
+        1: "a", 2: "B", 4: "d", 5: "e"}
+    assert t2.txn_version("cdc-test") == 0
+    v_after_b0 = t2.version()
+
+    # second tick: a new change file → exactly one more commit
+    spark.createDataFrame([(1, "A", False)], schema).coalesce(1) \
+        .write.mode("append").parquet(changes)
+    run_cdc_stream(spark, changes, tdir, ckpt, schema, "k",
+                   delete_col="_del", app_id="cdc-test")
+    t3 = SnapshotTable(spark, tdir)
+    assert t3.read().filter("k = 1").collect()[0].v == "A"
+    assert t3.txn_version("cdc-test") == 1
+    assert t3.version() == v_after_b0 + 1
+
+    # crash-replay: the SAME batch id re-delivered (checkpoint ack lost)
+    writer = cdc_merge_writer(tdir, "k", "_del", app_id="cdc-test")
+    writer(spark.createDataFrame([(1, "ZZZ", False)], schema), 1)
+    t4 = SnapshotTable(spark, tdir)
+    assert t4.version() == t3.version()          # no new commit
+    assert t4.read().filter("k = 1").collect()[0].v == "A"
+
+    # batch boundaries are time travel points
+    assert {r.k for r in t4.read(1).collect()} == {1, 2, 3, 4}
+    assert {r.k for r in t4.read(2).collect()} == {1, 2, 4, 5}
