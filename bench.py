@@ -347,6 +347,7 @@ def main() -> None:
             ("doc_kn_perplexity", dq.q_kn_perplexity),
             ("doc_url_canonical", dq.q_url_canonical),
             ("doc_search_phrase", dq.q_search_phrase),
+            ("media_image_dhash", dq.q_image_dhash_dedup),
         ]:
             measure(
                 name,

@@ -216,6 +216,34 @@ def encode_png(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def encode_png_rgb(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a real 8-bit RGB PNG (filter
+    type 0 scanlines, one zlib IDAT) — the arbitrary-content complement
+    of the solid-color `encode_png` fixture writer. Deterministic
+    (zlib level fixed), exact by construction."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    assert ch == 3
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Undo the per-scanline filter (None/Sub/Up/Average/Paeth, PNG spec §9).
 
@@ -976,6 +1004,76 @@ def synthetic_mp4_media_df(spark, n: int = 48) -> DataFrame:
             if i % 16 == 15:
                 content = content[:-20]  # truncate into mdat → framing error
         rows.append((i, "video", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def image_dhash(df: DataFrame, hash_h: int = 8, hash_w: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images — the
+    standard cheap image-dedup fingerprint: grayscale → (hash_h × hash_w+1)
+    grid → one bit per horizontal neighbor pair (left < right) → hex
+    string. Content-identical images hash identically ACROSS FORMATS
+    because the hash sees decoded pixels, not bytes — byte-level digests
+    can never catch a PNG and a JPEG of the same image. mapInPandas;
+    output is (media_id, dhash, decode_status), 16 hex chars per image —
+    downstream exact grouping is a plain groupBy, and near-dup grouping
+    reuses the SimHash banded-Hamming machinery (dedup.simhash paths)
+    since a dHash IS a 64-bit locality-sensitive sketch."""
+    schema = "media_id long, dhash string, decode_status string"
+    nbits = hash_h * hash_w
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {
+                "media_id": [], "dhash": [], "decode_status": []}
+            for mid, content in zip(b["media_id"], b["content"]):
+                raw = bytes(content) if content is not None else b""
+                h = None
+                try:
+                    grid = real_decode_image(raw)
+                    if grid.shape != (hash_h, hash_w + 1):
+                        grid = resize_grid(grid, hash_h, hash_w + 1)
+                    bits = (grid[:, :-1] < grid[:, 1:]).reshape(nbits)
+                    val = 0
+                    for bit in bits:
+                        val = (val << 1) | int(bit)
+                    h = format(val, f"0{(nbits + 3) // 4}x")
+                    status = "ok"
+                except DecoderUnavailable:
+                    status = "decoder_unavailable"
+                except Exception:
+                    status = "decode_error"
+                out["media_id"].append(mid)
+                out["dhash"].append(h)
+                out["decode_status"].append(status)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "content").mapInPandas(_hash, schema)
+
+
+def synthetic_gradient_image_df(spark, n: int = 60) -> DataFrame:
+    """Cross-format image-dedup fixtures: content id c = media_id // 2 is
+    a 9×8 pattern px(y,x) = (7x(x+c+y) + 13y + 3c) mod 256 — quadratic in
+    x so the horizontal comparisons flip direction (a monotonic gradient
+    would hash every content identically), encoded as a REAL
+    RGB PNG on even ids and a REAL interleaved-RGB lossless JPEG (SOF3,
+    predictor rotating over all 7) on odd ids — two byte-disjoint
+    encodings of IDENTICAL pixels, both exact by construction, so each
+    content's pair must collapse into one dHash group."""
+    from .jpeg_lossless import encode_jpeg_rgb_lossless
+
+    rows = []
+    for i in range(n):
+        c = i // 2
+        y, x = np.mgrid[0:8, 0:9]
+        gray = ((7 * x * (x + c + y) + 13 * y + 3 * c) % 256).astype(np.uint8)
+        img = np.repeat(gray[:, :, None], 3, axis=2)
+        if i % 2 == 0:
+            content = encode_png_rgb(img)
+        else:
+            content = encode_jpeg_rgb_lossless(img, predictor=c % 7 + 1)
+        rows.append((i, "image", bytearray(content)))
     return spark.createDataFrame(
         rows, "media_id long, kind string, content binary"
     )

@@ -1747,6 +1747,38 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_image_dhash_dedup(spark, sf_dir):
+    """Cross-format image dedup via perceptual difference-hash over REAL
+    decodes: every content exists twice — an RGB PNG and a byte-disjoint
+    interleaved-RGB lossless JPEG (SOF3, all 7 predictors rotating) of
+    IDENTICAL pixels. dHash sees decoded pixels, so each pair collapses
+    into one group (a byte digest never can); distinct contents use a
+    quadratic pattern so their hashes differ. The oracle states the exact
+    group structure (one per content, one image per format) in closed
+    form — any decoder or hash divergence splits or merges groups and
+    value-mismatches."""
+    from hatchery_spark.functions.multimodal import (
+        image_dhash,
+        synthetic_gradient_image_df,
+    )
+
+    h = image_dhash(synthetic_gradient_image_df(spark, 60))
+    return (
+        h.groupBy("dhash")
+        .agg(
+            F.min("media_id").alias("rep_id"),
+            F.count(F.lit(1)).cast("int").alias("n_images"),
+            F.sum(
+                F.when(F.col("media_id") % 2 == 0, 1).otherwise(0)
+            ).cast("int").alias("n_png"),
+            F.sum(
+                F.when(F.col("media_id") % 2 == 1, 1).otherwise(0)
+            ).cast("int").alias("n_jpeg"),
+        )
+        .select("rep_id", "n_images", "n_png", "n_jpeg")
+    )
+
+
 def q_search_phrase(spark, sf_dir):
     """Exact-phrase retrieval (Lucene PhraseQuery shape) over positional
     postings: per-occurrence (token, doc, pos) rows, k−1 equi-joins on
@@ -4102,6 +4134,12 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "media_image_dhash": """
+            SELECT cast(2 * c AS bigint) AS rep_id,
+                   cast(2 AS int) AS n_images,
+                   cast(1 AS int) AS n_png,
+                   cast(1 AS int) AS n_jpeg
+            FROM (SELECT unnest(range(0, 30)) AS c)""",
         "doc_search_phrase": """
             WITH toks AS (
               SELECT doc_id,
@@ -4289,6 +4327,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "media_image_dhash": q_image_dhash_dedup,
         "doc_search_phrase": q_search_phrase,
         "doc_url_canonical": q_url_canonical,
         "doc_kn_perplexity": q_kn_perplexity,

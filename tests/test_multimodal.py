@@ -448,3 +448,50 @@ def test_png_adam7_up_filter_is_per_pass():
            + _chunk(b"IDAT", zlib.compress(stream)) + _chunk(b"IEND", b""))
     got = decode_png(png)
     assert got[:, 0, 0].tolist() == [10, 100, 20, 105]
+
+
+def test_image_dhash_hand_bits(spark):
+    """dHash bit layout: MSB-first row-major left<right comparisons."""
+    import numpy as np
+    from hatchery_spark.functions.multimodal import (
+        encode_png_rgb,
+        image_dhash,
+    )
+
+    # 8x9 image: row y is [y, 0, y, 0, ...] alternating → bits alternate
+    img = np.zeros((8, 9, 3), dtype=np.uint8)
+    img[:, 1::2, :] = 200          # cols 1,3,5,7 bright
+    # comparisons col x vs x+1: 0<1 T, 1<2 F, ... → 10101010 per row = 0xaa
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_png_rgb(img)))], "media_id long, content binary"
+    )
+    row = image_dhash(df).collect()[0]
+    assert row.decode_status == "ok"
+    assert row.dhash == "aa" * 8
+
+
+def test_image_dhash_perturbation_and_resize(spark):
+    import numpy as np
+    from hatchery_spark.functions.multimodal import (
+        encode_png_rgb,
+        image_dhash,
+    )
+
+    y, x = np.mgrid[0:8, 0:9]
+    gray = ((7 * x * (x + y) + 13 * y) % 256).astype(np.uint8)
+    img = np.repeat(gray[:, :, None], 3, axis=2)
+    big = np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)  # 32x36 upscale
+    pert = img.copy()
+    pert[3, 4, :] = 255 - pert[3, 4, :]
+    rows = [
+        (0, bytearray(encode_png_rgb(img))),
+        (1, bytearray(encode_png_rgb(big))),   # resize path, same content
+        (2, bytearray(encode_png_rgb(pert))),  # perturbed → different hash
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in image_dhash(df).collect()}
+    assert out[0].dhash == out[1].dhash        # scale-invariant
+    assert out[0].dhash != out[2].dhash
+    assert out[3].decode_status == "decoder_unavailable"
+    assert out[3].dhash is None
