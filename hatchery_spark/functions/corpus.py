@@ -552,22 +552,28 @@ def kneser_ney_train(
       * totals  — ONE row (t_types, v1): total distinct bigram types and
         vocabulary size + 1 (the unk slot).
     Every frame is a map-side-combined aggregate whose exchange carries
-    word keys; the corpus is touched exactly once (the bigram explode).
+    word keys; the corpus is touched exactly once — the bigrams frame is
+    PERSISTED (it is pair-type-sized, not corpus-sized) and ctx/cont
+    derive from it, while totals derives from ctx∪cont (vocabulary-sized
+    inputs), so no downstream frame re-runs the corpus explode. Callers
+    may `bigrams.unpersist()` after scoring.
     """
     pairs = word_bigram_pairs(df, text_col, id_col)
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    )
     ctx = bigrams.groupBy("w1").agg(
         F.sum("c").alias("tot"), F.count(F.lit(1)).alias("n_follow")
     )
     cont = bigrams.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    # T = Σ follower-types; vocab = distinct over the two aggregate frames'
+    # keys — everything here is vocabulary-sized, nothing touches the corpus
     totals = (
-        bigrams.select(F.col("w1").alias("w"))
-        .union(bigrams.select("w2"))
-        .agg(
-            F.count_distinct("w").alias("_v")
-        )
-        .crossJoin(bigrams.agg(F.count(F.lit(1)).alias("t_types")))
-        .select("t_types", (F.col("_v") + 1).alias("v1"))
+        ctx.select(F.col("w1").alias("w"))
+        .union(cont.select(F.col("w2").alias("w")))
+        .agg((F.count_distinct("w") + 1).alias("v1"))
+        .crossJoin(ctx.agg(F.sum("n_follow").alias("t_types")))
+        .select("t_types", "v1")
     )
     return bigrams, ctx, cont, totals
 
@@ -1744,6 +1750,9 @@ def search_phrase(
     on a materialized index), so join inputs are term-frequency-sized,
     never index-sized; k is query-sized. Duplicate-token phrases
     ("table table") work because positions, not tokens, anchor the join.
+    Serve repeated queries from a persisted or `write_bucketed_table`-
+    materialized postings frame — otherwise each term filter re-derives
+    the posting explode from the raw corpus.
     """
     terms = [t for t in phrase.lower().split() if t]
     if not terms:

@@ -1792,7 +1792,7 @@ def q_search_phrase(spark, sf_dir):
     )
 
     docs = load(spark, sf_dir, "documents")
-    p = positional_postings(docs)
+    p = positional_postings(docs).persist()  # the served-index stand-in
     parts = []
     for phrase in ("table table", "value table part"):
         parts.append(
