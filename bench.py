@@ -348,6 +348,7 @@ def main() -> None:
             ("doc_url_canonical", dq.q_url_canonical),
             ("doc_search_phrase", dq.q_search_phrase),
             ("media_image_dhash", dq.q_image_dhash_dedup),
+            ("doc_blocklist", dq.q_blocklist_filter),
         ]:
             measure(
                 name,

@@ -1618,6 +1618,57 @@ def unigram_token_counts(
     )
 
 
+def blocklist_filter(
+    df: DataFrame,
+    terms: DataFrame | list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Page-level blocklist gate — the C4 step (Raffel 1910.10683 §2.2)
+    that drops any page containing a term from a banned-word list; also
+    the shape of PII-keyword and policy-term screens.
+
+    Token-match semantics (whole lowercased whitespace tokens, not
+    substrings — "classic" must not trip on "ass"). Two plans, same
+    result:
+
+      * `terms` as a LIST → `arrays_overlap(tokens, lit(...))`: a pure
+        codegen'd projection, ZERO shuffle at any corpus size — right for
+        the real-world few-hundred-entry lists.
+      * `terms` as a DATAFRAME (column `term`) → token explode +
+        LEFT SEMI broadcast join to flag, then the verdict rejoins the
+        corpus by id: right when the list is itself a table (e.g. mined
+        phrases), still corpus-shuffle-free on the flag side because the
+        semi join broadcasts the terms.
+
+    Output: the input columns + `blocked` boolean (kept docs =
+    `~blocked`; the flag is returned rather than filtered so curation can
+    AUDIT what a list removes before committing to it).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
+    )
+    if isinstance(terms, list):
+        hit = F.arrays_overlap(
+            toks, F.lit([t.lower() for t in sorted(set(terms))])
+        )
+        return df.withColumn("blocked", F.coalesce(hit, F.lit(False)))
+    flagged = (
+        _ws_tokens(df, text_col, F.col(id_col))
+        .join(
+            F.broadcast(terms.select(F.lower(F.col("term")).alias("token"))),
+            "token",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return df.join(flagged, id_col, "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
+    )
+
+
 def c4_clean(
     df: DataFrame,
     min_words_per_line: int = 5,

@@ -1747,6 +1747,26 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """C4 §2.2 banned-word page gate, BOTH plans side by side: the
+    codegen'd arrays_overlap projection (zero shuffle — the real-world
+    few-hundred-term list) and the broadcast-semi-join form (list-as-
+    table). The query returns both verdict columns so the driver gate
+    itself proves the two plans agree on every document."""
+    from hatchery_spark.functions.corpus import blocklist_filter
+
+    docs = load(spark, sf_dir, "documents")
+    terms = ["spark", "vector", "slow"]
+    a = blocklist_filter(docs, terms).select(
+        "doc_id", F.col("blocked").alias("blocked_expr")
+    )
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    b = blocklist_filter(docs, tdf).select(
+        "doc_id", F.col("blocked").alias("blocked_join")
+    )
+    return a.join(b, "doc_id").select("doc_id", "blocked_expr", "blocked_join")
+
+
 def q_image_dhash_dedup(spark, sf_dir):
     """Cross-format image dedup via perceptual difference-hash over REAL
     decodes: every content exists twice — an RGB PNG and a byte-disjoint
@@ -4134,6 +4154,15 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "doc_blocklist": """
+            SELECT doc_id,
+              list_has_any(list_filter(string_split_regex(lower(text),
+                           '[ \t\n\f\r\x0b]+'), x -> x <> ''),
+                           ['spark', 'vector', 'slow']) AS blocked_expr,
+              list_has_any(list_filter(string_split_regex(lower(text),
+                           '[ \t\n\f\r\x0b]+'), x -> x <> ''),
+                           ['spark', 'vector', 'slow']) AS blocked_join
+            FROM documents""",
         "media_image_dhash": """
             SELECT cast(2 * c AS bigint) AS rep_id,
                    cast(2 AS int) AS n_images,
@@ -4327,6 +4356,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_blocklist": q_blocklist_filter,
         "media_image_dhash": q_image_dhash_dedup,
         "doc_search_phrase": q_search_phrase,
         "doc_url_canonical": q_url_canonical,

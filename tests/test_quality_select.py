@@ -152,3 +152,28 @@ def test_canonicalize_url_rules(spark):
     got = [r.c for r in df.select(
         canonicalize_url(F.col("url")).alias("c")).collect()]
     assert got == [c for _, c in cases]
+
+
+def test_blocklist_whole_token_semantics(spark):
+    """Whole-token match only: 'ass' must not trip 'classic'; case folds;
+    empty-text and no-match docs pass; both plans agree."""
+    from hatchery_spark.functions.corpus import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a classic performance"),   # substring, NOT blocked
+            (2, "what an Ass"),             # case-folded token hit
+            (3, ""),                        # empty
+            (4, "clean text here"),
+            (5, "ass at token start"),
+        ],
+        "doc_id long, text string",
+    )
+    want = {1: False, 2: True, 3: False, 4: False, 5: True}
+    got_expr = {r.doc_id: r.blocked
+                for r in blocklist_filter(docs, ["ASS"]).collect()}
+    assert got_expr == want
+    tdf = spark.createDataFrame([("ASS",)], "term string")
+    got_join = {r.doc_id: r.blocked
+                for r in blocklist_filter(docs, tdf).collect()}
+    assert got_join == want
