@@ -349,6 +349,7 @@ def main() -> None:
             ("doc_search_phrase", dq.q_search_phrase),
             ("media_image_dhash", dq.q_image_dhash_dedup),
             ("doc_blocklist", dq.q_blocklist_filter),
+            ("doc_span_corruption", dq.q_span_corruption),
         ]:
             measure(
                 name,

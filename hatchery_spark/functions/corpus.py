@@ -1618,6 +1618,107 @@ def unigram_token_counts(
     )
 
 
+def span_corruption(
+    df: DataFrame,
+    block: int = 8,
+    span_len: int = 3,
+    rate_pct: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """T5/UL2 span-corruption example construction (Raffel 1910.10683
+    §3.1.4): mask contiguous token spans with sentinel tokens, emit
+    (inputs, targets) pairs — inputs carry ``<extra_id_k>`` where span k
+    was removed, targets carry each sentinel followed by the removed
+    tokens, closed by a terminator sentinel.
+
+    Span placement is DETERMINISTIC block arithmetic (seeded-RNG analog,
+    O27 discipline): tokens partition into fixed blocks of `block`; block
+    b of doc d corrupts iff md5(d‖b) % 100 < rate_pct, with the span's
+    in-block start at (h//100) % (block−span_len+1). Spans are confined
+    to their block, so non-overlap holds BY CONSTRUCTION — no sequential
+    greedy scan, every token's fate is a pure per-row expression, and the
+    whole derivation replays in SQL (the driver oracle runs it).
+
+    Scale shape: one codegen'd posexplode + per-row hash arithmetic; ONE
+    doc_id exchange serves both the sentinel-numbering window (running
+    count of span starts) and the order-restoring rebuild aggregate —
+    the SFT-render pattern. Docs with no corrupted span yield
+    inputs = the document and targets = the bare terminator.
+    """
+    from .graph import _md5_prefix_long
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
+    )
+    t = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .select(F.col(id_col), F.posexplode("_t").alias("pos", "token"))
+    )
+    blk = (F.col("pos") / block).cast("long")
+    off = F.col("pos") % block
+    h = _md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), blk.cast("string"))
+    )
+    corrupt = (h % 100) < rate_pct
+    s = F.floor(h / 100) % (block - span_len + 1)
+    in_span = corrupt & (off >= s) & (off < s + span_len)
+    is_start = corrupt & (off == s)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.sum(is_start.cast("int")).over(w)  # span ordinal (1-based at start)
+    sent = F.concat(F.lit("<extra_id_"), (k - 1).cast("string"), F.lit(">"))
+    inp_piece = (
+        F.when(is_start, sent)
+        .when(in_span, F.lit(None))
+        .otherwise(F.col("token"))
+    )
+    tgt_piece = (
+        F.when(is_start, F.concat(sent, F.lit(" "), F.col("token")))
+        .when(in_span, F.col("token"))
+        .otherwise(F.lit(None))
+    )
+    rows = t.select(
+        F.col(id_col), F.col("pos"), k.alias("_k"),
+        inp_piece.alias("_inp"), tgt_piece.alias("_tgt"),
+    )
+
+    def _rebuild(col: str) -> Column:
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col(col)))
+                    ),
+                    lambda r: r[col].isNotNull(),
+                ),
+                lambda r: r[col],
+            ),
+            " ",
+        )
+
+    agg = rows.groupBy(id_col).agg(
+        F.max("_k").cast("int").alias("n_spans"),
+        _rebuild("_inp").alias("_inputs"),
+        _rebuild("_tgt").alias("_targets"),
+    )
+    term = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return agg.select(
+        id_col,
+        "n_spans",
+        F.col("_inputs").alias("inputs"),
+        F.when(F.col("_targets") == "", term)
+        .otherwise(F.concat(F.col("_targets"), F.lit(" "), term))
+        .alias("targets"),
+    )
+
+
 def blocklist_filter(
     df: DataFrame,
     terms: DataFrame | list[str],

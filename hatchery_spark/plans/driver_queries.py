@@ -1747,6 +1747,18 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption example construction over documents: block-
+    deterministic masking (md5 arithmetic — non-overlap by construction,
+    no sequential scan), sentinel numbering via ONE running-count window,
+    order-restoring rebuild of inputs AND targets in one doc_id exchange.
+    The oracle replays the entire derivation — hash decode, span
+    placement, sentinel indices, both reconstructed strings."""
+    from hatchery_spark.functions.corpus import span_corruption
+
+    return span_corruption(load(spark, sf_dir, "documents"))
+
+
 def q_blocklist_filter(spark, sf_dir):
     """C4 §2.2 banned-word page gate, BOTH plans side by side: the
     codegen'd arrays_overlap projection (zero shuffle — the real-world
@@ -4154,6 +4166,53 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "doc_span_corruption": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
+              FROM documents),
+            tk AS (
+              SELECT doc_id, t[i + 1] AS token, i AS pos,
+                     i // 8 AS blk, i % 8 AS off
+              FROM toks, unnest(range(0, len(t))) AS u(i)),
+            hv AS (
+              SELECT *, ({_hex_decode_terms('hx')}) AS h
+              FROM (SELECT *, substr(md5(cast(doc_id AS varchar) || ':'
+                                     || cast(blk AS varchar)), 1, 8) AS hx
+                    FROM tk)),
+            mk AS (
+              SELECT *,
+                     (h % 100) < 30 AND off >= (h // 100) % 6
+                       AND off < (h // 100) % 6 + 3 AS in_span,
+                     (h % 100) < 30 AND off = (h // 100) % 6 AS is_start
+              FROM hv),
+            kk AS (
+              SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS k
+              FROM mk),
+            pieces AS (
+              SELECT doc_id, pos, k,
+                CASE WHEN is_start
+                     THEN '<extra_id_' || cast(k - 1 AS varchar) || '>'
+                     WHEN in_span THEN NULL ELSE token END AS inp,
+                CASE WHEN is_start
+                     THEN '<extra_id_' || cast(k - 1 AS varchar) || '> '
+                          || token
+                     WHEN in_span THEN token ELSE NULL END AS tgt
+              FROM kk),
+            agg AS (
+              SELECT doc_id, cast(max(k) AS int) AS n_spans,
+                coalesce(string_agg(inp, ' ' ORDER BY pos), '') AS inputs,
+                coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS t0
+              FROM pieces GROUP BY doc_id)
+            SELECT doc_id, n_spans, inputs,
+              CASE WHEN t0 = ''
+                   THEN '<extra_id_' || cast(n_spans AS varchar) || '>'
+                   ELSE t0 || ' <extra_id_' || cast(n_spans AS varchar)
+                        || '>' END AS targets
+            FROM agg""",
         "doc_blocklist": """
             SELECT doc_id,
               list_has_any(list_filter(string_split_regex(lower(text),
@@ -4356,6 +4415,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_span_corruption": q_span_corruption,
         "doc_blocklist": q_blocklist_filter,
         "media_image_dhash": q_image_dhash_dedup,
         "doc_search_phrase": q_search_phrase,

@@ -81,3 +81,39 @@ def test_custom_loss_role(convs):
     a = out["a"]
     spans = [tuple(map(int, s.split(":"))) for s in a.loss_spans.split(",")]
     assert [a.text[s:e] for s, e in spans] == ["hi there", "what's 2+2"]
+
+
+# -------------------------------------------------------- span corruption
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Splicing each target span back at its sentinel in inputs recovers
+    the original lowercased token stream exactly — masking is lossless."""
+    import re
+
+    from hatchery_spark.functions.corpus import span_corruption
+
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(25))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption(df).collect()}
+    assert any(r.n_spans > 0 for r in out.values())   # masking actually fires
+    for i, orig in rows:
+        r = out[i]
+        # parse targets: <extra_id_k> tok tok ... <extra_id_{n_spans}>
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r.targets)
+        labels = re.findall(r"<extra_id_(\d+)>", r.targets)
+        assert labels[-1] == str(r.n_spans)            # terminator present
+        chunks = parts[1:]  # alternating label, text
+        for k_str, text in zip(chunks[0::2], chunks[1::2]):
+            if int(k_str) < r.n_spans:
+                spans[int(k_str)] = text.split()
+        rebuilt = []
+        for tok in r.inputs.split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+            rebuilt.extend(spans[int(m.group(1))] if m else [tok])
+        assert rebuilt == orig.split(), i
+        # sentinels appear in order 0..n_spans-1 exactly once in inputs
+        sents = [int(m.group(1)) for m in
+                 re.finditer(r"<extra_id_(\d+)>", r.inputs)]
+        assert sents == list(range(r.n_spans))
