@@ -350,6 +350,7 @@ def main() -> None:
             ("media_image_dhash", dq.q_image_dhash_dedup),
             ("doc_blocklist", dq.q_blocklist_filter),
             ("doc_span_corruption", dq.q_span_corruption),
+            ("pipeline_hard_negatives", dq.q_hard_negatives),
         ]:
             measure(
                 name,

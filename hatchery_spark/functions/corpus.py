@@ -1867,6 +1867,99 @@ def search_all_terms(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    every: int = 61,
+    qlen: int = 5,
+    k_neg: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR
+    recipe, Karpukhin 2004.04906 §3.2: BM25 top hits that are NOT the
+    positive): each selected doc's leading `qlen` tokens act as the query,
+    the doc itself is the positive, and the top `k_neg` BM25-scored OTHER
+    docs are its hard negatives — the triples an in-batch-negatives
+    trainer consumes.
+
+    BATCH BM25 (many queries in one plan, unlike the single-query
+    `bm25_topk` literal-column form): postings (token, doc, tf) built
+    once; the query-term frame is query-set-sized and broadcast; scoring
+    is one join postings⋈terms + a (qid, doc) aggregate; the per-query
+    k-cut is a rank window over CANDIDATE rows only (docs sharing ≥1
+    query term). Query selection is deterministic (doc_id % every == 0).
+    Ranking uses the 4-decimal-rounded score with doc_id tie-break, so
+    the cut is engine-replayable.
+    """
+    postings = inverted_postings(df, text_col, id_col)
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
+    )
+    q_terms = (
+        df.filter(F.col(id_col) % every == 0)
+        .select(
+            F.col(id_col).alias("qid"),
+            F.explode(
+                F.array_distinct(F.slice(toks, 1, qlen))
+            ).alias("token"),
+        )
+    )
+    dft = (
+        postings.join(
+            F.broadcast(q_terms.select("token").distinct()), "token"
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    scored = (
+        postings.join(F.broadcast(q_terms), "token")
+        .join(dl, id_col)
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("qid") != F.col(id_col))
+        .select(
+            "qid",
+            F.col(id_col),
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy("qid", id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qid").alias("pos_id"),
+            "neg_rank",
+            F.col(id_col).alias("neg_id"),
+            "score",
+        )
+    )
+
+
 def positional_postings(
     df: DataFrame,
     text_col: str = "text",

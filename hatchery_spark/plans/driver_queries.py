@@ -1747,6 +1747,17 @@ def q_media_mp4_meta(spark, sf_dir):
     return mp4_meta_features(synthetic_mp4_media_df(spark, 48))
 
 
+def q_hard_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining: deterministic query docs (leading-
+    token queries), BM25-batch scoring of the whole corpus in ONE plan
+    (postings built once, query frames broadcast), per-query rank-window
+    cut to the top non-positive hits. The triples an embedding trainer
+    consumes; the oracle replays the full batch-BM25 math and the cut."""
+    from hatchery_spark.functions.corpus import hard_negatives
+
+    return hard_negatives(load(spark, sf_dir, "documents"))
+
+
 def q_span_corruption(spark, sf_dir):
     """T5 span-corruption example construction over documents: block-
     deterministic masking (md5 arithmetic — non-overlap by construction,
@@ -4166,6 +4177,46 @@ def oracle_catalog() -> dict[str, str]:
               cast(10 + i % 5 AS int) AS height,
               cast(10 + 60 * ((i + j) % 4) AS double) AS frame_mean
             FROM g""",
+        "pipeline_hard_negatives": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[ \t\n\f\r\x0b]+'), x -> x <> '') AS t
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            postings AS (
+              SELECT token, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM postings GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            q AS (
+              SELECT doc_id AS qid,
+                     unnest(list_distinct(t[1:5])) AS token
+              FROM toks WHERE doc_id % 61 = 0),
+            dft AS (
+              SELECT p.token, count(*) AS df_t FROM postings p
+              WHERE p.token IN (SELECT DISTINCT token FROM q)
+              GROUP BY p.token),
+            sc AS (
+              SELECT q.qid, p.doc_id,
+                round(sum(
+                  ln(1 + (st.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+                  * (p.tf * 2.2)
+                  / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                ), 4) AS score
+              FROM postings p
+              JOIN q ON p.token = q.token
+              JOIN dl ON p.doc_id = dl.doc_id
+              JOIN dft ON p.token = dft.token, st
+              WHERE p.doc_id <> q.qid
+              GROUP BY q.qid, p.doc_id),
+            rk AS (
+              SELECT qid, doc_id, score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY score DESC, doc_id) AS r
+              FROM sc)
+            SELECT qid AS query_id, qid AS pos_id, cast(r AS int) AS neg_rank,
+                   doc_id AS neg_id, score
+            FROM rk WHERE r <= 4""",
         "doc_span_corruption": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -4415,6 +4466,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,
         "doc_blocklist": q_blocklist_filter,
         "media_image_dhash": q_image_dhash_dedup,

@@ -232,3 +232,23 @@ def test_search_phrase_overlaps_and_dup_terms(spark):
     xy = {r.doc_id: r.n_matches for r in search_phrase(p, "x y").collect()}
     assert xy == {4: 2}
     assert search_phrase(p, "z q").count() == 0
+
+
+def test_hard_negatives_excludes_positive_and_ranks(spark):
+    from hatchery_spark.functions.corpus import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),   # the query doc
+            (1, "alpha beta gamma filler filler"),   # shares 3 terms
+            (2, "alpha filler filler filler filler"),  # shares 1 term
+            (3, "zzz yyy xxx www vvv"),              # shares none
+        ],
+        "doc_id long, text string",
+    )
+    out = hard_negatives(docs, every=7, qlen=5, k_neg=3).collect()
+    assert all(r.query_id == 0 and r.pos_id == 0 for r in out)
+    assert all(r.neg_id != 0 for r in out)           # positive excluded
+    by_rank = sorted(out, key=lambda r: r.neg_rank)
+    assert [r.neg_id for r in by_rank] == [1, 2]     # 3 never matches
+    assert by_rank[0].score > by_rank[1].score       # more overlap = harder
