@@ -242,6 +242,46 @@ class SnapshotTable:
         paths = [os.path.join(self.path, rel) for rel in m["live"]]
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def optimize(self, target_partitions: int = 1, run_ts: str = "",
+                 writer_id: str = "w0") -> int:
+        """Compaction commit (the Delta/Iceberg OPTIMIZE analog): rewrite
+        the live set into `target_partitions` files and publish the swap
+        atomically — readers see pre- or post-compaction, never a mix,
+        and historical versions keep their original (uncompacted) files
+        until vacuum. Content is unchanged; only layout. For clustered
+        layout, write through `sinks.write_zordered` first and append the
+        result — this commit only solves the small-files problem."""
+        parent = self.version()
+        compacted = self.read(parent).coalesce(target_partitions)
+        return self._commit("optimize", compacted, [], parent, run_ts,
+                            writer_id, self.manifest(parent)["schema"])
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change feed for APPEND-ONLY ranges: the rows added
+        after `from_version` up to `to_version` (default: latest), read
+        from each commit's `added` dirs only — O(delta), the table never
+        rescans. Raises if the range contains a commit that rewrote or
+        removed data (overwrite/merge/optimize) — those are not
+        row-level-expressible without a diff, exactly the limitation real
+        change feeds have unless CDC files are written at commit time
+        (`cdc_merge_writer` keeps the source stream for that)."""
+        to_version = self.version() if to_version is None else to_version
+        added: list[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            m = self.manifest(v)
+            if m["removed"]:
+                raise ValueError(
+                    f"version {v} ({m['action']}) rewrote data; the "
+                    f"append-only change feed cannot express it"
+                )
+            added.extend(m["added"])
+        schema = StructType.fromJson(
+            json.loads(self.manifest(to_version)["schema"]))
+        if not added:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, rel) for rel in added])
+
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Delete data dirs referenced by NO retained manifest (the last
         `keep_last` versions) — reclaims overwritten/merged-away files AND

@@ -188,3 +188,36 @@ def test_cdc_stream_exactly_once(spark, tdir):
     # batch boundaries are time travel points
     assert {r.k for r in t4.read(1).collect()} == {1, 2, 3, 4}
     assert {r.k for r in t4.read(2).collect()} == {1, 2, 4, 5}
+
+
+def test_optimize_compacts_without_changing_content(spark, tdir):
+    t = SnapshotTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    for i in range(2, 6):
+        t.append(_df(spark, [(i, "x")]))
+    def n_files(v):
+        m = t.manifest(v)
+        return sum(
+            len([f for f in os.listdir(os.path.join(tdir, rel))
+                 if f.endswith(".parquet")])
+            for rel in m["live"])
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    files_before = n_files(t.version())
+    v = t.optimize(target_partitions=1)
+    assert sorted((r.k, r.v) for r in t.read(v).collect()) == before
+    assert n_files(v) < files_before
+    assert n_files(v - 1) == files_before     # history keeps old layout
+    assert t.manifest(v)["action"] == "optimize"
+
+
+def test_change_feed_append_only(spark, tdir):
+    t = SnapshotTable.create(spark, tdir, _df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c"), (4, "d")]))
+    assert sorted(r.k for r in t.changes(1).collect()) == [2, 3, 4]
+    assert sorted(r.k for r in t.changes(2, 3).collect()) == [3, 4]
+    assert t.changes(3).count() == 0
+    t.overwrite(_df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="rewrote data"):
+        t.changes(1)
+    # a range that stops before the rewrite still works
+    assert sorted(r.k for r in t.changes(1, 3).collect()) == [2, 3, 4]
