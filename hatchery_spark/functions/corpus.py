@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -2049,4 +2049,108 @@ def readability(df: DataFrame, text_col: str = "text", rd: int = 4) -> DataFrame
         syllables.cast("int").alias("n_syllables"),
         F.round(ease, rd).alias("fk_ease"),
         F.round(grade, rd).alias("fk_grade"),
+    )
+
+
+def _md5_tag_long(id_col: Column, tag: str) -> Column:
+    """First 8 hex chars of md5(id ‖ ':' ‖ tag) as a non-negative BIGINT
+    (≤ 2^32-1, exact through conv). The per-purpose tag keeps the gate,
+    cut-point, and sampling hashes independent of each other."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(":" + tag)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rate_pct: int = 50,
+    salt: str = "fim",
+) -> DataFrame:
+    """Fill-in-the-middle restructuring for code/text pretraining (Bavarian
+    et al., arXiv:2207.14255): split each selected document at two random
+    points into (prefix, middle, suffix) and emit the PSM form
+    ``<PRE>prefix<SUF>suffix<MID>middle`` so the model learns infilling;
+    the rest of the corpus passes through untouched (the paper's fim_rate).
+
+    Everything is deterministic (md5-derived gate and cut points — same
+    output at any cluster size/partitioning) and pure codegen: length,
+    substring, concat. Zero shuffle, zero Python — at 100 TB this is a
+    free map over the scan, and the transform composes with the pack/
+    shuffle stages downstream.
+
+    Output: id, mode ('psm' | 'plain'), fim_text.
+    Reference analog: transform stage of the pipeline (hatchery
+    pipeline/pipeline.go:41) — a per-record restructuring operator.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    ln = F.length(t)
+    gate = (F.pmod(_md5_tag_long(F.col(id_col), salt + "-gate"), F.lit(100)) < rate_pct) & (
+        ln >= 2
+    )
+    c1 = F.pmod(_md5_tag_long(F.col(id_col), salt + "-a"), ln + 1)
+    c2 = F.pmod(_md5_tag_long(F.col(id_col), salt + "-b"), ln + 1)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    psm = F.concat(
+        F.lit("<PRE>"),
+        F.substring(t, F.lit(1), lo),
+        F.lit("<SUF>"),
+        F.substring(t, hi + 1, ln - hi),
+        F.lit("<MID>"),
+        F.substring(t, lo + 1, hi - lo),
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(gate, F.lit("psm")).otherwise(F.lit("plain")).alias("mode"),
+        F.when(gate, psm).otherwise(t).alias("fim_text"),
+    )
+
+
+def ccnet_bucket_mix(
+    docs: DataFrame,
+    ref_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    rates: tuple = (("head", 1.0), ("middle", 0.5), ("tail", 0.1)),
+    salt: str = "ccnet",
+) -> DataFrame:
+    """CCNet perplexity bucketing + per-bucket mixing (Wenzek et al.,
+    arXiv:1911.00359 §4.3): score every document in bits-per-char under a
+    char-bigram LM trained on the trusted ``ref_filter`` slice, split each
+    language into perplexity TERTILES (head = most reference-like), then
+    keep a deterministic md5 sample at a per-bucket rate — the standard
+    head/middle/tail mixture used to build high-quality web corpora.
+
+    Scale shape: model frames are vocabulary-bounded broadcasts (see
+    char_lm_train); the scoring pass shuffles once on the doc id for the
+    per-doc aggregate; the tertile split is ONE window over (lang) ordered
+    by the already-rounded score + id — a per-language sort, no global
+    order. The md5 keep-gate is pure codegen. Bucket boundaries are
+    rank-based (ntile), so skewed perplexity distributions still split
+    into thirds — the quantile-cell lesson from Z-ordering applied here.
+    """
+    counts, totals, v = char_lm_train(docs.filter(ref_filter), text_col, id_col)
+    scored = char_lm_perplexity(docs, counts, totals, v, text_col, id_col).join(
+        docs.select(id_col, lang_col), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy("bits_per_char", id_col)
+    n = len(rates)
+    tiled = scored.select(
+        id_col,
+        lang_col,
+        "bits_per_char",
+        F.ntile(n).over(w).alias("tile"),
+    )
+    bucket = F.element_at(
+        F.array(*[F.lit(name) for name, _ in rates]), F.col("tile")
+    )
+    u = _md5_tag_long(F.col(id_col), salt) / F.lit(float(2**32))
+    rate = F.element_at(F.array(*[F.lit(r) for _, r in rates]), F.col("tile"))
+    return tiled.select(
+        id_col,
+        lang_col,
+        "bits_per_char",
+        bucket.alias("bucket"),
+        (u < rate).alias("kept"),
     )

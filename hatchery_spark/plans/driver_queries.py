@@ -2700,6 +2700,100 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+def _hex_decode_terms(col: str = "h") -> str:
+    """Positional decode of an 8-hex-char column to BIGINT (no conv in
+    DuckDB) — mirrors graph._md5_prefix_long."""
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle pretraining restructure (Bavarian 2207.14255):
+    PSM re-ordering at two md5-derived cut points for ~50% of docs, pure
+    codegen passthrough for the rest — zero shuffle, zero Python."""
+    from hatchery_spark.functions.corpus import fim_transform
+
+    return fim_transform(load(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing + per-bucket mixture
+    (Wenzek 1911.00359): char-bigram LM trained on the doc_id%10==0
+    trusted slice scores every doc; per-language rank tertiles; md5
+    keep-gate at rates 1.0/0.5/0.1."""
+    from hatchery_spark.functions.corpus import ccnet_bucket_mix
+
+    docs = load(spark, sf_dir, "documents")
+    out = ccnet_bucket_mix(docs, F.col("doc_id") % 10 == 0)
+    return out.select(
+        "doc_id",
+        "lang",
+        "bits_per_char",
+        "bucket",
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_FIM_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS ln,
+         substr(md5(concat(cast(doc_id AS varchar), ':fim-gate')), 1, 8) AS hg,
+         substr(md5(concat(cast(doc_id AS varchar), ':fim-a')), 1, 8) AS ha,
+         substr(md5(concat(cast(doc_id AS varchar), ':fim-b')), 1, 8) AS hb
+  FROM documents),
+c AS (
+  SELECT doc_id, t, ln,
+         (({_hex_decode_terms("hg")}) % 100) < 50 AND ln >= 2 AS gate,
+         ({_hex_decode_terms("ha")}) % (ln + 1) AS c1,
+         ({_hex_decode_terms("hb")}) % (ln + 1) AS c2
+  FROM h),
+s AS (SELECT doc_id, t, ln, gate, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+SELECT doc_id,
+       CASE WHEN gate THEN 'psm' ELSE 'plain' END AS mode,
+       CASE WHEN gate THEN concat('<PRE>', substr(t, 1, cast(lo AS int)),
+                                  '<SUF>', substr(t, cast(hi + 1 AS int), cast(ln - hi AS int)),
+                                  '<MID>', substr(t, cast(lo + 1 AS int), cast(hi - lo AS int)))
+            ELSE t END AS fim_text
+FROM s"""
+
+
+_CCNET_BUCKETS_ORACLE = f"""
+WITH pairs AS (
+  SELECT doc_id, substr(text, i, 1) AS ctx, substr(text, i + 1, 1) AS nxt
+  FROM documents, unnest(range(1, length(text))) AS t(i)
+  WHERE text IS NOT NULL AND length(text) >= 2),
+counts AS (SELECT ctx, nxt, count(*) AS c FROM pairs
+           WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+totals AS (SELECT ctx, sum(c) AS tot FROM counts GROUP BY 1),
+vocab AS (SELECT count(DISTINCT ch) AS v FROM (
+            SELECT ctx AS ch FROM pairs WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT nxt FROM pairs WHERE doc_id % 10 = 0) u),
+scored AS (
+  SELECT p.doc_id,
+         round(-avg(log2((coalesce(c.c, 0) + 1.0)
+                         / (coalesce(t.tot, 0) + v.v))), 4) AS bits_per_char
+  FROM pairs p
+  LEFT JOIN counts c ON p.ctx = c.ctx AND p.nxt = c.nxt
+  LEFT JOIN totals t ON p.ctx = t.ctx
+  CROSS JOIN vocab v
+  GROUP BY p.doc_id),
+tiled AS (
+  SELECT s.doc_id, d.lang, s.bits_per_char,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.bits_per_char, s.doc_id) AS tile,
+         substr(md5(concat(cast(s.doc_id AS varchar), ':ccnet')), 1, 8) AS hk
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+SELECT doc_id, lang, bits_per_char,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       cast(({_hex_decode_terms("hk")}) / 4294967296.0
+            < (CASE tile WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END) AS int) AS kept
+FROM tiled"""
+
+
 _FUZZY_PAIRS_ORACLE = """
 WITH base AS (
   SELECT DISTINCT tok AS t FROM (
@@ -2729,16 +2823,6 @@ _ORC_ROUNDTRIP_ORACLE = """
 SELECT l_returnflag, l_linestatus, count(*) AS n,
        round(sum(l_quantity), 4) AS sum_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
-
-
-def _hex_decode_terms(col: str = "h") -> str:
-    """Positional decode of an 8-hex-char column to BIGINT (no conv in
-    DuckDB) — mirrors graph._md5_prefix_long."""
-    digits = "0123456789abcdef"
-    return " + ".join(
-        f"(strpos('{digits}', substr({col}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
 
 
 #: deterministic event-derived edge list shared by the pagerank and
@@ -4057,6 +4141,8 @@ def oracle_catalog() -> dict[str, str]:
         "doc_readability": _READABILITY_ORACLE,
         "doc_fuzzy_pairs": _FUZZY_PAIRS_ORACLE,
         "rel_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
+        "doc_fim_transform": _FIM_ORACLE,
+        "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
@@ -4466,6 +4552,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_fim_transform": q_fim_transform,
+        "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,
         "doc_blocklist": q_blocklist_filter,
