@@ -1,0 +1,159 @@
+"""WARC (ISO 28500 / WARC/1.0) record framing: the container format of
+Common Crawl and every web-archive corpus — the first stage of a real
+pretraining pipeline is splitting multi-gigabyte WARC files into records.
+
+Two halves, both distributed:
+
+* ``build_warc_files`` — deterministic encoder: documents → one WARC blob
+  per file group (applyInPandas over the group key; ONE shuffle on
+  file_id). Exists so the parser can be exercised hermetically — the
+  sandbox has no real crawl data.
+* ``parse_warc`` — the operator under test: a byte-exact record splitter
+  (version line, CRLF headers, Content-Length-driven payload slice,
+  4-byte record separator) as mapInPandas over binary blobs — zero
+  shuffle, O(file bytes) per task, the standard CC processing shape where
+  each task owns whole archive files and memory is bounded by one file.
+
+At 100 TB the encoder half disappears (files come from object storage via
+binaryFile/stream source) and ``parse_warc`` is the scan-adjacent map.
+
+Reference analog: hatchery's source decode stage (source/parse.go:21) —
+container bytes → records before any transform runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WARC_DATE = "2025-01-01T00:00:00Z"
+_SEP = b"\r\n\r\n"
+
+
+def encode_warc_record(doc_id: int, payload: bytes) -> bytes:
+    """One WARC/1.0 response record with the standard header set."""
+    uri = f"https://example.com/doc/{doc_id}"
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {WARC_DATE}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    )
+    return head.encode("ascii") + payload + _SEP
+
+
+def build_warc_files(
+    docs: DataFrame,
+    files: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents → (file_id, content) WARC blobs, ``doc_id % files`` groups,
+    records in doc_id order within each file. Deterministic at any
+    parallelism: group membership and in-file order are data-derived."""
+    recs = docs.select(
+        F.pmod(F.col(id_col), F.lit(files)).alias("file_id"),
+        F.col(id_col).alias("_rid"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_payload"),
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rid")
+        blob = b"".join(
+            encode_warc_record(int(rid), payload.encode("utf-8"))
+            for rid, payload in zip(pdf["_rid"], pdf["_payload"])
+        )
+        return pd.DataFrame({"file_id": [int(pdf.file_id.iloc[0])], "content": [blob]})
+
+    return recs.groupBy("file_id").applyInPandas(
+        _encode, "file_id bigint, content binary"
+    )
+
+
+def split_warc_records(buf: bytes) -> list[tuple]:
+    """Byte-exact record scan of one WARC file: (rec_idx, rec_offset,
+    warc_type, target_uri, content_length, payload_bytes). Content-Length
+    drives the payload slice, so payloads containing 'WARC/1.0' or CRLF
+    runs cannot desynchronize the scan."""
+    out, pos, idx = [], 0, 0
+    n = len(buf)
+    while pos < n:
+        start = pos
+        hdr_end = buf.index(_SEP, pos)
+        lines = buf[pos:hdr_end].decode("utf-8").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line at offset {start}: {lines[0]!r}")
+        hdrs = {}
+        for ln in lines[1:]:
+            k, _, v = ln.partition(":")
+            hdrs[k.strip().lower()] = v.strip()
+        clen = int(hdrs["content-length"])
+        payload = buf[hdr_end + 4 : hdr_end + 4 + clen]
+        if len(payload) != clen:
+            raise ValueError(f"truncated payload at offset {start}")
+        if buf[hdr_end + 4 + clen : hdr_end + 4 + clen + 4] != _SEP:
+            raise ValueError(f"missing record separator at offset {start}")
+        out.append(
+            (
+                idx,
+                start,
+                hdrs.get("warc-type", ""),
+                hdrs.get("warc-target-uri", ""),
+                clen,
+                payload,
+            )
+        )
+        pos = hdr_end + 4 + clen + 4
+        idx += 1
+    return out
+
+
+def parse_warc(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Split WARC blobs into records: one output row per record with its
+    byte offset, headers, and payload md5 (the md5 proves the slice is
+    byte-exact — any off-by-one mismatches the oracle's md5(text))."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, buf in zip(pdf["file_id"], pdf[content_col]):
+                for idx, off, wtype, uri, clen, payload in split_warc_records(
+                    bytes(buf)
+                ):
+                    rows.append(
+                        (
+                            int(fid),
+                            idx,
+                            off,
+                            wtype,
+                            uri,
+                            clen,
+                            hashlib.md5(payload).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id",
+                    "rec_idx",
+                    "rec_offset",
+                    "warc_type",
+                    "target_uri",
+                    "content_length",
+                    "payload_md5",
+                ],
+            )
+
+    return df.mapInPandas(
+        _parse,
+        "file_id bigint, rec_idx int, rec_offset bigint, warc_type string, "
+        "target_uri string, content_length bigint, payload_md5 string",
+    )

@@ -2737,6 +2737,49 @@ def q_ccnet_buckets(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container framing e2e: documents → WARC/1.0 blobs (25 files,
+    applyInPandas encoder) → byte-exact record splitter (mapInPandas). The
+    oracle recomputes every record's byte offset from ASCII header lengths
+    and payload octet_length, and md5(text) pins the payload slice —
+    any off-by-one in the scan value-mismatches."""
+    from hatchery_spark.functions.warc import build_warc_files, parse_warc
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_warc(build_warc_files(docs, files=25))
+
+
+_WARC_ORACLE = """
+WITH r AS (
+  SELECT doc_id % 25 AS file_id, doc_id,
+         coalesce(text, '') AS payload,
+         octet_length(encode(coalesce(text, ''))) AS plen,
+         concat('https://example.com/doc/', cast(doc_id AS varchar)) AS uri
+  FROM documents),
+h AS (
+  SELECT *,
+         length(concat(
+           'WARC/1.0', e'\\r\\n',
+           'WARC-Type: response', e'\\r\\n',
+           'WARC-Record-ID: <urn:doc:', cast(doc_id AS varchar), '>', e'\\r\\n',
+           'WARC-Target-URI: ', uri, e'\\r\\n',
+           'WARC-Date: 2025-01-01T00:00:00Z', e'\\r\\n',
+           'Content-Type: text/plain', e'\\r\\n',
+           'Content-Length: ', cast(plen AS varchar), e'\\r\\n', e'\\r\\n'
+         )) AS hlen
+  FROM r)
+SELECT file_id,
+       cast(row_number() OVER w - 1 AS int) AS rec_idx,
+       cast(coalesce(sum(hlen + plen + 4) OVER (
+         PARTITION BY file_id ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS rec_offset,
+       'response' AS warc_type,
+       uri AS target_uri,
+       cast(plen AS bigint) AS content_length,
+       md5(payload) AS payload_md5
+FROM h WINDOW w AS (PARTITION BY file_id ORDER BY doc_id)"""
+
+
 _FIM_ORACLE = f"""
 WITH h AS (
   SELECT doc_id, coalesce(text, '') AS t, length(coalesce(text, '')) AS ln,
@@ -4142,6 +4185,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_fuzzy_pairs": _FUZZY_PAIRS_ORACLE,
         "rel_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "doc_fim_transform": _FIM_ORACLE,
+        "doc_warc_roundtrip": _WARC_ORACLE,
         "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
@@ -4553,6 +4597,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "doc_fim_transform": q_fim_transform,
+        "doc_warc_roundtrip": q_warc_roundtrip,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,

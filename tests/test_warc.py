@@ -1,0 +1,65 @@
+"""WARC/1.0 record framing: byte-exact splitter over adversarial payloads."""
+
+import hashlib
+
+import pytest
+
+from hatchery_spark.functions.warc import (
+    build_warc_files,
+    encode_warc_record,
+    parse_warc,
+    split_warc_records,
+)
+
+
+def test_split_adversarial_payloads():
+    payloads = [
+        b"",  # zero-length record
+        b"plain ascii body",
+        "unicode é中文 body".encode("utf-8"),  # bytes != chars
+        b"embedded WARC/1.0\r\n\r\nfake header inside payload",  # desync bait
+        b"\r\n\r\n\r\n\r\n",  # separator soup
+    ]
+    blob = b"".join(encode_warc_record(i, p) for i, p in enumerate(payloads))
+    recs = split_warc_records(blob)
+    assert [r[0] for r in recs] == [0, 1, 2, 3, 4]
+    assert [r[4] for r in recs] == [len(p) for p in payloads]
+    assert [r[5] for r in recs] == payloads
+    # offsets are cumulative record byte lengths
+    sizes = [len(encode_warc_record(i, p)) for i, p in enumerate(payloads)]
+    assert [r[1] for r in recs] == [sum(sizes[:i]) for i in range(len(sizes))]
+
+
+def test_split_rejects_corruption():
+    good = encode_warc_record(0, b"abc")
+    with pytest.raises(ValueError, match="bad WARC version"):
+        split_warc_records(b"HTTP/1.1 200\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        split_warc_records(good[:-5])
+    with pytest.raises(ValueError, match="separator"):
+        split_warc_records(good[:-4] + b"XXXX")
+
+
+def test_distributed_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc body {i} " * (i % 5 + 1)) for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = parse_warc(build_warc_files(docs, files=7)).collect()
+    assert len(out) == 60
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        doc_id = int(r.target_uri.rsplit("/", 1)[1])
+        assert r.file_id == doc_id % 7
+        assert r.warc_type == "response"
+        assert r.payload_md5 == hashlib.md5(
+            originals[doc_id].encode("utf-8")
+        ).hexdigest()
+    # rec_idx is dense 0..n-1 per file in doc_id order
+    per_file = {}
+    for r in sorted(out, key=lambda r: (r.file_id, r.rec_idx)):
+        per_file.setdefault(r.file_id, []).append(r)
+    for rows in per_file.values():
+        assert [r.rec_idx for r in rows] == list(range(len(rows)))
+        uris = [int(r.target_uri.rsplit("/", 1)[1]) for r in rows]
+        assert uris == sorted(uris)
