@@ -464,11 +464,66 @@ def mulaw_byte(e: int, m: int, negative: bool = False) -> int:
     return ~u & 0xFF
 
 
+def _alaw_decode_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 expansion table (the public Sun/
+    CCITT form: XOR 0x55, then segment e with mantissa m expands to
+    (m·16+8) for e=0 and ((m·16+264)·2^(e−1)) otherwise; the post-XOR
+    sign bit SET means positive)."""
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        e = (a >> 4) & 0x07
+        m = a & 0x0F
+        mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+        out[b] = mag if (a & 0x80) else -mag
+    return out
+
+
+_ALAW_TABLE = _alaw_decode_table()
+
+
+def alaw_byte(e: int, m: int, negative: bool = False) -> int:
+    """The A-law byte whose expansion is ±((m·16+8) | ((m·16+264)·2^(e−1)))
+    — test-fixture inverse of the decode table."""
+    a = (0 if negative else 0x80) | ((e & 7) << 4) | (m & 0xF)
+    return a ^ 0x55
+
+
+def encode_wav_alaw(n_samples: int, sample_rate: int, byte: int) -> bytes:
+    """Minimal mono G.711 A-law WAV (format tag 6) with a constant byte."""
+    import struct as _struct
+
+    data = bytes([byte]) * n_samples
+    fmt = _struct.pack("<HHIIHH", 6, 1, sample_rate, sample_rate, 1, 8)
+    body = (
+        b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(body) - 4) + body
+
+
+def synthetic_alaw_media_df(spark, n: int = 48) -> DataFrame:
+    """A-law audio rows sweeping every segment e, mantissa grid, and both
+    signs: constant bytes make RMS the exact expansion magnitude and the
+    dominant bin DC — every stat closed-form for the oracle."""
+    rows = []
+    for i in range(n):
+        sr = 8000 + 8000 * (i % 2)
+        n_samples = 800 + 160 * (i % 5)
+        content = encode_wav_alaw(
+            n_samples, sr, alaw_byte(e=i % 8, m=(i * 5) % 16, negative=i % 2 == 1)
+        )
+        rows.append((i, "audio", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     """Parse a WAV into (int16 samples interleaved, sample_rate,
-    n_channels). Stdlib-only: 16-bit PCM via the wave module, G.711 μ-law
-    (format tag 7 — telephony corpora) via a manual RIFF chunk walk +
-    expansion table. Other sample formats raise DecoderUnavailable."""
+    n_channels). Stdlib-only: 16-bit PCM via the wave module, G.711 μ-law /
+    A-law (format tags 7/6 — telephony corpora) via a manual RIFF chunk walk
+    + expansion tables. Other sample formats raise DecoderUnavailable."""
     import io
     import wave
 
@@ -503,6 +558,9 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     tag, nch, sr, _brate, _align, bits = fmt
     if tag == 7 and bits == 8:  # G.711 μ-law
         samples = _MULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+        return samples, sr, nch
+    if tag == 6 and bits == 8:  # G.711 A-law
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
         return samples, sr, nch
     raise DecoderUnavailable(f"unsupported WAV format tag {tag}/{bits}-bit")
 

@@ -1733,6 +1733,19 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_media_audio_alaw(spark, sf_dir):
+    """G.711 A-law decode (WAV format tag 6) through the same rfft feature
+    path: constant-byte fixtures sweep all 8 segments × mantissa grid ×
+    both signs, so RMS equals the exact expansion magnitude and the
+    dominant bin is DC — every value closed-form in the oracle."""
+    from hatchery_spark.functions.multimodal import (
+        synthetic_alaw_media_df,
+        wav_spectral_features,
+    )
+
+    return wav_spectral_features(synthetic_alaw_media_df(spark, 48))
+
+
 def q_media_mp4_meta(spark, sf_dir):
     """Video-corpus container triage: full ISO BMFF box walk (ftyp brand,
     mvhd timescale/duration, per-trak tkhd 16.16 dimensions + hdlr typing,
@@ -4291,6 +4304,16 @@ def oracle_catalog() -> dict[str, str]:
                    ELSE 0.0 END AS dominant_freq_hz,
               'ok' AS decode_status
             FROM (SELECT unnest(range(0, 48)) AS i)""",
+        "media_audio_alaw": """
+            SELECT i AS media_id,
+              cast(8000 + 8000 * (i % 2) AS int) AS sr,
+              cast(800 + 160 * (i % 5) AS int) AS n_samples,
+              cast(CASE WHEN i % 8 = 0 THEN ((i * 5) % 16) * 16 + 8
+                   ELSE (((i * 5) % 16) * 16 + 264) * power(2, i % 8 - 1)
+                   END AS double) AS rms,
+              0.0 AS dominant_freq_hz,
+              'ok' AS decode_status
+            FROM (SELECT unnest(range(0, 48)) AS i)""",
         "media_gif_frames": """
             WITH g AS (
               SELECT i, j,
@@ -4598,6 +4621,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "doc_fim_transform": q_fim_transform,
         "doc_warc_roundtrip": q_warc_roundtrip,
+        "media_audio_alaw": q_media_audio_alaw,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,

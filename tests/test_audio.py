@@ -94,3 +94,25 @@ def test_spectral_features_stereo_folds_to_mono(spark):
     assert r["n_samples"] == 512          # frames, not interleaved samples
     assert r["rms"] == 300.0              # channel mean of 400/200
     assert r["dominant_freq_hz"] == 0.0
+
+
+def test_alaw_table_properties():
+    from hatchery_spark.functions.multimodal import (
+        _ALAW_TABLE,
+        alaw_byte,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    # every (e, m, sign) expands to the closed form, signs are symmetric
+    for e in range(8):
+        for m in range(16):
+            mag = (m << 4) + 8 if e == 0 else ((m << 4) + 0x108) << (e - 1)
+            assert _ALAW_TABLE[alaw_byte(e, m)] == mag
+            assert _ALAW_TABLE[alaw_byte(e, m, negative=True)] == -mag
+    # the table is a bijection over all byte values
+    assert len(set(int(v) for v in _ALAW_TABLE)) == 256
+    # decode path: tag-6 WAV → expanded samples
+    samples, sr, nch = decode_wav(encode_wav_alaw(320, 8000, alaw_byte(3, 5)))
+    assert (sr, nch, samples.size) == (8000, 1, 320)
+    assert (samples == ((5 << 4) + 0x108) << 2).all()
