@@ -525,10 +525,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     interleaved DC scans, EOB runs, per-scan table redefinition), any
     sampling factors, restart markers, 8- and 12-bit precision (12-bit:
     level shift 2048, 0..4095 range, uint16 out), sequential AND
-    progressive ARITHMETIC coding (SOF9/SOF10 + DAC — jpeg_arith.py), and
-    single-component LOSSLESS (SOF3 — jpeg_lossless.py; 2..16-bit, all 7
-    predictors, point transform). Lossless-arithmetic (SOF11) and
-    hierarchical modes raise DecoderUnavailable."""
+    progressive ARITHMETIC coding (SOF9/SOF10 + DAC — jpeg_arith.py),
+    LOSSLESS in both entropy codings (Huffman SOF3 and arithmetic SOF11 —
+    jpeg_lossless.py; 2..16-bit, all 7 predictors, point transform), and
+    single-component HIERARCHICAL pyramids (DHP/EXP + SOF7 differential
+    refinement over SOF0/SOF3 bases — jpeg_hier.py). Multi-component
+    hierarchies and differential DCT/arithmetic processes raise
+    DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
@@ -561,10 +564,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     tbl = np.frombuffer(data[i : i + 128], dtype=">u2").astype(np.float64)
                     i += 128
                 qtables[tq] = tbl
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
-            # seq/prog Huffman, lossless, seq/prog arithmetic
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            # seq/prog Huffman, lossless, seq/prog/lossless arithmetic
             precision, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if marker == 0xC3:
+            if marker in (0xC3, 0xCB):
                 if not 2 <= precision <= 16:
                     raise DecoderUnavailable("lossless precision 2..16 only")
             elif precision not in (8, 12):
@@ -575,12 +578,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {
                 "h": h, "w": w, "comps": comps, "precision": precision,
-                "arith": marker in (0xC9, 0xCA), "lossless": marker == 0xC3,
+                "arith": marker in (0xC9, 0xCA, 0xCB),
+                "lossless": marker in (0xC3, 0xCB),
             }
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xDE:  # DHP — hierarchical mode (Annex J)
+            from hatchery_spark.functions.jpeg_hier import decode_hierarchical
+
+            return decode_hierarchical(content)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCD, 0xCE, 0xCF):
             raise DecoderUnavailable(
-                "only sequential/progressive Huffman, lossless (SOF3), and "
-                "sequential arithmetic (SOF9) JPEG supported"
+                "only sequential/progressive Huffman (SOF0-2), lossless "
+                "(SOF3/SOF11), and sequential/progressive arithmetic "
+                "(SOF9/SOF10) JPEG supported"
             )
         elif marker == 0xCC:  # DAC — arithmetic conditioning
             i = 0
@@ -622,16 +631,25 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame.get("lossless"):
                 from hatchery_spark.functions.jpeg_lossless import (
                     decode_lossless_scan,
+                    decode_lossless_scan_arith,
                 )
 
                 if "_planes" not in frame:
                     frame["_planes"] = {}
+                    frame["_diffs"] = {}
                 frame["_pt"] = Al  # point transform (uniform across scans)
-                pos = decode_lossless_scan(
-                    content, pos + 2 + length, frame,
-                    (scan_comps, Ss, Se, Ah, Al), dc_tabs, restart_interval,
-                    frame["_planes"],
-                )
+                if frame.get("arith"):
+                    pos = decode_lossless_scan_arith(
+                        content, pos + 2 + length, frame,
+                        (scan_comps, Ss, Se, Ah, Al), dc_cond,
+                        restart_interval, frame["_planes"], frame["_diffs"],
+                    )
+                else:
+                    pos = decode_lossless_scan(
+                        content, pos + 2 + length, frame,
+                        (scan_comps, Ss, Se, Ah, Al), dc_tabs,
+                        restart_interval, frame["_planes"],
+                    )
                 saw_scan = True
                 continue
             if frame.get("arith"):

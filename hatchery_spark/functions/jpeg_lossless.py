@@ -380,3 +380,332 @@ def encode_jpeg_rgb_lossless(
     body += bw.out
     out += bytes(body) + b"\xff\xd9"
     return bytes(out)
+
+
+# ----------------------------------------------------------------------------
+# Lossless ARITHMETIC coding (SOF11, T.81 Annex H with the QM coder of
+# Annex D — jpeg_arith.py). Statistical model per H.1.2.2: the conditioning
+# state is TWO-dimensional — the quantized differences Da (left neighbour's
+# prediction difference) and Db (above), each classified 5 ways (zero /
+# small± / large± via the DAC L/U bounds), give 25 contexts × 4 decision
+# bins (zero, sign, magnitude>1 by sign); magnitude-category (X) and
+# magnitude-bit (M) bins come in TWO shared sets selected by Db's class
+# (zero/small vs large) — 100 + 2×29 = 158 bins per statistics area.
+# CAVEAT (same as jpeg_arith.py, stated honestly): no third-party SOF11
+# fixtures exist in this environment, so the exact bin layout is verified
+# self-consistently (encoder/decoder mirrors + exact round trip), not
+# against another codec.
+# ----------------------------------------------------------------------------
+
+LOSSLESS_STAT_BINS = 158
+
+
+def _diff_cat(d: int, lo: int, up: int) -> int:
+    """5-way classification of a neighbour difference (H.1.2.2 / the DC
+    model's zero/small/large split): 0 zero, 1/2 small ±, 3/4 large ±."""
+    if abs(d) <= (1 << lo) >> 1:
+        return 0
+    big = abs(d) > (1 << up) >> 1
+    if d > 0:
+        return 3 if big else 1
+    return 4 if big else 2
+
+
+def _llctx(da: int, db: int, lo: int, up: int) -> tuple[int, int]:
+    """(first decision bin, X-set base) for the (Da, Db) context."""
+    ca, cb = _diff_cat(da, lo, up), _diff_cat(db, lo, up)
+    return 4 * (5 * ca + cb), (100 if cb <= 2 else 129)
+
+
+def decode_lossless_diff(dec, stats, ctx4: int, xbase: int) -> int:
+    """H.1.2.2 mirror of jpeg_arith.decode_dc_diff with the 2-D context."""
+    if dec.decode(stats[ctx4]) == 0:
+        return 0
+    sign = dec.decode(stats[ctx4 + 1])
+    st = ctx4 + 2 + sign
+    m = dec.decode(stats[st])
+    if m:
+        st = xbase
+        while dec.decode(stats[st]):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("lossless arithmetic magnitude overflow")
+            st += 1
+    v = m
+    st += 14
+    while m > 1:
+        m >>= 1
+        if dec.decode(stats[st]):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def encode_lossless_diff(enc, stats, ctx4: int, xbase: int, diff: int) -> None:
+    if diff == 0:
+        enc.encode(0, stats[ctx4])
+        return
+    enc.encode(1, stats[ctx4])
+    sign = 1 if diff < 0 else 0
+    enc.encode(sign, stats[ctx4 + 1])
+    v = (-diff if sign else diff) - 1
+    st = ctx4 + 2 + sign
+    if v == 0:
+        enc.encode(0, stats[st])
+        m = 0
+    else:
+        enc.encode(1, stats[st])
+        m = 1
+        st = xbase
+        while v >= (m << 1):
+            enc.encode(1, stats[st])
+            m <<= 1
+            st += 1
+        enc.encode(0, stats[st])
+    st += 14
+    mm = m
+    while mm > 1:
+        mm >>= 1
+        enc.encode(1 if v & mm else 0, stats[st])
+
+
+def decode_lossless_scan_arith(content, pos, frame, scan, dc_cond, ri, planes,
+                               diffs):
+    """SOF11 scan decode: the SOF3 prediction/reconstruction machinery with
+    the QM coder + Annex-H model instead of Huffman categories. ``diffs``
+    persists the signed difference coded at each sample — the 2-D
+    conditioning context of its right/below neighbours. Restart markers
+    reset the coder, the statistics, and the prediction anchor (the diff
+    planes persist; both codecs read them identically)."""
+    from hatchery_spark.functions.jpeg_arith import ArithDecoder, new_stats
+
+    ns_comps, pred, _se, _ah, pt = scan
+    if len(frame["comps"]) > 1 and any(
+        c["h"] != 1 or c["v"] != 1 for c in frame["comps"]
+    ):
+        raise DecoderUnavailable("subsampled lossless JPEG not supported")
+    p = frame["precision"]
+    h, w = frame["h"], frame["w"]
+    lo_up = {}
+    for sc in ns_comps:
+        lo_up[sc["id"]] = dc_cond.get(sc["dc"], (0, 1))
+        planes.setdefault(sc["id"], np.zeros((h, w), dtype=np.int32))
+        diffs.setdefault(sc["id"], np.zeros((h, w), dtype=np.int32))
+
+    def fresh(at):
+        return ArithDecoder(content, at), {
+            sc["dc"]: new_stats(LOSSLESS_STAT_BINS) for sc in ns_comps
+        }
+
+    dec, stats = fresh(pos)
+    n_mcu = 0
+    just_restarted = False
+    for y in range(h):
+        for x in range(w):
+            if ri and n_mcu and n_mcu % ri == 0:
+                q = dec.next_marker()
+                if not (0xD0 <= content[q + 1] <= 0xD7):
+                    raise ValueError("expected restart marker")
+                dec, stats = fresh(q + 2)
+                just_restarted = True
+            for sc in ns_comps:
+                cid = sc["id"]
+                lo, up = lo_up[cid]
+                dplane, plane = diffs[cid], planes[cid]
+                da = int(dplane[y, x - 1]) if x else 0
+                db = int(dplane[y - 1, x]) if y else 0
+                ctx4, xbase = _llctx(da, db, lo, up)
+                d = decode_lossless_diff(dec, stats[sc["dc"]], ctx4, xbase)
+                if just_restarted or (y == 0 and x == 0):
+                    px = 1 << (p - 1 - pt)
+                else:
+                    px = _predict(
+                        plane[y - 1] if y else None, plane[y], x, y, pred, p, pt
+                    )
+                plane[y, x] = (px + d) & 0xFFFF
+                dplane[y, x] = d
+            just_restarted = False
+            n_mcu += 1
+    return dec.next_marker()
+
+
+def encode_jpeg_gray_lossless_arith(
+    img: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Single-component SOF11 fixture encoder — EXACT round trip by
+    construction. Shares the SOF3 encoder's diff plan (including restart
+    re-anchoring) and arithmetic-codes each diff under the (Da, Db)
+    context of the SAME final diff grid the decoder reconstructs."""
+    from hatchery_spark.functions.jpeg import JPEG_MAGIC
+    from hatchery_spark.functions.jpeg_arith import ArithEncoder, new_stats
+
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("encode_jpeg_gray_lossless_arith expects a 2-D array")
+    maxv = (1 << precision) - 1
+    if img.min() < 0 or img.max() > maxv:
+        raise ValueError(f"samples must fit {precision} bits")
+    pt = point_transform
+    samples = (img.astype(np.int64) >> pt).astype(np.int32)
+    h, w = samples.shape
+    p = precision
+
+    diffs = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                px = 1 << (p - 1 - pt)
+            elif y == 0:
+                px = int(samples[y, x - 1])
+            elif x == 0:
+                px = int(samples[y - 1, x])
+            else:
+                a, b, c = (
+                    int(samples[y, x - 1]),
+                    int(samples[y - 1, x]),
+                    int(samples[y - 1, x - 1]),
+                )
+                px = {
+                    1: a, 2: b, 3: c, 4: a + b - c,
+                    5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+                    7: (a + b) >> 1,
+                }[predictor]
+            d = (int(samples[y, x]) - px) & 0xFFFF
+            if d >= 0x8000:
+                d -= 0x10000
+            diffs[y, x] = d
+    if restart_interval:
+        n = 0
+        for y in range(h):
+            for x in range(w):
+                if n and n % restart_interval == 0:
+                    d = (int(samples[y, x]) - (1 << (p - 1 - pt))) & 0xFFFF
+                    if d >= 0x8000:
+                        d -= 0x10000
+                    diffs[y, x] = d
+                n += 1
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xCB, struct.pack(">BHHB", p, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xCC, bytes([0x00, 0x10]))  # DAC: DC table 0, L=0 U=1
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+
+    body = bytearray()
+    enc = ArithEncoder()
+    stats = new_stats(LOSSLESS_STAT_BINS)
+    n = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                body += enc.flush() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = ArithEncoder()
+                stats = new_stats(LOSSLESS_STAT_BINS)
+            da = int(diffs[y, x - 1]) if x else 0
+            db = int(diffs[y - 1, x]) if y else 0
+            ctx4, xbase = _llctx(da, db, 0, 1)
+            encode_lossless_diff(enc, stats, ctx4, xbase, int(diffs[y, x]))
+            n += 1
+    body += enc.flush()
+    out += bytes(body) + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_rgb_lossless_arith(
+    img: np.ndarray,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved 3-component SOF11 fixture encoder (direct RGB, the DNG
+    layout): MCU = one sample per component, all components share DC
+    conditioning table 0 but keep PER-COMPONENT (Da, Db) context state —
+    mirrored by decode_lossless_scan_arith's per-component diff planes.
+    EXACT round trip by construction."""
+    from hatchery_spark.functions.jpeg import JPEG_MAGIC
+    from hatchery_spark.functions.jpeg_arith import ArithEncoder, new_stats
+
+    img = np.asarray(img)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_rgb_lossless_arith expects (h, w, 3)")
+    if img.min() < 0 or img.max() > 255:
+        raise ValueError("samples must fit 8 bits")
+    h, w, _ = img.shape
+    samples = img.astype(np.int32)
+    p = 8
+
+    # final diff grid per component (restart re-anchors included), shared
+    # by context selection and emission — the decoder reconstructs the same
+    diffs = np.zeros((h, w, 3), dtype=np.int32)
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            anchored = bool(restart_interval and n and n % restart_interval == 0)
+            for c in range(3):
+                s = int(samples[y, x, c])
+                if anchored or (y == 0 and x == 0):
+                    px = 1 << (p - 1)
+                elif y == 0:
+                    px = int(samples[y, x - 1, c])
+                elif x == 0:
+                    px = int(samples[y - 1, x, c])
+                else:
+                    a, b, cc = (
+                        int(samples[y, x - 1, c]),
+                        int(samples[y - 1, x, c]),
+                        int(samples[y - 1, x - 1, c]),
+                    )
+                    px = {
+                        1: a, 2: b, 3: cc, 4: a + b - cc,
+                        5: a + ((b - cc) >> 1), 6: b + ((a - cc) >> 1),
+                        7: (a + b) >> 1,
+                    }[predictor]
+                d = (s - px) & 0xFFFF
+                if d >= 0x8000:
+                    d -= 0x10000
+                diffs[y, x, c] = d
+            n += 1
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(
+        0xCB,
+        struct.pack(">BHHB", p, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += seg(0xCC, bytes([0x00, 0x10]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, predictor, 0, 0]))
+
+    body = bytearray()
+    enc = ArithEncoder()
+    stats = new_stats(LOSSLESS_STAT_BINS)
+    n, rst = 0, 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                body += enc.flush() + bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = ArithEncoder()
+                stats = new_stats(LOSSLESS_STAT_BINS)
+            for c in range(3):
+                da = int(diffs[y, x - 1, c]) if x else 0
+                db = int(diffs[y - 1, x, c]) if y else 0
+                ctx4, xbase = _llctx(da, db, 0, 1)
+                encode_lossless_diff(enc, stats, ctx4, xbase, int(diffs[y, x, c]))
+            n += 1
+    body += enc.flush()
+    out += bytes(body) + b"\xff\xd9"
+    return bytes(out)

@@ -142,14 +142,16 @@ def test_progressive_arith_bit_identical_to_huffman():
     assert (pr == hf).all()
 
 
-def test_lossless_arithmetic_stays_gated():
+def test_differential_sequential_stays_gated():
     from hatchery_spark.functions.jpeg import JPEG_MAGIC
     from hatchery_spark.functions.multimodal import DecoderUnavailable
 
     bad = encode_jpeg_arith(16, 12, 50)
-    # flip SOF9 -> SOF11 (lossless arithmetic): the remaining honest gap
+    # flip SOF9 -> SOF13 (differential sequential arithmetic): outside a
+    # hierarchical frame sequence this process is the honest gated channel
+    # (SOF11 lossless-arithmetic decodes for real since round 5)
     idx = bad.index(b"\xff\xc9")
-    bad = bad[:idx] + b"\xff\xcb" + bad[idx + 2 :]
+    bad = bad[:idx] + b"\xff\xcd" + bad[idx + 2 :]
     assert bad.startswith(JPEG_MAGIC)
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(bad)

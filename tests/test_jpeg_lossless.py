@@ -94,3 +94,96 @@ def test_lossless_subsampled_gated():
     payload = JPEG_MAGIC + sof + dht + sos + b"\x00" + b"\xff\xd9"
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(payload)
+
+
+# ---------------------------------------------------------------- SOF11
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_lossless_arith_exact_all_predictors(pred):
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless_arith,
+    )
+
+    yy, xx = np.indices((13, 17))
+    img = ((xx * 7 + yy * 3 + pred) % 256).astype(np.int32)
+    out = decode_jpeg(encode_jpeg_gray_lossless_arith(img, predictor=pred))
+    assert (out[:, :, 0] == img).all()
+    assert (out[:, :, 1] == img).all()  # gray replicates
+
+
+@pytest.mark.parametrize("precision", [2, 8, 12, 16])
+def test_lossless_arith_precisions(precision):
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless_arith,
+    )
+
+    yy, xx = np.indices((10, 14))
+    img = ((xx * 517 + yy * 9931) % (1 << precision)).astype(np.int32)
+    out = decode_jpeg(
+        encode_jpeg_gray_lossless_arith(img, predictor=4, precision=precision)
+    )
+    assert (out[:, :, 0].astype(np.int64) == img).all()
+
+
+def test_lossless_arith_point_transform_and_restart():
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless_arith,
+    )
+
+    yy, xx = np.indices((12, 16))
+    img = ((xx + yy * 5) % 256).astype(np.int32)
+    out = decode_jpeg(
+        encode_jpeg_gray_lossless_arith(img, predictor=2, point_transform=2)
+    )
+    assert (out[:, :, 0] == (img >> 2) << 2).all()
+    out = decode_jpeg(
+        encode_jpeg_gray_lossless_arith(img, predictor=7, restart_interval=13)
+    )
+    assert (out[:, :, 0] == img).all()
+
+
+def test_lossless_arith_matches_huffman_decode():
+    """The two entropy codings of the same samples decode BIT-IDENTICAL —
+    the strongest cross-codec invariant available without external
+    fixtures (both are lossless, so both must equal the source)."""
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless_arith,
+    )
+
+    yy, xx = np.indices((11, 19))
+    img = ((xx * 31 + yy * 17) % 256).astype(np.int32)
+    a = decode_jpeg(encode_jpeg_gray_lossless_arith(img, predictor=5))
+    h = decode_jpeg(encode_jpeg_gray_lossless(img, predictor=5))
+    assert (a == h).all()
+
+
+def test_lossless_arith_smooth_content_compresses():
+    """Adaptation works: a smooth gradient codes well below 1 byte/sample
+    (the diffs are constant, so the zero/sign bins converge hard)."""
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_gray_lossless_arith,
+    )
+
+    yy, xx = np.indices((32, 32))
+    img = ((xx + yy) % 256).astype(np.int32)
+    payload = encode_jpeg_gray_lossless_arith(img, predictor=4)
+    assert len(payload) < 32 * 32 // 2
+
+
+def test_lossless_arith_rgb_interleaved_exact():
+    from hatchery_spark.functions.jpeg_lossless import (
+        encode_jpeg_rgb_lossless_arith,
+    )
+
+    yy, xx = np.indices((9, 13))
+    img3 = np.stack(
+        [(xx * 3 + yy * 11 + ch * 40) % 256 for ch in range(3)], axis=2
+    ).astype(np.int32)
+    for pred in (1, 4, 7):
+        out = decode_jpeg(encode_jpeg_rgb_lossless_arith(img3, predictor=pred))
+        assert (out == img3).all()
+    out = decode_jpeg(
+        encode_jpeg_rgb_lossless_arith(img3, predictor=5, restart_interval=9)
+    )
+    assert (out == img3).all()
