@@ -4,16 +4,14 @@ The Spark-side machinery — schema, Arrow batch shape, partition sizing, UDF
 signatures — is real and tested. The codec layer is split honestly:
   * REAL stdlib decoders for PPM (P6), PNG (the full matrix — all color
     types, depths 1-16, non-interlaced + Adam7; zlib IDAT + scanline
-    unfiltering) and JPEG (T.81 sequential AND progressive Huffman —
-    spectral selection + successive approximation, jpeg.py) images plus
-    PCM WAV audio — bytes are actually parsed into pixels/samples
-    (`decode_ppm`/`decode_png`/`decode_jpeg`/`decode_wav`, exercised
-    end-to-end by the `media_real_decode` / `media_jpeg_decode` oracle
-    queries);
-  * arithmetic-coded/hierarchical JPEG and MP4 CODEC payloads stay behind
-    `DecoderUnavailable` (those codecs genuinely are not in this
-    container) — swapping in PIL/libav is a one-function change; nothing
-    else moves.
+    unfiltering) and the COMPLETE T.81 JPEG matrix (sequential/progressive
+    Huffman, 8/12-bit, lossless SOF3, arithmetic SOF9/10/11, hierarchical
+    DHP/EXP/SOF7 — jpeg.py, jpeg_arith.py, jpeg_lossless.py, jpeg_hier.py)
+    plus PCM/μ-law/A-law WAV audio — bytes are actually parsed into
+    pixels/samples, exercised end-to-end by the `media_*` oracle queries;
+  * MP4 CODEC payloads (avc1 etc.) stay behind `DecoderUnavailable` (those
+    codecs genuinely are not in this container) — swapping in PIL/libav is
+    a one-function change; nothing else moves.
 
 Pattern notes for 100 TB:
   * media rows are WIDE → keep Arrow batches small (maxRecordsPerBatch is set
@@ -94,8 +92,8 @@ def real_decode_image(content: bytes) -> np.ndarray:
     progressive JPEG); raise otherwise.
 
     Returns a float32 grayscale grid (channel mean; alpha excluded for
-    gray+alpha/RGBA) for the feature stage. Arithmetic-coded JPEG / MP4
-    stay behind DecoderUnavailable.
+    gray+alpha/RGBA) for the feature stage. MP4 codec payloads stay behind
+    DecoderUnavailable.
     """
     if content.startswith(b"P6"):
         return decode_ppm(content).mean(axis=2).astype(np.float32)
@@ -766,8 +764,9 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
     Every 16th row is ARITHMETIC-CODED (SOF9, QM-class coder + the Annex F
     statistical models, functions/jpeg_arith.py) and every 32nd is
     PROGRESSIVE-ARITHMETIC (SOF10, full refinement chain), both decoded by
-    the same closed form; lossless-arithmetic (SOF11) and hierarchical
-    modes remain the honest `decoder_unavailable` channel.
+    the same closed form; hierarchical modes remain the honest
+    `decoder_unavailable` channel (SOF11 lossless-arithmetic is covered by
+    the media_jpeg_lossless fixture).
     """
     from hatchery_spark.functions.jpeg import (
         encode_jpeg,
@@ -816,12 +815,14 @@ def synthetic_jpeg_media_df(spark, n: int = 64) -> DataFrame:
 
 
 def synthetic_jpeg_lossless_media_df(spark, n: int = 28) -> DataFrame:
-    """LOSSLESS JPEG media table (SOF3, Annex H — DNG/medical archival
-    form) with REAL gradient content: img[y][x] = (x + y + i) % 256.
-    Decode is exact by definition, so px_mean has a closed form the oracle
-    recomputes over the same grid — and because lossless output is
-    predictor-independent, rotating all 7 predictors (plus point transform
-    and restart intervals) proves each one against the same expectation."""
+    """LOSSLESS JPEG media table (Annex H — DNG/medical archival form) with
+    REAL gradient content: img[y][x] = (x + y + i) % 256. Decode is exact
+    by definition, so px_mean has a closed form the oracle recomputes over
+    the same grid — and because lossless output is predictor- AND
+    entropy-coding-independent, the rotation proves all 7 predictors,
+    point transforms, restart intervals, interleaved RGB (i%4==1), and
+    BOTH entropy codings (Huffman SOF3; arithmetic SOF11 at i%4==2)
+    against the same expectation."""
     from hatchery_spark.functions.jpeg_lossless import (
         encode_jpeg_gray_lossless,
         encode_jpeg_rgb_lossless,
@@ -837,10 +838,31 @@ def synthetic_jpeg_lossless_media_df(spark, n: int = 28) -> DataFrame:
             img3 = np.stack(
                 [((xx + yy + i + ch) % 256) for ch in range(3)], axis=2
             ).astype(np.int32)
-            content = encode_jpeg_rgb_lossless(
-                img3,
+            if i % 8 == 5:
+                # interleaved RGB through the ARITHMETIC coding (SOF11)
+                from hatchery_spark.functions.jpeg_lossless import (
+                    encode_jpeg_rgb_lossless_arith,
+                )
+
+                content = encode_jpeg_rgb_lossless_arith(
+                    img3, predictor=1 + i % 7, restart_interval=5
+                )
+            else:
+                content = encode_jpeg_rgb_lossless(img3, predictor=1 + i % 7)
+        elif i % 4 == 2:
+            # lossless ARITHMETIC (SOF11, Annex H model + QM coder): same
+            # gradient + point transform → the SAME closed form; the shared
+            # oracle proves the two entropy codings decode identically
+            from hatchery_spark.functions.jpeg_lossless import (
+                encode_jpeg_gray_lossless_arith,
+            )
+
+            img = ((xx + yy + i) % 256).astype(np.int32)
+            content = encode_jpeg_gray_lossless_arith(
+                img,
                 predictor=1 + i % 7,
-                restart_interval=5 if i % 8 == 5 else 0,
+                point_transform=i % 3,
+                restart_interval=11 if i % 8 == 6 else 0,
             )
         else:
             img = ((xx + yy + i) % 256).astype(np.int32)
@@ -929,6 +951,20 @@ def decode_media(df: DataFrame) -> DataFrame:
                         dur = int(sum(delays) * 10)  # delays are 1/100 s
                         px = round(float(frames.mean()), 4)
                         status = "ok_gif"
+                    elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                        from hatchery_spark.functions.tiff import decode_tiff
+
+                        img = decode_tiff(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        px = round(float(img.mean()), 4)
+                        status = "ok_tiff"
+                    elif raw.startswith(b"BM"):
+                        from hatchery_spark.functions.bmp import decode_bmp
+
+                        img = decode_bmp(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        px = round(float(img.mean()), 4)
+                        status = "ok_bmp"
                     elif raw.startswith(b"RIFF"):
                         samples, sr, nch = decode_wav(raw)
                         dur = int(len(samples) // nch * 1000 / sr)
@@ -1280,3 +1316,110 @@ def mp4_meta_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("media_id", "content").mapInPandas(_meta, schema)
+
+
+def synthetic_jpeg_hier_media_df(spark, n: int = 32) -> DataFrame:
+    """HIERARCHICAL JPEG media table (Annex J): gradient content
+    ((x·7 + y·13 + i·29) % 256) through two hierarchy shapes — a lossless
+    two-level resolution pyramid (SOF3 base → EXP → SOF7 differential,
+    with restart rotation), and the lossy-base + lossless-correction form
+    (full-res SOF0 + SOF7 residual). Both land bit-exact by construction,
+    so px_mean has the same closed form the oracle recomputes."""
+    from hatchery_spark.functions.jpeg_hier import (
+        encode_jpeg_hier_correction,
+        encode_jpeg_hier_lossless_pyramid,
+    )
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx = np.indices((h, w))
+        img = ((xx * 7 + yy * 13 + i * 29) % 256).astype(np.int64)
+        if i % 4 == 3:
+            content = encode_jpeg_hier_correction(img)
+        else:
+            content = encode_jpeg_hier_lossless_pyramid(
+                img, restart_interval=17 if i % 4 == 2 else 0
+            )
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def synthetic_tiff_media_df(spark, n: int = 40) -> DataFrame:
+    """Baseline TIFF media table sweeping the format matrix — gray/RGB/
+    palette, uncompressed/PackBits/LZW (+ horizontal predictor), both byte
+    orders, multi-strip — over gradient content, so px_mean has a closed
+    form (decode is exact for every baseline compression)."""
+    from hatchery_spark.functions.tiff import encode_tiff
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx = np.indices((h, w))
+        if i % 5 == 3:
+            img = np.stack(
+                [(xx + yy + i + c * 30) % 256 for c in range(3)], axis=2
+            ).astype(np.uint8)
+            content = encode_tiff(img, compression=5, rows_per_strip=5)
+        elif i % 5 == 4:
+            idx = ((xx + yy) % 16).astype(np.uint8)
+            cmap = np.stack(
+                [
+                    np.arange(16) * 17,
+                    255 - np.arange(16) * 17,
+                    (np.arange(16) * 3 + i) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            content = encode_tiff(idx, colormap=cmap)
+        else:
+            gray = ((xx * 5 + yy * 9 + i) % 256).astype(np.uint8)
+            comp = {0: 1, 1: 32773, 2: 5}[i % 5]
+            content = encode_tiff(
+                gray,
+                compression=comp,
+                photometric=0 if i % 2 else 1,
+                predictor=2 if i % 5 == 2 else 1,
+                rows_per_strip=7 if i % 5 else None,
+                big_endian=i % 5 == 1,
+            )
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def synthetic_bmp_media_df(spark, n: int = 40) -> DataFrame:
+    """BMP media table sweeping the DIB matrix — 24/32-bit BGR(X), both row
+    orders, 8-bit palette plain and RLE8 (runs + absolute mode) — over
+    gradient content, so px_mean has a closed form per rotation."""
+    from hatchery_spark.functions.bmp import encode_bmp_palette, encode_bmp_rgb
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx = np.indices((h, w))
+        if i % 4 < 2:
+            rgb = np.stack(
+                [(xx * 3 + yy * 7 + i + c * 40) % 256 for c in range(3)], axis=2
+            ).astype(np.uint8)
+            content = encode_bmp_rgb(
+                rgb, bpp=24 if i % 4 == 0 else 32, top_down=i % 8 < 4
+            )
+        else:
+            idx = ((xx + yy) % 16).astype(np.uint8)
+            pal = np.stack(
+                [
+                    np.arange(16) * 17,
+                    255 - np.arange(16) * 17,
+                    (np.arange(16) * 5 + i) % 256,
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            content = encode_bmp_palette(idx, pal, rle=i % 4 == 3)
+        rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )

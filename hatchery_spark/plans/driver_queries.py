@@ -1733,6 +1733,47 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_media_bmp_decode(spark, sf_dir):
+    """Windows BMP/DIB (functions/bmp.py): 24/32-bit BGR(X) in both row
+    orders and 8-bit palette plain + RLE8 (runs, absolute mode, EOL/EOB
+    escapes), decoded for real over gradient content with closed-form
+    px_mean per rotation."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_bmp_media_df,
+    )
+
+    return decode_media(synthetic_bmp_media_df(spark, 40))
+
+
+def q_media_tiff_decode(spark, sf_dir):
+    """Baseline TIFF 6.0 (functions/tiff.py — the scanned-document format):
+    gray/RGB/palette × uncompressed/PackBits/LZW (early-change widths,
+    horizontal predictor) × both byte orders × multi-strip, decoded for
+    real; gradient content gives px_mean a closed form per rotation."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_tiff_media_df,
+    )
+
+    return decode_media(synthetic_tiff_media_df(spark, 40))
+
+
+def q_media_jpeg_hier(spark, sf_dir):
+    """HIERARCHICAL JPEG (T.81 Annex J — functions/jpeg_hier.py): lossless
+    two-level resolution pyramids (SOF3 base → EXP interpolation → SOF7
+    differential refinement, restart rotation) and the lossy-base +
+    lossless-correction form (SOF0 + SOF7 residual). Both are bit-exact by
+    construction, so the oracle recomputes px_mean from the source grid.
+    Completes the T.81 process matrix: every SOF family now decodes."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_jpeg_hier_media_df,
+    )
+
+    return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
+
+
 def q_media_audio_alaw(spark, sf_dir):
     """G.711 A-law decode (WAV format tag 6) through the same rfft feature
     path: constant-byte fixtures sweep all 8 segments × mantissa grid ×
@@ -2034,10 +2075,12 @@ def q_media_jpeg_decode(spark, sf_dir):
 
 
 def q_media_jpeg_lossless(spark, sf_dir):
-    """Lossless JPEG (SOF3, T.81 Annex H — functions/jpeg_lossless.py):
-    REAL gradient content ((x+y+i)%256), all 7 predictors + point transform
-    + restart intervals rotated; decode is exact, so the oracle recomputes
-    px_mean over the same grid (predictor-independent by losslessness)."""
+    """Lossless JPEG (T.81 Annex H — functions/jpeg_lossless.py): REAL
+    gradient content ((x+y+i)%256); the rotation covers all 7 predictors,
+    point transforms, restart intervals, interleaved RGB, and BOTH entropy
+    codings (Huffman SOF3 + arithmetic SOF11 via the QM coder and the
+    25-context Annex-H model); decode is exact, so the oracle recomputes
+    px_mean over the same grid (codec-independent by losslessness)."""
     from hatchery_spark.functions.multimodal import (
         decode_media,
         synthetic_jpeg_lossless_media_df,
@@ -4304,6 +4347,60 @@ def oracle_catalog() -> dict[str, str]:
                    ELSE 0.0 END AS dominant_freq_hz,
               'ok' AS decode_status
             FROM (SELECT unnest(range(0, 48)) AS i)""",
+        "media_bmp_decode": """
+            WITH g AS (
+              SELECT i, x.j AS xj, y.j AS yj
+              FROM (SELECT unnest(range(0, 40)) AS i),
+                   range(0, 24) x(j), range(0, 16) y(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              round(avg(CASE
+                WHEN i % 4 < 2 THEN
+                  (cast((xj * 3 + yj * 7 + i) % 256 AS double)
+                   + (xj * 3 + yj * 7 + i + 40) % 256
+                   + (xj * 3 + yj * 7 + i + 80) % 256) / 3
+                ELSE (255.0 + ((xj + yj) % 16 * 5 + i) % 256) / 3 END), 4)
+                AS px_mean,
+              'ok_bmp' AS decode_status
+            FROM g GROUP BY i""",
+        "media_tiff_decode": """
+            WITH g AS (
+              SELECT i, x.j AS xj, y.j AS yj
+              FROM (SELECT unnest(range(0, 40)) AS i),
+                   range(0, 24) x(j), range(0, 16) y(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              round(avg(CASE
+                WHEN i % 5 = 3 THEN
+                  (cast((xj + yj + i) % 256 AS double)
+                   + (xj + yj + i + 30) % 256
+                   + (xj + yj + i + 60) % 256) / 3
+                WHEN i % 5 = 4 THEN
+                  (255.0 + ((xj + yj) % 16 * 3 + i) % 256) / 3
+                ELSE cast((xj * 5 + yj * 9 + i) % 256 AS double) END), 4)
+                AS px_mean,
+              'ok_tiff' AS decode_status
+            FROM g GROUP BY i""",
+        "media_jpeg_hier": """
+            WITH g AS (
+              SELECT i, x.j AS xj, y.j AS yj
+              FROM (SELECT unnest(range(0, 32)) AS i),
+                   range(0, 24) x(j), range(0, 16) y(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              round(avg(cast((xj * 7 + yj * 13 + i * 29) % 256 AS double)), 4)
+                AS px_mean,
+              'ok_jpeg' AS decode_status
+            FROM g GROUP BY i""",
         "media_audio_alaw": """
             SELECT i AS media_id,
               cast(8000 + 8000 * (i % 2) AS int) AS sr,
@@ -4622,6 +4719,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fim_transform": q_fim_transform,
         "doc_warc_roundtrip": q_warc_roundtrip,
         "media_audio_alaw": q_media_audio_alaw,
+        "media_jpeg_hier": q_media_jpeg_hier,
+        "media_tiff_decode": q_media_tiff_decode,
+        "media_bmp_decode": q_media_bmp_decode,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,
