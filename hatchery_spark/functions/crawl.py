@@ -1,0 +1,171 @@
+"""Crawl-politeness filtering: robots.txt parsing + longest-match URL gating
+(RFC 9309 / the Google REP semantics) — stage zero of a web-crawl corpus,
+upstream of URL canonicalization and content dedup.
+
+Two halves:
+
+* ``parse_robots_rules`` — a REAL robots.txt parser in mapInPandas (line
+  splitting, comment stripping, User-agent group accumulation including
+  multi-agent groups, Allow/Disallow directives, empty-pattern skip). Rules
+  tables are domain-sized — tiny next to the URL corpus — so downstream
+  joins broadcast.
+* ``robots_allowed`` — the verdict per (url, agent), fully declarative:
+  host/path extraction (codegen regexps), RFC group selection (a specific
+  user-agent group, when present, REPLACES the '*' group — via one
+  domain-sized semi-aggregate), wildcard matching by translating robots
+  patterns to SQL LIKE (escape %/_/\\, '*'→'%', trailing '$' anchors), and
+  the longest-match-wins / allow-wins-ties rule as ONE rank window over
+  matched rules. URLs matching no rule are allowed (RFC default).
+
+Scale shape: the corpus-sized URL frame shuffles once for the per-URL
+verdict window; every rules-side frame is domain-bounded and broadcast.
+
+Reference parity note: upstream-source gating analog of hatchery's selector
+stage (source/select.go:18) applied to the crawl domain.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RULES_SCHEMA = (
+    "domain string, agent string, allow int, pattern string, pattern_len int"
+)
+
+
+def parse_robots_text(text: str) -> list[tuple[str, int, str]]:
+    """One robots.txt → [(agent, allow, pattern)]. Groups follow RFC 9309
+    §2.2: consecutive User-agent lines open a shared group; rules attach to
+    every agent of the current group; comments (#) and unknown directives
+    are ignored; empty patterns are skipped (an empty Disallow allows all,
+    i.e. contributes no rule)."""
+    rules: list[tuple[str, int, str]] = []
+    agents: list[str] = []
+    in_group_header = True
+    for raw_line in (text or "").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []
+                in_group_header = True
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_header = False
+            if val:
+                for a in agents:
+                    rules.append((a, 1 if key == "allow" else 0, val))
+    return rules
+
+
+def parse_robots_rules(
+    df: DataFrame, domain_col: str = "domain", content_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, robots_txt) → one row per (domain, agent, rule)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for dom, text in zip(b[domain_col], b[content_col]):
+                for agent, allow, pattern in parse_robots_text(text):
+                    rows.append((dom, agent, allow, pattern, len(pattern)))
+            yield pd.DataFrame(
+                rows, columns=["domain", "agent", "allow", "pattern", "pattern_len"]
+            )
+
+    return df.select(domain_col, content_col).mapInPandas(_parse, RULES_SCHEMA)
+
+
+def _like_pattern(pattern: Column) -> Column:
+    """Translate a robots path pattern to a SQL LIKE pattern (ESCAPE '\\'):
+    literal \\, %, _ escaped; '*' → '%'; a trailing '$' anchors the match
+    (no trailing '%'), otherwise the pattern is a prefix."""
+    p = F.replace(pattern, F.lit("\\"), F.lit("\\\\"))
+    p = F.replace(p, F.lit("%"), F.lit("\\%"))
+    p = F.replace(p, F.lit("_"), F.lit("\\_"))
+    p = F.replace(p, F.lit("*"), F.lit("%"))
+    return F.when(
+        p.endswith("$"), F.substring(p, F.lit(1), F.length(p) - 1)
+    ).otherwise(F.concat(p, F.lit("%")))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    agent_col: str = "agent",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verdict per URL row: (id, url, agent, domain, path, allowed).
+
+    RFC 9309 semantics: the most specific matching group (exact agent name
+    if present, else '*') supplies the rules; among matching rules the
+    LONGEST pattern wins, Allow winning length ties; no match → allowed.
+    """
+    u = urls.select(
+        "*",
+        F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)", 1).alias("domain"),
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1),
+                     F.lit("")),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    # group selection: does a (domain, agent) specific group exist? (both
+    # rules-derived frames share lineage, so the joins use string-qualified
+    # aliases to keep resolution unambiguous)
+    specific = (
+        rules.filter(F.col("agent") != "*")
+        .select("domain", F.col("agent").alias(agent_col))
+        .distinct()
+        .withColumn("has_specific", F.lit(1))
+    )
+    u = u.join(F.broadcast(specific), ["domain", agent_col], "left")
+    r = rules.withColumn("like_pat", _like_pattern(F.col("pattern")))
+    joined = (
+        u.alias("u")
+        .join(
+            F.broadcast(r.alias("r")),
+            F.expr(
+                "u.domain = r.domain AND ("
+                f"(u.has_specific = 1 AND r.agent = u.{agent_col}) OR "
+                "(u.has_specific IS NULL AND r.agent = '*'))"
+            ),
+            "left",
+        )
+        .select(
+            "u.*",
+            F.col("r.allow").alias("allow"),
+            F.col("r.pattern_len").alias("pattern_len"),
+            F.expr("u.path LIKE r.like_pat ESCAPE '\\\\'").alias("matched"),
+        )
+    )
+    ranked = joined.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy(
+                F.when(F.col("matched"), 0).otherwise(1),
+                F.desc(F.when(F.col("matched"), F.col("pattern_len")).otherwise(-1)),
+                F.desc(F.when(F.col("matched"), F.col("allow")).otherwise(1)),
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return ranked.select(
+        id_col,
+        url_col,
+        agent_col,
+        "domain",
+        "path",
+        F.when(F.col("matched").isNull() | ~F.col("matched"), F.lit(1))
+        .otherwise(F.col("allow"))
+        .cast("int")
+        .alias("allowed"),
+    )

@@ -1733,6 +1733,84 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_robots_filter(spark, sf_dir):
+    """Crawl-politeness gate (RFC 9309): REAL robots.txt texts (comments,
+    multi-agent groups, Allow/Disallow, '*' wildcards, '$' anchors) parsed
+    in mapInPandas, then longest-match/allow-wins-ties verdicts per
+    (url, agent) with specific-group-replaces-'*' selection. The oracle is
+    an INDEPENDENT hand derivation of the RFC semantics per path class —
+    not a mechanism replay — so a parser or precedence bug value-fails."""
+    from hatchery_spark.functions.crawl import parse_robots_rules, robots_allowed
+
+    robots_rows = [
+        (
+            f"dom{d}.example.com",
+            f"# crawl policy for dom{d}\n"
+            "User-agent: *\n"
+            f"Disallow: /private{d}/\n"
+            f"Allow: /private{d}/ok\n"
+            "Disallow: /tmp*\n"
+            f"Disallow: /exact{d}$\n"
+            "\n"
+            "User-agent: hatchbot\n"
+            "User-agent: otherbot\n"
+            "Allow: /\n"
+            f"Disallow: /nobot{d}/\n",
+        )
+        for d in range(20)
+    ]
+    robots = spark.createDataFrame(robots_rows, "domain string, robots_txt string")
+    rules = parse_robots_rules(robots)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id") % 20
+    v = F.col("doc_id") % 7
+    path = (
+        F.when(v == 0, F.concat(F.lit("/private"), d, F.lit("/x")))
+        .when(v == 1, F.concat(F.lit("/private"), d, F.lit("/ok/page")))
+        .when(v == 2, F.lit("/tmp123"))
+        .when(v == 3, F.lit("/public/a"))
+        .when(v == 4, F.concat(F.lit("/exact"), d))
+        .when(v == 5, F.concat(F.lit("/exact"), d, F.lit("x")))
+        .otherwise(F.concat(F.lit("/nobot"), d, F.lit("/p")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://dom"), d, F.lit(".example.com"), path).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hatchbot"))
+        .otherwise(F.lit("genericbot"))
+        .alias("agent"),
+    )
+    return robots_allowed(urls, rules)
+
+
+_ROBOTS_ORACLE = """
+WITH u AS (
+  SELECT doc_id, doc_id % 20 AS d, doc_id % 7 AS v,
+         CASE WHEN doc_id % 3 = 0 THEN 'hatchbot' ELSE 'genericbot' END AS agent
+  FROM documents),
+p AS (
+  SELECT doc_id, d, v, agent,
+         CASE v
+           WHEN 0 THEN concat('/private', cast(d AS varchar), '/x')
+           WHEN 1 THEN concat('/private', cast(d AS varchar), '/ok/page')
+           WHEN 2 THEN '/tmp123'
+           WHEN 3 THEN '/public/a'
+           WHEN 4 THEN concat('/exact', cast(d AS varchar))
+           WHEN 5 THEN concat('/exact', cast(d AS varchar), 'x')
+           ELSE concat('/nobot', cast(d AS varchar), '/p') END AS path
+  FROM u)
+SELECT doc_id,
+       concat('https://dom', cast(d AS varchar), '.example.com', path) AS url,
+       agent,
+       concat('dom', cast(d AS varchar), '.example.com') AS domain,
+       path,
+       cast(CASE WHEN agent = 'hatchbot'
+                 THEN CASE WHEN v = 6 THEN 0 ELSE 1 END
+                 ELSE CASE WHEN v IN (0, 2, 4) THEN 0 ELSE 1 END
+            END AS int) AS allowed
+FROM p"""
+
+
 def q_media_bmp_decode(spark, sf_dir):
     """Windows BMP/DIB (functions/bmp.py): 24/32-bit BGR(X) in both row
     orders and 8-bit palette plain + RLE8 (runs, absolute mode, EOL/EOB
@@ -4347,6 +4425,7 @@ def oracle_catalog() -> dict[str, str]:
                    ELSE 0.0 END AS dominant_freq_hz,
               'ok' AS decode_status
             FROM (SELECT unnest(range(0, 48)) AS i)""",
+        "doc_robots_filter": _ROBOTS_ORACLE,
         "media_bmp_decode": """
             WITH g AS (
               SELECT i, x.j AS xj, y.j AS yj
@@ -4722,6 +4801,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_hier": q_media_jpeg_hier,
         "media_tiff_decode": q_media_tiff_decode,
         "media_bmp_decode": q_media_bmp_decode,
+        "doc_robots_filter": q_robots_filter,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,
