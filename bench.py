@@ -351,6 +351,15 @@ def main() -> None:
             ("doc_blocklist", dq.q_blocklist_filter),
             ("doc_span_corruption", dq.q_span_corruption),
             ("pipeline_hard_negatives", dq.q_hard_negatives),
+            # round-5 session-5 additions
+            ("doc_fim_transform", dq.q_fim_transform),
+            ("doc_ccnet_buckets", dq.q_ccnet_buckets),
+            ("doc_warc_roundtrip", dq.q_warc_roundtrip),
+            ("doc_robots_filter", dq.q_robots_filter),
+            ("media_audio_alaw", dq.q_media_audio_alaw),
+            ("media_jpeg_hier", dq.q_media_jpeg_hier),
+            ("media_tiff_decode", dq.q_media_tiff_decode),
+            ("media_bmp_decode", dq.q_media_bmp_decode),
         ]:
             measure(
                 name,

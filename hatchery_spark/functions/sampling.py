@@ -279,3 +279,48 @@ def group_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "ep1",
+) -> DataFrame:
+    """Curriculum/mixture ORDERING: deterministic round-robin interleave
+    across sources — position ``(rank_in_source − 1) · S + source_idx`` —
+    so a training run sees sources evenly mixed instead of concatenated
+    (the data-order analog of temperature mixing; epoch salt reshuffles
+    within source).
+
+    Scale shape: per-source rank is ONE window over the source partition
+    (shuffled by md5(salt ‖ id), so the within-source order is the
+    deterministic training shuffle); the global position is CLOSED-FORM
+    arithmetic — no global window, no single reducer. Positions stay a
+    valid total order when sources exhaust at different ranks (gaps, not
+    collisions). Source index + count ride broadcast frames. Downstream,
+    write with repartitionByRange(pos) + sortWithinPartitions (the
+    shuffle_for_training pattern) for totally-ordered output files.
+    """
+    srcs = df.select(source_col).distinct()
+    sidx = srcs.select(
+        F.col(source_col),
+        (F.row_number().over(Window.orderBy(source_col)) - 1).alias("src_idx"),
+    )
+    n_src = sidx.agg(F.count(F.lit(1)).alias("n_src"))
+    shuffle_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy(source_col).orderBy(shuffle_key, id_col)
+    )
+    return (
+        df.join(F.broadcast(sidx), source_col)
+        .crossJoin(F.broadcast(n_src))
+        .select(
+            id_col,
+            source_col,
+            rn.alias("rank_in_source"),
+            ((rn - 1).cast("long") * F.col("n_src") + F.col("src_idx")).alias(
+                "pos"
+            ),
+        )
+    )

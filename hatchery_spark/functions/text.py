@@ -380,3 +380,31 @@ def canonicalize_url(url: Column) -> Column:
         path,
         F.when(qs != F.lit(""), F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def extract_pii_entities(
+    df, text_col: str = "text", id_cols: tuple = ("doc_id",)
+) -> "DataFrame":
+    """PII entity EXTRACTION (the audit-side complement of redact_pii —
+    same regexes, so whatever extraction finds, redaction removes): one
+    output row per occurrence of an email / IPv4 / card-length digit run.
+    Pure codegen regexp_extract_all + explode; occurrence multiplicity is
+    preserved (an address appearing twice yields two rows)."""
+    kinds = (("email", _PII_PATTERNS[0][0]),
+             ("ipv4", _PII_PATTERNS[1][0]),
+             ("longnum", _PII_PATTERNS[2][0]))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    parts = [
+        df.select(
+            *id_cols,
+            F.lit(kind).alias("kind"),
+            F.explode(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(
+                "value"
+            ),
+        )
+        for kind, pat in kinds
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1733,6 +1733,104 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view refresh: the historical aggregate
+    (l_orderkey % 10 != 0) is MERGED with the new batch's partial
+    aggregates — O(batch + touched keys), the history is never rescanned.
+    The oracle recomputes from the FULL table, so the merge semantics
+    (count→sum, sum→sum, min/max→min/max) must be exactly equivalent.
+    Measures chosen integer-valued/extremal so double re-association
+    cannot flip the rounded hash."""
+    from hatchery_spark.operators.incremental import (
+        merge_aggregates,
+        partial_aggregates,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    measures = {
+        "n": ("count", "l_orderkey"),
+        "sum_qty": ("sum", "l_quantity"),
+        "min_price": ("min", "l_extendedprice"),
+        "max_price": ("max", "l_extendedprice"),
+    }
+    base = partial_aggregates(li.filter(F.col("l_orderkey") % 10 != 0), keys, measures)
+    batch = li.filter(F.col("l_orderkey") % 10 == 0)
+    merged = merge_aggregates(base, partial_aggregates(batch, keys, measures),
+                              keys, measures)
+    return merged.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("min_price", 4).alias("min_price"),
+        F.round("max_price", 4).alias("max_price"),
+    )
+
+
+def q_pii_entities(spark, sf_dir):
+    """PII entity extraction (audit complement of the redaction gate):
+    every email / IPv4 / card-length digit-run occurrence in the
+    transcripts, grouped to per-entity counts — pure codegen
+    regexp_extract_all + explode, one grouping shuffle."""
+    from hatchery_spark.functions.text import extract_pii_entities
+
+    t = transcripts(spark, sf_dir)
+    ents = extract_pii_entities(t, text_col="text", id_cols=("conv_id",))
+    return ents.groupBy("kind", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def q_interleave_sources(spark, sf_dir):
+    """Curriculum round-robin interleave across sources: global training
+    position by CLOSED-FORM arithmetic over per-source ranks — no global
+    window, no single reducer; source index/count broadcast."""
+    from hatchery_spark.functions.sampling import interleave_sources
+
+    return interleave_sources(load(spark, sf_dir, "documents"))
+
+
+_INCREMENTAL_AGG_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       cast(count(*) AS bigint) AS n,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+_PII_ENTITIES_ORACLE_BODY = r"""
+SELECT kind, value, cast(count(*) AS bigint) AS n FROM (
+  SELECT 'email' AS kind,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS value
+  FROM transcripts
+  UNION ALL
+  SELECT 'ipv4',
+         unnest(regexp_extract_all(text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))
+  FROM transcripts
+  UNION ALL
+  SELECT 'longnum', unnest(regexp_extract_all(text, '\d{12,19}'))
+  FROM transcripts) u
+GROUP BY kind, value"""
+
+
+_INTERLEAVE_ORACLE = """
+WITH s AS (
+  SELECT source, row_number() OVER (ORDER BY source) - 1 AS src_idx
+  FROM (SELECT DISTINCT source FROM documents)),
+n AS (SELECT count(*) AS n_src FROM s),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(concat('ep1', cast(doc_id AS varchar))), doc_id) AS rn
+  FROM documents)
+SELECT r.doc_id, r.source,
+       cast(rn AS int) AS rank_in_source,
+       cast((rn - 1) * n.n_src + s.src_idx AS bigint) AS pos
+FROM r JOIN s USING (source) CROSS JOIN n"""
+
+
 def q_robots_filter(spark, sf_dir):
     """Crawl-politeness gate (RFC 9309): REAL robots.txt texts (comments,
     multi-agent groups, Allow/Disallow, '*' wildcards, '$' anchors) parsed
@@ -4426,6 +4524,9 @@ def oracle_catalog() -> dict[str, str]:
               'ok' AS decode_status
             FROM (SELECT unnest(range(0, 48)) AS i)""",
         "doc_robots_filter": _ROBOTS_ORACLE,
+        "rel_incremental_agg": _INCREMENTAL_AGG_ORACLE,
+        "pipeline_pii_entities": p + _PII_ENTITIES_ORACLE_BODY,
+        "doc_interleave_sources": _INTERLEAVE_ORACLE,
         "media_bmp_decode": """
             WITH g AS (
               SELECT i, x.j AS xj, y.j AS yj
@@ -4802,6 +4903,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_tiff_decode": q_media_tiff_decode,
         "media_bmp_decode": q_media_bmp_decode,
         "doc_robots_filter": q_robots_filter,
+        "rel_incremental_agg": q_incremental_agg,
+        "pipeline_pii_entities": q_pii_entities,
+        "doc_interleave_sources": q_interleave_sources,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,
