@@ -845,3 +845,40 @@ def run_cdc_stream(
     )
     q.awaitTermination()
     return q
+
+
+def interval_join_streams(
+    requests: DataFrame,
+    responses: DataFrame,
+    key: str = "req_id",
+    max_lag: str = "10 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """STREAM-STREAM interval join: pair each request with the responses
+    arriving within ``[req_ts, req_ts + max_lag]`` for the same key — the
+    request/response (impression/click, call/result) correlation pattern.
+
+    Both sides carry watermarks AND the join condition bounds event time
+    on both sides, which is exactly what lets Spark evict buffered state:
+    a request older than the watermark minus ``max_lag`` can never match a
+    future response, so its buffer entry is dropped — the join runs
+    indefinitely with bounded state. ``how="left_outer"`` additionally
+    emits unmatched requests (NULL response columns) once the watermark
+    proves no match can arrive — the timeout-detection form. State is
+    partitioned by the join key: one shuffle per side, skew bounded by
+    per-key traffic.
+
+    Requests schema: (key, req_ts, ...); responses: (key, resp_ts, ...).
+    Reference analog: queue-driven sources pairing notifications with
+    their objects (source/sqs.go:31) — here generalized to any keyed
+    request/response correlation.
+    """
+    left = requests.withWatermark("req_ts", watermark)
+    right = responses.withWatermark("resp_ts", watermark)
+    cond = (
+        (left[key] == right[key])
+        & (F.col("resp_ts") >= F.col("req_ts"))
+        & (F.col("resp_ts") <= F.col("req_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return left.join(right, cond, how).drop(right[key])

@@ -455,3 +455,72 @@ def test_ann_ingest_stream_and_pruned_search(spark, tmp_path):
     # re-drain from the same checkpoint: no new batches, store unchanged
     run_ann_ingest_stream(spark, inp, store, ck, schema, cents)
     assert spark.read.parquet(store).count() == 40
+
+
+def test_interval_join_streams_inner_and_timeout(spark, tmp_path):
+    """Stream-stream interval join: in-window responses pair, out-of-window
+    ones don't, and left_outer emits watermark-proven unmatched requests."""
+    from hatchery_spark.streaming.stream import interval_join_streams
+
+    req_dir, resp_dir = str(tmp_path / "req"), str(tmp_path / "resp")
+    out = str(tmp_path / "ivout")
+    base = "2025-06-01 10:{:02d}:00"
+    reqs = spark.createDataFrame(
+        [
+            ("r1", base.format(0)),   # matched in window
+            ("r2", base.format(5)),   # response arrives too late (> lag)
+            ("r3", base.format(10)),  # never answered
+        ],
+        "req_id string, req_ts string",
+    ).select("req_id", F.col("req_ts").cast("timestamp"))
+    resps = spark.createDataFrame(
+        [
+            ("r1", base.format(3), "ok"),      # +3 min: inside 10-min lag
+            ("r2", base.format(20), "late"),   # +15 min: outside
+            ("zz", "2025-06-01 12:00:00", "wm"),  # watermark advancer
+        ],
+        "req_id string, resp_ts string, status string",
+    ).select("req_id", F.col("resp_ts").cast("timestamp"), "status")
+    # two files per side, processed as separate micro-batches
+    # (maxFilesPerTrigger=1): the second file's 12:00 rows advance BOTH
+    # watermarks so the outer join can prove r2/r3 unmatched and flush them
+    reqs.filter("req_id != 'zz'").coalesce(1).write.mode("overwrite").parquet(req_dir)
+    spark.createDataFrame(
+        [("zz", "2025-06-01 12:00:00")], "req_id string, req_ts string"
+    ).select("req_id", F.col("req_ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(req_dir)
+    resps.filter("status != 'wm'").coalesce(1).write.mode("overwrite").parquet(resp_dir)
+    resps.filter("status = 'wm'").coalesce(1).write.mode("append").parquet(resp_dir)
+
+    def run(how, ckpt):
+        left = (
+            spark.readStream.schema("req_id string, req_ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(req_dir)
+        )
+        right = (
+            spark.readStream.schema("req_id string, resp_ts timestamp, status string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(resp_dir)
+        )
+        joined = interval_join_streams(
+            left, right, max_lag="10 minutes", watermark="5 minutes", how=how
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", f"{out}_{how}")
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(f"{out}_{how}")
+
+    inner = [r for r in run("inner", "ck1").collect() if r.req_id != "zz"]
+    assert [(r.req_id, r.status) for r in inner] == [("r1", "ok")]
+
+    outer = {r.req_id: r.status for r in run("left_outer", "ck2").collect()}
+    assert outer["r1"] == "ok"
+    # r2/r3: watermark (advanced by the 12:00 rows) proves no match → NULLs
+    assert outer["r2"] is None and outer["r3"] is None
