@@ -528,9 +528,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     progressive ARITHMETIC coding (SOF9/SOF10 + DAC — jpeg_arith.py),
     LOSSLESS in both entropy codings (Huffman SOF3 and arithmetic SOF11 —
     jpeg_lossless.py; 2..16-bit, all 7 predictors, point transform), and
-    single-component HIERARCHICAL pyramids (DHP/EXP + SOF7 differential
-    refinement over SOF0/SOF3 bases — jpeg_hier.py). Multi-component
-    hierarchies and differential DCT/arithmetic processes raise
+    single-component HIERARCHICAL pyramids (DHP/EXP + SOF7/SOF15
+    differential refinement over SOF0/SOF3/SOF11 bases — jpeg_hier.py).
+    Multi-component hierarchies and differential DCT processes raise
     DecoderUnavailable."""
     if not content.startswith(JPEG_MAGIC):
         raise DecoderUnavailable("not a JPEG payload")

@@ -10,14 +10,15 @@ full), and "lossless correction" — a lossy DCT base frame plus one lossless
 differential frame that lands the final image bit-exact.
 
 Supported here: SINGLE-COMPONENT (grayscale) hierarchies — a non-
-differential SOF3 (lossless) or SOF0/SOF1 (sequential DCT Huffman) first
-frame, EXP expansion, and SOF7 (differential lossless Huffman) refinement
-frames, any precision 2..16 for the lossless family. Multi-component
-hierarchies and the differential DCT / differential arithmetic processes
-(SOF5/6/13/14/15) stay behind DecoderUnavailable — honestly gated, not
-faked. Differential lossless frames code raw (orig − ref) mod 2^16 values
-with NO spatial prediction (J.1.1.4: prediction is disabled in differential
-frames); both fixture encoders below round-trip bit-exact by construction.
+differential SOF3/SOF11 (lossless, either entropy coding) or SOF0/SOF1
+(sequential DCT Huffman) first frame, EXP expansion, and SOF7/SOF15
+(differential lossless, Huffman or arithmetic) refinement frames, any
+precision 2..16 for the lossless family. Multi-component hierarchies and
+the differential DCT processes (SOF5/6/13/14) stay behind
+DecoderUnavailable — honestly gated, not faked. Differential lossless
+frames code raw (orig − ref) mod 2^16 values with NO spatial prediction
+(J.1.1.4: prediction is disabled in differential frames); every fixture
+encoder below round-trips bit-exact by construction.
 
 Reference parity note: hatchery never decodes media (objects pass through
 byte-identical, destination/gcs/client.go:76); this module belongs to the
@@ -100,21 +101,23 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
     restart_interval = 0
     dhp = None
     ref = None  # int32 reference plane at the current pyramid level
     frame = None  # current frame dict while its scans decode
     store = None
     planes: dict = {}
+    diffs: dict = {}
     pt = 0
 
     def finish_frame():
-        nonlocal ref, frame, store, planes
+        nonlocal ref, frame, store, planes, diffs
         if frame is None:
             return
         p = frame["precision"]
         maxv = (1 << p) - 1
-        if frame["kind"] == "lossless":
+        if frame["kind"] in ("lossless", "lossless_arith"):
             cid = frame["comps"][0]["id"]
             ref = (planes[cid].astype(np.int64) << pt).astype(np.int32)
         elif frame["kind"] == "dct":
@@ -135,7 +138,7 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
                 .astype(np.int32)
             )
         # differential frames add into ref inside the scan handler
-        frame, store, planes = None, None, {}
+        frame, store, planes, diffs = None, None, {}, {}
 
     if not content.startswith(b"\xff\xd8"):
         raise DecoderUnavailable("not a JPEG payload")
@@ -188,7 +191,14 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
             if ref is None:
                 raise ValueError("EXP before any frame")
             ref = expand_ref(ref, eh, ev)
-        elif marker in (0xC0, 0xC1, 0xC3, 0xC7):
+        elif marker == 0xCC:  # DAC — arithmetic conditioning
+            i = 0
+            while i + 1 < len(data):
+                tc, tb = data[i] >> 4, data[i] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (data[i + 1] & 0x0F, data[i + 1] >> 4)
+                i += 2
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC7, 0xCB, 0xCF):
             finish_frame()
             precision, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             if nc != 1:
@@ -196,10 +206,10 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
                     "multi-component hierarchical JPEG not supported"
                 )
             cid, hv, tq = data[6:9]
-            kind = {0xC0: "dct", 0xC1: "dct", 0xC3: "lossless", 0xC7: "diff"}[
-                marker
-            ]
-            if kind == "diff" and ref is None:
+            kind = {0xC0: "dct", 0xC1: "dct", 0xC3: "lossless",
+                    0xC7: "diff", 0xCB: "lossless_arith",
+                    0xCF: "diff_arith"}[marker]
+            if kind in ("diff", "diff_arith") and ref is None:
                 raise ValueError("differential frame before any reference")
             frame = {
                 "h": fh, "w": fw, "precision": precision, "kind": kind,
@@ -207,10 +217,11 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
             }
             store = None
             planes = {}
-        elif marker in (0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            diffs = {}
+        elif marker in (0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD, 0xCE):
             raise DecoderUnavailable(
-                "hierarchical frames support SOF0/SOF1/SOF3 bases and SOF7 "
-                "differentials only"
+                "hierarchical frames support SOF0/SOF1/SOF3/SOF11 bases and "
+                "SOF7/SOF15 differentials only"
             )
         elif marker == 0xDA:
             if frame is None or dhp is None:
@@ -229,6 +240,28 @@ def decode_hierarchical(content: bytes) -> np.ndarray:
                     (scan_comps, Ss, Se, Ah, Al), dc_tabs, restart_interval,
                     planes,
                 )
+                continue
+            if frame["kind"] == "lossless_arith":
+                from hatchery_spark.functions.jpeg_lossless import (
+                    decode_lossless_scan_arith,
+                )
+
+                pt = Al
+                pos = decode_lossless_scan_arith(
+                    content, pos + 2 + length, frame,
+                    (scan_comps, Ss, Se, Ah, Al), dc_cond, restart_interval,
+                    planes, diffs,
+                )
+                continue
+            if frame["kind"] == "diff_arith":
+                if ref.shape != (frame["h"], frame["w"]):
+                    ref = ref[: frame["h"], : frame["w"]]
+                lo, up = dc_cond.get(scan_comps[0]["dc"], (0, 1))
+                dplane, pos = _decode_diff_lossless_scan_arith(
+                    content, pos + 2 + length, frame["h"], frame["w"], lo, up,
+                )
+                ref = ((ref.astype(np.int64) + dplane) & 0xFFFF).astype(np.int32)
+                frame = None
                 continue
             if frame["kind"] == "diff":
                 table = dc_tabs.get(scan_comps[0]["dc"])
@@ -412,5 +445,73 @@ def encode_jpeg_hier_correction(img: np.ndarray) -> bytes:
     out += _seg(0xC7, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
     out += _seg(0xC4, bytes([0x01]) + bytes(bits) + bytes(vals))
     out += _seg(0xDA, bytes([1, 1, 0x10, 0, 0, 0]))
+    out += body + b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_diff_lossless_scan_arith(content, pos, h, w, lo, up):
+    """SOF15 scan: raw difference samples (no prediction) entropy-decoded
+    by the QM coder under the Annex-H (Da, Db) conditioning — here Da/Db
+    are the neighbouring DIFFERENCE values, per-scan, exactly mirrored by
+    the fixture encoder. Returns (diff plane int32, next pos)."""
+    from hatchery_spark.functions.jpeg_arith import ArithDecoder, new_stats
+    from hatchery_spark.functions.jpeg_lossless import (
+        LOSSLESS_STAT_BINS,
+        _llctx,
+        decode_lossless_diff,
+    )
+
+    dec = ArithDecoder(content, pos)
+    stats = new_stats(LOSSLESS_STAT_BINS)
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        for x in range(w):
+            da = int(out[y, x - 1]) if x else 0
+            db = int(out[y - 1, x]) if y else 0
+            ctx4, xbase = _llctx(da, db, lo, up)
+            out[y, x] = decode_lossless_diff(dec, stats, ctx4, xbase)
+    return out, dec.next_marker()
+
+
+def encode_jpeg_hier_pyramid_arith(img: np.ndarray, precision: int = 8) -> bytes:
+    """Arithmetic twin of encode_jpeg_hier_lossless_pyramid: SOF11 base
+    frame (lossless arithmetic), EXP(1,1), SOF15 differential refinement —
+    the all-arithmetic hierarchy, still bit-exact by construction."""
+    from hatchery_spark.functions.jpeg_arith import ArithEncoder, new_stats
+    from hatchery_spark.functions.jpeg_lossless import (
+        LOSSLESS_STAT_BINS,
+        _llctx,
+        encode_jpeg_gray_lossless_arith,
+        encode_lossless_diff,
+    )
+
+    img = np.asarray(img).astype(np.int64)
+    h, w = img.shape
+    base = img[::2, ::2].astype(np.int32)
+    inner = encode_jpeg_gray_lossless_arith(base, predictor=1, precision=precision)
+    base_segs = inner[2:-2]
+
+    expanded = expand_ref(base.astype(np.int32), 1, 1)[:h, :w].astype(np.int64)
+    diffs = ((img - expanded) & 0xFFFF).astype(np.int64)
+    diffs[diffs >= 0x8000] -= 0x10000
+    diffs = diffs.astype(np.int32)
+
+    enc = ArithEncoder()
+    stats = new_stats(LOSSLESS_STAT_BINS)
+    for y in range(h):
+        for x in range(w):
+            da = int(diffs[y, x - 1]) if x else 0
+            db = int(diffs[y - 1, x]) if y else 0
+            ctx4, xbase = _llctx(da, db, 0, 1)
+            encode_lossless_diff(enc, stats, ctx4, xbase, int(diffs[y, x]))
+    body = enc.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(DHP, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]))
+    out += base_segs
+    out += _seg(EXP, bytes([0x11]))
+    out += _seg(0xCF, struct.pack(">BHHB", precision, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xCC, bytes([0x00, 0x10]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
     out += body + b"\xff\xd9"
     return bytes(out)

@@ -1331,12 +1331,18 @@ def synthetic_jpeg_hier_media_df(spark, n: int = 32) -> DataFrame:
     )
 
     rows = []
+    from hatchery_spark.functions.jpeg_hier import encode_jpeg_hier_pyramid_arith
+
     for i in range(n):
         w, h = 16 + i % 9, 12 + i % 5
         yy, xx = np.indices((h, w))
         img = ((xx * 7 + yy * 13 + i * 29) % 256).astype(np.int64)
         if i % 4 == 3:
             content = encode_jpeg_hier_correction(img)
+        elif i % 4 == 1:
+            # all-arithmetic hierarchy (SOF11 base + SOF15 differential):
+            # same pixels → the SHARED closed form proves both codings
+            content = encode_jpeg_hier_pyramid_arith(img)
         else:
             content = encode_jpeg_hier_lossless_pyramid(
                 img, restart_interval=17 if i % 4 == 2 else 0

@@ -324,3 +324,31 @@ def interleave_sources(
             ),
         )
     )
+
+
+def length_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Power-of-two length bucketing for padding-efficient batching: docs
+    batched within a bucket pad to the bucket ceiling, so padding waste is
+    bounded by <2× and attention cost is predictable. Returns per-bucket
+    stats (docs, tokens, padding waste) — the planning table a training
+    loader consumes. Pure codegen + ONE map-side-combined aggregate."""
+    n = F.greatest(
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")), F.lit(1)
+    )
+    bucket = F.ceil(F.log2(n.cast("double"))).cast("int")
+    padded = F.pow(F.lit(2.0), bucket.cast("double")).cast("long")
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            n.cast("long").alias("n_tokens"),
+            (padded - n).cast("long").alias("waste"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("waste").alias("total_waste"),
+        )
+    )

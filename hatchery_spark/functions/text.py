@@ -408,3 +408,18 @@ def extract_pii_entities(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: common Cyrillic/Greek → Latin confusable pairs (source chars, targets).
+#: 1:1 codepoint map so translate() — codegen'd, zero shuffle — applies it.
+_HOMOGLYPH_SRC = "аеорсухіѕԁВНКМТАЕОРСХοΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+_HOMOGLYPH_DST = "aeopcyxisdBHKMTAEOPCXoABEZHIKMNOPTYX"
+
+
+def fold_homoglyphs(text: Column) -> Column:
+    """Map common Cyrillic/Greek homoglyphs onto their Latin lookalikes —
+    the spam/SEO dedup-evasion counter (visually identical strings hash
+    identically after folding). Pure codegen translate(); compose BEFORE
+    any hash-based dedup key. Not full Unicode confusables (that table is
+    thousands of pairs — same mechanism, longer map)."""
+    return F.translate(text, _HOMOGLYPH_SRC, _HOMOGLYPH_DST)

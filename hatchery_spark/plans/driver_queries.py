@@ -1733,6 +1733,57 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_homoglyph_fold(spark, sf_dir):
+    """Homoglyph-folding dedup key (spam/SEO evasion counter): inject
+    Cyrillic lookalikes into every doc, then fold — the folded text must
+    restore the original byte-for-byte while the spoofed text differs.
+    Pure codegen translate(), zero shuffle."""
+    from hatchery_spark.functions.text import fold_homoglyphs
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    spoof = F.translate(t, "aeocpx", "аеосрх")
+    return docs.select(
+        "doc_id",
+        (spoof != t).cast("int").alias("spoof_differs"),
+        (fold_homoglyphs(spoof) == t).cast("int").alias("fold_restores"),
+    )
+
+
+def q_length_buckets(spark, sf_dir):
+    """Power-of-two padding buckets for batch planning: per-bucket doc/
+    token/waste totals — one codegen projection + one map-side-combined
+    aggregate."""
+    from hatchery_spark.functions.sampling import length_buckets
+
+    return length_buckets(load(spark, sf_dir, "documents"))
+
+
+def _homoglyph_oracle() -> str:
+    from hatchery_spark.functions.text import _HOMOGLYPH_DST, _HOMOGLYPH_SRC
+
+    return f"""
+SELECT doc_id,
+       cast(spoof <> t AS int) AS spoof_differs,
+       cast(translate(spoof, '{_HOMOGLYPH_SRC}', '{_HOMOGLYPH_DST}') = t AS int)
+         AS fold_restores
+FROM (SELECT doc_id, coalesce(text, '') AS t,
+             translate(coalesce(text, ''), 'aeocpx', 'аеосрх') AS spoof
+      FROM documents)"""
+
+
+_LENGTH_BUCKETS_ORACLE = """
+WITH d AS (
+  SELECT greatest(len(string_split(coalesce(text, ''), ' ')), 1) AS n
+  FROM documents)
+SELECT cast(ceil(log2(cast(n AS double))) AS int) AS bucket,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(n) AS bigint) AS total_tokens,
+       cast(sum(cast(pow(2.0, ceil(log2(cast(n AS double)))) AS bigint) - n)
+            AS bigint) AS total_waste
+FROM d GROUP BY 1"""
+
+
 def q_incremental_agg(spark, sf_dir):
     """Incremental materialized-view refresh: the historical aggregate
     (l_orderkey % 10 != 0) is MERGED with the new batch's partial
@@ -4527,6 +4578,8 @@ def oracle_catalog() -> dict[str, str]:
         "rel_incremental_agg": _INCREMENTAL_AGG_ORACLE,
         "pipeline_pii_entities": p + _PII_ENTITIES_ORACLE_BODY,
         "doc_interleave_sources": _INTERLEAVE_ORACLE,
+        "doc_homoglyph_fold": _homoglyph_oracle(),
+        "doc_length_buckets": _LENGTH_BUCKETS_ORACLE,
         "media_bmp_decode": """
             WITH g AS (
               SELECT i, x.j AS xj, y.j AS yj
@@ -4906,6 +4959,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_incremental_agg": q_incremental_agg,
         "pipeline_pii_entities": q_pii_entities,
         "doc_interleave_sources": q_interleave_sources,
+        "doc_homoglyph_fold": q_homoglyph_fold,
+        "doc_length_buckets": q_length_buckets,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,
         "doc_span_corruption": q_span_corruption,

@@ -70,3 +70,25 @@ def test_multi_component_hier_gated():
     payload[11] = 3  # SOI(2) + marker(2) + length(2) + P(1) + Y(2) + X(2)
     with pytest.raises(DecoderUnavailable):
         decode_jpeg(bytes(payload))
+
+
+def test_all_arithmetic_pyramid_exact():
+    from hatchery_spark.functions.jpeg_hier import encode_jpeg_hier_pyramid_arith
+
+    img = _grad(13, 17)
+    out = decode_jpeg(encode_jpeg_hier_pyramid_arith(img))
+    assert (out[:, :, 0] == img).all()
+    yy, xx = np.indices((10, 14))
+    img16 = ((xx * 517 + yy * 993) % 65536).astype(np.int64)
+    out = decode_jpeg(encode_jpeg_hier_pyramid_arith(img16, precision=16))
+    assert (out[:, :, 0].astype(np.int64) == img16).all()
+
+
+def test_differential_dct_stays_gated():
+    from hatchery_spark.functions.jpeg_hier import encode_jpeg_hier_lossless_pyramid
+
+    payload = bytearray(encode_jpeg_hier_lossless_pyramid(_grad(12, 16)))
+    idx = bytes(payload).index(b"\xff\xc7")
+    payload[idx + 1] = 0xC5  # SOF7 → SOF5 (differential sequential DCT)
+    with pytest.raises(DecoderUnavailable):
+        decode_jpeg(bytes(payload))
