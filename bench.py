@@ -360,6 +360,11 @@ def main() -> None:
             ("media_jpeg_hier", dq.q_media_jpeg_hier),
             ("media_tiff_decode", dq.q_media_tiff_decode),
             ("media_bmp_decode", dq.q_media_bmp_decode),
+            ("rel_incremental_agg", dq.q_incremental_agg),
+            ("pipeline_pii_entities", dq.q_pii_entities),
+            ("doc_interleave_sources", dq.q_interleave_sources),
+            ("doc_homoglyph_fold", dq.q_homoglyph_fold),
+            ("doc_length_buckets", dq.q_length_buckets),
         ]:
             measure(
                 name,
