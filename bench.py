@@ -365,6 +365,8 @@ def main() -> None:
             ("doc_interleave_sources", dq.q_interleave_sources),
             ("doc_homoglyph_fold", dq.q_homoglyph_fold),
             ("doc_length_buckets", dq.q_length_buckets),
+            ("doc_html_extract", dq.q_html_extract),
+            ("doc_warc_wet_chain", dq.q_warc_wet_chain),
         ]:
             measure(
                 name,

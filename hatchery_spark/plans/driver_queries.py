@@ -1733,6 +1733,88 @@ def q_media_audio_spectral(spark, sf_dir):
     return wav_spectral_features(synthetic_audio_media_df(spark, 48))
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML → text (the WARC→WET step): deterministic page templates wrap
+    every doc (title, headings, comments, script/style subtrees, entities,
+    <br> blocks); the REAL stdlib-parser extraction must drop the code,
+    decode the entities, and recover the body text — all closed-form."""
+    from hatchery_spark.functions.html import extract_html_text
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>T</title><script>var x = 1 < 2;"
+            "</script></head><body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><style>.a{color:red}</style><p>&amp; more &#33;</p>"
+              "</body></html>"),
+    )
+    return extract_html_text(docs.select("doc_id", html.alias("html")))
+
+
+_HTML_EXTRACT_ORACLE = """
+SELECT doc_id,
+       concat('T', chr(CAST(10 AS INTEGER)), 'Doc ', cast(doc_id AS varchar),
+              chr(CAST(10 AS INTEGER)),
+              CASE WHEN trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g')) <> ''
+                   THEN concat(trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g')),
+                               chr(CAST(10 AS INTEGER)))
+                   ELSE '' END,
+              '& more !') AS extracted
+FROM documents"""
+
+
+def q_warc_wet_chain(spark, sf_dir):
+    """The FULL Common-Crawl ingestion chain, end to end: HTML pages →
+    WARC files (25 blobs, one shuffle) → byte-exact record split → payload
+    re-read → HTML → text extraction. doc identity travels only through
+    the WARC Target-URI, so any stage break (offset slip, slicing bug,
+    parser loss) mismatches the closed form."""
+    from hatchery_spark.functions.html import html_to_text
+    from hatchery_spark.functions.warc import build_warc_files, split_warc_records
+
+    import pandas as pd
+    from typing import Iterator
+
+    docs = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>T</title></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></body></html>"),
+    )
+    files = build_warc_files(
+        docs.select("doc_id", page.alias("text")), files=25
+    )
+
+    def _wet(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, texts = [], []
+            for buf in b["content"]:
+                for _idx, _off, _t, uri, _cl, payload in split_warc_records(
+                    bytes(buf)
+                ):
+                    ids.append(int(uri.rsplit("/", 1)[1]))
+                    texts.append(html_to_text(payload.decode("utf-8")))
+            yield pd.DataFrame({"doc_id": ids, "extracted": texts})
+
+    return files.mapInPandas(_wet, "doc_id long, extracted string")
+
+
+_WARC_WET_ORACLE = """
+SELECT doc_id,
+       concat('T', chr(CAST(10 AS INTEGER)), 'Doc ', cast(doc_id AS varchar),
+              CASE WHEN trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g')) <> ''
+                   THEN concat(chr(CAST(10 AS INTEGER)),
+                               trim(regexp_replace(coalesce(text, ''), ' +', ' ', 'g')))
+                   ELSE '' END) AS extracted
+FROM documents"""
+
+
 def q_homoglyph_fold(spark, sf_dir):
     """Homoglyph-folding dedup key (spam/SEO evasion counter): inject
     Cyrillic lookalikes into every doc, then fold — the folded text must
@@ -4579,6 +4661,8 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_pii_entities": p + _PII_ENTITIES_ORACLE_BODY,
         "doc_interleave_sources": _INTERLEAVE_ORACLE,
         "doc_homoglyph_fold": _homoglyph_oracle(),
+        "doc_html_extract": _HTML_EXTRACT_ORACLE,
+        "doc_warc_wet_chain": _WARC_WET_ORACLE,
         "doc_length_buckets": _LENGTH_BUCKETS_ORACLE,
         "media_bmp_decode": """
             WITH g AS (
@@ -4960,6 +5044,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pii_entities": q_pii_entities,
         "doc_interleave_sources": q_interleave_sources,
         "doc_homoglyph_fold": q_homoglyph_fold,
+        "doc_html_extract": q_html_extract,
+        "doc_warc_wet_chain": q_warc_wet_chain,
         "doc_length_buckets": q_length_buckets,
         "doc_ccnet_buckets": q_ccnet_buckets,
         "pipeline_hard_negatives": q_hard_negatives,

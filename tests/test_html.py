@@ -1,0 +1,42 @@
+"""HTML → text extraction (WARC→WET step)."""
+
+from hatchery_spark.functions.html import html_to_text
+
+
+def test_template_extraction():
+    h = (
+        "<html><head><title>T</title><script>var x = 1 < 2; </script></head>"
+        "<body><h1>Doc 5</h1><!-- comment --><p>hello   world</p>"
+        "<p>&amp; more &#33;</p><style>.a{color:red}</style>"
+        "<div>tail<br>next</div></body></html>"
+    )
+    assert html_to_text(h) == "T\nDoc 5\nhello world\n& more !\ntail\nnext"
+
+
+def test_skip_subtrees_and_entities():
+    assert html_to_text("<script><p>never</p></script><p>kept</p>") == "kept"
+    assert html_to_text("<noscript>no</noscript>yes") == "yes"
+    assert html_to_text("a&lt;b&gt;c &#x41;") == "a<b>c A"
+
+
+def test_inline_vs_block():
+    assert html_to_text("<p>a <b>bold</b> word</p>") == "a bold word"
+    assert html_to_text("<li>one</li><li>two</li>") == "one\ntwo"
+
+
+def test_malformed_soup_never_crashes():
+    cases = [
+        "<p>a<b>b</p>c",
+        "<unclosed",
+        "</only-end>",
+        "<p attr='>'>x</p>",
+        "&bogus; &amp",
+        "",
+        None,
+    ]
+    for c in cases:
+        html_to_text(c)  # must not raise
+
+
+def test_whitespace_collapse():
+    assert html_to_text("<p>  a \t b  </p>\n\n<p> </p><p>c</p>") == "a b\nc"
