@@ -24,6 +24,7 @@ container bytes → records before any transform runs.
 from __future__ import annotations
 
 import hashlib
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -156,4 +157,126 @@ def parse_warc(df: DataFrame, content_col: str = "content") -> DataFrame:
         _parse,
         "file_id bigint, rec_idx int, rec_offset bigint, warc_type string, "
         "target_uri string, content_length bigint, payload_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# .warc.gz — the member-per-record gzip framing Common Crawl actually ships.
+# Each WARC record is compressed as its OWN gzip member and the members are
+# concatenated, so a reader can seek to any member boundary and decompress
+# one record without touching the rest of the file. Splitting a .warc.gz
+# therefore happens at the COMPRESSED layer (gzip magic + member lengths),
+# not by scanning decompressed bytes.
+# Reference analog: hatchery's gzip source decode (source/parse.go:21) —
+# container bytes → records before any transform runs.
+# ---------------------------------------------------------------------------
+
+
+def gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (level 9, zero mtime — zlib never
+    writes a timestamp, so encode output is byte-stable across runs)."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(data) + co.flush()
+
+
+def build_warc_gz_files(
+    docs: DataFrame,
+    files: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """documents → (file_id, content) .warc.gz blobs: every record its own
+    gzip member, members concatenated in doc_id order. Same grouping and
+    determinism contract as ``build_warc_files``."""
+    recs = docs.select(
+        F.pmod(F.col(id_col), F.lit(files)).alias("file_id"),
+        F.col(id_col).alias("_rid"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_payload"),
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rid")
+        blob = b"".join(
+            gzip_member(encode_warc_record(int(rid), payload.encode("utf-8")))
+            for rid, payload in zip(pdf["_rid"], pdf["_payload"])
+        )
+        return pd.DataFrame({"file_id": [int(pdf.file_id.iloc[0])], "content": [blob]})
+
+    return recs.groupBy("file_id").applyInPandas(
+        _encode, "file_id bigint, content binary"
+    )
+
+
+def split_gzip_members(buf: bytes) -> list[tuple]:
+    """Scan concatenated gzip members: (member_idx, compressed_offset,
+    compressed_len, decompressed_bytes). Linear in file size — each byte is
+    fed to zlib exactly once; member boundaries come from the DEFLATE
+    stream end (``decompressobj.eof``), never from searching for magic
+    bytes (which can occur inside compressed data)."""
+    out: list[tuple] = []
+    idx, pos, n = 0, 0, len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"bad gzip magic at offset {pos}")
+        do = zlib.decompressobj(31)
+        produced = []
+        p = pos
+        while not do.eof:
+            if p >= n:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            chunk = buf[p : p + 65536]
+            produced.append(do.decompress(chunk))
+            p += len(chunk)
+        consumed = p - pos - len(do.unused_data)
+        out.append((idx, pos, consumed, b"".join(produced)))
+        pos += consumed
+        idx += 1
+    return out
+
+
+def parse_warc_gz(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Split .warc.gz blobs: gzip-member scan, then the byte-exact WARC
+    record split inside each member. ``record_md5`` hashes the FULL
+    decompressed member (headers + payload + separator), so a member
+    boundary off by even one byte value-mismatches; ``payload_md5`` pins
+    the inner Content-Length slice. One mapInPandas pass, zero shuffle,
+    memory bounded by one decompressed record at a time."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, buf in zip(pdf["file_id"], pdf[content_col]):
+                for midx, _off, _clen, member in split_gzip_members(bytes(buf)):
+                    for (_ridx, _roff, wtype, uri, clen, payload) in (
+                        split_warc_records(member)
+                    ):
+                        rows.append(
+                            (
+                                int(fid),
+                                midx,
+                                wtype,
+                                uri,
+                                clen,
+                                hashlib.md5(member).hexdigest(),
+                                hashlib.md5(payload).hexdigest(),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id",
+                    "member_idx",
+                    "warc_type",
+                    "target_uri",
+                    "content_length",
+                    "record_md5",
+                    "payload_md5",
+                ],
+            )
+
+    return df.mapInPandas(
+        _parse,
+        "file_id bigint, member_idx int, warc_type string, "
+        "target_uri string, content_length bigint, record_md5 string, "
+        "payload_md5 string",
     )

@@ -3114,6 +3114,119 @@ def q_warc_roundtrip(spark, sf_dir):
     return parse_warc(build_warc_files(docs, files=25))
 
 
+def q_mime_sniff(spark, sf_dir):
+    """Magic-byte MIME routing — the first decision a crawl pipeline makes
+    per payload. Blobs are built by the package's own REAL encoders (PNG,
+    JPEG, GIF, BMP, TIFF, WAV, gzip member, ZIP, PDF, ISO-BMFF ftyp, WARC
+    record, plain text), one format per doc_id residue; the sniff itself is
+    a single pure-codegen hex/substring/when expression (no UDF, no
+    shuffle). The oracle replays the residue→mime map closed-form: any
+    misclassification by the magic table value-mismatches."""
+    import pandas as pd
+    from typing import Iterator
+
+    import numpy as np
+
+    from hatchery_spark.functions.mime import mp4_stub, sniff_mime, zip_stub
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def _blobs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hatchery_spark.functions.bmp import encode_bmp_rgb
+        from hatchery_spark.functions.gif import encode_gif
+        from hatchery_spark.functions.jpeg import encode_jpeg
+        from hatchery_spark.functions.multimodal import encode_png, encode_wav
+        from hatchery_spark.functions.tiff import encode_tiff
+        from hatchery_spark.functions.warc import encode_warc_record, gzip_member
+
+        gray8 = np.full((8, 8), 99, dtype=np.uint8)
+        rgb8 = np.full((8, 8, 3), 50, dtype=np.uint8)
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        builders = [
+            lambda i: encode_png(4, 4, (i % 256, 0, 0)),
+            lambda i: encode_jpeg(8, 8, 90 + i % 32),
+            lambda i: encode_gif([(gray8 % 2)], pal),
+            lambda i: encode_bmp_rgb(rgb8),
+            lambda i: encode_tiff(gray8),
+            lambda i: encode_wav(16, 8000, 100 + i % 50),
+            lambda i: gzip_member(f"payload {i}".encode()),
+            lambda i: zip_stub("a.txt", f"z{i}".encode()),
+            lambda i: b"%PDF-1.4\n1 0 obj\nendobj\n%%EOF",
+            lambda i: mp4_stub(),
+            lambda i: encode_warc_record(i, b"warc body"),
+            lambda i: f"plain text {i}".encode("utf-8"),
+        ]
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "content": [builders[i % 12](int(i)) for i in ids],
+                }
+            )
+
+    blobs = docs.mapInPandas(_blobs, "doc_id long, content binary")
+    return blobs.select("doc_id", sniff_mime(F.col("content")).alias("mime"))
+
+
+_MIME_SNIFF_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 12
+         WHEN 0 THEN 'image/png'       WHEN 1 THEN 'image/jpeg'
+         WHEN 2 THEN 'image/gif'       WHEN 3 THEN 'image/bmp'
+         WHEN 4 THEN 'image/tiff'      WHEN 5 THEN 'audio/wav'
+         WHEN 6 THEN 'application/gzip' WHEN 7 THEN 'application/zip'
+         WHEN 8 THEN 'application/pdf' WHEN 9 THEN 'video/mp4'
+         WHEN 10 THEN 'application/warc'
+         ELSE 'application/octet-stream' END AS mime
+FROM documents"""
+
+
+def q_warc_gz_members(spark, sf_dir):
+    """.warc.gz member framing — the format Common Crawl actually ships:
+    every WARC record is its OWN gzip member; members are concatenated so
+    readers can split at the COMPRESSED layer. documents → member-per-record
+    gzip blobs → zlib member scan (DEFLATE stream-end boundaries, never
+    magic-byte search) → byte-exact WARC split inside each member. The
+    oracle reconstructs every decompressed member closed-form (header
+    string + payload + separator) and md5s it — a member boundary off by
+    one byte value-mismatches."""
+    from hatchery_spark.functions.warc import build_warc_gz_files, parse_warc_gz
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_warc_gz(build_warc_gz_files(docs, files=25))
+
+
+_WARC_GZ_ORACLE = """
+WITH r AS (
+  SELECT doc_id % 25 AS file_id, doc_id,
+         coalesce(text, '') AS payload,
+         octet_length(encode(coalesce(text, ''))) AS plen,
+         concat('https://example.com/doc/', cast(doc_id AS varchar)) AS uri
+  FROM documents),
+h AS (
+  SELECT *,
+         concat(
+           'WARC/1.0', e'\\r\\n',
+           'WARC-Type: response', e'\\r\\n',
+           'WARC-Record-ID: <urn:doc:', cast(doc_id AS varchar), '>', e'\\r\\n',
+           'WARC-Target-URI: ', uri, e'\\r\\n',
+           'WARC-Date: 2025-01-01T00:00:00Z', e'\\r\\n',
+           'Content-Type: text/plain', e'\\r\\n',
+           'Content-Length: ', cast(plen AS varchar), e'\\r\\n', e'\\r\\n'
+         ) AS hdr
+  FROM r)
+SELECT file_id,
+       cast(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+            AS int) AS member_idx,
+       'response' AS warc_type,
+       uri AS target_uri,
+       cast(plen AS bigint) AS content_length,
+       md5(concat(hdr, payload, e'\\r\\n\\r\\n')) AS record_md5,
+       md5(payload) AS payload_md5
+FROM h"""
+
+
 _WARC_ORACLE = """
 WITH r AS (
   SELECT doc_id % 25 AS file_id, doc_id,
@@ -4551,6 +4664,8 @@ def oracle_catalog() -> dict[str, str]:
         "rel_orc_roundtrip": _ORC_ROUNDTRIP_ORACLE,
         "doc_fim_transform": _FIM_ORACLE,
         "doc_warc_roundtrip": _WARC_ORACLE,
+        "doc_warc_gz_members": _WARC_GZ_ORACLE,
+        "media_mime_sniff": _MIME_SNIFF_ORACLE,
         "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
@@ -5035,6 +5150,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "doc_fim_transform": q_fim_transform,
         "doc_warc_roundtrip": q_warc_roundtrip,
+        "doc_warc_gz_members": q_warc_gz_members,
+        "media_mime_sniff": q_mime_sniff,
         "media_audio_alaw": q_media_audio_alaw,
         "media_jpeg_hier": q_media_jpeg_hier,
         "media_tiff_decode": q_media_tiff_decode,

@@ -63,3 +63,55 @@ def test_distributed_roundtrip(spark):
         assert [r.rec_idx for r in rows] == list(range(len(rows)))
         uris = [int(r.target_uri.rsplit("/", 1)[1]) for r in rows]
         assert uris == sorted(uris)
+
+
+def test_gzip_member_split_and_corruption():
+    from hatchery_spark.functions.warc import gzip_member, split_gzip_members
+
+    payloads = [b"", b"alpha" * 1000, "é中文".encode("utf-8"), b"\x1f\x8b fake magic inside"]
+    members = [gzip_member(p) for p in payloads]
+    blob = b"".join(members)
+    recs = split_gzip_members(blob)
+    assert [r[0] for r in recs] == [0, 1, 2, 3]
+    assert [r[3] for r in recs] == payloads
+    # compressed offsets/lengths tile the file exactly
+    assert [r[1] for r in recs] == [
+        sum(len(m) for m in members[:i]) for i in range(len(members))
+    ]
+    assert sum(r[2] for r in recs) == len(blob)
+    with pytest.raises(ValueError, match="bad gzip magic"):
+        split_gzip_members(b"XX" + blob)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        split_gzip_members(blob[:-3])
+
+
+def test_gzip_member_deterministic():
+    from hatchery_spark.functions.warc import gzip_member
+
+    assert gzip_member(b"same input") == gzip_member(b"same input")
+
+
+def test_warc_gz_distributed_roundtrip(spark):
+    from hatchery_spark.functions.warc import (
+        build_warc_gz_files,
+        encode_warc_record,
+        parse_warc_gz,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"gz body {i} " * (i % 4 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = parse_warc_gz(build_warc_gz_files(docs, files=5)).collect()
+    assert len(out) == 40
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        doc_id = int(r.target_uri.rsplit("/", 1)[1])
+        assert r.file_id == doc_id % 5
+        payload = originals[doc_id].encode("utf-8")
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+        # record_md5 hashes the whole decompressed member = the WARC record
+        assert r.record_md5 == hashlib.md5(
+            encode_warc_record(doc_id, payload)
+        ).hexdigest()
+        assert r.content_length == len(payload)
