@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["derive_event_edges", "pagerank"]
+__all__ = ["derive_event_edges", "hits", "pagerank"]
 
 
 def _md5_prefix_long(col):
@@ -165,4 +165,103 @@ def pagerank(
 
     return ranks.select(
         "node", (F.col("r").cast("double") / F.lit(float(scale))).alias("pagerank")
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, hubs & authorities) over a
+    directed edge list ``(src, dst)`` in FIXED-POINT INTEGER arithmetic:
+
+        a_t(v)  = Σ_{u→v} h_{t-1}(u), then L1-renormalized to ~scale
+        h_t(v)  = Σ_{v→w} a_t(w),     then L1-renormalized to ~scale
+
+    Renormalization is integer: ``x div greatest(Σx div scale, 1)`` — the
+    same cross-engine-exact trick as ``pagerank`` (per-iteration float
+    rounding lands on decimal ties that Spark HALF_UP and DuckDB binary
+    rounding resolve differently; integer div has no ties). The L1 norm
+    (not the classical L2) keeps the iteration division-free and changes
+    only the scores' scale, never their order or ratios.
+
+    The coarse divisor ``Σx div scale`` rescales every score by one COMMON
+    factor in [1, 1+scale/Σraw) — per-node ratios are exact to ≤1/score —
+    so consumers needing a true L1 distribution divide by the column sum
+    (one more 1-row agg); rankings and ratios need nothing.
+
+    Overflow envelope: after renormalization every score ≤ ~scale, so the
+    raw sums are bounded by indeg·scale ≤ E·scale — at the default
+    scale=1e9 that holds to ~9×10⁹ edges; for larger graphs lower
+    ``scale`` (precision degrades as 1/scale). All test/bench graphs are
+    orders of magnitude inside the envelope.
+
+    Same plan shape as ``pagerank``: the edge list is the only
+    corpus-sized frame, touched twice per iteration with shuffle
+    hash-joins + one agg each; score frames are node-sized and persisted
+    lazily; the norm scalars are 1-row aggregates broadcast back.
+
+    Returns ``(node, hub double, authority double)`` for every node in
+    src ∪ dst, scores divided back by ``scale``.
+    """
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    ).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+
+    hub = nodes.select("node", F.lit(scale // n_nodes).alias("h")).persist()
+    auth = None
+    for it in range(iters):
+        a_raw = (
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("long").alias("a_raw"))
+        )
+        a_full = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce(F.col("a_raw"), F.lit(0)).alias("a_raw")
+        )
+        s_a = a_full.agg(
+            F.greatest(F.expr(f"sum(a_raw) div {scale}"), F.lit(1))
+            .cast("long")
+            .alias("s")
+        )
+        auth = (
+            a_full.crossJoin(F.broadcast(s_a))
+            .select("node", F.expr("a_raw div s").cast("long").alias("a"))
+            .persist()
+        )
+        h_raw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("long").alias("h_raw"))
+        )
+        h_full = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce(F.col("h_raw"), F.lit(0)).alias("h_raw")
+        )
+        s_h = h_full.agg(
+            F.greatest(F.expr(f"sum(h_raw) div {scale}"), F.lit(1))
+            .cast("long")
+            .alias("s")
+        )
+        new_hub = (
+            h_full.crossJoin(F.broadcast(s_h))
+            .select("node", F.expr("h_raw div s").cast("long").alias("h"))
+            .persist()
+        )
+        if (it + 1) % 5 == 0:
+            new_hub.count()
+            hub.unpersist()
+        hub = new_hub
+
+    return hub.join(auth, "node").select(
+        "node",
+        (F.col("h").cast("double") / F.lit(float(scale))).alias("hub"),
+        (F.col("a").cast("double") / F.lit(float(scale))).alias("authority"),
     )

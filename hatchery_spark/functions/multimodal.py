@@ -965,6 +965,13 @@ def decode_media(df: DataFrame) -> DataFrame:
                         h, w = img.shape[0], img.shape[1]
                         px = round(float(img.mean()), 4)
                         status = "ok_bmp"
+                    elif raw.startswith(b"qoif"):
+                        from hatchery_spark.functions.qoi import decode_qoi
+
+                        img = decode_qoi(raw)
+                        h, w = img.shape[0], img.shape[1]
+                        px = round(float(img[:, :, :3].mean()), 4)
+                        status = "ok_qoi"
                     elif raw.startswith(b"RIFF"):
                         samples, sr, nch = decode_wav(raw)
                         dur = int(len(samples) // nch * 1000 / sr)
@@ -1392,6 +1399,36 @@ def synthetic_tiff_media_df(spark, n: int = 40) -> DataFrame:
                 big_endian=i % 5 == 1,
             )
         rows.append((i, "image", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+
+
+def synthetic_qoi_media_df(spark, n: int = 40) -> DataFrame:
+    """QOI media table over gradient/blocky/flat-delta/alpha content so the
+    encoder is forced through every opcode family (RUN+INDEX on the blocky
+    rotation, DIFF on the ±1 rotation, LUMA/RGB on the channel-offset
+    gradients, RGBA on the alpha rotation) and px_mean stays closed-form."""
+    from hatchery_spark.functions.qoi import encode_qoi
+
+    rows = []
+    for i in range(n):
+        w, h = 16 + i % 9, 12 + i % 5
+        yy, xx = np.indices((h, w))
+        if i % 4 == 1:
+            v = ((xx // 4) * 8 + (yy // 4) * 8 + i) % 256
+            img = np.stack([v, v, v], axis=2).astype(np.uint8)
+        elif i % 4 == 2:
+            v = (xx + yy + i) % 256
+            img = np.stack([v, v, v], axis=2).astype(np.uint8)
+        else:
+            img = np.stack(
+                [(xx * 3 + yy * 7 + i + c * 40) % 256 for c in range(3)], axis=2
+            ).astype(np.uint8)
+            if i % 4 == 3:
+                alpha = ((xx * 5 + i) % 256).astype(np.uint8)
+                img = np.concatenate([img, alpha[:, :, None]], axis=2)
+        rows.append((i, "image", bytearray(encode_qoi(img))))
     return spark.createDataFrame(
         rows, "media_id long, kind string, content binary"
     )

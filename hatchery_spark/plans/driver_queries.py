@@ -2055,6 +2055,41 @@ def q_media_bmp_decode(spark, sf_dir):
     return decode_media(synthetic_bmp_media_df(spark, 40))
 
 
+def q_media_qoi_decode(spark, sf_dir):
+    """QOI (qoiformat.org — functions/qoi.py): full opcode matrix
+    (RUN/INDEX/DIFF/LUMA/RGB/RGBA) decoded for real over four content
+    rotations chosen to force each opcode family; gradient content gives
+    px_mean a closed form per rotation."""
+    from hatchery_spark.functions.multimodal import (
+        decode_media,
+        synthetic_qoi_media_df,
+    )
+
+    return decode_media(synthetic_qoi_media_df(spark, 40))
+
+
+_QOI_ORACLE = """
+            WITH g AS (
+              SELECT i, x.j AS xj, y.j AS yj
+              FROM (SELECT unnest(range(0, 40)) AS i),
+                   range(0, 24) x(j), range(0, 16) y(j)
+              WHERE x.j < 16 + i % 9 AND y.j < 12 + i % 5)
+            SELECT i AS media_id, 'image' AS kind,
+              cast(16 + i % 9 AS int) AS width,
+              cast(12 + i % 5 AS int) AS height,
+              cast(NULL AS int) AS duration_ms,
+              round(avg(CASE
+                WHEN i % 4 = 1 THEN
+                  cast(((xj // 4) * 8 + (yj // 4) * 8 + i) % 256 AS double)
+                WHEN i % 4 = 2 THEN cast((xj + yj + i) % 256 AS double)
+                ELSE (cast((xj * 3 + yj * 7 + i) % 256 AS double)
+                      + (xj * 3 + yj * 7 + i + 40) % 256
+                      + (xj * 3 + yj * 7 + i + 80) % 256) / 3 END), 4)
+                AS px_mean,
+              'ok_qoi' AS decode_status
+            FROM g GROUP BY i"""
+
+
 def q_media_tiff_decode(spark, sf_dir):
     """Baseline TIFF 6.0 (functions/tiff.py — the scanned-document format):
     gray/RGB/palette × uncompressed/PackBits/LZW (early-change widths,
@@ -2980,6 +3015,16 @@ def q_pagerank(spark, sf_dir):
     return pagerank(derive_event_edges(ev), iters=3)
 
 
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities over the event-derived link
+    graph — the second classic link-quality prior next to PageRank; L1
+    fixed-point integer renormalization makes 3 rounds DuckDB-replayable."""
+    from hatchery_spark.functions.graph import derive_event_edges, hits
+
+    ev = load(spark, sf_dir, "events")
+    return hits(derive_event_edges(ev), iters=3)
+
+
 def q_bradley_terry(spark, sf_dir):
     """Bradley-Terry strengths from the event-derived comparison log (3 MM
     rounds, Hunter 2004), sum-normalized — the arena-preference reduction."""
@@ -3388,6 +3433,40 @@ r{t} AS (SELECT nodes.node,
               LEFT JOIN c{t} c ON c.node = nodes.node)""")
     parts.append(
         f"\nSELECT node, cast(r AS double) / {scale}e0 AS pagerank FROM r{iters}"
+    )
+    return "".join(parts)
+
+
+def _hits_oracle(iters: int = 3, scale: int = 10**9) -> str:
+    """Unrolled-CTE replay of graph.hits — pure BIGINT sums, floor
+    divisions, and L1 renormalization scalars, so both engines compute the
+    identical integers (same rationale as _pagerank_oracle)."""
+    parts = [
+        f"WITH {_EVENT_EDGE_CTE},",
+        f"""
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, {scale} // nn.n AS h FROM nodes, nn)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+ar{t} AS (SELECT nodes.node, coalesce(s.a_raw, 0) AS a_raw FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(h.h) AS a_raw
+            FROM edges e JOIN h{t - 1} h ON h.node = e.src GROUP BY e.dst) s
+          ON s.node = nodes.node),
+sa{t} AS (SELECT greatest(sum(a_raw) // {scale}, 1) AS s FROM ar{t}),
+a{t} AS (SELECT node, a_raw // sa{t}.s AS a FROM ar{t}, sa{t}),
+hr{t} AS (SELECT nodes.node, coalesce(s.h_raw, 0) AS h_raw FROM nodes LEFT JOIN (
+            SELECT e.src AS node, sum(a.a) AS h_raw
+            FROM edges e JOIN a{t} a ON a.node = e.dst GROUP BY e.src) s
+          ON s.node = nodes.node),
+sh{t} AS (SELECT greatest(sum(h_raw) // {scale}, 1) AS s FROM hr{t}),
+h{t} AS (SELECT node, h_raw // sh{t}.s AS h FROM hr{t}, sh{t})""")
+    parts.append(
+        f"""
+SELECT h.node, cast(h.h AS double) / {scale}e0 AS hub,
+       cast(a.a AS double) / {scale}e0 AS authority
+FROM h{iters} h JOIN a{iters} a ON a.node = h.node"""
     )
     return "".join(parts)
 
@@ -4666,9 +4745,11 @@ def oracle_catalog() -> dict[str, str]:
         "doc_warc_roundtrip": _WARC_ORACLE,
         "doc_warc_gz_members": _WARC_GZ_ORACLE,
         "media_mime_sniff": _MIME_SNIFF_ORACLE,
+        "media_qoi_decode": _QOI_ORACLE,
         "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
+        "graph_hits": _hits_oracle(iters=3),
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
         "emb_pca_project": _pca_oracle(dim=64, iters=6),
         "pipeline_dpo_pairs": _dpo_oracle(),
@@ -5152,6 +5233,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_warc_roundtrip": q_warc_roundtrip,
         "doc_warc_gz_members": q_warc_gz_members,
         "media_mime_sniff": q_mime_sniff,
+        "media_qoi_decode": q_media_qoi_decode,
         "media_audio_alaw": q_media_audio_alaw,
         "media_jpeg_hier": q_media_jpeg_hier,
         "media_tiff_decode": q_media_tiff_decode,
@@ -5175,6 +5257,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snapshot_timetravel": q_snapshot_timetravel,
         "media_mp4_frames": q_media_mp4_frames,
         "graph_pagerank": q_pagerank,
+        "graph_hits": q_hits,
         "media_jpeg_lossless": q_media_jpeg_lossless,
         "pref_bradley_terry": q_bradley_terry,
         "emb_pca_project": q_pca_project,

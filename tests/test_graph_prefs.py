@@ -259,3 +259,64 @@ def test_orc_roundtrip_matches_parquet(spark):
         .collect()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------- hits
+
+
+def test_hits_star_graph(spark):
+    """Star: 0→{1,2,3}. Node 0 is the only hub; 1-3 are equal authorities."""
+    from hatchery_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = {x.node: (x.hub, x.authority) for x in hits(edges, iters=3).collect()}
+    assert r[0][0] > 0 and r[0][1] == 0.0
+    assert r[1] == r[2] == r[3]
+    assert r[1][0] == 0.0 and r[1][1] > 0
+
+
+def test_hits_matches_float_reference(spark):
+    """Sum-normalized fixed-point scores track a plain float L1-HITS to
+    ~1e-5: the integer renormalizer's coarse divisor (sum div scale) only
+    rescales ALL scores by one common factor — per-node ratios carry floor
+    error ≤ 1/score ≈ 1e-7 — so after dividing by the total the two
+    iterations agree."""
+    import numpy as np
+
+    from hatchery_spark.functions.graph import hits
+
+    rng = np.random.default_rng(11)
+    pairs = sorted(
+        {(int(a), int(b)) for a, b in rng.integers(0, 30, size=(150, 2)) if a != b}
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges, iters=3).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    ix = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for a, b in pairs:
+        A[ix[a], ix[b]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    hub_sum = sum(v[0] for v in got.values())
+    auth_sum = sum(v[1] for v in got.values())
+    for v in nodes:
+        assert math.isclose(got[v][0] / hub_sum, h[ix[v]], rel_tol=1e-4, abs_tol=1e-6)
+        assert math.isclose(got[v][1] / auth_sum, a[ix[v]], rel_tol=1e-4, abs_tol=1e-6)
+
+
+def test_hits_partition_invariant(spark):
+    from hatchery_spark.functions.graph import derive_event_edges, hits
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    e = derive_event_edges(ev)
+    r1 = sorted(hits(e.repartition(1), iters=2).collect())
+    r32 = sorted(hits(e.repartition(32), iters=2).collect())
+    assert r1 == r32
