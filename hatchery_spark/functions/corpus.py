@@ -2154,3 +2154,100 @@ def ccnet_bucket_mix(
         bucket.alias("bucket"),
         (u < rate).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# WordPiece encoding (Wu et al. 2016, arXiv:1609.08144 §4.1 — the BERT
+# tokenizer family): greedy longest-match-first segmentation against a
+# fixed vocabulary, continuation pieces prefixed "##", whole word → [UNK]
+# when any position has no match.
+# --------------------------------------------------------------------------
+
+# Deterministic demonstration vocabulary: all 26 single letters in both
+# positions (so lowercase-alpha words can never hit [UNK] — the UNK path is
+# pytest-covered instead) plus common English prefixes/suffixes.
+WORDPIECE_VOCAB: tuple = tuple(dict.fromkeys(
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["the", "th", "he", "in", "re", "an", "and", "er", "on", "at", "en",
+       "to", "of", "is", "it", "as", "be", "we", "ha", "se", "st", "pr",
+       "de", "un", "con", "com", "ex", "dis", "over", "inter"]
+    + ["##s", "##ed", "##ing", "##er", "##est", "##ly", "##al", "##es",
+       "##ion", "##tion", "##ent", "##ment", "##ness", "##able", "##ive",
+       "##ous", "##ate", "##ity"]
+))  # dict.fromkeys: unique, order kept — the oracle VALUES table must not
+#     carry duplicate rows (a dup piece would double-emit its token rows)
+
+
+def _wordpiece_word(word: str, vocab: set, max_raw: int) -> list:
+    """Greedy longest-match-first segmentation of one word."""
+    toks, pos, n = [], 0, len(word)
+    while pos < n:
+        end = min(n, pos + max_raw)
+        hit = None
+        while end > pos:
+            piece = word[pos:end] if pos == 0 else "##" + word[pos:end]
+            if piece in vocab:
+                hit = piece
+                break
+            end -= 1
+        if hit is None:
+            return ["[UNK]"]
+        toks.append(hit)
+        pos = end
+    return toks
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab=WORDPIECE_VOCAB,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy WordPiece over the corpus: per doc ``(n_words, n_tokens,
+    tok_md5)`` where tok_md5 hashes the FULL space-joined token stream in
+    word order — the md5 pins every piece boundary of every word, not just
+    counts.
+
+    Scale shape (the `bpe_encode_arrow` pattern): the corpus is exploded
+    once with positions; the greedy matcher — a dict-closure Arrow
+    `pandas_udf`, vocabulary size never enters the plan — runs once per
+    DISTINCT word; one rejoin + one per-doc agg are the only corpus-sized
+    shuffles. The ordered stream rebuild is an in-group array_sort, never
+    a window over the corpus.
+    """
+    vset = set(vocab)
+    max_raw = max(len(v[2:]) if v.startswith("##") else len(v) for v in vset)
+
+    @pandas_udf("string")
+    def toks(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [" ".join(_wordpiece_word(w, vset, max_raw)) for w in words]
+        )
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\f\r\x0b]+")
+        ).alias("pos", "w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    wt = words.select("w").distinct().select("w", toks("w").alias("toks"))
+    return (
+        words.join(wt, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.sum(F.size(F.split(F.col("toks"), " "))).cast("int").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("toks")))
+                        ),
+                        lambda s: s["toks"],
+                    ),
+                    " ",
+                )
+            ).alias("tok_md5"),
+        )
+    )

@@ -169,3 +169,125 @@ def robots_allowed(
         .cast("int")
         .alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemaps (sitemaps.org XML protocol): the crawl-discovery companion to
+# robots.txt — <urlset> leaves carry per-URL metadata, <sitemapindex> nodes
+# fan out to child sitemaps. Parsing is one mapInPandas pass per file blob
+# (stdlib ElementTree, namespace-tolerant); sitemap files are ≤50k URLs by
+# spec, so memory per task is bounded by construction.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def build_sitemaps(
+    docs: DataFrame,
+    files: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → (file_id, content) sitemap.xml blobs (urlset form),
+    doc_id % files groups, entries in doc_id order: deterministic at any
+    parallelism. Field values are closed-form in doc_id so a parser oracle
+    can replay them."""
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rid")
+        freq = ["daily", "weekly", "monthly"]
+        parts = [
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<urlset xmlns="{_SITEMAP_NS}">'
+        ]
+        for rid in pdf["_rid"]:
+            rid = int(rid)
+            parts.append(
+                "<url>"
+                f"<loc>https://example.com/doc/{rid}</loc>"
+                f"<lastmod>2025-01-{rid % 28 + 1:02d}</lastmod>"
+                f"<changefreq>{freq[rid % 3]}</changefreq>"
+                f"<priority>0.{rid % 10}</priority>"
+                "</url>"
+            )
+        parts.append("</urlset>")
+        return pd.DataFrame(
+            {
+                "file_id": [int(pdf.file_id.iloc[0])],
+                "content": ["".join(parts).encode("utf-8")],
+            }
+        )
+
+    recs = docs.select(
+        F.pmod(F.col(id_col), F.lit(files)).alias("file_id"),
+        F.col(id_col).alias("_rid"),
+    )
+    return recs.groupBy("file_id").applyInPandas(
+        _encode, "file_id bigint, content binary"
+    )
+
+
+def parse_sitemap_xml(buf: bytes) -> tuple[str, list[tuple]]:
+    """One sitemap blob → ('urlset'|'sitemapindex', entries). urlset
+    entries are (loc, lastmod, changefreq, priority); index entries are
+    (loc, lastmod, None, None). Namespace-tolerant: matches on the local
+    tag name so files with or without the sitemaps.org xmlns parse the
+    same."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(buf)
+    kind = root.tag.rsplit("}", 1)[-1]
+    if kind not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap root: {root.tag!r}")
+
+    def _txt(el, name):
+        for child in el:
+            if child.tag.rsplit("}", 1)[-1] == name:
+                return (child.text or "").strip()
+        return None
+
+    entries = []
+    for el in root:
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag not in ("url", "sitemap"):
+            continue
+        loc = _txt(el, "loc")
+        if not loc:
+            continue
+        pr = _txt(el, "priority")
+        entries.append(
+            (
+                loc,
+                _txt(el, "lastmod"),
+                _txt(el, "changefreq") if tag == "url" else None,
+                float(pr) if tag == "url" and pr is not None else None,
+            )
+        )
+    return kind, entries
+
+
+def parse_sitemaps(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Sitemap blobs → one row per <url>/<sitemap> entry with its in-file
+    order; zero shuffle, O(file bytes) per task."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, buf in zip(pdf["file_id"], pdf[content_col]):
+                kind, entries = parse_sitemap_xml(bytes(buf))
+                for i, (loc, lastmod, changefreq, priority) in enumerate(entries):
+                    rows.append(
+                        (int(fid), kind, i, loc, lastmod, changefreq, priority)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id", "kind", "entry_idx", "loc",
+                    "lastmod", "changefreq", "priority",
+                ],
+            )
+
+    return df.mapInPandas(
+        _parse,
+        "file_id bigint, kind string, entry_idx int, loc string, "
+        "lastmod string, changefreq string, priority double",
+    )

@@ -3015,6 +3015,87 @@ def q_pagerank(spark, sf_dir):
     return pagerank(derive_event_edges(ev), iters=3)
 
 
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap.xml discovery parsing (sitemaps.org protocol): documents →
+    deterministic urlset blobs (20 files) → namespace-tolerant
+    ElementTree extraction of loc/lastmod/changefreq/priority with in-file
+    order. The oracle replays every field closed-form from doc_id — an
+    entry lost, reordered, or misparsed value-mismatches."""
+    from hatchery_spark.functions.crawl import build_sitemaps, parse_sitemaps
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_sitemaps(build_sitemaps(docs, files=20))
+
+
+_SITEMAP_ORACLE = """
+SELECT doc_id % 20 AS file_id, 'urlset' AS kind,
+       cast(row_number() OVER (PARTITION BY doc_id % 20 ORDER BY doc_id) - 1
+            AS int) AS entry_idx,
+       concat('https://example.com/doc/', cast(doc_id AS varchar)) AS loc,
+       concat('2025-01-', lpad(cast(doc_id % 28 + 1 AS varchar), 2, '0'))
+         AS lastmod,
+       CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       cast(concat('0.', cast(doc_id % 10 AS varchar)) AS double) AS priority
+FROM documents"""
+
+
+def q_wordpiece_encode(spark, sf_dir):
+    """Greedy longest-match WordPiece (the BERT tokenizer family) against
+    the fixed demonstration vocabulary; tok_md5 pins the full piece stream
+    in word order. The oracle replays greedy matching with a recursive CTE
+    whose longest-match argmax is a NOT EXISTS over longer vocab hits."""
+    from hatchery_spark.functions.corpus import wordpiece_encode
+
+    docs = load(spark, sf_dir, "documents")
+    return wordpiece_encode(docs)
+
+
+def _wordpiece_oracle() -> str:
+    from hatchery_spark.functions.corpus import WORDPIECE_VOCAB
+
+    values = ", ".join(f"('{p}')" for p in WORDPIECE_VOCAB)
+    return f"""
+WITH RECURSIVE
+vocab AS (
+  SELECT piece,
+         CASE WHEN piece LIKE '##%' ESCAPE '\\'
+              THEN substr(piece, 3) ELSE piece END AS raw,
+         piece LIKE '##%' ESCAPE '\\' AS is_cont,
+         length(CASE WHEN piece LIKE '##%' ESCAPE '\\'
+                     THEN substr(piece, 3) ELSE piece END) AS rawlen
+  FROM (VALUES {values}) t(piece)),
+docw AS (
+  SELECT doc_id, ws[u.i] AS w, u.i AS wpos
+  FROM (SELECT doc_id,
+               string_split_regex(lower(coalesce(text, '')),
+                                  '[ \t\n\f\r\x0b]+') AS ws
+        FROM documents),
+       unnest(range(1, len(ws) + 1)) AS u(i)
+  WHERE regexp_matches(ws[u.i], '^[a-z]+$')),
+dw AS (SELECT DISTINCT w FROM docw),
+seg AS (
+  SELECT w, 0 AS pos, cast(NULL AS varchar) AS tok, 0 AS ti FROM dw
+  UNION ALL
+  SELECT s.w, s.pos + v.rawlen, v.piece, s.ti + 1
+  FROM seg s JOIN vocab v
+    ON v.is_cont = (s.pos > 0)
+   AND substr(s.w, s.pos + 1, v.rawlen) = v.raw
+  WHERE s.pos < length(s.w)
+    AND NOT EXISTS (
+      SELECT 1 FROM vocab v2
+      WHERE v2.is_cont = (s.pos > 0) AND v2.rawlen > v.rawlen
+        AND substr(s.w, s.pos + 1, v2.rawlen) = v2.raw)),
+wtok AS (
+  SELECT w, string_agg(tok, ' ' ORDER BY ti) AS toks,
+         count(*) AS n_tok
+  FROM seg WHERE tok IS NOT NULL GROUP BY w)
+SELECT d.doc_id, cast(count(*) AS int) AS n_words,
+       cast(sum(t.n_tok) AS int) AS n_tokens,
+       md5(string_agg(t.toks, ' ' ORDER BY d.wpos)) AS tok_md5
+FROM docw d JOIN wtok t USING (w) GROUP BY d.doc_id"""
+
+
 def q_hits(spark, sf_dir):
     """Fixed-iteration HITS hubs/authorities over the event-derived link
     graph — the second classic link-quality prior next to PageRank; L1
@@ -4750,6 +4831,8 @@ def oracle_catalog() -> dict[str, str]:
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
         "graph_hits": _hits_oracle(iters=3),
+        "doc_wordpiece_encode": _wordpiece_oracle(),
+        "doc_sitemap_extract": _SITEMAP_ORACLE,
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
         "emb_pca_project": _pca_oracle(dim=64, iters=6),
         "pipeline_dpo_pairs": _dpo_oracle(),
@@ -5258,6 +5341,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_mp4_frames": q_media_mp4_frames,
         "graph_pagerank": q_pagerank,
         "graph_hits": q_hits,
+        "doc_wordpiece_encode": q_wordpiece_encode,
+        "doc_sitemap_extract": q_sitemap_extract,
         "media_jpeg_lossless": q_media_jpeg_lossless,
         "pref_bradley_terry": q_bradley_terry,
         "emb_pca_project": q_pca_project,

@@ -245,3 +245,56 @@ def test_bpe_tokenize_ids_reconstruct_the_corpus(spark):
     m2 = [(r.step, r.left_sym, r.right_sym)
           for r in train_bpe_merges(df.filter("doc_id = 0"), k=6).collect()]
     assert sorted(m2) == sorted(merges)
+
+
+# ---------------------------------------------------------------- wordpiece
+
+
+def test_wordpiece_greedy_hand_cases():
+    from hatchery_spark.functions.corpus import (
+        WORDPIECE_VOCAB,
+        _wordpiece_word,
+    )
+
+    vs = set(WORDPIECE_VOCAB)
+    mx = max(len(v[2:]) if v.startswith("##") else len(v) for v in vs)
+    assert _wordpiece_word("the", vs, mx) == ["the"]
+    assert _wordpiece_word("interesting", vs, mx) == ["inter", "##est", "##ing"]
+    # greedy takes 'the' (len 3) over 'th', then continues
+    assert _wordpiece_word("then", vs, mx) == ["the", "##n"]
+    # no duplicates in the vocab (the oracle VALUES table relies on it)
+    assert len(WORDPIECE_VOCAB) == len(set(WORDPIECE_VOCAB))
+
+
+def test_wordpiece_unk():
+    from hatchery_spark.functions.corpus import _wordpiece_word
+
+    vs = {"a", "b", "##b"}  # no continuation for 'a'
+    assert _wordpiece_word("ba", vs, 1) == ["[UNK]"]
+    assert _wordpiece_word("ab", vs, 1) == ["a", "##b"]
+
+
+def test_wordpiece_encode_distributed(spark):
+    import hashlib
+
+    from hatchery_spark.functions.corpus import (
+        WORDPIECE_VOCAB,
+        _wordpiece_word,
+        wordpiece_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "running quickly"), (3, "зничтожение 42!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in wordpiece_encode(docs).collect()}
+    vs = set(WORDPIECE_VOCAB)
+    mx = max(len(v[2:]) if v.startswith("##") else len(v) for v in vs)
+    stream = " ".join(
+        " ".join(_wordpiece_word(w, vs, mx))
+        for w in "the quick brown fox".split()
+    )
+    assert out[1].n_words == 4
+    assert out[1].n_tokens == len(stream.split())
+    assert out[1].tok_md5 == hashlib.md5(stream.encode()).hexdigest()
+    assert 3 not in out  # no [a-z]+ words survive the filter

@@ -93,3 +93,56 @@ def test_rules_are_rows(spark, verdicts):
     )
     rows = parse_robots_rules(robots).collect()
     assert [tuple(r) for r in rows] == [("x.com", "*", 0, "/q", 2)]
+
+
+# ---------------------------------------------------------------- sitemaps
+
+
+def test_parse_sitemap_urlset_and_index():
+    from hatchery_spark.functions.crawl import parse_sitemap_xml
+
+    urlset = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc> https://a.com/1 </loc><lastmod>2024-05-01</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://a.com/2</loc></url>
+  <url><junk/></url>
+</urlset>"""
+    kind, entries = parse_sitemap_xml(urlset)
+    assert kind == "urlset"
+    assert entries == [
+        ("https://a.com/1", "2024-05-01", "daily", 0.8),
+        ("https://a.com/2", None, None, None),
+    ]
+    index = b"""<sitemapindex>
+  <sitemap><loc>https://a.com/sitemap1.xml</loc>
+           <lastmod>2024-01-01</lastmod></sitemap>
+</sitemapindex>"""
+    kind, entries = parse_sitemap_xml(index)
+    assert kind == "sitemapindex"
+    assert entries == [("https://a.com/sitemap1.xml", "2024-01-01", None, None)]
+    with pytest.raises(ValueError, match="not a sitemap root"):
+        parse_sitemap_xml(b"<html></html>")
+
+
+def test_sitemap_distributed_roundtrip(spark):
+    from hatchery_spark.functions.crawl import build_sitemaps, parse_sitemaps
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id long"
+    )
+    out = parse_sitemaps(build_sitemaps(docs, files=6)).collect()
+    assert len(out) == 50
+    for r in out:
+        doc_id = int(r.loc.rsplit("/", 1)[1])
+        assert r.file_id == doc_id % 6
+        assert r.kind == "urlset"
+        assert r.lastmod == f"2025-01-{doc_id % 28 + 1:02d}"
+        assert r.changefreq == ["daily", "weekly", "monthly"][doc_id % 3]
+        assert r.priority == float(f"0.{doc_id % 10}")
+    # entry_idx dense per file in doc_id order
+    per = {}
+    for r in sorted(out, key=lambda r: (r.file_id, r.entry_idx)):
+        per.setdefault(r.file_id, []).append(int(r.loc.rsplit("/", 1)[1]))
+    for fid, ids in per.items():
+        assert ids == sorted(ids)
