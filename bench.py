@@ -366,6 +366,7 @@ def main() -> None:
             ("doc_homoglyph_fold", dq.q_homoglyph_fold),
             ("doc_length_buckets", dq.q_length_buckets),
             ("doc_html_extract", dq.q_html_extract),
+            ("doc_html_outlinks", dq.q_html_outlinks),
             ("doc_warc_wet_chain", dq.q_warc_wet_chain),
         ]:
             measure(

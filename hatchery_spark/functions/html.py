@@ -79,3 +79,50 @@ def extract_html_text(
     return df.select(id_col, html_col).mapInPandas(
         _run, f"{id_col} long, extracted string"
     )
+
+
+class _LinkExtractor(HTMLParser):
+    """Collect <a href> targets in document order (anchors inside dropped
+    subtrees are still links — crawlers follow them — so no skip state)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v.strip())
+                    break
+
+
+def extract_links(html: str) -> list[str]:
+    """<a href> targets in document order (entities decoded by the parser;
+    empty/missing hrefs dropped)."""
+    p = _LinkExtractor()
+    p.feed(html or "")
+    p.close()
+    return p.hrefs
+
+
+def extract_html_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, html) → one row per (id, link_idx, href) — the outlink harvest
+    that feeds the crawl frontier and the host link graph. One mapInPandas
+    pass, zero shuffle; fan-out is data-proportional (links per page)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, idxs, hrefs = [], [], []
+            for i, h in zip(b[id_col], b[html_col]):
+                for j, link in enumerate(extract_links(h)):
+                    ids.append(i)
+                    idxs.append(j)
+                    hrefs.append(link)
+            yield pd.DataFrame({id_col: ids, "link_idx": idxs, "href": hrefs})
+
+    return df.select(id_col, html_col).mapInPandas(
+        _run, f"{id_col} long, link_idx int, href string"
+    )

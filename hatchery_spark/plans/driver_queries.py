@@ -1767,6 +1767,50 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_html_outlinks(spark, sf_dir):
+    """Outlink harvest (the crawl-frontier feed): deterministic templates
+    carry a hrefless named anchor (must NOT emit), one query-string link
+    whose href holds an HTML entity (&amp; must decode inside the attribute
+    value), and doc_id%3 numbered links; the REAL stdlib parser walks the
+    tag soup and emits one row per (doc, link_idx, href) in document
+    order. Zero shuffle; fan-out is links-per-page-proportional."""
+    from hatchery_spark.functions.html import extract_html_links
+
+    docs = load(spark, sf_dir, "documents")
+    n = F.pmod(F.col("doc_id"), F.lit(3))
+    seq = F.when(n > 0, F.sequence(F.lit(1).cast("long"), n)).otherwise(
+        F.array().cast("array<long>")
+    )
+    html = F.concat(
+        F.lit('<html><body><a name="top">skip</a><p><a href="/p?id='),
+        F.col("doc_id").cast("string"),
+        F.lit('&amp;ref=h">f</a></p>'),
+        F.concat_ws(
+            "",
+            F.transform(
+                seq,
+                lambda j: F.format_string(
+                    '<a href="https://ex.org/%d/%d">L</a>', F.col("doc_id"), j
+                ),
+            ),
+        ),
+        F.lit("</body></html>"),
+    )
+    return extract_html_links(docs.select("doc_id", html.alias("html")))
+
+
+_HTML_OUTLINKS_ORACLE = """
+SELECT doc_id, CAST(0 AS INTEGER) AS link_idx,
+       concat('/p?id=', CAST(doc_id AS VARCHAR), '&ref=h') AS href
+FROM documents
+UNION ALL
+SELECT d.doc_id, CAST(t.j AS INTEGER) AS link_idx,
+       concat('https://ex.org/', CAST(d.doc_id AS VARCHAR), '/',
+              CAST(t.j AS VARCHAR)) AS href
+FROM documents d, (SELECT unnest(range(1, 3)) AS j) t
+WHERE t.j <= d.doc_id % 3"""
+
+
 def q_warc_wet_chain(spark, sf_dir):
     """The FULL Common-Crawl ingestion chain, end to end: HTML pages →
     WARC files (25 blobs, one shuffle) → byte-exact record split → payload
@@ -4941,6 +4985,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_interleave_sources": _INTERLEAVE_ORACLE,
         "doc_homoglyph_fold": _homoglyph_oracle(),
         "doc_html_extract": _HTML_EXTRACT_ORACLE,
+        "doc_html_outlinks": _HTML_OUTLINKS_ORACLE,
         "doc_warc_wet_chain": _WARC_WET_ORACLE,
         "doc_length_buckets": _LENGTH_BUCKETS_ORACLE,
         "media_bmp_decode": """
@@ -5312,6 +5357,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_html_outlinks": q_html_outlinks,
         "doc_fim_transform": q_fim_transform,
         "doc_warc_roundtrip": q_warc_roundtrip,
         "doc_warc_gz_members": q_warc_gz_members,
