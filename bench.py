@@ -368,6 +368,15 @@ def main() -> None:
             ("doc_html_extract", dq.q_html_extract),
             ("doc_html_outlinks", dq.q_html_outlinks),
             ("doc_warc_wet_chain", dq.q_warc_wet_chain),
+            ("doc_warc_gz_members", dq.q_warc_gz_members),
+            ("media_mime_sniff", dq.q_mime_sniff),
+            ("media_qoi_decode", dq.q_media_qoi_decode),
+            ("graph_hits", dq.q_hits),
+            ("doc_wordpiece_encode", dq.q_wordpiece_encode),
+            ("doc_sitemap_extract", dq.q_sitemap_extract),
+            ("pipeline_context_truncate", dq.q_context_truncate),
+            ("pipeline_turn_qc", dq.q_turn_qc),
+            ("pipeline_tool_loops", dq.q_tool_loops),
         ]:
             measure(
                 name,

@@ -3181,6 +3181,38 @@ def q_dpo_pairs(spark, sf_dir):
     return dpo_pairs(t)
 
 
+def q_context_truncate(spark, sf_dir):
+    """Context-window packing: per conversation keep the longest suffix of
+    turns fitting a 48-token budget (final turn always kept) — the
+    serving-log → training-example truncation rule. One conv_id exchange."""
+    from hatchery_spark.operators.transcripts import truncate_context
+
+    out = truncate_context(transcripts(spark, sf_dir), budget_tokens=48)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "n_tokens",
+        F.col("cum_from_end").cast("int").alias("cum_from_end"),
+    )
+
+
+def q_turn_qc(spark, sf_dir):
+    """Chat-format structural QC per conversation: role-alternation
+    violations, unparseable turns, opening-role check, composite verdict."""
+    from hatchery_spark.operators.transcripts import turn_structure_qc
+
+    return turn_structure_qc(transcripts(spark, sf_dir))
+
+
+def q_tool_loops(spark, sf_dir):
+    """Degenerate agent-loop detection: gaps-and-islands runs of >=3
+    consecutive same-tool turns per conversation — no self-joins."""
+    from hatchery_spark.operators.transcripts import tool_call_loops
+
+    return tool_call_loops(transcripts(spark, sf_dir), min_run=3)
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """Edit-distance-1 typo-pair mining over the corpus vocabulary via
     deletion-neighborhood blocking (FastSS/SymSpell): variant-keyed
@@ -4880,6 +4912,55 @@ def oracle_catalog() -> dict[str, str]:
         "pref_bradley_terry": _bt_oracle(iters=3, rd=7),
         "emb_pca_project": _pca_oracle(dim=64, iters=6),
         "pipeline_dpo_pairs": _dpo_oracle(),
+        "pipeline_context_truncate": p
+        + """, tok AS (
+              SELECT conv_id, turn_idx, role,
+                     cast(len(string_split(text, ' ')) AS int) AS n_tokens
+              FROM transcripts
+            ), cum AS (
+              SELECT conv_id, turn_idx, role, n_tokens,
+                cast(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS int)
+                  AS cum_from_end,
+                row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC)
+                  AS rev_pos
+              FROM tok
+            )
+            SELECT conv_id, turn_idx, role, n_tokens, cum_from_end
+            FROM cum WHERE cum_from_end <= 48 OR rev_pos = 1""",
+        "pipeline_turn_qc": p
+        + """, f AS (
+              SELECT conv_id, turn_idx, role,
+                CASE WHEN role = lag(role) OVER
+                       (PARTITION BY conv_id ORDER BY turn_idx)
+                     THEN 1 END AS same_as_prev,
+                CASE WHEN text LIKE '[%' THEN 0 ELSE 1 END AS unparseable
+              FROM transcripts
+            )
+            SELECT conv_id,
+              cast(count(*) AS int) AS n_turns,
+              cast(coalesce(sum(same_as_prev), 0) AS int) AS role_violations,
+              cast(sum(unparseable) AS int) AS unparseable_turns,
+              cast(max(CASE WHEN turn_idx = 0
+                            THEN role IN ('system','user') END) AS int)
+                AS starts_ok,
+              cast((coalesce(sum(same_as_prev), 0) = 0
+                    AND max(CASE WHEN turn_idx = 0
+                                 THEN role IN ('system','user') END)) AS int)
+                AS valid
+            FROM f GROUP BY conv_id""",
+        "pipeline_tool_loops": p
+        + """, isl AS (
+              SELECT conv_id, tool, turn_idx,
+                turn_idx - row_number() OVER
+                  (PARTITION BY conv_id, tool ORDER BY turn_idx) AS island
+              FROM transcripts
+            )
+            SELECT conv_id, tool,
+              cast(min(turn_idx) AS int) AS start_idx,
+              cast(count(*) AS int) AS run_len
+            FROM isl GROUP BY conv_id, tool, island
+            HAVING count(*) >= 3""",
         "media_jpeg_lossless": """
             WITH g AS (
               SELECT i, x.j AS xj, y.j AS yj, c.j AS ch
@@ -5357,6 +5438,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_context_truncate": q_context_truncate,
+        "pipeline_turn_qc": q_turn_qc,
+        "pipeline_tool_loops": q_tool_loops,
         "doc_html_outlinks": q_html_outlinks,
         "doc_fim_transform": q_fim_transform,
         "doc_warc_roundtrip": q_warc_roundtrip,
