@@ -377,6 +377,7 @@ def main() -> None:
             ("pipeline_context_truncate", dq.q_context_truncate),
             ("pipeline_turn_qc", dq.q_turn_qc),
             ("pipeline_tool_loops", dq.q_tool_loops),
+            ("graph_triangles", dq.q_triangles),
         ]:
             measure(
                 name,

@@ -3150,6 +3150,14 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle + wedge counts over the event-derived link graph
+    via degree-ordering orientation — the link-farm density prior."""
+    from hatchery_spark.functions.graph import derive_event_edges, triangles
+
+    return triangles(derive_event_edges(load(spark, sf_dir, "events")))
+
+
 def q_bradley_terry(spark, sf_dir):
     """Bradley-Terry strengths from the event-derived comparison log (3 MM
     rounds, Hunter 2004), sum-normalized — the arena-preference reduction."""
@@ -4906,6 +4914,39 @@ def oracle_catalog() -> dict[str, str]:
         "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
+        "graph_triangles": f"""
+            WITH {_EVENT_EDGE_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            deg AS (SELECT node, count(*) AS degree FROM (
+                      SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und) GROUP BY node),
+            o AS (SELECT
+                    CASE WHEN da.degree < db.degree
+                           OR (da.degree = db.degree AND u.a < u.b)
+                         THEN u.a ELSE u.b END AS src,
+                    CASE WHEN da.degree < db.degree
+                           OR (da.degree = db.degree AND u.a < u.b)
+                         THEN u.b ELSE u.a END AS dst,
+                    CASE WHEN da.degree < db.degree
+                           OR (da.degree = db.degree AND u.a < u.b)
+                         THEN db.degree ELSE da.degree END AS dd
+                  FROM und u
+                  JOIN deg da ON da.node = u.a
+                  JOIN deg db ON db.node = u.b),
+            tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                    FROM o e1
+                    JOIN o e2 ON e1.src = e2.src
+                     AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))
+                    JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+            pern AS (SELECT node, count(*) AS n_triangles FROM (
+                       SELECT u AS node FROM tri
+                       UNION ALL SELECT v FROM tri
+                       UNION ALL SELECT w FROM tri) GROUP BY node)
+            SELECT d.node, cast(d.degree AS int) AS degree,
+                   cast(coalesce(p.n_triangles, 0) AS bigint) AS n_triangles,
+                   cast(d.degree * (d.degree - 1) // 2 AS bigint) AS n_wedges
+            FROM deg d LEFT JOIN pern p ON p.node = d.node""",
         "graph_hits": _hits_oracle(iters=3),
         "doc_wordpiece_encode": _wordpiece_oracle(),
         "doc_sitemap_extract": _SITEMAP_ORACLE,
@@ -5438,6 +5479,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "graph_triangles": q_triangles,
         "pipeline_context_truncate": q_context_truncate,
         "pipeline_turn_qc": q_turn_qc,
         "pipeline_tool_loops": q_tool_loops,

@@ -320,3 +320,52 @@ def test_hits_partition_invariant(spark):
     r1 = sorted(hits(e.repartition(1), iters=2).collect())
     r32 = sorted(hits(e.repartition(32), iters=2).collect())
     assert r1 == r32
+
+
+# ---------------------------------------------------------------------------
+# triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangles_k4(spark):
+    from hatchery_spark.functions.graph import triangles
+
+    # complete graph on 4 nodes: every node is in C(3,2)=3 triangles, deg 3
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r for r in triangles(df).collect()}
+    assert len(out) == 4
+    for n in range(4):
+        assert (out[n].degree, out[n].n_triangles, out[n].n_wedges) == (3, 3, 3)
+
+
+def test_triangles_path_has_none(spark):
+    from hatchery_spark.functions.graph import triangles
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    out = triangles(df).collect()
+    assert all(r.n_triangles == 0 for r in out)
+    assert {r.node: r.n_wedges for r in out} == {0: 0, 1: 1, 2: 1, 3: 0}
+
+
+def test_triangles_parallel_and_reverse_edges_collapse(spark):
+    from hatchery_spark.functions.graph import triangles
+
+    # triangle with duplicated / reversed / self-loop edges: still 1 triangle
+    edges = [(0, 1), (1, 0), (1, 2), (1, 2), (2, 0), (1, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangles(df).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangles_hub_wedges(spark):
+    from hatchery_spark.functions.graph import triangles
+
+    # star hub (deg 5) + one closing rim edge -> exactly one triangle;
+    # the hub's wedge count is C(5,2)=10
+    edges = [(9, i) for i in range(5)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r for r in triangles(df).collect()}
+    assert out[9].n_wedges == 10 and out[9].n_triangles == 1
+    assert out[0].n_triangles == 1 and out[1].n_triangles == 1
+    assert out[2].n_triangles == 0
