@@ -378,6 +378,7 @@ def main() -> None:
             ("pipeline_turn_qc", dq.q_turn_qc),
             ("pipeline_tool_loops", dq.q_tool_loops),
             ("graph_triangles", dq.q_triangles),
+            ("doc_license_detect", dq.q_license_detect),
         ]:
             measure(
                 name,

@@ -3150,6 +3150,76 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_license_detect(spark, sf_dir):
+    """SPDX-style license fingerprint detection over document heads.
+    License headers are planted deterministically (md5-gated quarter of
+    docs, md5-chosen license) so the match path is exercised on the
+    synthetic corpus; the oracle replays planting AND detection."""
+    from hatchery_spark.functions.license import LICENSE_SNIPPETS, detect_license
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    idx = F.conv(F.substring(h, 2, 1), 16, 10).cast("int") % 4
+    lic_arr = F.array(*[F.lit(t) for _, t in LICENSE_SNIPPETS])
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.substring(h, 1, 1) < "4",
+            F.concat(F.element_at(lic_arr, idx + 1), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return detect_license(planted)
+
+
+def _license_oracle(head_words: int = 120, ngram: int = 5, min_pct: int = 80) -> str:
+    from hatchery_spark.functions.license import LICENSE_SNIPPETS
+
+    vals = ", ".join(
+        f"({i}, '{lid}', '{txt}')" for i, (lid, txt) in enumerate(LICENSE_SNIPPETS)
+    )
+    k = ngram - 1
+    return f"""
+WITH lic(idx, license, ltext) AS (VALUES {vals}),
+hd AS (SELECT doc_id, text, substr(md5(cast(doc_id AS varchar)), 1, 1) AS g,
+         (strpos('0123456789abcdef',
+                 substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1) % 4 AS li
+       FROM documents),
+planted AS (SELECT h.doc_id,
+         CASE WHEN h.g < '4' THEN concat(l.ltext, ' ', h.text) ELSE h.text END AS text
+       FROM hd h JOIN lic l ON l.idx = h.li),
+docw AS (SELECT doc_id,
+         list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+             x -> x <> '') AS w
+       FROM planted),
+dochead AS (SELECT doc_id, w[1:{head_words}] AS w FROM docw),
+docsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+{k}], ' ') AS sh
+       FROM dochead, unnest(range(1, greatest(len(w) - {k}, 0) + 1)) AS u(i)),
+licw AS (SELECT license,
+         list_filter(string_split(
+             regexp_replace(lower(ltext), '[^a-z0-9]+', ' ', 'g'), ' '),
+             x -> x <> '') AS w
+       FROM lic),
+licsh AS (SELECT DISTINCT license, array_to_string(w[i:i+{k}], ' ') AS sh
+       FROM licw, unnest(range(1, greatest(len(w) - {k}, 0) + 1)) AS u(i)),
+lictot AS (SELECT license, count(*) AS total FROM licsh GROUP BY license),
+m AS (SELECT d.doc_id, l.license, count(*) AS matched
+      FROM docsh d JOIN licsh l ON d.sh = l.sh GROUP BY d.doc_id, l.license),
+scored AS (SELECT m.doc_id, m.license, m.matched, t.total,
+             m.matched * 1000000 // t.total AS score
+           FROM m JOIN lictot t ON t.license = m.license
+           WHERE m.matched * 100 >= t.total * {min_pct}),
+best AS (SELECT doc_id, license, matched, total,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, license) AS rn
+         FROM scored)
+SELECT doc_id, license, cast(matched AS int) AS matched_shingles,
+       cast(total AS int) AS license_shingles
+FROM best WHERE rn = 1"""
+
+
 def q_triangles(spark, sf_dir):
     """Per-node triangle + wedge counts over the event-derived link graph
     via degree-ordering orientation — the link-farm density prior."""
@@ -4914,6 +4984,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
+        "doc_license_detect": _license_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5479,6 +5550,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_license_detect": q_license_detect,
         "graph_triangles": q_triangles,
         "pipeline_context_truncate": q_context_truncate,
         "pipeline_turn_qc": q_turn_qc,
