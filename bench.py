@@ -379,6 +379,7 @@ def main() -> None:
             ("pipeline_tool_loops", dq.q_tool_loops),
             ("graph_triangles", dq.q_triangles),
             ("doc_license_detect", dq.q_license_detect),
+            ("doc_cdx_index", dq.q_cdx_index),
         ]:
             measure(
                 name,

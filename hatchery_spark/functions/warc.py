@@ -280,3 +280,83 @@ def parse_warc_gz(df: DataFrame, content_col: str = "content") -> DataFrame:
         "target_uri string, content_length bigint, record_md5 string, "
         "payload_md5 string",
     )
+
+
+def cdx_index(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """CDX-style capture index over WARC blobs — the lookup artifact a crawl
+    archive publishes next to its WARC files (urlkey in SURT form, 14-digit
+    timestamp, byte offset + record length + filename for random access,
+    payload digest for dedup).
+
+    The byte scan (offset, record length, digest, per-record headers) runs
+    in one mapInPandas pass per file; urlkey/timestamp/filename derivation
+    is pure codegen string expressions on the scan output, so Catalyst owns
+    everything after the container split. One pass, no shuffle.
+    """
+    import hashlib as _hashlib
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, buf in zip(pdf["file_id"], pdf[content_col]):
+                b = bytes(buf)
+                recs = split_warc_records(b)
+                for i, (idx, off, wtype, uri, clen, payload) in enumerate(recs):
+                    end = recs[i + 1][1] if i + 1 < len(recs) else len(b)
+                    hdr_end = b.index(_SEP, off)
+                    date = ""
+                    ctype = ""
+                    for ln in b[off:hdr_end].decode("utf-8").split("\r\n")[1:]:
+                        k, _, v = ln.partition(":")
+                        k = k.strip().lower()
+                        if k == "warc-date":
+                            date = v.strip()
+                        elif k == "content-type":
+                            ctype = v.strip()
+                    rows.append(
+                        (
+                            int(fid),
+                            uri,
+                            date,
+                            ctype,
+                            _hashlib.md5(payload).hexdigest(),
+                            off,
+                            end - off,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_id",
+                    "target_uri",
+                    "warc_date",
+                    "mime",
+                    "digest",
+                    "rec_offset",
+                    "rec_len",
+                ],
+            )
+
+    scanned = df.mapInPandas(
+        _scan,
+        "file_id bigint, target_uri string, warc_date string, mime string, "
+        "digest string, rec_offset bigint, rec_len bigint",
+    )
+    host = F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+    path = F.regexp_extract("target_uri", r"^[a-z]+://[^/]+(/.*)?$", 1)
+    return scanned.select(
+        F.concat(
+            F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+            F.lit(")"),
+            F.lower(path),
+        ).alias("urlkey"),
+        F.translate("warc_date", "-:TZ", "").alias("timestamp"),
+        "target_uri",
+        "mime",
+        "digest",
+        "rec_offset",
+        "rec_len",
+        F.concat(F.lit("crawl-"), F.col("file_id").cast("string"), F.lit(".warc")).alias(
+            "filename"
+        ),
+    )

@@ -3150,6 +3150,59 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over the package-built WARC files: SURT urlkey,
+    14-digit timestamp, byte offset + record length + digest. The oracle
+    recomputes offsets/lengths from ASCII header-length arithmetic and the
+    urlkey from the same string derivation."""
+    from hatchery_spark.functions.warc import build_warc_files, cdx_index
+
+    docs = load(spark, sf_dir, "documents")
+    return cdx_index(build_warc_files(docs, files=25))
+
+
+_CDX_ORACLE = """
+WITH r AS (
+  SELECT doc_id % 25 AS file_id, doc_id,
+         coalesce(text, '') AS payload,
+         octet_length(encode(coalesce(text, ''))) AS plen,
+         concat('https://example.com/doc/', cast(doc_id AS varchar)) AS uri
+  FROM documents),
+h AS (
+  SELECT *,
+         length(concat(
+           'WARC/1.0', e'\\r\\n',
+           'WARC-Type: response', e'\\r\\n',
+           'WARC-Record-ID: <urn:doc:', cast(doc_id AS varchar), '>', e'\\r\\n',
+           'WARC-Target-URI: ', uri, e'\\r\\n',
+           'WARC-Date: 2025-01-01T00:00:00Z', e'\\r\\n',
+           'Content-Type: text/plain', e'\\r\\n',
+           'Content-Length: ', cast(plen AS varchar), e'\\r\\n', e'\\r\\n'
+         )) AS hlen
+  FROM r),
+scanned AS (
+  SELECT file_id, uri AS target_uri, payload, plen, hlen,
+         cast(coalesce(sum(hlen + plen + 4) OVER (
+           PARTITION BY file_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS rec_offset,
+         cast(hlen + plen + 4 AS bigint) AS rec_len
+  FROM h)
+SELECT
+  concat(array_to_string(list_reverse(string_split(
+           lower(regexp_extract(target_uri, '^[a-z]+://([^/]+)', 1)), '.')), ','),
+         ')',
+         lower(regexp_extract(target_uri, '^[a-z]+://[^/]+(/.*)?$', 1))) AS urlkey,
+  translate('2025-01-01T00:00:00Z', '-:TZ', '') AS timestamp,
+  target_uri,
+  'text/plain' AS mime,
+  md5(payload) AS digest,
+  rec_offset,
+  rec_len,
+  concat('crawl-', cast(file_id AS varchar), '.warc') AS filename
+FROM scanned"""
+
+
 def q_license_detect(spark, sf_dir):
     """SPDX-style license fingerprint detection over document heads.
     License headers are planted deterministically (md5-gated quarter of
@@ -4985,6 +5038,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_scd2": _SCD2_ORACLE,
         "graph_pagerank": _pagerank_oracle(iters=3),
         "doc_license_detect": _license_oracle(),
+        "doc_cdx_index": _CDX_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5550,6 +5604,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_cdx_index": q_cdx_index,
         "doc_license_detect": q_license_detect,
         "graph_triangles": q_triangles,
         "pipeline_context_truncate": q_context_truncate,

@@ -115,3 +115,60 @@ def test_warc_gz_distributed_roundtrip(spark):
             encode_warc_record(doc_id, payload)
         ).hexdigest()
         assert r.content_length == len(payload)
+
+
+# ---------------------------------------------------------------------------
+# CDX capture index
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_random_access_by_offset(spark):
+    """The CDX contract: (filename, rec_offset, rec_len) must slice the
+    original WARC file into exactly one parseable record whose payload
+    digest matches the index row."""
+    import hashlib
+
+    from hatchery_spark.functions.warc import cdx_index, split_warc_records
+
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    files = build_warc_files(docs, files=3).collect()
+    blobs = {f"crawl-{r.file_id}.warc": bytes(r.content) for r in files}
+    idx = cdx_index(build_warc_files(docs, files=3)).collect()
+    assert len(idx) == 12
+    for r in idx:
+        sl = blobs[r.filename][r.rec_offset : r.rec_offset + r.rec_len]
+        recs = split_warc_records(sl)
+        assert len(recs) == 1
+        assert hashlib.md5(recs[0][5]).hexdigest() == r.digest
+        assert recs[0][3] == r.target_uri
+
+
+def test_cdx_surt_urlkey_and_timestamp(spark):
+    from hatchery_spark.functions.warc import cdx_index
+
+    docs = spark.createDataFrame([(4, "x")], "doc_id long, text string")
+    r = cdx_index(build_warc_files(docs, files=1)).collect()[0]
+    assert r.urlkey == "com,example)/doc/4"
+    assert r.timestamp == "20250101000000"
+    assert r.mime == "text/plain"
+
+
+def test_cdx_multilabel_host_reversal(spark):
+    """SURT reverses every host label, not just the TLD pair."""
+    from hatchery_spark.functions.warc import cdx_index
+    from hatchery_spark.functions.warc import encode_warc_record
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.b.Example.ORG/Path/X?q=1\r\n"
+        b"WARC-Date: 2031-12-05T09:08:07Z\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    df = spark.createDataFrame([(0, bytearray(rec))], "file_id long, content binary")
+    r = cdx_index(df).collect()[0]
+    assert r.urlkey == "org,example,b,a)/path/x?q=1"
+    assert r.timestamp == "20311205090807"
+    assert r.rec_len == len(rec)
