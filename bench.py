@@ -380,6 +380,7 @@ def main() -> None:
             ("graph_triangles", dq.q_triangles),
             ("doc_license_detect", dq.q_license_detect),
             ("doc_cdx_index", dq.q_cdx_index),
+            ("doc_markdown_extract", dq.q_markdown_extract),
         ]:
             measure(
                 name,

@@ -3150,6 +3150,38 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_markdown_extract(spark, sf_dir):
+    """Markdown → plain text over synthesized README-shaped docs (heading,
+    bullets, bold/link/inline-code/image line, code fence, hrule, quoted
+    body). The oracle chain is GENERATED from the same pattern table."""
+    from hatchery_spark.functions.markdown import markdown_to_text
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Title "), i, F.lit("\n\n- item one\n- item two\n\n**bold intro** "),
+        F.lit("with [a link](https://example.com/p/"), i,
+        F.lit(") and `inline code` plus ![logo](img.png).\n\n"),
+        F.lit("```\ncode block # to drop [x](y)\n```\n\n---\n\n> "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    return docs.select("doc_id", markdown_to_text(md).alias("plain"))
+
+
+def _markdown_oracle() -> str:
+    from hatchery_spark.functions.markdown import oracle_expr
+
+    md = (
+        "concat('# Title ', cast(doc_id AS varchar), e'\\n\\n', "
+        "'- item one', e'\\n', '- item two', e'\\n\\n', '**bold intro** ', "
+        "'with [a link](https://example.com/p/', cast(doc_id AS varchar), "
+        "') and `inline code` plus ![logo](img.png).', e'\\n\\n', "
+        "'```', e'\\n', 'code block # to drop [x](y)', e'\\n', '```', "
+        "e'\\n\\n', '---', e'\\n\\n', '> ', coalesce(text, ''))"
+    )
+    return f"SELECT doc_id, {oracle_expr(md)} AS plain FROM documents"
+
+
 def q_cdx_index(spark, sf_dir):
     """CDX capture index over the package-built WARC files: SURT urlkey,
     14-digit timestamp, byte offset + record length + digest. The oracle
@@ -5039,6 +5071,7 @@ def oracle_catalog() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(iters=3),
         "doc_license_detect": _license_oracle(),
         "doc_cdx_index": _CDX_ORACLE,
+        "doc_markdown_extract": _markdown_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5604,6 +5637,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_markdown_extract": q_markdown_extract,
         "doc_cdx_index": q_cdx_index,
         "doc_license_detect": q_license_detect,
         "graph_triangles": q_triangles,
