@@ -381,6 +381,7 @@ def main() -> None:
             ("doc_license_detect", dq.q_license_detect),
             ("doc_cdx_index", dq.q_cdx_index),
             ("doc_markdown_extract", dq.q_markdown_extract),
+            ("graph_lpa", dq.q_lpa),
         ]:
             measure(
                 name,

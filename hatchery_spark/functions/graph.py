@@ -351,3 +351,49 @@ def triangles(edges: DataFrame) -> DataFrame:
             F.expr("degree * (degree - 1) div 2").cast("long").alias("n_wedges"),
         )
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over the undirected
+    simple graph of a directed edge list — the cheap community detector for
+    mirror-site / link-farm clustering.
+
+    Deterministic by construction: labels start as node ids (integers),
+    every round each node adopts the most frequent neighbor label with
+    ties broken by SMALLEST label. All state is integer, so the unrolled
+    SQL replay computes identical values on any engine (the same rationale
+    as ``pagerank``'s fixed-point form — no float rounding exists).
+
+    Per round: one edge-sized hash join (adjacency × labels) + one
+    (node, label) partial-aggregated count + one node-keyed argmax — the
+    same cost class as a PageRank round; label frames are node-sized and
+    persisted lazily. Isolated nodes don't occur (every node of the
+    undirected graph has a neighbor by construction).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nb")))
+        .persist()
+    )
+    labels = adj.select("node").distinct().withColumn("lab", F.col("node")).persist()
+    for it in range(iters):
+        counts = (
+            adj.join(labels.withColumnRenamed("node", "nb"), "nb")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        new_labels = counts.groupBy("node").agg(
+            F.expr("max_by(lab, struct(cnt, -lab))").alias("lab")
+        ).persist()
+        if (it + 1) % 5 == 0:
+            new_labels.count()
+            labels.unpersist()
+        labels = new_labels
+    return labels.select("node", F.col("lab").cast("long").alias("label"))

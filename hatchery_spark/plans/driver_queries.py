@@ -3150,6 +3150,35 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (3 rounds, min-label ties)
+    over the event-derived link graph — integer labels end to end."""
+    from hatchery_spark.functions.graph import derive_event_edges, label_propagation
+
+    return label_propagation(derive_event_edges(load(spark, sf_dir, "events")), iters=3)
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    parts = [
+        f"WITH {_EVENT_EDGE_CTE},",
+        """
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+adj AS (SELECT a AS node, b AS nb FROM und UNION ALL SELECT b AS node, a AS nb FROM und),
+l0 AS (SELECT DISTINCT node, node AS lab FROM adj)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+c{t} AS (SELECT a.node, l.lab, count(*) AS cnt
+         FROM adj a JOIN l{t - 1} l ON l.node = a.nb GROUP BY a.node, l.lab),
+l{t} AS (SELECT node, lab FROM (
+           SELECT node, lab,
+             row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn
+           FROM c{t}) WHERE rn = 1)""")
+    parts.append(f"\nSELECT node, cast(lab AS bigint) AS label FROM l{iters}")
+    return "".join(parts)
+
+
 def q_markdown_extract(spark, sf_dir):
     """Markdown → plain text over synthesized README-shaped docs (heading,
     bullets, bold/link/inline-code/image line, code fence, hrule, quoted
@@ -5072,6 +5101,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_license_detect": _license_oracle(),
         "doc_cdx_index": _CDX_ORACLE,
         "doc_markdown_extract": _markdown_oracle(),
+        "graph_lpa": _lpa_oracle(iters=3),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5637,6 +5667,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "graph_lpa": q_lpa,
         "doc_markdown_extract": q_markdown_extract,
         "doc_cdx_index": q_cdx_index,
         "doc_license_detect": q_license_detect,

@@ -369,3 +369,40 @@ def test_triangles_hub_wedges(spark):
     assert out[9].n_wedges == 10 and out[9].n_triangles == 1
     assert out[0].n_triangles == 1 and out[1].n_triangles == 1
     assert out[2].n_triangles == 0
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_converge(spark):
+    from hatchery_spark.functions.graph import label_propagation
+
+    # two triangles bridged by one edge: each clique converges to its min id
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert out[10] == out[11] == out[12]
+    assert out[10] != 0
+
+
+def test_lpa_tie_breaks_to_smallest_label(spark):
+    from hatchery_spark.functions.graph import label_propagation
+
+    # node 5 has neighbors 1 and 9, one vote each -> adopts 1 after round 1
+    df = spark.createDataFrame([(1, 5), (9, 5)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
+    assert out[5] == 1
+
+
+def test_lpa_undirected_and_simple(spark):
+    from hatchery_spark.functions.graph import label_propagation
+
+    # parallel + reversed edges must not double-weight a neighbor's vote:
+    # 5 sees {1 (x3 edges), 2, 3}; simple-graph votes are 1,2,3 -> min = 1
+    edges = [(1, 5), (5, 1), (1, 5), (2, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
+    assert out[5] == 1
