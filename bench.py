@@ -382,6 +382,7 @@ def main() -> None:
             ("doc_cdx_index", dq.q_cdx_index),
             ("doc_markdown_extract", dq.q_markdown_extract),
             ("graph_lpa", dq.q_lpa),
+            ("doc_mbox_roundtrip", dq.q_mbox_roundtrip),
         ]:
             measure(
                 name,

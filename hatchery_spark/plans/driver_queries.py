@@ -3150,6 +3150,29 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_mbox_roundtrip(spark, sf_dir):
+    """mbox mailing-list framing e2e: documents → mbox blobs (RFC 5322
+    headers, quoted-printable bodies, mboxrd From-munging) → distributed
+    splitter + parser. The oracle derives every field INCLUDING the body
+    text straight from the source table, so any QP/munging/folding
+    asymmetry value-mismatches."""
+    from hatchery_spark.functions.mbox import build_mbox_files, parse_mbox
+
+    docs = load(spark, sf_dir, "documents")
+    return parse_mbox(build_mbox_files(docs, files=25))
+
+
+_MBOX_ORACLE = """
+SELECT doc_id % 25 AS file_id,
+  cast(row_number() OVER (PARTITION BY doc_id % 25 ORDER BY doc_id) - 1 AS int)
+    AS msg_idx,
+  concat('msg-', cast(doc_id AS varchar), '@example.com') AS msg_id,
+  concat('Re: document ', cast(doc_id AS varchar), ' ingest') AS subject,
+  concat('user', cast(doc_id AS varchar), '@example.com') AS sender,
+  coalesce(text, '') AS body
+FROM documents"""
+
+
 def q_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (3 rounds, min-label ties)
     over the event-derived link graph — integer labels end to end."""
@@ -5102,6 +5125,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_cdx_index": _CDX_ORACLE,
         "doc_markdown_extract": _markdown_oracle(),
         "graph_lpa": _lpa_oracle(iters=3),
+        "doc_mbox_roundtrip": _MBOX_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5667,6 +5691,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_mbox_roundtrip": q_mbox_roundtrip,
         "graph_lpa": q_lpa,
         "doc_markdown_extract": q_markdown_extract,
         "doc_cdx_index": q_cdx_index,
