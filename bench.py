@@ -383,6 +383,7 @@ def main() -> None:
             ("doc_markdown_extract", dq.q_markdown_extract),
             ("graph_lpa", dq.q_lpa),
             ("doc_mbox_roundtrip", dq.q_mbox_roundtrip),
+            ("pipeline_best_of_n", dq.q_best_of_n),
         ]:
             measure(
                 name,

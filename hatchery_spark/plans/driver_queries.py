@@ -3150,6 +3150,42 @@ def q_hits(spark, sf_dir):
     return hits(derive_event_edges(ev), iters=3)
 
 
+def q_best_of_n(spark, sf_dir):
+    """Best-of-n rejection sampling (RFT data construction): per
+    conversation, pick the highest-reward assistant turn (earliest turn
+    breaks reward ties) from the candidate pool. Reward passes through
+    untouched — no float arithmetic exists to diverge. One conv_id
+    exchange with map-side partial aggregation (max_by, no window sort)."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_events")
+    t = spark.sql(TRANSCRIPTS_VALUE_SQL.format(events="hs_events"))
+    cand = t.where(F.col("role") == "assistant")
+    return cand.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_candidates"),
+        F.expr("max_by(turn_idx, struct(value, -turn_idx))")
+        .cast("int")
+        .alias("best_turn_idx"),
+        F.max("value").alias("reward"),
+        F.expr("max_by(text, struct(value, -turn_idx))").alias("response"),
+    )
+
+
+def _best_of_n_oracle() -> str:
+    t = TRANSCRIPTS_VALUE_SQL.format(events="events")
+    return f"""
+WITH t AS ({t}),
+cand AS (
+  SELECT conv_id, turn_idx, text, value,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY value DESC, turn_idx) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n_candidates,
+         max(value) OVER (PARTITION BY conv_id) AS reward
+  FROM t WHERE role = 'assistant')
+SELECT conv_id, cast(n_candidates AS int) AS n_candidates,
+       cast(turn_idx AS int) AS best_turn_idx,
+       reward, text AS response
+FROM cand WHERE rn = 1"""
+
+
 def q_mbox_roundtrip(spark, sf_dir):
     """mbox mailing-list framing e2e: documents → mbox blobs (RFC 5322
     headers, quoted-printable bodies, mboxrd From-munging) → distributed
@@ -5126,6 +5162,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_markdown_extract": _markdown_oracle(),
         "graph_lpa": _lpa_oracle(iters=3),
         "doc_mbox_roundtrip": _MBOX_ORACLE,
+        "pipeline_best_of_n": _best_of_n_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5691,6 +5728,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_best_of_n": q_best_of_n,
         "doc_mbox_roundtrip": q_mbox_roundtrip,
         "graph_lpa": q_lpa,
         "doc_markdown_extract": q_markdown_extract,

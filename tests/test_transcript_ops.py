@@ -112,3 +112,30 @@ def test_single_conv_exchange_plan(spark):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         n_exchange = plan.count("Exchange hashpartitioning")
         assert n_exchange <= 1, plan
+
+
+def test_best_of_n_selection(spark, tmp_path):
+    """Highest reward wins; reward ties break to the EARLIEST turn."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    # build a tiny events parquet whose transcript has a known best turn
+    rows = [
+        # user 1: three purchase (assistant) events, values 5, 9, 9
+        (100, "2025-01-01 00:00:01", 1, "purchase", 5.0, ""),
+        (101, "2025-01-01 00:00:02", 1, "purchase", 9.0, ""),
+        (102, "2025-01-01 00:00:03", 1, "purchase", 9.0, ""),
+        # one user event so turn_idx 0 is not assistant
+        (103, "2025-01-01 00:00:00", 1, "click", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = e.queries()["pipeline_best_of_n"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # turns: click@idx0 (user), purchases idx1(v5), idx2(v9), idx3(v9)
+    assert (r.n_candidates, r.best_turn_idx, r.reward) == (3, 2, 9.0)
