@@ -384,6 +384,7 @@ def main() -> None:
             ("graph_lpa", dq.q_lpa),
             ("doc_mbox_roundtrip", dq.q_mbox_roundtrip),
             ("pipeline_best_of_n", dq.q_best_of_n),
+            ("media_audio_adpcm", dq.q_media_audio_adpcm),
         ]:
             measure(
                 name,

@@ -560,7 +560,110 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int, int]:
     if tag == 6 and bits == 8:  # G.711 A-law
         samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
         return samples, sr, nch
+    if tag == 17 and bits == 4:  # IMA ADPCM
+        if nch != 1:
+            raise DecoderUnavailable("multi-channel IMA ADPCM not supported")
+        return _ima_adpcm_decode_mono(data, _align), sr, nch
     raise DecoderUnavailable(f"unsupported WAV format tag {tag}/{bits}-bit")
+
+
+# IMA/DVI ADPCM spec constants (IMA Digital Audio Focus Group, 1992; also
+# Microsoft WAVE format tag 0x0011 documentation) — public tables.
+_IMA_STEP_TABLE = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_adpcm_decode_mono(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA ADPCM block decode: each block opens with (predictor int16,
+    step index uint8, reserved uint8) — the header predictor IS the first
+    output sample — followed by 4-bit codes, low nibble first.
+
+        diff = step>>3 (+step if b&4) (+step>>1 if b&2) (+step>>2 if b&1)
+        predictor ± diff (sign = b&8), clamped to int16
+        index += index_table[b&7], clamped to [0, 88]
+
+    The per-sample recurrence is inherently sequential WITHIN a block, but
+    blocks are independent — the distributed unit is the media row (and at
+    scale the block), so the Python loop here bounds only per-block work
+    (block_align bytes), never corpus size."""
+    out = []
+    for pos in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[pos : pos + block_align]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        step = int(_IMA_STEP_TABLE[index])
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                diff = step >> 3
+                if nib & 4:
+                    diff += step
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 1:
+                    diff += step >> 2
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = min(max(pred, -32768), 32767)
+                index = min(max(index + int(_IMA_INDEX_TABLE[nib & 7]), 0), 88)
+                step = int(_IMA_STEP_TABLE[index])
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
+def encode_wav_adpcm_const(
+    n_blocks: int, sample_rate: int, predictor: int, block_align: int = 12,
+    channels: int = 1,
+) -> bytes:
+    """Mono IMA ADPCM WAV whose every block is (predictor, index 0,
+    all-zero nibbles). At index 0 the step is 7, so code 0 decodes to
+    diff = 7>>3 = 0 and index stays clamped at 0: the decoded signal is
+    EXACTLY constant at ``predictor`` — rms = |predictor| and dominant
+    frequency 0 are closed forms for the oracle. ``channels`` > 1 builds a
+    header advertising stereo (the honest decoder_unavailable channel)."""
+    import struct as _struct
+
+    spb = (block_align - 4) * 2 + 1
+    block = (
+        _struct.pack("<hBB", predictor, 0, 0) + b"\x00" * (block_align - 4)
+    )
+    data = block * n_blocks
+    fmt = _struct.pack(
+        "<HHIIHHHH",
+        17, channels, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    body = (
+        b"WAVEfmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", 4 + len(body) - 4) + body
+
+
+def synthetic_adpcm_media_df(spark, n: int = 48) -> DataFrame:
+    """IMA ADPCM rows: constant-signal blocks with per-row predictors
+    sweeping both signs and the int16 range (rms = |P|, dominant 0);
+    every 8th row advertises stereo — the gated decoder_unavailable path."""
+    rows = []
+    for i in range(n):
+        sr = 8000 + 4000 * (i % 3)
+        pred = ((i * 2741) % 4001) - 2000
+        nch = 2 if i % 8 == 7 else 1
+        content = encode_wav_adpcm_const(
+            n_blocks=30 + i % 5, sample_rate=sr, predictor=pred, channels=nch
+        )
+        rows.append((i, "audio", bytearray(content)))
+    return spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
 
 
 def encode_wav_sine_sr4(n_samples: int, sample_rate: int, amplitude: int) -> bytes:

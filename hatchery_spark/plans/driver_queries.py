@@ -2162,6 +2162,20 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_media_audio_adpcm(spark, sf_dir):
+    """IMA ADPCM decode (WAV format tag 17) through the rfft feature path:
+    constant-signal blocks (index 0, all-zero nibbles — step 7 decodes to
+    diff 0) make rms = |predictor| and dominant bin DC exact; every 8th
+    row advertises stereo and exercises the gated decoder_unavailable
+    channel."""
+    from hatchery_spark.functions.multimodal import (
+        synthetic_adpcm_media_df,
+        wav_spectral_features,
+    )
+
+    return wav_spectral_features(synthetic_adpcm_media_df(spark, 48))
+
+
 def q_media_audio_alaw(spark, sf_dir):
     """G.711 A-law decode (WAV format tag 6) through the same rfft feature
     path: constant-byte fixtures sweep all 8 segments × mantissa grid ×
@@ -5413,6 +5427,18 @@ def oracle_catalog() -> dict[str, str]:
                 AS px_mean,
               'ok_jpeg' AS decode_status
             FROM g GROUP BY i""",
+        "media_audio_adpcm": """
+            SELECT i AS media_id,
+              CASE WHEN i % 8 = 7 THEN NULL
+                   ELSE cast(8000 + 4000 * (i % 3) AS int) END AS sr,
+              CASE WHEN i % 8 = 7 THEN NULL
+                   ELSE cast(17 * (30 + i % 5) AS int) END AS n_samples,
+              CASE WHEN i % 8 = 7 THEN NULL
+                   ELSE cast(abs((i * 2741) % 4001 - 2000) AS double) END AS rms,
+              CASE WHEN i % 8 = 7 THEN NULL ELSE 0.0 END AS dominant_freq_hz,
+              CASE WHEN i % 8 = 7 THEN 'decoder_unavailable'
+                   ELSE 'ok' END AS decode_status
+            FROM (SELECT unnest(range(0, 48)) AS i)""",
         "media_audio_alaw": """
             SELECT i AS media_id,
               cast(8000 + 8000 * (i % 2) AS int) AS sr,
@@ -5728,6 +5754,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "media_audio_adpcm": q_media_audio_adpcm,
         "pipeline_best_of_n": q_best_of_n,
         "doc_mbox_roundtrip": q_mbox_roundtrip,
         "graph_lpa": q_lpa,

@@ -116,3 +116,66 @@ def test_alaw_table_properties():
     samples, sr, nch = decode_wav(encode_wav_alaw(320, 8000, alaw_byte(3, 5)))
     assert (sr, nch, samples.size) == (8000, 1, 320)
     assert (samples == ((5 << 4) + 0x108) << 2).all()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 17)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_hand_traced_trajectory():
+    """Nibble stream [1, 4, 0xA, 0] from (pred=100, index=0), traced by
+    hand against the IMA spec recurrence."""
+    import struct
+
+    from hatchery_spark.functions.multimodal import _ima_adpcm_decode_mono
+
+    block = struct.pack("<hBB", 100, 0, 0) + bytes([0x41, 0x0A])
+    out = _ima_adpcm_decode_mono(block, block_align=6)
+    # step7: nib1 -> +1; nib4 -> +7 (idx->2, step9); nibA -> -5 (idx->1,
+    # step8); nib0 -> +1
+    assert out.tolist() == [100, 101, 108, 103, 104]
+
+
+def test_adpcm_clamps_to_int16():
+    import struct
+
+    from hatchery_spark.functions.multimodal import _ima_adpcm_decode_mono
+
+    # max index (88 -> step 32767), nibble 7 = step + step/2 + step/4 + step/8
+    block = struct.pack("<hBB", 32000, 88, 0) + bytes([0x77])
+    out = _ima_adpcm_decode_mono(block, block_align=5)
+    assert out.tolist()[0] == 32000
+    assert out.tolist()[1] == 32767  # clamped high
+    block = struct.pack("<hBB", -32000, 88, 0) + bytes([0xFF])
+    out = _ima_adpcm_decode_mono(block, block_align=5)
+    assert out.tolist()[1:] == [-32768, -32768]  # clamped low
+
+
+def test_adpcm_constant_blocks_decode_constant():
+    from hatchery_spark.functions.multimodal import (
+        _ima_adpcm_decode_mono,
+        decode_wav,
+        encode_wav_adpcm_const,
+    )
+
+    wav = encode_wav_adpcm_const(n_blocks=4, sample_rate=8000, predictor=-777)
+    samples, sr, nch = decode_wav(wav)
+    assert sr == 8000 and nch == 1
+    assert samples.size == 4 * 17
+    assert set(samples.tolist()) == {-777}
+
+
+def test_adpcm_spectral_features_e2e(spark):
+    from hatchery_spark.functions.multimodal import (
+        synthetic_adpcm_media_df,
+        wav_spectral_features,
+    )
+
+    out = {r.media_id: r for r in
+           wav_spectral_features(synthetic_adpcm_media_df(spark, 16)).collect()}
+    assert out[0].decode_status == "ok"
+    assert out[0].rms == float(abs((0 * 2741) % 4001 - 2000))
+    assert out[1].rms == float(abs((1 * 2741) % 4001 - 2000))
+    assert out[0].dominant_freq_hz == 0.0
+    assert out[7].decode_status == "decoder_unavailable"  # stereo gated
