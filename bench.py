@@ -385,6 +385,7 @@ def main() -> None:
             ("doc_mbox_roundtrip", dq.q_mbox_roundtrip),
             ("pipeline_best_of_n", dq.q_best_of_n),
             ("media_audio_adpcm", dq.q_media_audio_adpcm),
+            ("rel_avro_roundtrip", dq.q_avro_roundtrip),
         ]:
             measure(
                 name,

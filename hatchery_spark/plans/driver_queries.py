@@ -2162,6 +2162,41 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Third interchange format e2e: lineitem → Avro OCF blobs written by
+    the package's own spec-implemented encoder (deflate + null codecs) →
+    decoded back → aggregate. The oracle recomputes the aggregate from the
+    ORIGINAL parquet, so any encode/decode defect (zigzag, union framing,
+    block sync, codec) value-mismatches. The sandbox's PySpark has no
+    spark-avro jar — this is the engine's own Avro surface."""
+    from hatchery_spark.functions.avro import read_avro_blobs, write_avro_files
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    ddl = (
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_returnflag string, l_shipdate timestamp"
+    )
+    back = read_avro_blobs(write_avro_files(li, files=8), ddl)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.sum("l_orderkey").cast("long").alias("sum_okey"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.sum("l_linenumber").cast("long").alias("sum_line"),
+    )
+
+
+_AVRO_ROUNDTRIP_ORACLE = """
+SELECT l_returnflag, count(*) AS n,
+       round(sum(l_quantity), 4) AS sum_qty,
+       cast(sum(l_orderkey) AS bigint) AS sum_okey,
+       max(l_shipdate) AS max_ship,
+       cast(sum(l_linenumber) AS bigint) AS sum_line
+FROM lineitem GROUP BY l_returnflag"""
+
+
 def q_media_audio_adpcm(spark, sf_dir):
     """IMA ADPCM decode (WAV format tag 17) through the rfft feature path:
     constant-signal blocks (index 0, all-zero nibbles — step 7 decodes to
@@ -5177,6 +5212,7 @@ def oracle_catalog() -> dict[str, str]:
         "graph_lpa": _lpa_oracle(iters=3),
         "doc_mbox_roundtrip": _MBOX_ORACLE,
         "pipeline_best_of_n": _best_of_n_oracle(),
+        "rel_avro_roundtrip": _AVRO_ROUNDTRIP_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5754,6 +5790,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "rel_avro_roundtrip": q_avro_roundtrip,
         "media_audio_adpcm": q_media_audio_adpcm,
         "pipeline_best_of_n": q_best_of_n,
         "doc_mbox_roundtrip": q_mbox_roundtrip,
