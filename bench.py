@@ -386,6 +386,7 @@ def main() -> None:
             ("pipeline_best_of_n", dq.q_best_of_n),
             ("media_audio_adpcm", dq.q_media_audio_adpcm),
             ("rel_avro_roundtrip", dq.q_avro_roundtrip),
+            ("doc_mojibake_repair", dq.q_mojibake_repair),
         ]:
             measure(
                 name,

@@ -2162,6 +2162,39 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_mojibake_repair(spark, sf_dir):
+    """Mojibake repair e2e: accents/cp1252-only chars are injected (pure
+    codegen, SQL-replayable), then doc_id%4 selects 2×/1×/0× layers of
+    utf8-read-as-cp1252 corruption, then the repair peels them. The oracle
+    reconstructs the INJECTED text directly — full restoration or bust —
+    and pins the peeled-round count per corruption class."""
+    from hatchery_spark.functions.encoding import corrupt_mojibake_df, fix_mojibake
+
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("«"),
+            F.replace(F.col("text"), F.lit("e"), F.lit("é")),
+            F.lit(" — €"),
+        ).alias("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(2))
+        .when(F.col("doc_id") % 4 == 3, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("times"),
+    )
+    corrupted = corrupt_mojibake_df(injected)
+    return fix_mojibake(corrupted).select("doc_id", "repaired", "rounds")
+
+
+_MOJIBAKE_ORACLE = """
+SELECT doc_id,
+  concat('«', replace(text, 'e', 'é'), ' — €') AS repaired,
+  cast(CASE WHEN doc_id % 4 = 0 THEN 2
+            WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS int) AS rounds
+FROM documents"""
+
+
 def q_avro_roundtrip(spark, sf_dir):
     """Third interchange format e2e: lineitem → Avro OCF blobs written by
     the package's own spec-implemented encoder (deflate + null codecs) →
@@ -5213,6 +5246,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_mbox_roundtrip": _MBOX_ORACLE,
         "pipeline_best_of_n": _best_of_n_oracle(),
         "rel_avro_roundtrip": _AVRO_ROUNDTRIP_ORACLE,
+        "doc_mojibake_repair": _MOJIBAKE_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5790,6 +5824,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_mojibake_repair": q_mojibake_repair,
         "rel_avro_roundtrip": q_avro_roundtrip,
         "media_audio_adpcm": q_media_audio_adpcm,
         "pipeline_best_of_n": q_best_of_n,
