@@ -387,6 +387,7 @@ def main() -> None:
             ("media_audio_adpcm", dq.q_media_audio_adpcm),
             ("rel_avro_roundtrip", dq.q_avro_roundtrip),
             ("doc_mojibake_repair", dq.q_mojibake_repair),
+            ("doc_frontier_schedule", dq.q_frontier_schedule),
         ]:
             measure(
                 name,

@@ -291,3 +291,45 @@ def parse_sitemaps(df: DataFrame, content_col: str = "content") -> DataFrame:
         "file_id bigint, kind string, entry_idx int, loc string, "
         "lastmod string, changefreq string, priority double",
     )
+
+
+def frontier_schedule(urls: DataFrame, url_col: str = "url",
+                      priority_col: str = "priority") -> DataFrame:
+    """Politeness-aware crawl-frontier ordering: assign every URL a global
+    fetch key such that consecutive "waves" hit each host at most once —
+    the per-host rate-limit a well-behaved crawler must observe — while
+    within a host URLs drain by priority (descending, url ascending on
+    ties).
+
+    Closed-form position arithmetic, not a global sequence window:
+    ``fetch_key = (slot-1) · n_hosts + host_idx`` where ``slot`` is the
+    URL's per-host rank and ``host_idx`` ranks the DISTINCT hosts. The
+    only corpus-sized shuffle is the per-host rank (one host-keyed
+    exchange); the host index window sorts only the distinct-host frame
+    (hosts ≪ urls — bounded like a dimension table) and the n_hosts
+    scalar broadcasts. No single reducer ever sees the full frontier —
+    the same trick as sampling.interleave_sources.
+    """
+    host = F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+    per_host = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    with_slot = urls.withColumn("host", host).withColumn(
+        "slot", F.row_number().over(per_host)
+    )
+    hosts = with_slot.select("host").distinct()
+    host_idx = hosts.withColumn(
+        "host_idx", F.row_number().over(Window.orderBy("host"))
+    )
+    n_hosts = host_idx.agg(F.count(F.lit(1)).alias("n_hosts"))
+    return (
+        with_slot.join(F.broadcast(host_idx), "host")
+        .crossJoin(F.broadcast(n_hosts))
+        .select(
+            F.col(url_col).alias("url"),
+            "host",
+            F.col("slot").cast("int").alias("slot"),
+            ((F.col("slot") - 1).cast("long") * F.col("n_hosts")
+             + F.col("host_idx")).alias("fetch_key"),
+        )
+    )

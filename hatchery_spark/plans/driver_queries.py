@@ -2162,6 +2162,51 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness-scheduled crawl frontier over a synthesized URL set (two
+    urls per doc across 17 hosts, md5-free integer priorities): wave-major
+    fetch keys that touch each host at most once per wave."""
+    from hatchery_spark.functions.crawl import frontier_schedule
+
+    docs = load(spark, sf_dir, "documents")
+    j = F.explode(F.array(F.lit(0), F.lit(1))).alias("j")
+    urls = docs.select("doc_id", j).select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("j").cast("string"),
+        ).alias("url"),
+        ((F.col("doc_id") * 31 + F.col("j")) % 100).alias("priority"),
+    )
+    return frontier_schedule(urls)
+
+
+_FRONTIER_ORACLE = """
+WITH urls AS (
+  SELECT concat('https://h', cast(doc_id % 17 AS varchar), '.example.com/p/',
+                cast(doc_id AS varchar), '/', cast(j AS varchar)) AS url,
+         (doc_id * 31 + j) % 100 AS priority
+  FROM documents, (SELECT unnest(range(0, 2)) AS j)),
+h AS (
+  SELECT url, priority,
+         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+  FROM urls),
+s AS (
+  SELECT url, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS slot
+  FROM h),
+hi AS (
+  SELECT host, row_number() OVER (ORDER BY host) AS host_idx
+  FROM (SELECT DISTINCT host FROM s)),
+nn AS (SELECT count(*) AS n_hosts FROM hi)
+SELECT s.url, s.host, cast(s.slot AS int) AS slot,
+       cast((s.slot - 1) * nn.n_hosts + hi.host_idx AS bigint) AS fetch_key
+FROM s JOIN hi ON hi.host = s.host CROSS JOIN nn"""
+
+
 def q_mojibake_repair(spark, sf_dir):
     """Mojibake repair e2e: accents/cp1252-only chars are injected (pure
     codegen, SQL-replayable), then doc_id%4 selects 2×/1×/0× layers of
@@ -5247,6 +5292,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_best_of_n": _best_of_n_oracle(),
         "rel_avro_roundtrip": _AVRO_ROUNDTRIP_ORACLE,
         "doc_mojibake_repair": _MOJIBAKE_ORACLE,
+        "doc_frontier_schedule": _FRONTIER_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5824,6 +5870,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_frontier_schedule": q_frontier_schedule,
         "doc_mojibake_repair": q_mojibake_repair,
         "rel_avro_roundtrip": q_avro_roundtrip,
         "media_audio_adpcm": q_media_audio_adpcm,

@@ -146,3 +146,51 @@ def test_sitemap_distributed_roundtrip(spark):
         per.setdefault(r.file_id, []).append(int(r.loc.rsplit("/", 1)[1]))
     for fid, ids in per.items():
         assert ids == sorted(ids)
+
+
+# ---------------------------------------------------------------------------
+# frontier politeness scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_frontier_waves_hit_each_host_once(spark):
+    from hatchery_spark.functions.crawl import frontier_schedule
+
+    rows = [
+        (f"https://{h}.example.com/{i}", i)
+        for h in ("a", "b", "c")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "url string, priority int")
+    out = sorted(frontier_schedule(df).collect(), key=lambda r: r.fetch_key)
+    # fetch keys are unique and wave-major: any 3 consecutive fetches
+    # (= one wave over 3 hosts) touch 3 distinct hosts
+    keys = [r.fetch_key for r in out]
+    assert len(set(keys)) == len(keys)
+    for w in range(0, len(out), 3):
+        wave = out[w : w + 3]
+        assert len({r.host for r in wave}) == len(wave)
+
+
+def test_frontier_priority_orders_within_host(spark):
+    from hatchery_spark.functions.crawl import frontier_schedule
+
+    rows = [
+        ("https://x.example.com/low", 1),
+        ("https://x.example.com/high", 9),
+        ("https://x.example.com/mid", 5),
+    ]
+    df = spark.createDataFrame(rows, "url string, priority int")
+    out = sorted(frontier_schedule(df).collect(), key=lambda r: r.slot)
+    assert [r.url.rsplit("/", 1)[1] for r in out] == ["high", "mid", "low"]
+
+
+def test_frontier_skewed_host_never_monopolizes(spark):
+    from hatchery_spark.functions.crawl import frontier_schedule
+
+    rows = [(f"https://whale.example.com/{i}", 0) for i in range(50)]
+    rows += [("https://minnow.example.com/only", 0)]
+    df = spark.createDataFrame(rows, "url string, priority int")
+    out = sorted(frontier_schedule(df).collect(), key=lambda r: r.fetch_key)
+    # the minnow's single url is fetched in the first wave, not after the whale
+    assert out[1].host == "minnow.example.com" or out[0].host == "minnow.example.com"
