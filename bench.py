@@ -388,6 +388,7 @@ def main() -> None:
             ("rel_avro_roundtrip", dq.q_avro_roundtrip),
             ("doc_mojibake_repair", dq.q_mojibake_repair),
             ("doc_frontier_schedule", dq.q_frontier_schedule),
+            ("rel_jsonl_zst_roundtrip", dq.q_jsonl_zst_roundtrip),
         ]:
             measure(
                 name,

@@ -2162,6 +2162,24 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_jsonl_zst_roundtrip(spark, sf_dir):
+    """.jsonl.zst corpus format e2e: documents → single-frame zstd JSONL
+    files (the RedPajama/DCLM shipping format) → RFC 8878 frame-header
+    size parse → decompress → from_json. Identity oracle: every field
+    straight from the source table."""
+    from hatchery_spark.functions.jsonl_zst import (
+        read_jsonl_zst_blobs,
+        write_jsonl_zst_files,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    blobs = write_jsonl_zst_files(docs, files=8)
+    return read_jsonl_zst_blobs(blobs, "doc_id long, lang string, text string")
+
+
+_JSONL_ZST_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness-scheduled crawl frontier over a synthesized URL set (two
     urls per doc across 17 hosts, md5-free integer priorities): wave-major
@@ -5293,6 +5311,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_avro_roundtrip": _AVRO_ROUNDTRIP_ORACLE,
         "doc_mojibake_repair": _MOJIBAKE_ORACLE,
         "doc_frontier_schedule": _FRONTIER_ORACLE,
+        "rel_jsonl_zst_roundtrip": _JSONL_ZST_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5870,6 +5889,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "rel_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "doc_frontier_schedule": q_frontier_schedule,
         "doc_mojibake_repair": q_mojibake_repair,
         "rel_avro_roundtrip": q_avro_roundtrip,
