@@ -389,6 +389,7 @@ def main() -> None:
             ("doc_mojibake_repair", dq.q_mojibake_repair),
             ("doc_frontier_schedule", dq.q_frontier_schedule),
             ("rel_jsonl_zst_roundtrip", dq.q_jsonl_zst_roundtrip),
+            ("doc_quality_regression", dq.q_quality_regression),
         ]:
             measure(
                 name,

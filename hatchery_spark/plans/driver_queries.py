@@ -2162,6 +2162,35 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_quality_regression(spark, sf_dir):
+    """Corpus-wide least-squares fit (two text features + intercept →
+    non-space density target) via ONE partially-aggregated normal-equation
+    pass; per-doc predictions/residuals are codegen. The oracle replays
+    sums, cofactor solve, and roundings literally."""
+    from hatchery_spark.functions.regression import ols_fit_predict
+
+    docs = load(spark, sf_dir, "documents")
+    return ols_fit_predict(
+        docs,
+        x1=F.length("text") / F.lit(100.0),
+        x2=F.size(F.split(F.col("text"), " ", -1)) / F.lit(10.0),
+        y=F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.lit(100.0),
+        keys=["doc_id"],
+    )
+
+
+def _quality_regression_oracle() -> str:
+    from hatchery_spark.functions.regression import ols_oracle_sql
+
+    feats = """
+      SELECT doc_id,
+             length(text) / 100.0 AS x1,
+             len(string_split(text, ' ')) / 10.0 AS x2,
+             length(replace(text, ' ', '')) / 100.0 AS y
+      FROM documents"""
+    return ols_oracle_sql(feats, keys="f.doc_id")
+
+
 def q_jsonl_zst_roundtrip(spark, sf_dir):
     """.jsonl.zst corpus format e2e: documents → single-frame zstd JSONL
     files (the RedPajama/DCLM shipping format) → RFC 8878 frame-header
@@ -5312,6 +5341,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_mojibake_repair": _MOJIBAKE_ORACLE,
         "doc_frontier_schedule": _FRONTIER_ORACLE,
         "rel_jsonl_zst_roundtrip": _JSONL_ZST_ORACLE,
+        "doc_quality_regression": _quality_regression_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5889,6 +5919,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_quality_regression": q_quality_regression,
         "rel_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "doc_frontier_schedule": q_frontier_schedule,
         "doc_mojibake_repair": q_mojibake_repair,
