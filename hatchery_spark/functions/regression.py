@@ -120,3 +120,116 @@ SELECT {keys},
          AS residual,
        w.w0 AS w0, w.w1 AS w1, w.w2 AS w2
 FROM f CROSS JOIN w"""
+
+
+def logreg_irls_fit_predict(
+    df: DataFrame,
+    x1: Column,
+    x2: Column,
+    y: Column,
+    keys: list[str],
+    iters: int = 3,
+    rd_sums: int = 6,
+    rd_w: int = 9,
+    rd_z: int = 9,
+    rd_p: int = 7,
+) -> DataFrame:
+    """Logistic-regression quality classifier trained by IRLS/Newton over
+    the full corpus: per round ONE partially-aggregated pass computes the
+    weighted normal-equation sums (A = Σ p(1-p)·xxᵀ, b = Σ (y-p)·x, nine
+    doubles to the driver), the 3×3 solve reuses ``_solve3``, and scoring
+    stays codegen. iters rounds = iters corpus passes — the classic
+    fixed-iteration Newton shape, same as pagerank/BT.
+
+    Cross-engine exactness: z is rounded before exp and p after (libm exp
+    may differ in the last ulp between engines — the rounding grid is 1e9×
+    coarser), sums and weights are rounded like the OLS path, and the
+    oracle replays every round literally.
+    """
+    feats = df.select(*keys, x1.alias("x1"), x2.alias("x2"),
+                      y.cast("double").alias("y")).persist()
+    w = (0.0, 0.0, 0.0)
+    for _ in range(iters):
+        z = F.round(
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"),
+            rd_z,
+        )
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), rd_p)
+        r = p * (F.lit(1.0) - p)
+        g = F.col("y") - p
+        s = feats.agg(
+            F.round(F.sum(r), rd_sums).alias("sr"),
+            F.round(F.sum(r * F.col("x1")), rd_sums).alias("sr1"),
+            F.round(F.sum(r * F.col("x2")), rd_sums).alias("sr2"),
+            F.round(F.sum(r * F.col("x1") * F.col("x1")), rd_sums).alias("sr11"),
+            F.round(F.sum(r * F.col("x1") * F.col("x2")), rd_sums).alias("sr12"),
+            F.round(F.sum(r * F.col("x2") * F.col("x2")), rd_sums).alias("sr22"),
+            F.round(F.sum(g), rd_sums).alias("g0"),
+            F.round(F.sum(g * F.col("x1")), rd_sums).alias("g1"),
+            F.round(F.sum(g * F.col("x2")), rd_sums).alias("g2"),
+        ).collect()[0]
+        d = _solve3(s.sr, s.sr1, s.sr2, s.sr11, s.sr12, s.sr22,
+                    s.g0, s.g1, s.g2, rd_w)
+        w = tuple(round(wi + di, rd_w) for wi, di in zip(w, d))
+    z = F.round(
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"), rd_z
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), rd_p)
+    return feats.select(
+        *keys,
+        p.alias("p"),
+        F.col("y").cast("int").alias("label"),
+        (p >= 0.5).cast("int").alias("pred_label"),
+    )
+
+
+def logreg_oracle_sql(
+    feats_cte: str,
+    keys: str,
+    iters: int = 3,
+    rd_sums: int = 6,
+    rd_w: int = 9,
+    rd_z: int = 9,
+    rd_p: int = 7,
+) -> str:
+    """DuckDB replay of the IRLS fit: one (p, sums, cofactor solve, weight
+    update) CTE block per round, then the scoring projection."""
+    parts = [f"WITH f AS ({feats_cte}),\nw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+p{t} AS (SELECT f.*, round(1/(1+exp(-round(w.w0 + w.w1*f.x1 + w.w2*f.x2,
+                                           {rd_z}))), {rd_p}) AS p
+         FROM f CROSS JOIN w{t - 1} w),
+s{t} AS (SELECT
+  round(sum(p*(1-p)), {rd_sums}) AS sr,
+  round(sum(p*(1-p)*x1), {rd_sums}) AS sr1,
+  round(sum(p*(1-p)*x2), {rd_sums}) AS sr2,
+  round(sum(p*(1-p)*x1*x1), {rd_sums}) AS sr11,
+  round(sum(p*(1-p)*x1*x2), {rd_sums}) AS sr12,
+  round(sum(p*(1-p)*x2*x2), {rd_sums}) AS sr22,
+  round(sum(y-p), {rd_sums}) AS g0,
+  round(sum((y-p)*x1), {rd_sums}) AS g1,
+  round(sum((y-p)*x2), {rd_sums}) AS g2
+  FROM p{t}),
+c{t} AS (SELECT *,
+  sr11*sr22 - sr12*sr12 AS c00, -(sr1*sr22 - sr12*sr2) AS c01,
+  sr1*sr12 - sr11*sr2 AS c02, sr*sr22 - sr2*sr2 AS c11,
+  -(sr*sr12 - sr1*sr2) AS c12, sr*sr11 - sr1*sr1 AS c22
+  FROM s{t}),
+d{t} AS (SELECT *, sr*c00 + sr1*c01 + sr2*c02 AS det FROM c{t}),
+w{t} AS (SELECT
+  round(w.w0 + round((d.c00*d.g0 + d.c01*d.g1 + d.c02*d.g2)/d.det, {rd_w}),
+        {rd_w}) AS w0,
+  round(w.w1 + round((d.c01*d.g0 + d.c11*d.g1 + d.c12*d.g2)/d.det, {rd_w}),
+        {rd_w}) AS w1,
+  round(w.w2 + round((d.c02*d.g0 + d.c12*d.g1 + d.c22*d.g2)/d.det, {rd_w}),
+        {rd_w}) AS w2
+  FROM w{t - 1} w CROSS JOIN d{t} d)""")
+    parts.append(f"""
+SELECT {keys},
+  round(1/(1+exp(-round(w.w0 + w.w1*f.x1 + w.w2*f.x2, {rd_z}))), {rd_p}) AS p,
+  cast(f.y AS int) AS label,
+  cast(round(1/(1+exp(-round(w.w0 + w.w1*f.x1 + w.w2*f.x2, {rd_z}))), {rd_p})
+       >= 0.5 AS int) AS pred_label
+FROM f CROSS JOIN w{iters} w""")
+    return "".join(parts)

@@ -2162,6 +2162,41 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_quality_logreg(spark, sf_dir):
+    """Trained quality classifier: 3-round IRLS logistic regression over
+    two codegen text features with a non-space-density label; every round
+    is one partially-aggregated pass (nine doubles to the driver). The
+    oracle replays all three rounds — sums, cofactor solve, weight
+    updates, sigmoid scoring."""
+    from hatchery_spark.functions.regression import logreg_irls_fit_predict
+
+    docs = load(spark, sf_dir, "documents")
+    return logreg_irls_fit_predict(
+        docs,
+        x1=F.length("text") / F.lit(100.0),
+        x2=F.size(F.split(F.col("text"), " ", -1)) / F.lit(10.0),
+        y=(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 100
+            > F.length("text") * 82
+        ).cast("int"),
+        keys=["doc_id"],
+        iters=3,
+    )
+
+
+def _quality_logreg_oracle() -> str:
+    from hatchery_spark.functions.regression import logreg_oracle_sql
+
+    feats = """
+      SELECT doc_id,
+             length(text) / 100.0 AS x1,
+             len(string_split(text, ' ')) / 10.0 AS x2,
+             cast(length(replace(text, ' ', '')) * 100 > length(text) * 82
+                  AS double) AS y
+      FROM documents"""
+    return logreg_oracle_sql(feats, keys="f.doc_id", iters=3)
+
+
 def q_quality_regression(spark, sf_dir):
     """Corpus-wide least-squares fit (two text features + intercept →
     non-space density target) via ONE partially-aggregated normal-equation
@@ -5342,6 +5377,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_frontier_schedule": _FRONTIER_ORACLE,
         "rel_jsonl_zst_roundtrip": _JSONL_ZST_ORACLE,
         "doc_quality_regression": _quality_regression_oracle(),
+        "doc_quality_logreg": _quality_logreg_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5919,6 +5955,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
         "rel_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
         "doc_frontier_schedule": q_frontier_schedule,

@@ -62,3 +62,47 @@ def test_single_aggregate_plan(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_logreg_irls_matches_numpy_reference(spark):
+    """3-round IRLS on separable-ish data: the Spark loop must reproduce a
+    literal numpy replay (same roundings, same cofactor solve) and the
+    learned boundary must classify the generating rule correctly."""
+    from hatchery_spark.functions.regression import logreg_irls_fit_predict
+
+    rows = [
+        (i, (i % 13) / 6.0, ((i * 7) % 11) / 5.0) for i in range(120)
+    ]
+    # label: linear rule with margin -> IRLS should reach >95% accuracy
+    data = [(k, a, b, 1 if (2.0 * a - 1.5 * b - 0.4) > 0 else 0)
+            for k, a, b in rows]
+    df = spark.createDataFrame(data, "k long, a double, b double, y int")
+    out = logreg_irls_fit_predict(
+        df, x1=F.col("a"), x2=F.col("b"), y=F.col("y"), keys=["k"], iters=3
+    ).collect()
+
+    # literal numpy replay of the rounded IRLS recursion
+    X = np.array([[1.0, a, b] for _, a, b in rows])
+    yv = np.array([d[3] for d in data], dtype=float)
+    w = np.zeros(3)
+    for _ in range(3):
+        z = np.round(X @ w, 9)
+        p = np.round(1.0 / (1.0 + np.exp(-z)), 7)
+        r = p * (1 - p)
+        A = (X * r[:, None]).T @ X
+        g = X.T @ (yv - p)
+        A6 = np.round(
+            [A[0, 0], A[0, 1], A[0, 2], A[1, 1], A[1, 2], A[2, 2]], 6
+        )
+        g6 = np.round(g, 6)
+        d = _solve3(*A6, *g6, rd_w=9)
+        w = np.array([round(wi + di, 9) for wi, di in zip(w, d)])
+    z = np.round(X @ w, 9)
+    p_ref = np.round(1.0 / (1.0 + np.exp(-z)), 7)
+
+    got = {r.k: r for r in out}
+    for i, (k, _, _) in enumerate(rows):
+        assert got[k].p == pytest.approx(p_ref[i], abs=1e-9)
+    acc = np.mean([got[k].pred_label == d[3] for k, *_ , in rows
+                   for d in [data[k]]])
+    assert acc > 0.95
