@@ -390,6 +390,7 @@ def main() -> None:
             ("doc_frontier_schedule", dq.q_frontier_schedule),
             ("rel_jsonl_zst_roundtrip", dq.q_jsonl_zst_roundtrip),
             ("doc_quality_regression", dq.q_quality_regression),
+            ("doc_quality_logreg", dq.q_quality_logreg),
         ]:
             measure(
                 name,
