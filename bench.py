@@ -391,6 +391,7 @@ def main() -> None:
             ("rel_jsonl_zst_roundtrip", dq.q_jsonl_zst_roundtrip),
             ("doc_quality_regression", dq.q_quality_regression),
             ("doc_quality_logreg", dq.q_quality_logreg),
+            ("pipeline_log_templates", dq.q_log_templates),
         ]:
             measure(
                 name,

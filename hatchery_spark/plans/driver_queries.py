@@ -2162,6 +2162,22 @@ def q_media_jpeg_hier(spark, sf_dir):
     return decode_media(synthetic_jpeg_hier_media_df(spark, 32))
 
 
+def q_log_templates(spark, sf_dir):
+    """Drain-style log template mining over the raw transcript text:
+    digit-mask → (token_count, first_token) bucket → position-wise
+    wildcard merge → template counts. Deterministic relational algebra
+    end-to-end; the whale-bucket work is spread across positions."""
+    from hatchery_spark.operators.logmine import mine_log_templates
+
+    return mine_log_templates(transcripts(spark, sf_dir))
+
+
+def _log_templates_oracle() -> str:
+    from hatchery_spark.operators.logmine import log_templates_oracle_sql
+
+    return log_templates_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_quality_logreg(spark, sf_dir):
     """Trained quality classifier: 3-round IRLS logistic regression over
     two codegen text features with a non-space-density label; every round
@@ -5378,6 +5394,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_jsonl_zst_roundtrip": _JSONL_ZST_ORACLE,
         "doc_quality_regression": _quality_regression_oracle(),
         "doc_quality_logreg": _quality_logreg_oracle(),
+        "pipeline_log_templates": _log_templates_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5955,6 +5972,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
         "rel_jsonl_zst_roundtrip": q_jsonl_zst_roundtrip,
