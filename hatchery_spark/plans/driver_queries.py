@@ -2178,6 +2178,45 @@ def _log_templates_oracle() -> str:
     return log_templates_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_cidr_enrich(spark, sf_dir):
+    """CIDR longest-prefix-match enrichment: extract the IPv4 from each
+    audit turn, LPM it against a zone table inlined into the plan as
+    per-prefix-length literal maps — the whole lookup is ONE codegen'd
+    Project (coalesce of try_element_at), no join, no Exchange.
+    Reference analog: the per-source enrich configs (source/*/config.go)
+    as a network-zone lookup."""
+    from hatchery_spark.operators.netenrich import cidr_enrich
+
+    return cidr_enrich(transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "ip", "plen", "zone"
+    )
+
+
+def _cidr_enrich_oracle() -> str:
+    from hatchery_spark.operators.netenrich import cidr_oracle_case_chain
+
+    ipl = (
+        "(cast(string_split(ip, '.')[1] AS bigint) * 16777216"
+        " + cast(string_split(ip, '.')[2] AS bigint) * 65536"
+        " + cast(string_split(ip, '.')[3] AS bigint) * 256"
+        " + cast(string_split(ip, '.')[4] AS bigint))"
+    )
+    plen_expr, zone_expr = cidr_oracle_case_chain("ipl")
+    t = TRANSCRIPTS_SQL.format(events="events")
+    return f"""
+        WITH t AS ({t}),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text,
+                   '(\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}})', 1) AS ip
+          FROM t),
+        x AS (SELECT conv_id, turn_idx, ip, {ipl} AS ipl
+              FROM w WHERE ip <> '')
+        SELECT conv_id, turn_idx, ip,
+               {plen_expr} AS plen, {zone_expr} AS zone
+        FROM x"""
+
+
 def q_quality_logreg(spark, sf_dir):
     """Trained quality classifier: 3-round IRLS logistic regression over
     two codegen text features with a non-space-density label; every round
@@ -5395,6 +5434,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_quality_regression": _quality_regression_oracle(),
         "doc_quality_logreg": _quality_logreg_oracle(),
         "pipeline_log_templates": _log_templates_oracle(),
+        "pipeline_cidr_enrich": _cidr_enrich_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5972,6 +6012,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_cidr_enrich": q_cidr_enrich,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
