@@ -2178,6 +2178,26 @@ def _log_templates_oracle() -> str:
     return log_templates_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_syslog_rfc5424(spark, sf_dir):
+    """RFC 5424 framing e2e: render every turn to a syslog line (PRI from
+    role/level config, SD params with the §6.3.3 escapes, raw text as
+    MSG), then parse ONLY the line back into structured fields. The
+    oracle computes every field directly from the source turns, so both
+    the encoder and the decoder are value-pinned; MSG equality carries
+    the per-turn text invariant through the frame. Both directions are
+    single codegen'd Projects — no UDF, no shuffle."""
+    from hatchery_spark.operators.syslog import parse_rfc5424, render_rfc5424
+
+    lines = render_rfc5424(transcripts(spark, sf_dir)).select("line")
+    return parse_rfc5424(lines)
+
+
+def _syslog_oracle() -> str:
+    from hatchery_spark.operators.syslog import syslog_oracle_sql
+
+    return syslog_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_cidr_enrich(spark, sf_dir):
     """CIDR longest-prefix-match enrichment: extract the IPv4 from each
     audit turn, LPM it against a zone table inlined into the plan as
@@ -5435,6 +5455,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_quality_logreg": _quality_logreg_oracle(),
         "pipeline_log_templates": _log_templates_oracle(),
         "pipeline_cidr_enrich": _cidr_enrich_oracle(),
+        "pipeline_syslog_rfc5424": _syslog_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -6013,6 +6034,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_cidr_enrich": q_cidr_enrich,
+        "pipeline_syslog_rfc5424": q_syslog_rfc5424,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
