@@ -2198,6 +2198,49 @@ def _syslog_oracle() -> str:
     return syslog_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_logfmt_roundtrip(spark, sf_dir):
+    r"""logfmt wire-format e2e: render each document as a key=value line
+    (Go-logfmt conditional quoting; the msg field is wrapped in quotes +
+    a trailing backslash so both escapes are exercised on every row),
+    parse ONLY the line back through the regexp→map decoder, project
+    typed fields out of the map. Oracle computes all fields directly
+    from the source table — encoder and decoder both value-pinned."""
+    from hatchery_spark.operators.logfmt import (
+        kv,
+        parse_logfmt,
+        render_logfmt,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    msg = F.concat(
+        F.lit('doc "'), F.substring("text", 1, 40), F.lit('" tail\\')
+    )
+    lines = render_logfmt(
+        docs,
+        [
+            ("doc", F.col("doc_id")),
+            ("lang", F.col("lang")),
+            ("src", F.col("source")),
+            ("msg", msg),
+            ("n", F.col("n_chars")),
+        ],
+    ).select("line")
+    return parse_logfmt(lines).select(
+        kv("doc").cast("long").alias("doc_id"),
+        kv("lang").alias("lang"),
+        kv("src").alias("src"),
+        kv("msg").alias("msg"),
+        kv("n").cast("long").alias("n"),
+    )
+
+
+_LOGFMT_ORACLE = r"""
+    SELECT doc_id, lang, source AS src,
+           concat('doc "', substr(text, 1, 40), '" tail\') AS msg,
+           n_chars AS n
+    FROM documents"""
+
+
 def q_cidr_enrich(spark, sf_dir):
     """CIDR longest-prefix-match enrichment: extract the IPv4 from each
     audit turn, LPM it against a zone table inlined into the plan as
@@ -5456,6 +5499,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_log_templates": _log_templates_oracle(),
         "pipeline_cidr_enrich": _cidr_enrich_oracle(),
         "pipeline_syslog_rfc5424": _syslog_oracle(),
+        "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -6035,6 +6079,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_cidr_enrich": q_cidr_enrich,
         "pipeline_syslog_rfc5424": q_syslog_rfc5424,
+        "pipeline_logfmt_roundtrip": q_logfmt_roundtrip,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
