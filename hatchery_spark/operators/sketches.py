@@ -1,0 +1,224 @@
+"""Hand-rolled mergeable sketches: HyperLogLog and count-min.
+
+At 10^12 turns the pipeline's "how many distinct actors / how hot is
+this resource" questions can't afford exact distincts per window, and
+the built-in ``approx_count_distinct`` (used by profile.py) is opaque —
+its registers can't be persisted, merged across days, or replayed by an
+oracle.  These are the explicit versions:
+
+* **HyperLogLog** (Flajolet et al. 2007) — the register table
+  ``(group, reg, M)`` is a plain DataFrame: build it per partition /
+  per day, store it, and merge two epochs with ``groupBy(reg).max(M)``
+  — that mergeability is the whole point at 100 TB (sketch once,
+  combine forever; the raw keys never move again).
+* **Count-min** (Cormode & Muthukrishnan 2005) — ``d`` rows × ``w``
+  counters as ``(r, col, c)`` rows; merging epochs is ``sum(c)``;
+  a point estimate is ``min`` over the ``d`` probes, an upper bound
+  with one-sided error.
+
+Hash = positional slices of ``md5`` (32 bits each), the repo-standard
+oracle-replayable hash (xxhash64 has no DuckDB twin).  The HLL rank
+``rho`` is computed as ``24 - length(bin(w))`` — Spark and DuckDB both
+render ``bin()`` without leading zeros, so the oracle replays the
+register table bit-for-bit, and the estimator's only float ops are one
+division (or ``m·ln(m/V)`` on the linear-counting branch), pinned with
+``round(…, 4)``.
+
+Plan shape: sketch build is one partially-aggregated ``groupBy`` whose
+key space is the register/counter grid (m or d·w rows per group —
+corpus-independent), so map-side combine collapses each partition
+before the shuffle; estimates then run on sketch-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 9  # 2^9 = 512 registers
+CMS_D = 4
+CMS_W = 256
+
+
+def _md5_slice_long(col: Column, s: int = 0) -> Column:
+    """Hex chars [8s, 8s+8) of md5(col) as a 32-bit value in a long."""
+    return F.conv(F.substring(F.md5(col), 8 * s + 1, 8), 16, 10).cast("long")
+
+
+def _hex_slice_sql(expr: str, s: int = 0) -> str:
+    """DuckDB replay of :func:`_md5_slice_long` (no conv() there)."""
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr(md5({expr}), {8 * s + i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+# --------------------------------------------------------------- HLL --
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Mergeable register table ``(…group, reg, m_rank)``.  Merging two
+    epochs = union → groupBy(reg).max(m_rank)."""
+    wbits = 32 - p
+    h = _md5_slice_long(F.col(key_col))
+    reg = F.shiftright(h, wbits)
+    w = h - F.shiftleft(reg, wbits)
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("m_rank"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: list[str], p: int = HLL_P
+) -> DataFrame:
+    """Per-group cardinality estimate from a register table:
+    ``(…group, v_zero, scaled_sum, estimate)``.  ``scaled_sum`` is the
+    EXACT integer ``2^(wbits+1) · Σ 2^-M`` (absent registers count as
+    2^0), so the only float op is the final estimator — deterministic
+    across engines."""
+    wbits = 32 - p
+    m = 1 << p
+    scale = 1 << (wbits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            # shiftleft() in PySpark only takes a literal shift — go via expr
+            F.expr(f"shiftleft(cast(1 AS bigint), {wbits + 1} - m_rank)")
+        ).alias("present_sum"),
+    )
+    v_zero = (F.lit(m) - F.col("n_regs")).alias("v_zero")
+    scaled = (F.col("present_sum") + (F.lit(m) - F.col("n_regs")) * F.lit(scale)).alias(
+        "scaled_sum"
+    )
+    out = agg.select(*group_cols, v_zero, scaled)
+    raw = F.lit(alpha * m * m * scale) / F.col("scaled_sum")
+    lc = F.lit(m) * F.log(F.lit(m) / F.col("v_zero"))
+    est = F.when((raw <= 2.5 * m) & (F.col("v_zero") > 0), lc).otherwise(raw)
+    return out.withColumn("estimate", F.round(est, 4))
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_expr: str,
+    p: int = HLL_P,
+) -> str:
+    """DuckDB replay of registers + estimator over ``source_sql`` (must
+    yield the key/group exprs)."""
+    wbits = 32 - p
+    m = 1 << p
+    scale = 1 << (wbits + 1)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return f"""
+        WITH src AS ({source_sql}),
+        h AS (
+          SELECT {group_expr} AS grp,
+                 ({_hex_slice_sql(key_expr)}) AS h32
+          FROM src),
+        rr AS (
+          SELECT grp, h32 >> {wbits} AS reg,
+                 h32 - ((h32 >> {wbits}) << {wbits}) AS w
+          FROM h),
+        regs AS (
+          SELECT grp, reg,
+                 max(CASE WHEN w = 0 THEN {wbits + 1}
+                     ELSE {wbits + 1} - length(bin(w)) END) AS m_rank
+          FROM rr GROUP BY grp, reg),
+        agg AS (
+          SELECT grp, count(*) AS n_regs,
+                 sum((cast(1 AS bigint) << ({wbits + 1} - m_rank))) AS present_sum
+          FROM regs GROUP BY grp),
+        est AS (
+          SELECT grp,
+                 cast({m} - n_regs AS bigint) AS v_zero,
+                 cast(present_sum + ({m} - n_regs) * {scale} AS bigint)
+                   AS scaled_sum
+          FROM agg)
+        SELECT grp, v_zero, scaled_sum,
+               round(CASE WHEN {alpha * m * m * scale!r} / scaled_sum
+                               <= {2.5 * m} AND v_zero > 0
+                     THEN {m} * ln({m} / v_zero)
+                     ELSE {alpha * m * m * scale!r} / scaled_sum END,
+                     4) AS estimate
+        FROM est"""
+
+
+# --------------------------------------------------------- count-min --
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Counter table ``(r, col, c)`` — d·w rows total.  Merging epochs =
+    union → groupBy(r, col).sum(c)."""
+    rows = [
+        df.select(
+            F.lit(r).alias("r"),
+            F.pmod(_md5_slice_long(F.col(key_col), r), F.lit(w)).alias("col"),
+        )
+        for r in range(d)
+    ]
+    allrows = rows[0]
+    for extra in rows[1:]:
+        allrows = allrows.unionAll(extra)
+    return allrows.groupBy("r", "col").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_query(
+    sketch: DataFrame, keys: DataFrame, key_col: str, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point estimates for each key: min over the d probes (broadcast
+    the d·w-row sketch, never shuffle the keys)."""
+    probes = keys.select(
+        key_col,
+        *[
+            F.pmod(_md5_slice_long(F.col(key_col), r), F.lit(w)).alias(f"col{r}")
+            for r in range(d)
+        ],
+    )
+    out = probes
+    for r in range(d):
+        side = F.broadcast(
+            sketch.where(F.col("r") == r).select(
+                F.col("col").alias(f"col{r}"), F.col("c").alias(f"c{r}")
+            )
+        )
+        out = out.join(side, f"col{r}", "left")
+    est = F.least(*[F.coalesce(F.col(f"c{r}"), F.lit(0)) for r in range(d)])
+    return out.select(key_col, est.alias("cms_count"))
+
+
+def cms_oracle_sql(
+    source_sql: str, key_expr: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB replay: per-key true count + min-over-probes estimate,
+    same md5-slice hashes."""
+    slices = ", ".join(
+        f"({_hex_slice_sql('k', r)}) % {w} AS col{r}" for r in range(d)
+    )
+    counters = ",\n        ".join(
+        f"c{r} AS (SELECT col{r}, count(*) AS n{r} FROM hashed GROUP BY col{r})"
+        for r in range(d)
+    )
+    joins = " ".join(f"JOIN c{r} USING (col{r})" for r in range(d))
+    least = ", ".join(f"n{r}" for r in range(d))
+    return f"""
+        WITH src AS ({source_sql}),
+        keyed AS (SELECT {key_expr} AS k FROM src),
+        hashed AS (SELECT k, {slices} FROM keyed),
+        {counters},
+        dk AS (SELECT k, {", ".join(f"col{r}" for r in range(d))},
+                      count(*) AS true_n
+               FROM hashed GROUP BY ALL)
+        SELECT dk.k AS key, dk.true_n, least({least}) AS cms_count
+        FROM dk {joins}"""

@@ -2241,6 +2241,70 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+_HLL_SRC_SQL = """SELECT tool,
+            regexp_extract(text, 'actor=(\\S+)', 1) AS actor
+          FROM ({t}) WHERE regexp_extract(text, 'actor=(\\S+)', 1) <> ''"""
+
+
+def q_hll_actors(spark, sf_dir):
+    """Hand-rolled HyperLogLog distinct-actor sketch per tool: explicit
+    (grp, reg, m_rank) register table (mergeable across epochs with
+    groupBy(reg).max — the 100 TB property approx_count_distinct can't
+    give you), exact-integer 2^-M sum, estimator + linear-counting
+    branch replayed by the oracle bit-for-bit. Exact distinct joined
+    alongside so the sketch's error is visible in the output."""
+    from hatchery_spark.operators.sketches import hll_estimate, hll_registers
+
+    t = transcripts(spark, sf_dir)
+    actor = F.regexp_extract("text", r"actor=(\S+)", 1)
+    src = t.select(F.col("tool").alias("grp"), actor.alias("actor")).where(
+        F.col("actor") != ""
+    )
+    est = hll_estimate(hll_registers(src, "actor", ["grp"]), ["grp"])
+    exact = src.groupBy("grp").agg(F.countDistinct("actor").alias("exact_n"))
+    return est.join(exact, "grp")
+
+
+def _hll_actors_oracle() -> str:
+    from hatchery_spark.operators.sketches import hll_oracle_sql
+
+    src = _HLL_SRC_SQL.format(t=TRANSCRIPTS_SQL.format(events="events"))
+    inner = hll_oracle_sql(src, "actor", "tool")
+    return f"""
+        WITH ex AS (
+          SELECT tool AS grp, count(DISTINCT actor) AS exact_n
+          FROM ({src}) GROUP BY 1)
+        SELECT b.grp, b.v_zero, b.scaled_sum, b.estimate, ex.exact_n
+        FROM ({inner}) b JOIN ex USING (grp)"""
+
+
+def q_cms_resources(spark, sf_dir):
+    """Count-min sketch over the audit resource field: d=4 md5-slice
+    probe rows × w=256 counters built in ONE partially-aggregated pass
+    (the counter grid is corpus-independent, so map-side combine does
+    the heavy lifting); per-resource point estimate = min over probes,
+    joined against the true count so the one-sided overestimate is
+    visible and value-checked."""
+    from hatchery_spark.operators.sketches import cms_query, cms_sketch
+
+    t = transcripts(spark, sf_dir)
+    res = F.regexp_extract("text", r"resource=(\S+)", 1)
+    src = t.select(res.alias("key")).where(F.col("key") != "")
+    sketch = cms_sketch(src, "key")
+    truth = src.groupBy("key").agg(F.count(F.lit(1)).alias("true_n"))
+    est = cms_query(sketch, truth.select("key"), "key")
+    return truth.join(est, "key")
+
+
+def _cms_resources_oracle() -> str:
+    from hatchery_spark.operators.sketches import cms_oracle_sql
+
+    t = TRANSCRIPTS_SQL.format(events="events")
+    src = f"""SELECT regexp_extract(text, 'resource=(\\S+)', 1) AS res
+          FROM ({t}) WHERE regexp_extract(text, 'resource=(\\S+)', 1) <> ''"""
+    return cms_oracle_sql(src, "res")
+
+
 def q_cidr_enrich(spark, sf_dir):
     """CIDR longest-prefix-match enrichment: extract the IPv4 from each
     audit turn, LPM it against a zone table inlined into the plan as
@@ -5500,6 +5564,8 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_cidr_enrich": _cidr_enrich_oracle(),
         "pipeline_syslog_rfc5424": _syslog_oracle(),
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
+        "pipeline_hll_actors": _hll_actors_oracle(),
+        "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
             und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -6080,6 +6146,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_cidr_enrich": q_cidr_enrich,
         "pipeline_syslog_rfc5424": q_syslog_rfc5424,
         "pipeline_logfmt_roundtrip": q_logfmt_roundtrip,
+        "pipeline_hll_actors": q_hll_actors,
+        "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
         "doc_quality_regression": q_quality_regression,
