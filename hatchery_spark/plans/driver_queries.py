@@ -2241,6 +2241,33 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+def q_snappy_roundtrip(spark, sf_dir):
+    """Snappy block-format codec e2e (the compression inside parquet
+    pages), implemented from the public format description: greedy
+    hash-table LZ encoder → full tag-matrix decoder (literal/copy-1/2/4,
+    overlapping-copy RLE), one Arrow-batched UDF per direction.
+    Identity oracle pins decode(encode(text)) == text row-for-row."""
+    from hatchery_spark.functions.snappy import (
+        snappy_compress_col,
+        snappy_decompress_col,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.encode("text", "UTF-8").alias("raw")
+    )
+    packed = docs.select(
+        "doc_id", "lang", snappy_compress_col(F.col("raw")).alias("z")
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.decode(snappy_decompress_col(F.col("z")), "UTF-8").alias("text"),
+    )
+
+
+_SNAPPY_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 _HLL_SRC_SQL = """SELECT tool,
             regexp_extract(text, 'actor=(\\S+)', 1) AS actor
           FROM ({t}) WHERE regexp_extract(text, 'actor=(\\S+)', 1) <> ''"""
@@ -5565,6 +5592,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_syslog_rfc5424": _syslog_oracle(),
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "pipeline_hll_actors": _hll_actors_oracle(),
+        "rel_snappy_roundtrip": _SNAPPY_ORACLE,
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6147,6 +6175,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_syslog_rfc5424": q_syslog_rfc5424,
         "pipeline_logfmt_roundtrip": q_logfmt_roundtrip,
         "pipeline_hll_actors": q_hll_actors,
+        "rel_snappy_roundtrip": q_snappy_roundtrip,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
