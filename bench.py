@@ -392,6 +392,12 @@ def main() -> None:
             ("doc_quality_regression", dq.q_quality_regression),
             ("doc_quality_logreg", dq.q_quality_logreg),
             ("pipeline_log_templates", dq.q_log_templates),
+            ("pipeline_cidr_enrich", dq.q_cidr_enrich),
+            ("pipeline_syslog_rfc5424", dq.q_syslog_rfc5424),
+            ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),
+            ("pipeline_hll_actors", dq.q_hll_actors),
+            ("pipeline_cms_resources", dq.q_cms_resources),
+            ("rel_snappy_roundtrip", dq.q_snappy_roundtrip),
         ]:
             measure(
                 name,
