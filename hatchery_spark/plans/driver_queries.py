@@ -2241,6 +2241,89 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+def q_parquet_footer(spark, sf_dir):
+    """Parquet footer as a queryable surface: documents are bucketed
+    doc_id%4, each bucket written to an in-memory parquet blob (pyarrow,
+    ONE row group, snappy) inside its own task, and the blob's footer is
+    parsed by the from-scratch Thrift compact-protocol reader
+    (functions/parquet_meta.py) — row-group rows, per-chunk num_values,
+    codec, and plain-encoded min/max statistics. The oracle recomputes
+    every statistic from the source table, so the Thrift field walk and
+    the stat decode are value-pinned; pytest additionally cross-checks
+    the parser against DuckDB's independent parquet_metadata()."""
+    import io
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hatchery_spark.functions.parquet_meta import footer_summary
+
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 4).cast("int").alias("grp"),
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+    def build_and_parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        grp = int(pdf["grp"].iloc[0])
+        tbl = pa.Table.from_pandas(
+            pdf.drop(columns=["grp"]).sort_values("doc_id"),
+            preserve_index=False,
+        )
+        bio = io.BytesIO()
+        pq.write_table(
+            tbl, bio, compression="snappy", row_group_size=len(pdf)
+        )
+        rows = footer_summary(bio.getvalue())
+        return pd.DataFrame(
+            [
+                {
+                    "grp": grp,
+                    "col_name": r["column"],
+                    "ptype": r["ptype"],
+                    "codec": r["codec"],
+                    "num_values": r["num_values"],
+                    "null_count": r["null_count"],
+                    "stat_min": r["stat_min"],
+                    "stat_max": r["stat_max"],
+                    "rg_num_rows": r["rg_num_rows"],
+                }
+                for r in rows
+            ]
+        )
+
+    return docs.groupBy("grp").applyInPandas(
+        build_and_parse,
+        "grp int, col_name string, ptype string, codec string,"
+        " num_values long, null_count long, stat_min string,"
+        " stat_max string, rg_num_rows long",
+    )
+
+
+def _parquet_footer_oracle() -> str:
+    cols = [
+        ("doc_id", "INT64", "cast(min(doc_id) AS varchar)",
+         "cast(max(doc_id) AS varchar)"),
+        ("lang", "BYTE_ARRAY", "min(lang)", "max(lang)"),
+        ("source", "BYTE_ARRAY", "min(source)", "max(source)"),
+        ("n_chars", "INT64", "cast(min(n_chars) AS varchar)",
+         "cast(max(n_chars) AS varchar)"),
+    ]
+    legs = "\n        UNION ALL\n".join(
+        f"""SELECT cast(doc_id % 4 AS int) AS grp, '{name}' AS col_name,
+              '{ptype}' AS ptype, 'SNAPPY' AS codec,
+              count(*) AS num_values, cast(0 AS bigint) AS null_count,
+              {mn} AS stat_min, {mx} AS stat_max,
+              count(*) AS rg_num_rows
+            FROM documents GROUP BY 1"""
+        for name, ptype, mn, mx in cols
+    )
+    return legs
+
+
 def q_snappy_roundtrip(spark, sf_dir):
     """Snappy block-format codec e2e (the compression inside parquet
     pages), implemented from the public format description: greedy
@@ -5593,6 +5676,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "pipeline_hll_actors": _hll_actors_oracle(),
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
+        "rel_parquet_footer": _parquet_footer_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6176,6 +6260,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_logfmt_roundtrip": q_logfmt_roundtrip,
         "pipeline_hll_actors": q_hll_actors,
         "rel_snappy_roundtrip": q_snappy_roundtrip,
+        "rel_parquet_footer": q_parquet_footer,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
