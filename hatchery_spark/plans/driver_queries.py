@@ -2241,6 +2241,23 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+def q_template_anomaly(spark, sf_dir):
+    """Template-rate anomaly detection over the mined Drain templates:
+    per-template daily counts on a DENSE template×day grid (zero-days
+    kept — absent days are the classic silent-outage blind spot), 3σ
+    flag via the all-integer z² inequality (c·n − Σc)²·n > 9·(n·Σc² −
+    (Σc)²) — no division, no sqrt, zero float-tie risk."""
+    from hatchery_spark.operators.logmine import template_day_stats
+
+    return template_day_stats(transcripts(spark, sf_dir))
+
+
+def _template_anomaly_oracle() -> str:
+    from hatchery_spark.operators.logmine import template_anomaly_oracle_sql
+
+    return template_anomaly_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_parquet_footer(spark, sf_dir):
     """Parquet footer as a queryable surface: documents are bucketed
     doc_id%4, each bucket written to an in-memory parquet blob (pyarrow,
@@ -5677,6 +5694,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_hll_actors": _hll_actors_oracle(),
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
         "rel_parquet_footer": _parquet_footer_oracle(),
+        "pipeline_template_anomaly": _template_anomaly_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6261,6 +6279,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_hll_actors": q_hll_actors,
         "rel_snappy_roundtrip": q_snappy_roundtrip,
         "rel_parquet_footer": q_parquet_footer,
+        "pipeline_template_anomaly": q_template_anomaly,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,

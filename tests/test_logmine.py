@@ -53,3 +53,32 @@ def test_buckets_with_equal_templates_are_summed(spark):
 def test_single_message_is_its_own_template(spark):
     got = _templates(spark, ["totally unique line here"])
     assert got == {"totally unique line here": (1, 1)}
+
+
+def test_template_anomaly_flags_burst_and_fills_zero_days(spark):
+    import datetime
+
+    from hatchery_spark.operators.logmine import template_day_stats
+
+    rows = []
+    # stable template: "login ok user <n>" twice a day for 10 days
+    for d in range(10):
+        ts = datetime.datetime(2024, 3, 1 + d)
+        rows += [("login ok user %d" % i, ts) for i in range(2)]
+    # bursty template: "disk err code <n>" once a day, 40x on day 6,
+    # absent on day 3 (the zero-day must appear in the grid)
+    for d in range(10):
+        if d == 3:
+            continue
+        n = 40 if d == 6 else 1
+        ts = datetime.datetime(2024, 3, 1 + d)
+        rows += [("disk err code %d" % i, ts) for i in range(n)]
+    df = spark.createDataFrame(rows, "text string, ts timestamp")
+    got = template_day_stats(df).collect()
+    by = {(r.template, r.day): r for r in got}
+    burst = by[("disk err code <*>", "2024-03-07")]
+    assert burst.is_anomaly and burst.c == 40
+    zero = by[("disk err code <*>", "2024-03-04")]
+    assert zero.c == 0  # dense grid kept the silent day
+    stable = [r for r in got if r.template == "login ok user <*>"]
+    assert len(stable) == 10 and not any(r.is_anomaly for r in stable)
