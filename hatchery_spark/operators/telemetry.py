@@ -231,3 +231,119 @@ def retention_cohorts(
         "cohort_size",
         F.round(F.col("n_users") / F.col("cohort_size"), 4).alias("retention"),
     )
+
+
+def gorilla_ts_bits(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Gorilla delta-of-delta timestamp sizing (Pelkonen et al.,
+    VLDB'15 §4.1) — how many bits the pipeline's per-conversation
+    timestamp streams cost in a Gorilla-style metrics store, per stream:
+
+      dod == 0           → 1 bit   ('0')
+      dod ∈ [-63, 64]    → 9 bits  ('10'  + 7)
+      dod ∈ [-255, 256]  → 12 bits ('110' + 9)
+      dod ∈ [-2047,2048] → 16 bits ('1110'+ 12)
+      else               → 36 bits ('1111'+ 32)
+
+    The stream head stores the full 64-bit timestamp; the second point's
+    delta is encoded with the same bucket table against a zero prior
+    delta (a uniform variant of the paper's block-aligned 14-bit first
+    delta, chosen so every row goes through one rule). Timestamps are
+    floored to seconds, the paper's resolution.
+
+    Output per stream: point/bucket counts, total_bits, raw_bits (64·n),
+    and an integer per-mille ratio — no floats anywhere, so the oracle
+    replay is tie-proof.
+
+    Scale shape: ONE hash shuffle on the stream key; both window passes
+    (lag of ts, lag of delta) and the final aggregate reuse that single
+    partitioning. Skewed whale streams are bounded by conversation
+    length, not corpus size; AQE skew-join handling is irrelevant here
+    because nothing joins.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(group_col).orderBy(ts_s, F.col(order_col))
+    delta = ts_s - F.lag(ts_s).over(w)
+    base = df.select(
+        group_col,
+        F.row_number().over(w).alias("rn"),
+        delta.alias("delta"),
+    )
+    w2 = Window.partitionBy(group_col).orderBy("rn")
+    dod = F.col("delta") - F.coalesce(F.lag("delta").over(w2), F.lit(0))
+    a = F.abs(dod)
+    bits = (
+        F.when(F.col("rn") == 1, F.lit(64))
+        .when(dod == 0, F.lit(1))
+        .when((dod >= -63) & (dod <= 64), F.lit(9))
+        .when((dod >= -255) & (dod <= 256), F.lit(12))
+        .when((dod >= -2047) & (dod <= 2048), F.lit(16))
+        .otherwise(F.lit(36))
+    )
+    per_row = base.select(group_col, bits.alias("bits"))
+    agg = per_row.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("bits").alias("total_bits"),
+        F.sum(F.when(F.col("bits") == 1, 1).otherwise(0)).alias("n_zero"),
+        F.sum(F.when(F.col("bits") == 9, 1).otherwise(0)).alias("n_7bit"),
+        F.sum(F.when(F.col("bits") == 12, 1).otherwise(0)).alias("n_9bit"),
+        F.sum(F.when(F.col("bits") == 16, 1).otherwise(0)).alias("n_12bit"),
+        F.sum(F.when(F.col("bits") == 36, 1).otherwise(0)).alias("n_32bit"),
+    )
+    return agg.select(
+        group_col,
+        "n_points",
+        "total_bits",
+        (F.col("n_points") * 64).alias("raw_bits"),
+        # integer div on both sides (DuckDB's cast(double) ROUNDS, Spark
+        # truncates — exact integer semantics dodge the difference)
+        F.expr("total_bits * 1000 div (n_points * 64)").alias("permille"),
+        "n_zero",
+        "n_7bit",
+        "n_9bit",
+        "n_12bit",
+        "n_32bit",
+    )
+
+
+def gorilla_oracle_sql(source_cte: str, group_expr: str = "conv_id") -> str:
+    """DuckDB replay of :func:`gorilla_ts_bits` over a CTE exposing
+    (conv_id, turn_idx, ts)."""
+    return f"""
+WITH src AS ({source_cte}),
+s AS (SELECT {group_expr} AS g, turn_idx,
+             cast(floor(epoch(ts)) AS bigint) AS ts_s
+      FROM src),
+d AS (SELECT g,
+             row_number() OVER (PARTITION BY g ORDER BY ts_s, turn_idx)
+               AS rn,
+             ts_s - lag(ts_s) OVER (PARTITION BY g ORDER BY ts_s, turn_idx)
+               AS delta
+      FROM s),
+dd AS (SELECT g, rn,
+              delta - coalesce(lag(delta) OVER (PARTITION BY g ORDER BY rn),
+                               0) AS dod
+       FROM d),
+b AS (SELECT g,
+             CASE WHEN rn = 1 THEN 64
+                  WHEN dod = 0 THEN 1
+                  WHEN dod BETWEEN -63 AND 64 THEN 9
+                  WHEN dod BETWEEN -255 AND 256 THEN 12
+                  WHEN dod BETWEEN -2047 AND 2048 THEN 16
+                  ELSE 36 END AS bits
+      FROM dd)
+SELECT g AS conv_id,
+       count(*) AS n_points,
+       cast(sum(bits) AS bigint) AS total_bits,
+       count(*) * 64 AS raw_bits,
+       cast(sum(bits) * 1000 // (count(*) * 64) AS bigint) AS permille,
+       cast(sum(CASE WHEN bits = 1 THEN 1 ELSE 0 END) AS bigint) AS n_zero,
+       cast(sum(CASE WHEN bits = 9 THEN 1 ELSE 0 END) AS bigint) AS n_7bit,
+       cast(sum(CASE WHEN bits = 12 THEN 1 ELSE 0 END) AS bigint) AS n_9bit,
+       cast(sum(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS bigint) AS n_12bit,
+       cast(sum(CASE WHEN bits = 36 THEN 1 ELSE 0 END) AS bigint) AS n_32bit
+FROM b GROUP BY g"""

@@ -2241,6 +2241,23 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+def q_gorilla_bits(spark, sf_dir):
+    """Gorilla delta-of-delta timestamp sizing per conversation stream
+    (VLDB'15 §4.1 bucket table): one hash shuffle on the stream key
+    serves both window passes and the final aggregate; all-integer
+    output (bit totals, bucket counts, per-mille ratio) so the replay
+    is tie-proof."""
+    from hatchery_spark.operators.telemetry import gorilla_ts_bits
+
+    return gorilla_ts_bits(transcripts(spark, sf_dir))
+
+
+def _gorilla_oracle() -> str:
+    from hatchery_spark.operators.telemetry import gorilla_oracle_sql
+
+    return gorilla_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_template_anomaly(spark, sf_dir):
     """Template-rate anomaly detection over the mined Drain templates:
     per-template daily counts on a DENSE template×day grid (zero-days
@@ -5695,6 +5712,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
         "rel_parquet_footer": _parquet_footer_oracle(),
         "pipeline_template_anomaly": _template_anomaly_oracle(),
+        "pipeline_gorilla_bits": _gorilla_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6280,6 +6298,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_snappy_roundtrip": q_snappy_roundtrip,
         "rel_parquet_footer": q_parquet_footer,
         "pipeline_template_anomaly": q_template_anomaly,
+        "pipeline_gorilla_bits": q_gorilla_bits,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,

@@ -233,3 +233,30 @@ def test_window_filter_applied(spark, transcripts):
     mn, mx = res_df.agg(F.min("ts"), F.max("ts")).first()
     assert str(mn) >= "2025-06-01 18:00:00"
     assert str(mx) <= "2025-06-02 00:00:00"
+
+
+def test_gorilla_bucket_table(spark):
+    import datetime
+
+    from hatchery_spark.operators.telemetry import gorilla_ts_bits
+
+    base = datetime.datetime(2024, 5, 1)
+    # stream: constant 10s cadence (dod=0), one +30s wobble (7-bit), one
+    # +300s gap (9-bit dod=270 then -270), one big jump (32-bit)
+    offs = [0, 10, 20, 30, 60, 70, 80, 380, 390, 100000]
+    rows = [
+        ("c1", i, "user", "t", "x", base + datetime.timedelta(seconds=o))
+        for i, o in enumerate(offs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    r = gorilla_ts_bits(df).collect()[0]
+    assert r.n_points == 10 and r.raw_bits == 640
+    # deltas: -,10,10,10,30,10,10,300,10,99610
+    # dods:   -, 10,0,0,20,-20,0, 290,-290 (→16-bit bucket), 99600 (→36)
+    assert (r.n_zero, r.n_7bit, r.n_9bit, r.n_12bit, r.n_32bit) == (3, 3, 0, 2, 1)
+    assert r.total_bits == 64 + 3 * 1 + 3 * 9 + 2 * 16 + 36
+    assert r.permille == r.total_bits * 1000 // 640
