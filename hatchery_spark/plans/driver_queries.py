@@ -2241,6 +2241,34 @@ _LOGFMT_ORACLE = r"""
     FROM documents"""
 
 
+#: nested + overlap-prone on purpose: "can"⊂"scan", "ar"⊂"park"⊂"spark",
+#: "atch"⊂"batch" — exercises the fail-link output chain on every doc
+_AC_PATTERNS = [
+    "scan", "can", "an", "spark", "park", "ar",
+    "batch", "atch", "row", "window", "dow", "err",
+]
+
+
+def q_multi_pattern_scan(spark, sf_dir):
+    """Aho–Corasick multi-pattern substring scan (CACM 1975) — ONE pass
+    over the text for the whole pattern list (the scale path for
+    thousand-term policy/PII phrase lists, vs O(patterns) regex passes);
+    counts OVERLAPPING occurrences via fail-link output chains. The
+    pattern list nests on purpose ("can" in "scan", "ar" in "park" in
+    "spark") so suffix outputs are exercised on every document."""
+    from hatchery_spark.functions.multipattern import multi_pattern_counts
+
+    return multi_pattern_counts(
+        load(spark, sf_dir, "documents"), _AC_PATTERNS
+    )
+
+
+def _multi_pattern_oracle() -> str:
+    from hatchery_spark.functions.multipattern import multi_pattern_oracle_sql
+
+    return multi_pattern_oracle_sql(_AC_PATTERNS)
+
+
 def q_gorilla_bits(spark, sf_dir):
     """Gorilla delta-of-delta timestamp sizing per conversation stream
     (VLDB'15 §4.1 bucket table): one hash shuffle on the stream key
@@ -5713,6 +5741,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_parquet_footer": _parquet_footer_oracle(),
         "pipeline_template_anomaly": _template_anomaly_oracle(),
         "pipeline_gorilla_bits": _gorilla_oracle(),
+        "doc_multi_pattern_scan": _multi_pattern_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6299,6 +6328,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_parquet_footer": q_parquet_footer,
         "pipeline_template_anomaly": q_template_anomaly,
         "pipeline_gorilla_bits": q_gorilla_bits,
+        "doc_multi_pattern_scan": q_multi_pattern_scan,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
