@@ -398,6 +398,10 @@ def main() -> None:
             ("pipeline_hll_actors", dq.q_hll_actors),
             ("pipeline_cms_resources", dq.q_cms_resources),
             ("rel_snappy_roundtrip", dq.q_snappy_roundtrip),
+            ("rel_parquet_footer", dq.q_parquet_footer),
+            ("pipeline_template_anomaly", dq.q_template_anomaly),
+            ("pipeline_gorilla_bits", dq.q_gorilla_bits),
+            ("doc_multi_pattern_scan", dq.q_multi_pattern_scan),
         ]:
             measure(
                 name,

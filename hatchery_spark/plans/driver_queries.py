@@ -2249,6 +2249,133 @@ _AC_PATTERNS = [
 ]
 
 
+#: (group, stride, count) legs — single source for Spark AND the oracle.
+#: Engineered to hit every container kind: g0 one dense run, g1 a
+#: bitmap (card ≥4096, runs too many), g2/g3 arrays (single and
+#: multi-chunk), g4 run+sparse mix, g5 four array containers.
+_ROARING_SPEC = [
+    (0, 1, 5000),
+    (1, 2, 5000),
+    (2, 17, 3000),
+    (3, 40, 4000),
+    (4, 1, 300),
+    (4, 1700, 30),
+    (5, 30, 9000),
+]
+
+
+def q_roaring_postings(spark, sf_dir):
+    """Roaring bitmap serialization (RoaringFormatSpec): six engineered
+    doc-id sets → actual serialized bytes in-task; the emitted container
+    counts are RE-PARSED from those bytes (cookie, run bitset, card
+    threshold) and every set is deserialize-roundtripped before emitting.
+    The oracle replays the full byte-layout arithmetic — cookie choice,
+    offset-header rule, runOptimize container selection — from container
+    cardinalities and run counts in SQL, so a single framing byte off
+    breaks the match."""
+    import pandas as pd
+
+    from functools import reduce
+
+    from hatchery_spark.functions.roaring import (
+        container_stats,
+        deserialize,
+        serialize,
+    )
+
+    legs = [
+        spark.range(cnt).select(
+            F.lit(g).alias("g"), (F.col("id") * m).alias("v")
+        )
+        for g, m, cnt in _ROARING_SPEC
+    ]
+    vals = reduce(lambda a, b: a.unionAll(b), legs).distinct()
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["g"].iloc[0])
+        vs = sorted(set(int(x) for x in pdf["v"]))
+        buf = serialize(vs)
+        if deserialize(buf) != vs:  # roundtrip is part of the contract
+            raise AssertionError(f"roaring roundtrip failed for g={g}")
+        st = container_stats(buf)
+        return pd.DataFrame(
+            [
+                {
+                    "g": g,
+                    "n_values": len(vs),
+                    "v_min": vs[0],
+                    "v_max": vs[-1],
+                    **st,
+                }
+            ]
+        )
+
+    return vals.groupBy("g").applyInPandas(
+        pack,
+        "g int, n_values long, v_min long, v_max long, n_containers int,"
+        " n_array int, n_bitmap int, n_run int, n_bytes int",
+    )
+
+
+def _roaring_oracle() -> str:
+    legs = "\n            UNION ALL ".join(
+        f"SELECT {g} AS g, cast(i * {m} AS bigint) AS v"
+        f" FROM (SELECT unnest(range(0, {cnt})) AS i)"
+        for g, m, cnt in _ROARING_SPEC
+    )
+    return f"""
+        WITH vals AS (SELECT DISTINCT g, v FROM ({legs})),
+        ch AS (
+          SELECT g, v >> 16 AS k, v & 65535 AS low,
+                 CASE WHEN (v & 65535)
+                        - lag(v & 65535) OVER (PARTITION BY g, v >> 16
+                                               ORDER BY v) = 1
+                      THEN 0 ELSE 1 END AS new_run
+          FROM vals),
+        co AS (
+          SELECT g, k, count(*) AS card,
+                 sum(coalesce(new_run, 1)) AS n_runs
+          FROM ch GROUP BY g, k),
+        plan AS (
+          SELECT g, k, card, n_runs,
+            CASE WHEN 2 + 4 * n_runs <
+                      (CASE WHEN card < 4096 THEN 2 * card ELSE 8192 END)
+                 THEN 'run'
+                 WHEN card < 4096 THEN 'array' ELSE 'bitmap' END AS kind
+          FROM co),
+        sized AS (
+          SELECT g, k, kind,
+            CASE kind WHEN 'run' THEN 2 + 4 * n_runs
+                      WHEN 'array' THEN 2 * card
+                      ELSE 8192 END AS body
+          FROM plan),
+        agg AS (
+          SELECT g, count(*) AS n,
+                 sum(CASE WHEN kind = 'array' THEN 1 ELSE 0 END) AS n_array,
+                 sum(CASE WHEN kind = 'bitmap' THEN 1 ELSE 0 END) AS n_bitmap,
+                 sum(CASE WHEN kind = 'run' THEN 1 ELSE 0 END) AS n_run,
+                 sum(body) AS body_bytes
+          FROM sized GROUP BY g),
+        tot AS (
+          SELECT g, n, n_array, n_bitmap, n_run,
+            4
+            + CASE WHEN n_run > 0 THEN (n + 7) // 8 ELSE 4 END
+            + 4 * n
+            + CASE WHEN n_run = 0 OR n >= 4 THEN 4 * n ELSE 0 END
+            + body_bytes AS n_bytes
+          FROM agg),
+        vstat AS (SELECT g, count(*) AS n_values, min(v) AS v_min,
+                         max(v) AS v_max
+                  FROM vals GROUP BY g)
+        SELECT v.g, v.n_values, v.v_min, v.v_max,
+               cast(t.n AS int) AS n_containers,
+               cast(t.n_array AS int) AS n_array,
+               cast(t.n_bitmap AS int) AS n_bitmap,
+               cast(t.n_run AS int) AS n_run,
+               cast(t.n_bytes AS int) AS n_bytes
+        FROM vstat v JOIN tot t USING (g)"""
+
+
 def q_multi_pattern_scan(spark, sf_dir):
     """Aho–Corasick multi-pattern substring scan (CACM 1975) — ONE pass
     over the text for the whole pattern list (the scale path for
@@ -5742,6 +5869,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_template_anomaly": _template_anomaly_oracle(),
         "pipeline_gorilla_bits": _gorilla_oracle(),
         "doc_multi_pattern_scan": _multi_pattern_oracle(),
+        "rel_roaring_postings": _roaring_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6329,6 +6457,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_template_anomaly": q_template_anomaly,
         "pipeline_gorilla_bits": q_gorilla_bits,
         "doc_multi_pattern_scan": q_multi_pattern_scan,
+        "rel_roaring_postings": q_roaring_postings,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
