@@ -168,3 +168,63 @@ def cidr_oracle_case_chain(
     plen_expr = "coalesce(" + ", ".join(chains("cast({plen} AS int)")) + ")"
     zone_expr = "coalesce(" + ", ".join(chains("'{zone}'")) + ")"
     return plen_expr, zone_expr
+
+
+def ip_pseudonymize(ip_long: Column, salt: str = "hs") -> Column:
+    """Prefix-preserving IP pseudonymization (the Crypto-PAn / Xu et al.
+    2002 construction, with the repo-standard md5 as the PRF so the
+    oracle replays it): output bit i = input bit i XOR
+    PRF(salt, i, input bits 0..i-1).  Two addresses sharing a k-bit
+    prefix map to outputs sharing EXACTLY a k-bit prefix — subnet
+    structure (and therefore CIDR analytics) survives, identities
+    don't.  Pure codegen: 32 md5 terms folded into one expression, the
+    same width class as the Morton-interleave z-order key.  Production
+    swap: replace md5 with a keyed AES PRF; the bit lattice is
+    identical."""
+    out = F.lit(0).cast("long")
+    for i in range(32):
+        bit = F.shiftright(ip_long, 31 - i) % 2
+        prefix = F.shiftright(ip_long, 32 - i) if i else F.lit(0).cast("long")
+        prf = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}:{i}:"), prefix.cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+        out = out + F.shiftleft((bit + prf) % 2, 31 - i)
+    return out
+
+
+def long_to_ipv4(v: Column) -> Column:
+    """BIGINT → dotted quad."""
+    return F.concat_ws(
+        ".",
+        (F.shiftright(v, 24) % 256).cast("string"),
+        (F.shiftright(v, 16) % 256).cast("string"),
+        (F.shiftright(v, 8) % 256).cast("string"),
+        (v % 256).cast("string"),
+    )
+
+
+def ip_pseudonymize_oracle_terms(ip_expr: str, salt: str = "hs") -> str:
+    """DuckDB replay of :func:`ip_pseudonymize` over a BIGINT column."""
+    terms = []
+    for i in range(32):
+        prefix = f"({ip_expr} >> {32 - i})" if i else "0"
+        prf = (
+            f"((strpos('0123456789abcdef', substr(md5(concat('{salt}:{i}:',"
+            f" cast({prefix} AS varchar))), 1, 1)) - 1) % 2)"
+        )
+        bit = f"(({ip_expr} >> {31 - i}) % 2)"
+        terms.append(f"((({bit} + {prf}) % 2) << {31 - i})")
+    return " + ".join(terms)

@@ -2249,6 +2249,61 @@ _AC_PATTERNS = [
 ]
 
 
+def q_ip_pseudonymize(spark, sf_dir):
+    """Prefix-preserving IP pseudonymization (Crypto-PAn bit lattice,
+    md5 PRF): output bit i = bit i XOR PRF(i, bits 0..i-1), so subnet
+    structure survives pseudonymization exactly — addresses sharing a
+    k-bit prefix keep sharing exactly k bits. One codegen'd Project over
+    the extracted IPs; pairs with pipeline_cidr_enrich for privacy-safe
+    network analytics."""
+    from hatchery_spark.operators.netenrich import (
+        extract_ipv4,
+        ip_pseudonymize,
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    t = transcripts(spark, sf_dir)
+    out = t.withColumn("ip", extract_ipv4(F.col("text"))).where(
+        F.col("ip") != ""
+    )
+    anon = ip_pseudonymize(ipv4_to_long(F.col("ip")))
+    return out.select(
+        "conv_id", "turn_idx", "ip", long_to_ipv4(anon).alias("anon_ip")
+    )
+
+
+def _ip_pseudonymize_oracle() -> str:
+    from hatchery_spark.operators.netenrich import (
+        ip_pseudonymize_oracle_terms,
+    )
+
+    t = TRANSCRIPTS_SQL.format(events="events")
+    ipl = (
+        "(cast(string_split(ip, '.')[1] AS bigint) * 16777216"
+        " + cast(string_split(ip, '.')[2] AS bigint) * 65536"
+        " + cast(string_split(ip, '.')[3] AS bigint) * 256"
+        " + cast(string_split(ip, '.')[4] AS bigint))"
+    )
+    terms = ip_pseudonymize_oracle_terms("ipl")
+    return f"""
+        WITH t AS ({t}),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 regexp_extract(text,
+                   '(\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}})', 1) AS ip
+          FROM t),
+        x AS (SELECT conv_id, turn_idx, ip, {ipl} AS ipl
+              FROM w WHERE ip <> ''),
+        y AS (SELECT conv_id, turn_idx, ip, ({terms}) AS anon FROM x)
+        SELECT conv_id, turn_idx, ip,
+               concat(cast((anon >> 24) % 256 AS varchar), '.',
+                      cast((anon >> 16) % 256 AS varchar), '.',
+                      cast((anon >> 8) % 256 AS varchar), '.',
+                      cast(anon % 256 AS varchar)) AS anon_ip
+        FROM y"""
+
+
 #: (group, stride, count) legs — single source for Spark AND the oracle.
 #: Engineered to hit every container kind: g0 one dense run, g1 a
 #: bitmap (card ≥4096, runs too many), g2/g3 arrays (single and
@@ -5870,6 +5925,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_gorilla_bits": _gorilla_oracle(),
         "doc_multi_pattern_scan": _multi_pattern_oracle(),
         "rel_roaring_postings": _roaring_oracle(),
+        "pipeline_ip_pseudonymize": _ip_pseudonymize_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6458,6 +6514,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_gorilla_bits": q_gorilla_bits,
         "doc_multi_pattern_scan": q_multi_pattern_scan,
         "rel_roaring_postings": q_roaring_postings,
+        "pipeline_ip_pseudonymize": q_ip_pseudonymize,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,

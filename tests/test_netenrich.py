@@ -72,3 +72,46 @@ def test_no_ip_rows_dropped_and_no_exchange(spark):
     assert out.count() == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure Project over the scan
+
+
+def test_ip_pseudonymize_prefix_preserving(spark):
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.operators.netenrich import (
+        ip_pseudonymize,
+        ipv4_to_long,
+        long_to_ipv4,
+    )
+
+    ips = [
+        "10.0.7.1", "10.0.7.2",      # share /30 (bits equal thru 30)
+        "10.0.7.129",                 # shares /24 with the two above
+        "10.0.99.1",                  # shares /16
+        "192.168.1.1", "192.168.1.1", # identical → identical output
+    ]
+    df = spark.createDataFrame([(ip,) for ip in ips], "ip string")
+    got = df.select(
+        "ip",
+        ipv4_to_long(F.col("ip")).alias("v"),
+        ip_pseudonymize(ipv4_to_long(F.col("ip"))).alias("a"),
+        long_to_ipv4(ip_pseudonymize(ipv4_to_long(F.col("ip")))).alias("s"),
+    ).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.ip, (r.v, r.a, r.s))
+
+    def shared_prefix(a, b):
+        x = a ^ b
+        return 32 - x.bit_length()
+
+    # prefix preservation is EXACT: shared output prefix == shared input
+    for i1, i2 in [("10.0.7.1", "10.0.7.2"), ("10.0.7.1", "10.0.7.129"),
+                   ("10.0.7.1", "10.0.99.1"), ("10.0.7.1", "192.168.1.1")]:
+        v1, a1, _ = by[i1]
+        v2, a2, _ = by[i2]
+        assert shared_prefix(a1, a2) == shared_prefix(v1, v2), (i1, i2)
+    # deterministic, and output is a valid dotted quad ≠ input
+    same = [r for r in got if r.ip == "192.168.1.1"]
+    assert same[0].a == same[1].a
+    assert all(0 <= int(p) <= 255 for p in same[0].s.split("."))
+    assert not any(r.s == r.ip for r in got)  # salt actually flips bits
