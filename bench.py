@@ -402,6 +402,8 @@ def main() -> None:
             ("pipeline_template_anomaly", dq.q_template_anomaly),
             ("pipeline_gorilla_bits", dq.q_gorilla_bits),
             ("doc_multi_pattern_scan", dq.q_multi_pattern_scan),
+            ("rel_roaring_postings", dq.q_roaring_postings),
+            ("pipeline_ip_pseudonymize", dq.q_ip_pseudonymize),
         ]:
             measure(
                 name,
