@@ -374,3 +374,220 @@ def read_avro_blobs(df: DataFrame, spark_ddl: str) -> DataFrame:
             yield pd.concat(frames) if frames else pd.DataFrame(columns=names)
 
     return df.mapInPandas(_decode, spark_ddl)
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (spec §"Schema Resolution") — reader ≠ writer evolution
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _tname(schema: Any) -> str:
+    return schema["type"] if isinstance(schema, dict) else schema
+
+
+def _skip_value(buf: bytes, pos: int, schema: Any) -> int:
+    """Advance past a value without materializing it (writer-only
+    fields)."""
+    if isinstance(schema, list):
+        idx, pos = read_long(buf, pos)
+        return _skip_value(buf, pos, schema[idx])
+    t = _tname(schema)
+    if t == "null":
+        return pos
+    if t == "boolean":
+        return pos + 1
+    if t in ("int", "long"):
+        return read_long(buf, pos)[1]
+    if t == "float":
+        return pos + 4
+    if t == "double":
+        return pos + 8
+    if t in ("string", "bytes"):
+        n, pos = read_long(buf, pos)
+        return pos + n
+    if t == "record":
+        for f in schema["fields"]:
+            pos = _skip_value(buf, pos, f["type"])
+        return pos
+    if t in ("array", "map"):
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                return pos
+            if n < 0:  # size-hinted block: skip wholesale
+                size, pos = read_long(buf, pos)
+                pos += size
+                continue
+            inner = schema["items"] if t == "array" else schema["values"]
+            for _ in range(n):
+                if t == "map":
+                    k, pos = read_bytes(buf, pos)
+                pos = _skip_value(buf, pos, inner)
+    raise ValueError(f"cannot skip Avro type {t!r}")
+
+
+def _promote(v: Any, wt: str, rt: str) -> Any:
+    if wt == rt:
+        return v
+    if rt not in _PROMOTIONS.get(wt, ()):
+        raise ValueError(f"Avro: cannot resolve writer {wt} as reader {rt}")
+    if rt in ("float", "double"):
+        return float(v)
+    if wt == "string" and rt == "bytes":
+        return v.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def _field_matches(wf_name: str, rf: dict) -> bool:
+    return wf_name == rf["name"] or wf_name in rf.get("aliases", ())
+
+
+def decode_resolved(
+    buf: bytes, pos: int, writer: Any, reader: Any
+) -> tuple[Any, int]:
+    """Decode writer-encoded bytes AS the reader schema: by-name (or
+    alias) field matching, writer-only fields skipped, reader-only
+    fields filled from their defaults, numeric/string promotions, union
+    branch re-resolution."""
+    if isinstance(writer, list):  # writer union: branch index on the wire
+        idx, pos = read_long(buf, pos)
+        return decode_resolved(buf, pos, writer[idx], reader)
+    if isinstance(reader, list):  # reader union: first matching branch
+        wt = _tname(writer)
+        for branch in reader:
+            bt = _tname(branch)
+            if bt == wt or wt in _PROMOTIONS and bt in _PROMOTIONS[wt]:
+                return decode_resolved(buf, pos, writer, branch)
+        raise ValueError(f"Avro: no reader union branch for writer {wt}")
+    wt, rt = _tname(writer), _tname(reader)
+    if wt == "record":
+        if rt != "record":
+            raise ValueError("Avro: writer record vs non-record reader")
+        rec = {}
+        rfields = reader["fields"]
+        matched = set()
+        for wf in writer["fields"]:
+            rf = next(
+                (f for f in rfields if _field_matches(wf["name"], f)), None
+            )
+            if rf is None:
+                pos = _skip_value(buf, pos, wf["type"])
+            else:
+                rec[rf["name"]], pos = decode_resolved(
+                    buf, pos, wf["type"], rf["type"]
+                )
+                matched.add(rf["name"])
+        for rf in rfields:
+            if rf["name"] not in matched:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"Avro: reader field {rf['name']!r} missing and has"
+                        " no default"
+                    )
+                rec[rf["name"]] = rf["default"]
+        return rec, pos
+    if wt == "array" and rt == "array":
+        items = []
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                item, pos = decode_resolved(
+                    buf, pos, writer["items"], reader["items"]
+                )
+                items.append(item)
+    if wt == "map" and rt == "map":
+        m = {}
+        while True:
+            n, pos = read_long(buf, pos)
+            if n == 0:
+                return m, pos
+            if n < 0:
+                n = -n
+                _, pos = read_long(buf, pos)
+            for _ in range(n):
+                k, pos = read_bytes(buf, pos)
+                m[k.decode("utf-8")], pos = decode_resolved(
+                    buf, pos, writer["values"], reader["values"]
+                )
+    v, pos = _decode_value(buf, pos, writer)
+    return _promote(v, wt, rt), pos
+
+
+def parse_ocf_resolved(buf: bytes, reader_schema: dict) -> list[dict]:
+    """parse_ocf, but every record decoded AS `reader_schema`."""
+    if buf[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = read_long(buf, pos)
+        for _ in range(n):
+            k, pos = read_bytes(buf, pos)
+            v, pos = read_bytes(buf, pos)
+            meta[k.decode("ascii")] = v
+    writer = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records = []
+    while pos < len(buf):
+        count, pos = read_long(buf, pos)
+        size, pos = read_long(buf, pos)
+        payload = buf[pos : pos + size]
+        pos += size
+        if buf[pos : pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch at offset {pos}")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        p = 0
+        for _ in range(count):
+            rec, p = decode_resolved(payload, p, writer, reader_schema)
+            records.append(rec)
+        if p != len(payload):
+            raise ValueError("trailing bytes in block payload")
+    return records
+
+
+def read_avro_blobs_resolved(
+    df: DataFrame, reader_schema: dict, spark_ddl: str
+) -> DataFrame:
+    """(file_id, content) OCF blobs decoded AS `reader_schema` (schema
+    evolution applied in-task); spark_ddl names/orders the reader's
+    fields."""
+    import pyspark.sql.types as T
+
+    struct_t = T._parse_datatype_string(spark_ddl)
+    names = [f.name for f in struct_t.fields]
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for buf in pdf["content"]:
+                records = parse_ocf_resolved(bytes(buf), reader_schema)
+                frames.append(pd.DataFrame(records, columns=names))
+            yield pd.concat(frames) if frames else pd.DataFrame(columns=names)
+
+    return df.mapInPandas(_decode, spark_ddl)

@@ -2249,6 +2249,87 @@ _AC_PATTERNS = [
 ]
 
 
+def q_avro_evolution(spark, sf_dir):
+    """Avro schema RESOLUTION (spec §Schema Resolution): documents are
+    written as OCF blobs under the writer schema, then read under an
+    EVOLVED reader schema — 'text' dropped (writer-only skip), 'n_chars'
+    renamed via aliases AND promoted long→double, reader-only 'score'
+    filled from its default. Oracle computes the evolved rows straight
+    from the source table, so every resolution rule is value-pinned."""
+    from hatchery_spark.functions.avro import (
+        read_avro_blobs_resolved,
+        write_avro_files,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    blobs = write_avro_files(docs, files=8, order_col="doc_id")
+    reader = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "lang", "type": ["null", "string"]},
+            {
+                "name": "chars",
+                "aliases": ["n_chars"],
+                "type": ["null", "double"],
+            },
+            {"name": "score", "type": "double", "default": 1.5},
+        ],
+    }
+    return read_avro_blobs_resolved(
+        blobs, reader, "doc_id long, lang string, chars double, score double"
+    )
+
+
+_AVRO_EVOLUTION_ORACLE = """
+    SELECT doc_id, lang, cast(n_chars AS double) AS chars,
+           cast(1.5 AS double) AS score
+    FROM documents"""
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (LBFS SOSP'01, stateless divisor
+    variant): boundaries where the md5 of the trailing w-gram hits
+    hash%32==0, so an edit re-chunks only its neighborhood — the
+    shift-resistant counterpart of the fixed-size chunk_documents.
+    Entirely relational (posexplode → window cumsum → rebuild), zero
+    Python; is_first marks corpus-wide first occurrence of the chunk
+    content, the delta-dedup hook."""
+    from hatchery_spark.functions.cdc import cdc_chunk_documents
+
+    return cdc_chunk_documents(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def _cdc_oracle() -> str:
+    from hatchery_spark.functions.cdc import cdc_oracle_sql
+
+    return cdc_oracle_sql()
+
+
+def q_inflate_roundtrip(spark, sf_dir):
+    """From-scratch RFC 1951 inflate decoding REAL zlib output (levels
+    rotate 0/1/9 by doc_id so stored, fixed-Huffman, and dynamic-Huffman
+    blocks all appear in every run) — third-party interop, not
+    self-consistency. Identity oracle row-for-row."""
+    from hatchery_spark.functions.inflate import deflate_col, inflate_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = docs.select(
+        "doc_id", "lang", deflate_col(F.col("doc_id"), F.col("text")).alias("z")
+    )
+    return packed.select(
+        "doc_id", "lang", inflate_col(F.col("z")).alias("text")
+    )
+
+
+_INFLATE_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 def q_ip_pseudonymize(spark, sf_dir):
     """Prefix-preserving IP pseudonymization (Crypto-PAn bit lattice,
     md5 PRF): output bit i = bit i XOR PRF(i, bits 0..i-1), so subnet
@@ -5926,6 +6007,9 @@ def oracle_catalog() -> dict[str, str]:
         "doc_multi_pattern_scan": _multi_pattern_oracle(),
         "rel_roaring_postings": _roaring_oracle(),
         "pipeline_ip_pseudonymize": _ip_pseudonymize_oracle(),
+        "rel_inflate_roundtrip": _INFLATE_ORACLE,
+        "doc_cdc_chunks": _cdc_oracle(),
+        "rel_avro_evolution": _AVRO_EVOLUTION_ORACLE,
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6515,6 +6599,9 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_multi_pattern_scan": q_multi_pattern_scan,
         "rel_roaring_postings": q_roaring_postings,
         "pipeline_ip_pseudonymize": q_ip_pseudonymize,
+        "rel_inflate_roundtrip": q_inflate_roundtrip,
+        "doc_cdc_chunks": q_cdc_chunks,
+        "rel_avro_evolution": q_avro_evolution,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,

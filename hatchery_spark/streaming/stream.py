@@ -882,3 +882,104 @@ def interval_join_streams(
         & (F.col("resp_ts") <= F.col("req_ts") + F.expr(f"INTERVAL {max_lag}"))
     )
     return left.join(right, cond, how).drop(right[key])
+
+
+def hll_ingest_writer(
+    store_dir: str,
+    key_col: str,
+    group_cols: list[str],
+):
+    """foreachBatch function: continuous distinct-count sketching — the
+    streaming counterpart of `operators.sketches.hll_registers`.
+
+    State = the HLL register table itself (groups × ≤512 rows, bounded
+    and corpus-independent — the whole reason to sketch at 10^12 turns:
+    the raw keys are never stored, only max-rank registers). Each batch:
+
+        new_version = merge(latest_version, registers(batch))
+
+    written to ``store_dir/v=<batch_id>/``. Register merge is
+    ``max(m_rank)`` — IDEMPOTENT — so an at-least-once replay of a batch
+    rewrites its version dir with byte-identical state and the estimate
+    never double-counts (the property a COUNT-based store cannot have).
+    Reading the store = read the latest version only; every version is a
+    complete snapshot, so time travel over ingest history is free.
+    """
+    import os as _os
+
+    from hatchery_spark.operators.sketches import hll_registers
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df, key_col, group_cols)
+        prev = _latest_hll_version(spark, store_dir, before=batch_id)
+        if prev is not None:
+            regs = (
+                prev.unionByName(regs)
+                .groupBy(*group_cols, "reg")
+                .agg(F.max("m_rank").alias("m_rank"))
+            )
+        out = _os.path.join(store_dir, f"v={batch_id}")
+        regs.write.mode("overwrite").parquet(out)
+
+    return _write
+
+
+def _latest_hll_version(spark, store_dir: str, before: int | None = None):
+    """Latest complete register snapshot strictly below `before` (replay
+    of batch b must merge against the pre-b state, not its own output)."""
+    import os as _os
+
+    if not _os.path.isdir(store_dir):
+        return None
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in _os.listdir(store_dir)
+        if d.startswith("v=")
+        and _os.path.exists(_os.path.join(store_dir, d, "_SUCCESS"))
+    )
+    if before is not None:
+        versions = [v for v in versions if v < before]
+    if not versions:
+        return None
+    return spark.read.parquet(_os.path.join(store_dir, f"v={versions[-1]}"))
+
+
+def hll_store_estimates(
+    spark: SparkSession, store_dir: str, group_cols: list[str]
+) -> DataFrame:
+    """Cardinality estimates from the store's latest snapshot."""
+    from hatchery_spark.operators.sketches import hll_estimate
+
+    regs = _latest_hll_version(spark, store_dir)
+    if regs is None:
+        raise FileNotFoundError(f"no committed HLL snapshot in {store_dir}")
+    return hll_estimate(regs, group_cols)
+
+
+def run_hll_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    group_cols: list[str],
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available input through the HLL writer (availableNow
+    trigger — one ingest tick; same harness as the other streams)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(
+            hll_ingest_writer(store_dir, key_col, group_cols)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

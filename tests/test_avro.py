@@ -122,3 +122,76 @@ def test_reader_rejects_schema_mismatch(spark):
     blobs = write_avro_files(df, files=1)
     with pytest.raises(Exception):
         read_avro_blobs(blobs, "wrong bigint").collect()
+
+
+def test_schema_resolution_rules():
+    """Spec §Schema Resolution: skip writer-only, defaults, aliases,
+    promotions (scalar and nested), union re-resolution."""
+    from hatchery_spark.functions.avro import parse_ocf_resolved, write_ocf
+
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "doc_id", "type": "int"},
+            {"name": "text", "type": "string"},
+            {"name": "n_chars", "type": ["null", "long"]},
+            {"name": "tags", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    recs = [
+        {"doc_id": 1, "text": "hi", "n_chars": 2, "tags": [1, 2]},
+        {"doc_id": 2, "text": "yo", "n_chars": None, "tags": []},
+    ]
+    reader = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "doc_id", "type": "long"},  # int → long
+            {
+                "name": "chars",
+                "aliases": ["n_chars"],
+                "type": ["null", "double"],  # alias + long → double
+            },
+            {"name": "score", "type": "double", "default": 1.5},
+            {"name": "tags", "type": {"type": "array", "items": "double"}},
+        ],
+    }
+    for codec in ("null", "deflate"):
+        out = parse_ocf_resolved(write_ocf(writer, recs, codec=codec), reader)
+        assert out == [
+            {"doc_id": 1, "chars": 2.0, "score": 1.5, "tags": [1.0, 2.0]},
+            {"doc_id": 2, "chars": None, "score": 1.5, "tags": []},
+        ]
+
+
+def test_schema_resolution_errors():
+    import pytest as _pytest
+
+    from hatchery_spark.functions.avro import parse_ocf_resolved, write_ocf
+
+    writer = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "string"}],
+    }
+    buf = write_ocf(writer, [{"a": "x"}])
+    # missing reader field with NO default → hard error, not silent null
+    bad = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "string"},
+            {"name": "b", "type": "long"},
+        ],
+    }
+    with _pytest.raises(ValueError, match="no default"):
+        parse_ocf_resolved(buf, bad)
+    # illegal demotion string → long
+    demote = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    with _pytest.raises(ValueError, match="cannot resolve"):
+        parse_ocf_resolved(buf, demote)

@@ -524,3 +524,58 @@ def test_interval_join_streams_inner_and_timeout(spark, tmp_path):
     assert outer["r1"] == "ok"
     # r2/r3: watermark (advanced by the 12:00 rows) proves no match → NULLs
     assert outer["r2"] is None and outer["r3"] is None
+
+
+def test_hll_ingest_stream_merges_and_is_idempotent(spark, tmp_path):
+    """Streaming HLL: two micro-batches' merged registers equal the
+    registers of the union (sketch mergeability end-to-end); a replayed
+    drain from the same checkpoint changes nothing; the store holds one
+    complete snapshot per batch (time travel)."""
+    import os
+
+    from hatchery_spark.operators.sketches import hll_estimate, hll_registers
+    from hatchery_spark.streaming.stream import (
+        hll_store_estimates,
+        run_hll_ingest_stream,
+    )
+
+    inp = str(tmp_path / "in")
+    store = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    schema = "grp string, k string"
+
+    b1 = [("a", f"k{i}") for i in range(0, 400)]
+    b2 = [("a", f"k{i}") for i in range(200, 700)] + [
+        ("b", f"x{i}") for i in range(50)
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    run_hll_ingest_stream(
+        spark, inp, store, ck, schema, "k", ["grp"], max_files_per_trigger=1
+    )
+    versions = sorted(d for d in os.listdir(store) if d.startswith("v="))
+    assert len(versions) == 2  # one complete snapshot per micro-batch
+
+    merged = hll_store_estimates(spark, store, ["grp"])
+    direct = hll_estimate(
+        hll_registers(
+            spark.createDataFrame(b1 + b2, schema), "k", ["grp"]
+        ),
+        ["grp"],
+    )
+    m = {r.grp: (r.v_zero, r.scaled_sum, r.estimate) for r in merged.collect()}
+    d = {r.grp: (r.v_zero, r.scaled_sum, r.estimate) for r in direct.collect()}
+    assert m == d  # streamed merge ≡ batch sketch, register-exact
+
+    # replay: same checkpoint, no new input → store byte-stable
+    before = {
+        v: sorted(os.listdir(os.path.join(store, v))) for v in versions
+    }
+    run_hll_ingest_stream(spark, inp, store, ck, schema, "k", ["grp"])
+    after = {
+        v: sorted(os.listdir(os.path.join(store, v)))
+        for v in sorted(os.listdir(store))
+        if v.startswith("v=")
+    }
+    assert before == after
