@@ -404,6 +404,9 @@ def main() -> None:
             ("doc_multi_pattern_scan", dq.q_multi_pattern_scan),
             ("rel_roaring_postings", dq.q_roaring_postings),
             ("pipeline_ip_pseudonymize", dq.q_ip_pseudonymize),
+            ("rel_inflate_roundtrip", dq.q_inflate_roundtrip),
+            ("doc_cdc_chunks", dq.q_cdc_chunks),
+            ("rel_avro_evolution", dq.q_avro_evolution),
         ]:
             measure(
                 name,
