@@ -407,6 +407,7 @@ def main() -> None:
             ("rel_inflate_roundtrip", dq.q_inflate_roundtrip),
             ("doc_cdc_chunks", dq.q_cdc_chunks),
             ("rel_avro_evolution", dq.q_avro_evolution),
+            ("rel_aes_roundtrip", dq.q_aes_roundtrip),
         ]:
             measure(
                 name,

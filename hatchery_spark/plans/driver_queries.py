@@ -2249,6 +2249,36 @@ _AC_PATTERNS = [
 ]
 
 
+def q_aes_roundtrip(spark, sf_dir):
+    """Column-level AES-128-CTR encryption at rest (FIPS-197 + SP
+    800-38A, implemented from the spec — S-box GENERATED from its GF(2^8)
+    definition; the spec's own known-answer vectors are pytest-pinned):
+    text encrypted under a per-row counter block derived from doc_id
+    (nonce never reused under the key), then decrypted (CTR is an
+    involution). Identity oracle row-for-row."""
+    from hatchery_spark.functions.aescrypt import aes_ctr_col
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.encode("text", "UTF-8").alias("raw")
+    )
+    enc = docs.select(
+        "doc_id",
+        "lang",
+        aes_ctr_col(F.col("raw"), F.col("doc_id"), key).alias("ct"),
+    )
+    return enc.select(
+        "doc_id",
+        "lang",
+        F.decode(
+            aes_ctr_col(F.col("ct"), F.col("doc_id"), key), "UTF-8"
+        ).alias("text"),
+    )
+
+
+_AES_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 def q_avro_evolution(spark, sf_dir):
     """Avro schema RESOLUTION (spec §Schema Resolution): documents are
     written as OCF blobs under the writer schema, then read under an
@@ -6010,6 +6040,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_inflate_roundtrip": _INFLATE_ORACLE,
         "doc_cdc_chunks": _cdc_oracle(),
         "rel_avro_evolution": _AVRO_EVOLUTION_ORACLE,
+        "rel_aes_roundtrip": _AES_ORACLE,
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6602,6 +6633,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_inflate_roundtrip": q_inflate_roundtrip,
         "doc_cdc_chunks": q_cdc_chunks,
         "rel_avro_evolution": q_avro_evolution,
+        "rel_aes_roundtrip": q_aes_roundtrip,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
