@@ -2249,6 +2249,31 @@ _AC_PATTERNS = [
 ]
 
 
+def q_lz4_roundtrip(spark, sf_dir):
+    """LZ4 frame decode with third-party bytes on the wire: each doc's
+    text is compressed by pyarrow's bundled lz4 (an encoder we don't
+    control — linked-block frames with history windows included), then
+    decoded by the from-scratch frame walker (magic, FLG/BD, header-
+    checksum VERIFY via our own xxh32, block decode). Identity oracle;
+    the reverse direction (our frames → pyarrow decoder) is pytest-
+    pinned."""
+    from hatchery_spark.functions.lz4 import (
+        lz4_decompress_col,
+        lz4_pa_compress_col,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = docs.select(
+        "doc_id", "lang", lz4_pa_compress_col(F.col("text")).alias("z")
+    )
+    return packed.select(
+        "doc_id", "lang", lz4_decompress_col(F.col("z")).alias("text")
+    )
+
+
+_LZ4_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 def q_aes_roundtrip(spark, sf_dir):
     """Column-level AES-128-CTR encryption at rest (FIPS-197 + SP
     800-38A, implemented from the spec — S-box GENERATED from its GF(2^8)
@@ -6041,6 +6066,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_cdc_chunks": _cdc_oracle(),
         "rel_avro_evolution": _AVRO_EVOLUTION_ORACLE,
         "rel_aes_roundtrip": _AES_ORACLE,
+        "rel_lz4_roundtrip": _LZ4_ORACLE,
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6634,6 +6660,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cdc_chunks": q_cdc_chunks,
         "rel_avro_evolution": q_avro_evolution,
         "rel_aes_roundtrip": q_aes_roundtrip,
+        "rel_lz4_roundtrip": q_lz4_roundtrip,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
