@@ -2249,6 +2249,34 @@ _AC_PATTERNS = [
 ]
 
 
+def q_zstd_decode(spark, sf_dir):
+    """From-scratch RFC 8878 zstd decoder reading REAL libzstd frames
+    (pyarrow's bundled encoder, levels rotating 1/3/19 per row): FSE
+    normalized counts + table spread, Huffman literals (both tree-
+    description forms, 1- and 4-stream), full sequence machinery with
+    repeat offsets and cross-block table reuse. The FSE primitives are
+    additionally pinned CELL-FOR-CELL against libzstd's own
+    FSE_readNCount/FSE_buildDTable_wksp via ctypes in pytest. Identity
+    oracle row-for-row."""
+    from hatchery_spark.functions.zstd_dec import (
+        zstd_decompress_col,
+        zstd_pa_compress_col,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = docs.select(
+        "doc_id",
+        "lang",
+        zstd_pa_compress_col(F.col("doc_id"), F.col("text")).alias("z"),
+    )
+    return packed.select(
+        "doc_id", "lang", zstd_decompress_col(F.col("z")).alias("text")
+    )
+
+
+_ZSTD_DECODE_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
 def q_lz4_roundtrip(spark, sf_dir):
     """LZ4 frame decode with third-party bytes on the wire: each doc's
     text is compressed by pyarrow's bundled lz4 (an encoder we don't
@@ -6067,6 +6095,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_avro_evolution": _AVRO_EVOLUTION_ORACLE,
         "rel_aes_roundtrip": _AES_ORACLE,
         "rel_lz4_roundtrip": _LZ4_ORACLE,
+        "rel_zstd_decode": _ZSTD_DECODE_ORACLE,
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6661,6 +6690,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_avro_evolution": q_avro_evolution,
         "rel_aes_roundtrip": q_aes_roundtrip,
         "rel_lz4_roundtrip": q_lz4_roundtrip,
+        "rel_zstd_decode": q_zstd_decode,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
