@@ -408,6 +408,8 @@ def main() -> None:
             ("doc_cdc_chunks", dq.q_cdc_chunks),
             ("rel_avro_evolution", dq.q_avro_evolution),
             ("rel_aes_roundtrip", dq.q_aes_roundtrip),
+            ("rel_lz4_roundtrip", dq.q_lz4_roundtrip),
+            ("rel_zstd_decode", dq.q_zstd_decode),
         ]:
             measure(
                 name,
