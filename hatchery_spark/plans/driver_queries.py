@@ -2249,6 +2249,73 @@ _AC_PATTERNS = [
 ]
 
 
+def q_orc_footer(spark, sf_dir):
+    """ORC file-tail reader (protobuf wire format, functions/orc_meta.py)
+    over files Spark's NATIVE ORC writer just produced with three codecs
+    — the footers arrive zstd/snappy/zlib-compressed in ORC chunk
+    framing, so the repo's from-scratch zstd, snappy, and DEFLATE
+    decoders all chew real JVM-encoder bytes on the metadata path. Emits
+    per-column statistics; the oracle recomputes them from the source
+    table, value-pinning the protobuf walk, the zigzag stats decode, and
+    all three codec paths at once."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from hatchery_spark.functions.orc_meta import read_orc_tail
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    rows = []
+    work = tempfile.mkdtemp(prefix="orc_footer_")
+    try:
+        for codec in ("zstd", "snappy", "zlib"):
+            out = f"{work}/{codec}"
+            docs.coalesce(1).sortWithinPartitions("doc_id").write.mode(
+                "overwrite"
+            ).option("compression", codec).orc(out)
+            (path,) = glob.glob(out + "/part-*.orc")
+            tail = read_orc_tail(open(path, "rb").read())
+            names = tail["types"][0]["field_names"]
+            for i, name in enumerate(names):
+                st = tail["statistics"][i + 1]
+                rows.append(
+                    {
+                        "codec": tail["compression"],
+                        "col_name": name,
+                        "num_values": st["num_values"],
+                        "stat_min": str(st.get("min")),
+                        "stat_max": str(st.get("max")),
+                        "n_rows": tail["num_rows"],
+                        "n_stripes": len(tail["stripes"]),
+                    }
+                )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _orc_footer_oracle() -> str:
+    cols = [
+        ("doc_id", "cast(min(doc_id) AS varchar)", "cast(max(doc_id) AS varchar)"),
+        ("lang", "min(lang)", "max(lang)"),
+        ("n_chars", "cast(min(n_chars) AS varchar)", "cast(max(n_chars) AS varchar)"),
+        ("source", "min(source)", "max(source)"),
+    ]
+    legs = "\n        UNION ALL ".join(
+        f"""SELECT '{codec}' AS codec, '{name}' AS col_name,
+              count(*) AS num_values, {mn} AS stat_min, {mx} AS stat_max,
+              count(*) AS n_rows, 1 AS n_stripes
+            FROM documents"""
+        for codec in ("ZSTD", "SNAPPY", "ZLIB")
+        for name, mn, mx in cols
+    )
+    return legs
+
+
 def q_zstd_decode(spark, sf_dir):
     """From-scratch RFC 8878 zstd decoder reading REAL libzstd frames
     (pyarrow's bundled encoder, levels rotating 1/3/19 per row): FSE
@@ -6096,6 +6163,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_aes_roundtrip": _AES_ORACLE,
         "rel_lz4_roundtrip": _LZ4_ORACLE,
         "rel_zstd_decode": _ZSTD_DECODE_ORACLE,
+        "rel_orc_footer": _orc_footer_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6691,6 +6759,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_aes_roundtrip": q_aes_roundtrip,
         "rel_lz4_roundtrip": q_lz4_roundtrip,
         "rel_zstd_decode": q_zstd_decode,
+        "rel_orc_footer": q_orc_footer,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
