@@ -410,6 +410,7 @@ def main() -> None:
             ("rel_aes_roundtrip", dq.q_aes_roundtrip),
             ("rel_lz4_roundtrip", dq.q_lz4_roundtrip),
             ("rel_zstd_decode", dq.q_zstd_decode),
+            ("rel_orc_footer", dq.q_orc_footer),
         ]:
             measure(
                 name,
