@@ -2249,6 +2249,62 @@ _AC_PATTERNS = [
 ]
 
 
+#: planted name roster for the phonetic-blocking fixture (classic
+#: soundex-collision families + corpus-adjacent words)
+_SOUNDEX_NAMES = [
+    "Robert", "Rupert", "Roberts", "Ashcraft", "Ashcroft", "Tymczak",
+    "Pfister", "Honeyman", "Jackson", "Jaxon", "Washington", "Lee",
+    "Leigh", "Gutierrez", "Smith", "Smyth", "Schmidt", "Johnson",
+    "Jonson", "VanDeusen",
+]
+
+
+def q_soundex_blocks(spark, sf_dir):
+    """American Soundex phonetic blocking for entity resolution: keys
+    over a planted name roster UNION the corpus vocabulary, then block
+    sizes per key — same-sounding names (Robert/Rupert, Smith/Smyth)
+    land in one block without any pairwise scan. The whole key is ONE
+    codegen'd translate/regexp chain (RE2-safe: no backrefs, no
+    lookbehind) rendered for BOTH engines from a single step table."""
+    from hatchery_spark.functions.phonetic import soundex_col
+
+    names = spark.createDataFrame(
+        [(n,) for n in _SOUNDEX_NAMES], "word string"
+    )
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    words = names.unionByName(vocab).distinct()
+    keyed = words.select("word", soundex_col(F.col("word")).alias("sx"))
+    blocks = keyed.groupBy("sx").agg(
+        F.count(F.lit(1)).alias("block_n"),
+        F.concat_ws("|", F.array_sort(F.collect_list("word"))).alias("members"),
+    )
+    return blocks.where(F.col("sx") != "")
+
+
+def _soundex_oracle() -> str:
+    from hatchery_spark.functions.phonetic import soundex_sql
+
+    vals = ", ".join(f"('{n}')" for n in _SOUNDEX_NAMES)
+    return f"""
+        WITH vocab AS (
+          SELECT DISTINCT unnest(string_split_regex(lower(text),
+                                 '\\s+')) AS word
+          FROM documents),
+        words AS (
+          SELECT DISTINCT word FROM (
+            SELECT word FROM (VALUES {vals}) n(word)
+            UNION SELECT word FROM vocab WHERE word <> '')),
+        keyed AS (SELECT word, {soundex_sql("word")} AS sx FROM words)
+        SELECT sx, count(*) AS block_n,
+               string_agg(word, '|' ORDER BY word) AS members
+        FROM keyed WHERE sx <> '' GROUP BY sx"""
+
+
 def q_orc_footer(spark, sf_dir):
     """ORC file-tail reader (protobuf wire format, functions/orc_meta.py)
     over files Spark's NATIVE ORC writer just produced with three codecs
@@ -6164,6 +6220,7 @@ def oracle_catalog() -> dict[str, str]:
         "rel_lz4_roundtrip": _LZ4_ORACLE,
         "rel_zstd_decode": _ZSTD_DECODE_ORACLE,
         "rel_orc_footer": _orc_footer_oracle(),
+        "doc_soundex_blocks": _soundex_oracle(),
         "pipeline_cms_resources": _cms_resources_oracle(),
         "graph_triangles": f"""
             WITH {_EVENT_EDGE_CTE},
@@ -6760,6 +6817,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_lz4_roundtrip": q_lz4_roundtrip,
         "rel_zstd_decode": q_zstd_decode,
         "rel_orc_footer": q_orc_footer,
+        "doc_soundex_blocks": q_soundex_blocks,
         "pipeline_cms_resources": q_cms_resources,
         "pipeline_log_templates": q_log_templates,
         "doc_quality_logreg": q_quality_logreg,
