@@ -411,6 +411,7 @@ def main() -> None:
             ("rel_lz4_roundtrip", dq.q_lz4_roundtrip),
             ("rel_zstd_decode", dq.q_zstd_decode),
             ("rel_orc_footer", dq.q_orc_footer),
+            ("doc_soundex_blocks", dq.q_soundex_blocks),
         ]:
             measure(
                 name,
