@@ -392,6 +392,8 @@ def main() -> None:
             ("doc_quality_regression", dq.q_quality_regression),
             ("doc_quality_logreg", dq.q_quality_logreg),
             ("pipeline_log_templates", dq.q_log_templates),
+            ("pipeline_beacon_detect", dq.q_beacon_detect),
+            ("pipeline_hdr_quantiles", dq.q_hdr_quantiles),
             ("pipeline_cidr_enrich", dq.q_cidr_enrich),
             ("pipeline_syslog_rfc5424", dq.q_syslog_rfc5424),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

@@ -222,3 +222,115 @@ def cms_oracle_sql(
                FROM hashed GROUP BY ALL)
         SELECT dk.k AS key, dk.true_n, least({least}) AS cms_count
         FROM dk {joins}"""
+
+
+# --------------------------------------------------- HDR histogram --
+
+HDR_SUB_BITS = 3  # 2^3 sub-buckets per power of two → ≤ ~12.5% rel. error
+
+
+def hdr_buckets(
+    df: DataFrame,
+    value_expr: Column,
+    group_cols: list[str],
+    sub_bits: int = HDR_SUB_BITS,
+) -> DataFrame:
+    """HDR-histogram bucket table ``(group…, lo, hi, c)`` (Tene's
+    HdrHistogram bucketing, hdrhistogram.org): values below
+    ``2^(sub_bits+1)`` are exact unit buckets; above, each power-of-two
+    range splits into ``2^sub_bits`` linear sub-buckets, so relative
+    error is bounded by ``2^-sub_bits`` at every magnitude.
+
+    Everything is integer bit arithmetic — ``floor(log2 v)`` comes from
+    ``length(bin(v)) - 1`` (both engines render bin() without leading
+    zeros) — so the bucket table and the quantile read-out replay
+    tie-free in the oracle.  Like the HLL/CMS tables above, epochs merge
+    with ``groupBy(lo, hi).sum(c)``: the bucket grid is value-range-
+    bounded (~64·2^sub_bits rows per group), never corpus-sized, and the
+    build is ONE map-side-combined groupBy.
+    """
+    v = value_expr.alias("v")
+    small = 1 << (sub_bits + 1)
+    based = df.select(*group_cols, v)
+    lo = F.expr(
+        f"CASE WHEN v < {small} THEN v ELSE "
+        f"shiftleft(shiftright(v, length(bin(v)) - 1 - {sub_bits}),"
+        f" length(bin(v)) - 1 - {sub_bits}) END"
+    )
+    hi = F.expr(
+        f"CASE WHEN v < {small} THEN v ELSE "
+        f"shiftleft(shiftright(v, length(bin(v)) - 1 - {sub_bits}),"
+        f" length(bin(v)) - 1 - {sub_bits})"
+        f" + shiftleft(1, length(bin(v)) - 1 - {sub_bits}) - 1 END"
+    )
+    return based.select(*group_cols, lo.alias("lo"), hi.alias("hi")).groupBy(
+        *group_cols, "lo", "hi"
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def hdr_quantiles(
+    buckets: DataFrame,
+    group_cols: list[str],
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Quantile read-out from an HDR bucket table: per group, the first
+    bucket (by lo) whose cumulative count reaches ``ceil(q·n/1000)``,
+    reported as the bucket midpoint.  Runs on sketch-sized data — the
+    window and aggregate shuffle bucket rows, not events."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("lo")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = buckets.select(
+        *group_cols,
+        "lo",
+        "hi",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*group_cols)).alias("n"),
+    )
+    mid = F.expr("(lo + hi) DIV 2")
+    aggs = [F.max("n").alias("n")]
+    for q in qs_permille:
+        rank = F.expr(f"({q} * n + 999) DIV 1000")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, mid)).alias(f"p{q}_est")
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def hdr_oracle_sql(
+    source_sql: str,
+    value_expr: str,
+    group_expr: str,
+    sub_bits: int = HDR_SUB_BITS,
+    qs_permille: tuple[int, ...] = (500, 900, 990),
+) -> str:
+    """DuckDB replay of hdr_buckets → hdr_quantiles."""
+    small = 1 << (sub_bits + 1)
+    sh = f"length(bin(v)) - 1 - {sub_bits}"
+    picks = ",\n       ".join(
+        f"min(CASE WHEN cum >= ({q} * n + 999) // 1000"
+        f" THEN (lo + hi) // 2 END) AS p{q}_est"
+        for q in qs_permille
+    )
+    return f"""
+WITH src AS ({source_sql}),
+vals AS (SELECT {group_expr} AS g, {value_expr} AS v FROM src),
+b AS (SELECT g,
+        CASE WHEN v < {small} THEN v
+             ELSE (v >> ({sh})) << ({sh}) END AS lo,
+        CASE WHEN v < {small} THEN v
+             ELSE ((v >> ({sh})) << ({sh})) + (1 << ({sh})) - 1 END AS hi,
+        count(*) AS c
+      FROM vals GROUP BY ALL),
+cums AS (SELECT g, lo, hi, c,
+         sum(c) OVER (PARTITION BY g ORDER BY lo) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+         FROM b)
+SELECT g, cast(max(n) AS bigint) AS n,
+       {picks}
+FROM cums GROUP BY g"""

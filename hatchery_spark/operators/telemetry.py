@@ -347,3 +347,89 @@ SELECT g AS conv_id,
        cast(sum(CASE WHEN bits = 16 THEN 1 ELSE 0 END) AS bigint) AS n_12bit,
        cast(sum(CASE WHEN bits = 36 THEN 1 ELSE 0 END) AS bigint) AS n_32bit
 FROM b GROUP BY g"""
+
+
+def beacon_intervals(
+    df: DataFrame,
+    actor_col: str = "user_id",
+    channel_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_intervals: int = 4,
+    cv2_max_permille: int = 250,
+) -> DataFrame:
+    """Beaconing detector: flag (actor, channel) streams whose inter-arrival
+    times are suspiciously regular — the classic C2-callback signal a
+    security-monitoring pipeline (the reference's domain; alert sinks in
+    source/*/config.go route exactly this class of detection) runs over its
+    event firehose.
+
+    Regularity is the squared coefficient of variation of the gap series
+    CV² = Var(d)/E[d]² = n·Σd²/(Σd)² − 1; a timer-driven implant with small
+    jitter has CV² near 0, a human has CV² near 1 (Poisson). The flag is
+    computed ENTIRELY in integer arithmetic — gaps floored to seconds, the
+    CV² threshold cross-multiplied through DECIMAL(38,0) so no float ever
+    forms — which makes the oracle replay tie-proof, and the reported
+    cv2_permille is an integer floor-div of the same quantities.
+
+    Scale shape: ONE hash shuffle on (actor, channel); the lag window and
+    the aggregate reuse that partitioning (same plan family as
+    gorilla_ts_bits above). Stream cardinality bounds the output, not the
+    corpus; no joins, no Python.
+    """
+    ts_s = F.unix_timestamp(F.col(ts_col))
+    w = Window.partitionBy(actor_col, channel_col).orderBy(ts_s, F.col(order_col))
+    gap = (ts_s - F.lag(ts_s).over(w)).alias("gap_s")
+    gaps = df.select(actor_col, channel_col, gap).where(F.col("gap_s").isNotNull())
+    agg = gaps.groupBy(actor_col, channel_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sum_d"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_d2"),
+    )
+    big = "CAST(n_gaps AS DECIMAL(38,0)) * sum_d2"
+    sq = "CAST(sum_d AS DECIMAL(38,0)) * sum_d"
+    return agg.where(
+        (F.col("n_gaps") >= min_intervals) & (F.col("sum_d") > 0)
+    ).select(
+        actor_col,
+        channel_col,
+        "n_gaps",
+        "sum_d",
+        "sum_d2",
+        F.expr(f"CAST(({big}) * 1000 DIV ({sq}) AS BIGINT) - 1000").alias(
+            "cv2_permille"
+        ),
+        F.expr(
+            f"CAST(({big}) * 1000 < ({sq}) * {1000 + cv2_max_permille} AS INT)"
+        ).alias("is_beacon"),
+    )
+
+
+def beacon_oracle_sql(
+    events_rel: str = "events",
+    min_intervals: int = 4,
+    cv2_max_permille: int = 250,
+) -> str:
+    """DuckDB replay of :func:`beacon_intervals` over the raw events table."""
+    return f"""
+WITH s AS (SELECT user_id, event_type, event_id,
+                  cast(floor(epoch(ts)) AS bigint) AS ts_s
+           FROM {events_rel}),
+g AS (SELECT user_id, event_type,
+             ts_s - lag(ts_s) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts_s, event_id) AS gap_s
+      FROM s),
+a AS (SELECT user_id, event_type,
+             count(*) AS n_gaps,
+             cast(sum(gap_s) AS bigint) AS sum_d,
+             cast(sum(gap_s * gap_s) AS bigint) AS sum_d2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id, event_type)
+SELECT user_id, event_type, n_gaps, sum_d, sum_d2,
+       cast((n_gaps::HUGEINT * sum_d2) * 1000 // (sum_d::HUGEINT * sum_d)
+            AS bigint) - 1000 AS cv2_permille,
+       cast((n_gaps::HUGEINT * sum_d2) * 1000
+              < (sum_d::HUGEINT * sum_d) * {1000 + cv2_max_permille}
+            AS int) AS is_beacon
+FROM a
+WHERE n_gaps >= {min_intervals} AND sum_d > 0"""

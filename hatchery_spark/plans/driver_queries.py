@@ -5039,7 +5039,14 @@ FROM v WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)"""
 
 def oracle_catalog() -> dict[str, str]:
     p = ORACLE_PIPELINE_CTE
+    from hatchery_spark.operators.sketches import hdr_oracle_sql
+    from hatchery_spark.operators.telemetry import beacon_oracle_sql
+
     oracles = {
+        "pipeline_beacon_detect": beacon_oracle_sql(),
+        "pipeline_hdr_quantiles": hdr_oracle_sql(
+            "SELECT * FROM events", HDR_VALUE_SQL, "event_type"
+        ),
         "pipeline_transcripts_view": p + "SELECT * FROM transcripts",
         "pipeline_parse": p + "SELECT * FROM parsed",
         "pipeline_parse_pandas": p + "SELECT * FROM parsed",
@@ -6799,6 +6806,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_beacon_detect": q_beacon_detect,
+        "pipeline_hdr_quantiles": q_hdr_quantiles,
         "pipeline_cidr_enrich": q_cidr_enrich,
         "pipeline_syslog_rfc5424": q_syslog_rfc5424,
         "pipeline_logfmt_roundtrip": q_logfmt_roundtrip,
@@ -7019,3 +7028,33 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_exact_dedup,
         "emb_cosine_topk": q_embedding_topk,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-5 session-8 additions: secmon/trace-shaped log-pipeline operators
+# ---------------------------------------------------------------------------
+
+HDR_VALUE_SQL = "greatest(1, CAST(floor(value * 100) AS BIGINT) + 1)"
+
+
+def q_beacon_detect(spark, sf_dir):
+    """C2-beaconing triage over the raw event stream: integer-exact CV²
+    of per-(actor, channel) inter-arrival gaps; one shuffle, no floats.
+    Reference analog: the alert routes (evt-errors) consume exactly this
+    detection class (source/*/config.go severity routing)."""
+    from hatchery_spark.operators.telemetry import beacon_intervals
+
+    return beacon_intervals(load(spark, sf_dir, "events"))
+
+
+def q_hdr_quantiles(spark, sf_dir):
+    """Mergeable HDR-histogram latency quantiles per event_type: exact
+    integer bucketing (unit buckets below 16, 8 sub-buckets per octave
+    above), p50/p90/p99 read off the cumulative bucket table."""
+    from hatchery_spark.operators.sketches import hdr_buckets, hdr_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    b = hdr_buckets(ev, F.expr(HDR_VALUE_SQL), ["event_type"])
+    return hdr_quantiles(b, ["event_type"]).withColumnRenamed(
+        "event_type", "g"
+    )
