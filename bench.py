@@ -414,6 +414,8 @@ def main() -> None:
             ("rel_zstd_decode", dq.q_zstd_decode),
             ("rel_orc_footer", dq.q_orc_footer),
             ("doc_soundex_blocks", dq.q_soundex_blocks),
+            ("pipeline_stack_stitch", dq.q_stack_stitch),
+            ("pipeline_access_log", dq.q_access_log),
         ]:
             measure(
                 name,

@@ -5043,6 +5043,8 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "pipeline_stack_stitch": _stack_stitch_oracle(),
+        "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
             "SELECT * FROM events", HDR_VALUE_SQL, "event_type"
@@ -6806,6 +6808,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_stack_stitch": q_stack_stitch,
+        "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
         "pipeline_cidr_enrich": q_cidr_enrich,
@@ -7058,3 +7062,131 @@ def q_hdr_quantiles(spark, sf_dir):
     return hdr_quantiles(b, ["event_type"]).withColumnRenamed(
         "event_type", "g"
     )
+
+
+# lines fixture for the multiline stitcher — neutral SQL (identical text runs
+# in Spark and DuckDB) deriving a raw log-line stream from the transcripts:
+# every turn is a header line; tool turns trail two stack-frame continuation
+# lines; each conversation whose turn 0 is a tool turn also gets one ORPHAN
+# continuation at line −1 (a mid-file pickup), exercising the dead-letter path.
+LOG_LINES_SQL = """
+SELECT conv_id, cast(turn_idx AS bigint) * 4 AS line_no, text AS line FROM {t}
+UNION ALL
+SELECT conv_id, cast(turn_idx AS bigint) * 4 + 1,
+       concat('    at svc.handler(Handler.java:', cast(turn_idx AS string), ')')
+FROM {t} WHERE role = 'tool'
+UNION ALL
+SELECT conv_id, cast(turn_idx AS bigint) * 4 + 2,
+       concat('    at svc.main(Main.java:', cast(length(text) AS string), ')')
+FROM {t} WHERE role = 'tool'
+UNION ALL
+SELECT conv_id, cast(-1 AS bigint), '    at orphan(Boot.java:0)'
+FROM {t} WHERE turn_idx = 0 AND role = 'tool'
+"""
+
+
+def q_stack_stitch(spark, sf_dir):
+    """Multiline record stitching (filebeat multiline / fluentd concat
+    semantics): continuation lines ('    at …' stack frames) attach to the
+    nearest preceding header within their conversation stream; orphan
+    continuations surface as a rec_no=−1 dead-letter record. One hash
+    shuffle on the stream id, a running max window (no global sort), and
+    an array_sort-stabilized concat — see operators/logship.py."""
+    from hatchery_spark.operators.logship import stitch_multiline
+
+    transcripts(spark, sf_dir).createOrReplaceTempView("hs_stitch_t")
+    lines = spark.sql(LOG_LINES_SQL.format(t="hs_stitch_t"))
+    return stitch_multiline(lines, ~F.col("line").startswith("    at "))
+
+
+def _stack_stitch_oracle() -> str:
+    t = TRANSCRIPTS_SQL.format(events="events")
+    lines = LOG_LINES_SQL.format(t="t")
+    return f"""
+        WITH t AS ({t}),
+        lines AS ({lines}),
+        marked AS (
+          SELECT conv_id AS stream, line_no, line,
+                 max(CASE WHEN line NOT LIKE '    at %' THEN line_no END)
+                   OVER (PARTITION BY conv_id ORDER BY line_no
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS rec
+          FROM lines)
+        SELECT stream, coalesce(rec, -1) AS rec_no,
+               count(*) AS n_lines,
+               string_agg(line, chr(10) ORDER BY line_no) AS message
+        FROM marked GROUP BY stream, coalesce(rec, -1)"""
+
+
+# access-log fixture — neutral SQL deriving the structured request row that
+# the combined-log renderer serializes (and the oracle re-derives directly)
+ACCESS_SRC_SQL = """
+SELECT
+  concat('10.0.', cast(user_id % 256 AS string), '.',
+         cast(event_id % 256 AS string)) AS ip,
+  '-' AS ident,
+  concat('user', cast(user_id AS string)) AS auth,
+  ts,
+  CASE event_type WHEN 'signup' THEN 'POST' WHEN 'purchase' THEN 'PUT'
+       WHEN 'error' THEN 'DELETE' ELSE 'GET' END AS method,
+  concat('/r/', cast(event_id % 1000 AS string)) AS path,
+  CASE WHEN value < 100 THEN 200 WHEN value < 200 THEN 404 ELSE 500 END
+    AS status,
+  CASE WHEN value < 10 THEN NULL
+       ELSE cast(floor(value * 17) AS bigint) END AS bytes,
+  concat('https://ref.example/', event_type) AS referrer,
+  concat('agent/', cast(user_id % 7 AS string)) AS agent
+FROM {events}
+"""
+
+
+def q_access_log(spark, sf_dir):
+    """Grok pattern-library e2e: render every event as an Apache
+    combined-log line, then parse ONLY the line back through the
+    %{IPV4:clientip}…-style compiled template (operators/grok.py —
+    COMBINEDAPACHELOG over the recursive pattern registry). One regex
+    evaluation per row via the match→rewrite trick, typed casts, and a
+    dead-letter flag: planted 'panic:' garbage lines (event_id%97=0)
+    come out all-NULL with matched=false instead of vanishing. The
+    oracle recomputes every field straight from events, value-pinning
+    renderer, registry expansion, and parser at once."""
+    from hatchery_spark.operators.grok import (
+        COMBINEDAPACHELOG,
+        grok_parse,
+        render_access_log,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_access_ev")
+    src = spark.sql(ACCESS_SRC_SQL.format(events="hs_access_ev"))
+    garbage = spark.sql(
+        "SELECT concat('panic: not a log line ', cast(event_id AS string))"
+        " AS line FROM hs_access_ev WHERE event_id % 97 = 0"
+    )
+    parsed = grok_parse(
+        render_access_log(src).unionByName(garbage),
+        COMBINEDAPACHELOG,
+        types={"response": "int", "bytes": "bigint"},
+    )
+    return parsed.select(
+        "clientip", "ident", "auth",
+        F.col("timestamp").alias("ts_str"),
+        "verb", "request", "httpversion", "response", "bytes",
+        "referrer", "agent",
+        F.col("_grok_matched").alias("matched"),
+    )
+
+
+def _access_log_oracle() -> str:
+    src = ACCESS_SRC_SQL.format(events="events")
+    return f"""
+        WITH src AS ({src})
+        SELECT ip AS clientip, ident, auth,
+               strftime(ts, '%d/%b/%Y:%H:%M:%S +0000') AS ts_str,
+               method AS verb, path AS request, '1.1' AS httpversion,
+               status AS response, bytes, referrer, agent,
+               true AS matched
+        FROM src
+        UNION ALL
+        SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+               cast(NULL AS int), cast(NULL AS bigint), NULL, NULL, false
+        FROM events WHERE event_id % 97 = 0"""
