@@ -416,6 +416,8 @@ def main() -> None:
             ("doc_soundex_blocks", dq.q_soundex_blocks),
             ("pipeline_stack_stitch", dq.q_stack_stitch),
             ("pipeline_access_log", dq.q_access_log),
+            ("pipeline_kmv_actors", dq.q_kmv_actors),
+            ("pipeline_ewma_spikes", dq.q_ewma_spikes),
         ]:
             measure(
                 name,

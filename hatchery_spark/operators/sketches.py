@@ -334,3 +334,86 @@ cums AS (SELECT g, lo, hi, c,
 SELECT g, cast(max(n) AS bigint) AS n,
        {picks}
 FROM cums GROUP BY g"""
+
+
+# --------------------------------------------------------------- KMV --
+
+KMV_K = 64
+
+
+def _md5_hash48(col: Column) -> Column:
+    """First 12 hex chars of md5 as a 48-bit value in a long — wide enough
+    that the (k−1)·2^48 estimator numerator still fits a BIGINT exactly
+    (a 64-bit hash would force float division and double's 53-bit mantissa
+    cannot hold the numerator)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def _hash48_sql(expr: str) -> str:
+    """DuckDB replay of :func:`_md5_hash48` (no conv() there)."""
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+def kmv_sketch(df: DataFrame, key_col: Column, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002): the k
+    smallest DISTINCT 48-bit hashes per group, as plain ``(…group, h)``
+    rows — k·8 bytes per group, mergeable forever.
+
+    Plan shape: distinct is one partially-aggregated shuffle; the rank cut
+    plans as WindowGroupLimit, so each input partition forwards at most k
+    hashes per group before the exchange — a whale group moves k rows per
+    task, not its cardinality."""
+    from pyspark.sql import Window
+
+    d = df.select(*group_cols, _md5_hash48(key_col).alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """Merge two epoch sketches: union → distinct → keep k smallest again.
+    ``merge(sketch(A), sketch(B)) == sketch(A ∪ B)`` exactly (pytest-pinned),
+    because the k smallest of a union are a subset of each side's k smallest."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return u.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = KMV_K) -> DataFrame:
+    """Distinct-count estimate per group: exact when the group filled fewer
+    than k slots, else the classic (k−1)·2^48 / h_k — ALL integer (BIGINT
+    div), so the oracle replays it bit-for-bit."""
+    num = (k - 1) << 48
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("sketch_n"),
+        F.max("h").alias("hk"),
+    )
+    est = F.when(F.col("sketch_n") < k, F.col("sketch_n")).otherwise(
+        F.expr(f"{num} div hk")
+    )
+    return agg.select(*group_cols, "sketch_n", est.cast("long").alias("est_distinct"))
+
+
+def kmv_oracle_sql(src_sql: str, key_expr: str, group_expr: str, k: int = KMV_K) -> str:
+    num = (k - 1) << 48
+    return f"""
+        WITH hashed AS (
+          SELECT DISTINCT {group_expr} AS g, {_hash48_sql(key_expr)} AS h
+          FROM ({src_sql})),
+        ranked AS (
+          SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+          FROM hashed),
+        agg AS (
+          SELECT g, count(*) AS sketch_n, max(h) AS hk
+          FROM ranked WHERE rn <= {k} GROUP BY g)
+        SELECT g, cast(sketch_n AS bigint) AS sketch_n,
+               cast(CASE WHEN sketch_n < {k} THEN sketch_n
+                         ELSE {num} // hk END AS bigint) AS est_distinct
+        FROM agg"""

@@ -433,3 +433,85 @@ SELECT user_id, event_type, n_gaps, sum_d, sum_d2,
             AS int) AS is_beacon
 FROM a
 WHERE n_gaps >= {min_intervals} AND sum_d > 0"""
+
+
+# α=1/2 geometric weights over the 8 previous buckets, fixed-point scale 255
+# (their exact sum) — the EWMA never leaves integer arithmetic.
+EWMA_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)
+
+
+def ewma_spikes(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    threshold: int = 3,
+    min_history: int = 4,
+) -> DataFrame:
+    """EWMA burst detection per (group, time-bucket): flag buckets whose
+    count exceeds ``threshold`` × the exponentially-weighted mean of the 8
+    preceding OBSERVED buckets (α=1/2).
+
+    Entirely fixed-point: the weighted history is ``Σ wᵢ·lagᵢ`` with integer
+    weights summing to 255, and the spike test is ``255·n > threshold·ewma``
+    — no float ever, so two ANSI engines agree bit-for-bit. Early buckets
+    (fewer than ``min_history`` predecessors) never flag: a cold series has
+    no baseline to deviate from. Missing lags count as 0 — semantics are
+    "previous observed buckets", the shipper-side convention when silent
+    hours emit no row at all.
+
+    One groupBy shuffle to the bucket grid (corpus-independent size), then
+    a lag window over each group's own series — no global sort."""
+    bucket_ts = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    counts = df.groupBy(*group_cols, bucket_ts).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("bucket_ts")
+    ewma = reduce(
+        lambda a, b: a + b,
+        [
+            F.coalesce(F.lag("n", i + 1).over(w), F.lit(0)) * F.lit(wt)
+            for i, wt in enumerate(EWMA_WEIGHTS)
+        ],
+    )
+    rn = F.row_number().over(w)
+    out = counts.select(
+        *group_cols,
+        "bucket_ts",
+        "n",
+        ewma.cast("long").alias("ewma_scaled"),
+        rn.alias("_rn"),
+    )
+    spike = (F.col("_rn") > min_history) & (
+        F.col("n") * 255 > F.col("ewma_scaled") * threshold
+    )
+    return out.withColumn("spike", spike).drop("_rn")
+
+
+def ewma_oracle_sql(
+    src_sql: str,
+    group_expr: str,
+    ts_expr: str = "ts",
+    bucket: str = "hour",
+    threshold: int = 3,
+    min_history: int = 4,
+) -> str:
+    terms = " + ".join(
+        f"{wt} * coalesce(lag(n, {i + 1}) OVER win, 0)"
+        for i, wt in enumerate(EWMA_WEIGHTS)
+    )
+    return f"""
+        WITH c AS (
+          SELECT {group_expr} AS g, date_trunc('{bucket}', {ts_expr}) AS bucket_ts,
+                 count(*) AS n
+          FROM ({src_sql}) GROUP BY 1, 2),
+        w AS (
+          SELECT g, bucket_ts, n, {terms} AS ewma_scaled,
+                 row_number() OVER win AS rn
+          FROM c
+          WINDOW win AS (PARTITION BY g ORDER BY bucket_ts))
+        SELECT g, bucket_ts, cast(n AS bigint) AS n,
+               cast(ewma_scaled AS bigint) AS ewma_scaled,
+               (rn > {min_history} AND 255 * n > {threshold} * ewma_scaled)
+                 AS spike
+        FROM w"""

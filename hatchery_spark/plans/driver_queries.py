@@ -5044,6 +5044,8 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "pipeline_stack_stitch": _stack_stitch_oracle(),
+        "pipeline_kmv_actors": _kmv_actors_oracle(),
+        "pipeline_ewma_spikes": _ewma_spikes_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6809,6 +6811,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_stack_stitch": q_stack_stitch,
+        "pipeline_kmv_actors": q_kmv_actors,
+        "pipeline_ewma_spikes": q_ewma_spikes,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7190,3 +7194,47 @@ def _access_log_oracle() -> str:
         SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                cast(NULL AS int), cast(NULL AS bigint), NULL, NULL, false
         FROM events WHERE event_id % 97 = 0"""
+
+
+def q_kmv_actors(spark, sf_dir):
+    """KMV distinct-actor sketch per event_type: k smallest distinct 48-bit
+    hashes (one partial-agg distinct shuffle + a WindowGroupLimit rank cut),
+    estimator (k−1)·2^48 div h_k in pure BIGINT arithmetic — the third
+    mergeable sketch family next to HLL and count-min, with a bit-exact
+    oracle replay instead of HLL's rounded-float estimate."""
+    from hatchery_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("actor"),
+    )
+    return kmv_estimate(kmv_sketch(ev, F.col("actor"), ["g"]), ["g"])
+
+
+def _kmv_actors_oracle() -> str:
+    from hatchery_spark.operators.sketches import kmv_oracle_sql
+
+    return kmv_oracle_sql(
+        "SELECT event_type, user_id FROM events",
+        "concat('user', cast(user_id AS string))",
+        "event_type",
+    )
+
+
+def q_ewma_spikes(spark, sf_dir):
+    """EWMA burst detection over per-(event_type, hour) counts: α=1/2
+    fixed-point weighted history of the 8 preceding buckets, spike when
+    255·n > 3·ewma — every term integer, cold-start gated. The streaming-
+    rate-guard twin of pipeline_error_burst's windowed z-score."""
+    from hatchery_spark.operators.telemetry import ewma_spikes
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"), "ts"
+    )
+    return ewma_spikes(ev, ["g"])
+
+
+def _ewma_spikes_oracle() -> str:
+    from hatchery_spark.operators.telemetry import ewma_oracle_sql
+
+    return ewma_oracle_sql("SELECT event_type AS g, ts FROM events", "g")
