@@ -418,6 +418,8 @@ def main() -> None:
             ("pipeline_access_log", dq.q_access_log),
             ("pipeline_kmv_actors", dq.q_kmv_actors),
             ("pipeline_ewma_spikes", dq.q_ewma_spikes),
+            ("pipeline_flow_stitch", dq.q_flow_stitch),
+            ("pipeline_impossible_travel", dq.q_impossible_travel),
         ]:
             measure(
                 name,

@@ -30,7 +30,7 @@ CASE chains), so the two sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: (cidr, zone) — nets must be pre-masked (validated at parse time).
@@ -228,3 +228,181 @@ def ip_pseudonymize_oracle_terms(ip_expr: str, salt: str = "hs") -> str:
         bit = f"(({ip_expr} >> {31 - i}) % 2)"
         terms.append(f"((({bit} + {prf}) % 2) << {31 - i})")
     return " + ".join(terms)
+
+
+# ------------------------------------------------------------- biflow --
+
+
+def stitch_flows(df: DataFrame) -> DataFrame:
+    """Bidirectional flow stitching (RFC 5103 biflows): pair A→B and B→A
+    unidirectional records into one canonical flow row.
+
+    Expects ``(src_ip, src_port, dst_ip, dst_port, ts, bytes)``. The
+    canonical key orders the two endpoints lexicographically (lo/hi), so
+    BOTH directions of a conversation hash to the same group — the whole
+    stitch is ONE partially-aggregated groupBy, no self-join, no second
+    shuffle (the textbook reversed-tuple join doubles the exchange for
+    nothing). Emits per-direction byte totals, record counts, the time
+    span, a ``bidirectional`` flag, and the initiator (the endpoint whose
+    earliest record is first; ties break toward the lo endpoint, exactly
+    replayable)."""
+    a_is_lo = (F.col("src_ip") < F.col("dst_ip")) | (
+        (F.col("src_ip") == F.col("dst_ip"))
+        & (F.col("src_port") <= F.col("dst_port"))
+    )
+
+    def pick(lo_side: Column, a: str, b: str) -> Column:
+        return F.when(lo_side, F.col(a)).otherwise(F.col(b))
+
+    keyed = df.select(
+        pick(a_is_lo, "src_ip", "dst_ip").alias("lo_ip"),
+        pick(a_is_lo, "src_port", "dst_port").alias("lo_port"),
+        pick(a_is_lo, "dst_ip", "src_ip").alias("hi_ip"),
+        pick(a_is_lo, "dst_port", "src_port").alias("hi_port"),
+        a_is_lo.alias("from_lo"),
+        "ts",
+        "bytes",
+    )
+    agg = keyed.groupBy("lo_ip", "lo_port", "hi_ip", "hi_port").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.coalesce(
+            F.sum(F.when(F.col("from_lo"), F.col("bytes"))), F.lit(0)
+        ).cast("long").alias("bytes_ab"),
+        F.coalesce(
+            F.sum(F.when(~F.col("from_lo"), F.col("bytes"))), F.lit(0)
+        ).cast("long").alias("bytes_ba"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("from_lo"), F.col("ts"))).alias("_t_lo"),
+        F.min(F.when(~F.col("from_lo"), F.col("ts"))).alias("_t_hi"),
+    )
+    initiator = (
+        F.when(F.col("_t_hi").isNull(), F.col("lo_ip"))
+        .when(F.col("_t_lo").isNull(), F.col("hi_ip"))
+        .when(F.col("_t_lo") <= F.col("_t_hi"), F.col("lo_ip"))
+        .otherwise(F.col("hi_ip"))
+    )
+    return agg.select(
+        "lo_ip", "lo_port", "hi_ip", "hi_port", "n_records",
+        "bytes_ab", "bytes_ba", "first_ts", "last_ts",
+        (F.col("_t_lo").isNotNull() & F.col("_t_hi").isNotNull()).alias(
+            "bidirectional"
+        ),
+        initiator.alias("initiator_ip"),
+    )
+
+
+def flow_stitch_oracle_sql(src_sql: str) -> str:
+    """DuckDB replay of :func:`stitch_flows` over the same flow rows."""
+    return f"""
+        WITH f AS ({src_sql}),
+        keyed AS (
+          SELECT
+            CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                 THEN src_ip ELSE dst_ip END AS lo_ip,
+            CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                 THEN src_port ELSE dst_port END AS lo_port,
+            CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                 THEN dst_ip ELSE src_ip END AS hi_ip,
+            CASE WHEN src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port)
+                 THEN dst_port ELSE src_port END AS hi_port,
+            (src_ip < dst_ip OR (src_ip = dst_ip AND src_port <= dst_port))
+              AS from_lo,
+            ts, bytes
+          FROM f),
+        agg AS (
+          SELECT lo_ip, lo_port, hi_ip, hi_port,
+                 count(*) AS n_records,
+                 coalesce(sum(CASE WHEN from_lo THEN bytes END), 0) AS bytes_ab,
+                 coalesce(sum(CASE WHEN NOT from_lo THEN bytes END), 0) AS bytes_ba,
+                 min(ts) AS first_ts, max(ts) AS last_ts,
+                 min(CASE WHEN from_lo THEN ts END) AS t_lo,
+                 min(CASE WHEN NOT from_lo THEN ts END) AS t_hi
+          FROM keyed GROUP BY 1, 2, 3, 4)
+        SELECT lo_ip, lo_port, hi_ip, hi_port,
+               cast(n_records AS bigint) AS n_records,
+               cast(bytes_ab AS bigint) AS bytes_ab,
+               cast(bytes_ba AS bigint) AS bytes_ba,
+               first_ts, last_ts,
+               (t_lo IS NOT NULL AND t_hi IS NOT NULL) AS bidirectional,
+               CASE WHEN t_hi IS NULL THEN lo_ip
+                    WHEN t_lo IS NULL THEN hi_ip
+                    WHEN t_lo <= t_hi THEN lo_ip ELSE hi_ip END
+                 AS initiator_ip
+        FROM agg"""
+
+
+# ----------------------------------------------------- impossible travel --
+
+
+def impossible_travel(
+    df: DataFrame,
+    max_kmh: int = 900,
+    round_km: int = 3,
+) -> DataFrame:
+    """Impossible-travel login triage: per actor, haversine distance between
+    consecutive login coordinates divided by the elapsed time; flag speeds a
+    commercial jet cannot reach.
+
+    Expects ``(actor, event_id, ts, lat, lon)``. One hash shuffle on actor +
+    a lag window ordered by ``(ts, event_id)`` (the tiebreak keeps the replay
+    deterministic when two logins share a timestamp). The trig is one-shot
+    per row — ``round`` pins the float surface for the oracle; Δt=0 pairs
+    yield NULL speed (never flagged) rather than a division blowup."""
+    w = Window.partitionBy("actor").orderBy("ts", "event_id")
+    p_lat, p_lon, p_ts = (
+        F.lag("lat").over(w), F.lag("lon").over(w), F.lag("ts").over(w)
+    )
+    rad = F.radians
+    a = (
+        F.pow(F.sin((rad(F.col("lat")) - rad(p_lat)) / 2), 2)
+        + F.cos(rad(p_lat))
+        * F.cos(rad(F.col("lat")))
+        * F.pow(F.sin((rad(F.col("lon")) - rad(p_lon)) / 2), 2)
+    )
+    km = F.lit(2 * 6371.0) * F.asin(F.sqrt(a))
+    dt_s = F.unix_timestamp(F.col("ts")) - F.unix_timestamp(p_ts)
+    speed = F.when(dt_s > 0, km / (dt_s / F.lit(3600.0)))
+    return df.select(
+        "actor",
+        "ts",
+        p_ts.alias("prev_ts"),
+        F.round(km, round_km).alias("km"),
+        F.round(speed, 2).alias("speed_kmh"),
+        F.coalesce(F.round(speed, 2) > max_kmh, F.lit(False)).alias(
+            "impossible"
+        ),
+    )
+
+
+def impossible_travel_oracle_sql(
+    src_sql: str, max_kmh: int = 900, round_km: int = 3
+) -> str:
+    hav = (
+        "2 * 6371.0 * asin(sqrt("
+        "pow(sin((radians(lat) - radians(p_lat)) / 2), 2)"
+        " + cos(radians(p_lat)) * cos(radians(lat))"
+        " * pow(sin((radians(lon) - radians(p_lon)) / 2), 2)))"
+    )
+    return f"""
+        WITH s AS ({src_sql}),
+        lagged AS (
+          SELECT actor, ts, lat, lon,
+                 lag(lat) OVER win AS p_lat,
+                 lag(lon) OVER win AS p_lon,
+                 lag(ts) OVER win AS p_ts
+          FROM s
+          WINDOW win AS (PARTITION BY actor ORDER BY ts, event_id)),
+        d AS (
+          SELECT actor, ts, p_ts, {hav} AS km,
+                 cast(floor(epoch(ts)) AS bigint)
+                   - cast(floor(epoch(p_ts)) AS bigint) AS dt_s
+          FROM lagged)
+        SELECT actor, ts, p_ts AS prev_ts,
+               round(km, {round_km}) AS km,
+               round(CASE WHEN dt_s > 0 THEN km / (dt_s / 3600.0) END, 2)
+                 AS speed_kmh,
+               coalesce(round(CASE WHEN dt_s > 0
+                                   THEN km / (dt_s / 3600.0) END, 2)
+                        > {max_kmh}, false) AS impossible
+        FROM d"""

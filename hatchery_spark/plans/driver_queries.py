@@ -5046,6 +5046,8 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
+        "pipeline_flow_stitch": _flow_stitch_oracle(),
+        "pipeline_impossible_travel": _impossible_travel_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6813,6 +6815,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stack_stitch": q_stack_stitch,
         "pipeline_kmv_actors": q_kmv_actors,
         "pipeline_ewma_spikes": q_ewma_spikes,
+        "pipeline_flow_stitch": q_flow_stitch,
+        "pipeline_impossible_travel": q_impossible_travel,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7238,3 +7242,92 @@ def _ewma_spikes_oracle() -> str:
     from hatchery_spark.operators.telemetry import ewma_oracle_sql
 
     return ewma_oracle_sql("SELECT event_type AS g, ts FROM events", "g")
+
+
+# unidirectional flow fixture — neutral SQL; most events get a reverse flow
+# (+1 s), every (id%7==3) event's reverse PRECEDES the forward record by 2 s
+# (a server-initiated exchange), and id%5==0 events stay one-directional.
+FLOWS_SQL = """
+SELECT
+  concat('10.0.', cast(user_id % 256 AS string), '.',
+         cast(user_id % 100 AS string)) AS src_ip,
+  cast(1024 + event_id % 60000 AS int) AS src_port,
+  concat('192.168.', cast(event_id % 200 AS string), '.',
+         cast(event_id % 250 AS string)) AS dst_ip,
+  cast(443 AS int) AS dst_port,
+  ts,
+  cast(40 + floor(value * 11) AS bigint) AS bytes
+FROM {events}
+UNION ALL
+SELECT
+  concat('192.168.', cast(event_id % 200 AS string), '.',
+         cast(event_id % 250 AS string)),
+  cast(443 AS int),
+  concat('10.0.', cast(user_id % 256 AS string), '.',
+         cast(user_id % 100 AS string)),
+  cast(1024 + event_id % 60000 AS int),
+  ts + INTERVAL 1 SECOND,
+  cast(40 + floor(value * 29) AS bigint)
+FROM {events} WHERE event_id % 5 <> 0 AND event_id % 7 <> 3
+UNION ALL
+SELECT
+  concat('192.168.', cast(event_id % 200 AS string), '.',
+         cast(event_id % 250 AS string)),
+  cast(443 AS int),
+  concat('10.0.', cast(user_id % 256 AS string), '.',
+         cast(user_id % 100 AS string)),
+  cast(1024 + event_id % 60000 AS int),
+  ts - INTERVAL 2 SECOND,
+  cast(40 + floor(value * 29) AS bigint)
+FROM {events} WHERE event_id % 5 <> 0 AND event_id % 7 = 3
+"""
+
+
+def q_flow_stitch(spark, sf_dir):
+    """RFC 5103 biflow stitching: A→B and B→A unidirectional flow records
+    collapse into one canonical bidirectional row via a SINGLE
+    partially-aggregated groupBy on the lexicographic (lo,hi) endpoint key
+    — no reversed-tuple self-join, half the exchanges. Per-direction byte
+    totals, span, bidirectional flag, and a deterministic initiator
+    (earliest record's endpoint; the fixture plants server-initiated and
+    one-directional minorities to exercise every branch)."""
+    from hatchery_spark.operators.netenrich import stitch_flows
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_flow_ev")
+    return stitch_flows(spark.sql(FLOWS_SQL.format(events="hs_flow_ev")))
+
+
+def _flow_stitch_oracle() -> str:
+    from hatchery_spark.operators.netenrich import flow_stitch_oracle_sql
+
+    return flow_stitch_oracle_sql(FLOWS_SQL.format(events="events"))
+
+
+# login fixture with hash-scattered coordinates — neutral SQL (integer hash,
+# /100.0 decimal grid; both engines compute identical doubles)
+LOGINS_SQL = """
+SELECT concat('user', cast(user_id AS string)) AS actor,
+       event_id, ts,
+       cast((((user_id % 256) * 256 + event_id % 256) * 2654435761) % 18000
+            AS bigint) / 100.0 - 90 AS lat,
+       cast((((user_id % 256) * 256 + event_id % 256) * 40503) % 36000
+            AS bigint) / 100.0 - 180 AS lon
+FROM {events}
+"""
+
+
+def q_impossible_travel(spark, sf_dir):
+    """Impossible-travel login triage: per-actor lag window over login
+    coordinates, one-shot haversine, speed vs the 900 km/h jet line.
+    Δt=0 pairs yield NULL speed (never flagged); (ts, event_id) ordering
+    keeps same-timestamp replays deterministic."""
+    from hatchery_spark.operators.netenrich import impossible_travel
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_login_ev")
+    return impossible_travel(spark.sql(LOGINS_SQL.format(events="hs_login_ev")))
+
+
+def _impossible_travel_oracle() -> str:
+    from hatchery_spark.operators.netenrich import impossible_travel_oracle_sql
+
+    return impossible_travel_oracle_sql(LOGINS_SQL.format(events="events"))
