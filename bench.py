@@ -420,6 +420,8 @@ def main() -> None:
             ("pipeline_ewma_spikes", dq.q_ewma_spikes),
             ("pipeline_flow_stitch", dq.q_flow_stitch),
             ("pipeline_impossible_travel", dq.q_impossible_travel),
+            ("pipeline_jwt_parse", dq.q_jwt_parse),
+            ("rel_ulid_roundtrip", dq.q_ulid_roundtrip),
         ]:
             measure(
                 name,

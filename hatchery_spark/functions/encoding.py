@@ -126,3 +126,45 @@ def corrupt_mojibake_df(
             yield pdf
 
     return df.mapInPandas(_corrupt, ddl)
+
+
+# ------------------------------------------------------------------ ULID --
+
+#: Crockford base32 (ULID spec): no I, L, O, U — sorts lexicographically
+#: in timestamp order, the property log pipelines key object names on.
+ULID_ALPHABET = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def ulid_encode_sql(ts_ms: str, r_hi: str, r_lo: str) -> str:
+    """One neutral SQL expression (Spark ≥4 and DuckDB both parse it)
+    rendering a 26-char ULID from a 48-bit millisecond timestamp and an
+    80-bit random split as two 40-bit halves.
+
+    Each output char is ``substr(alphabet, ((x >> s) & 31) + 1, 1)`` —
+    26 codegen'd terms, no UDF, no shuffle. Lexicographic order of the
+    result equals numeric order of (ts_ms, r_hi, r_lo) by construction
+    (5-bit big-endian groups), which is the whole point of ULIDs as
+    sortable object keys."""
+    a = ULID_ALPHABET
+
+    def ch(x: str, shift: int) -> str:
+        return f"substr('{a}', cast((({x}) >> {shift}) & 31 AS int) + 1, 1)"
+
+    parts = (
+        [ch(ts_ms, 45 - 5 * i) for i in range(10)]
+        + [ch(r_hi, 35 - 5 * i) for i in range(8)]
+        + [ch(r_lo, 35 - 5 * i) for i in range(8)]
+    )
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def ulid_decode_ms_sql(u: str) -> str:
+    """Neutral SQL recovering the millisecond timestamp from a ULID's
+    first 10 chars: Σ (instr(alphabet, cᵢ) − 1) · 2^(45−5i)."""
+    a = ULID_ALPHABET
+    terms = [
+        f"(cast(instr('{a}', substr({u}, {i + 1}, 1)) AS bigint) - 1)"
+        f" * {1 << (45 - 5 * i)}"
+        for i in range(10)
+    ]
+    return "(" + " + ".join(terms) + ")"

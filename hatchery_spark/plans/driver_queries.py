@@ -5048,6 +5048,8 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
         "pipeline_flow_stitch": _flow_stitch_oracle(),
         "pipeline_impossible_travel": _impossible_travel_oracle(),
+        "pipeline_jwt_parse": _jwt_parse_oracle(),
+        "rel_ulid_roundtrip": _ulid_roundtrip_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6817,6 +6819,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ewma_spikes": q_ewma_spikes,
         "pipeline_flow_stitch": q_flow_stitch,
         "pipeline_impossible_travel": q_impossible_travel,
+        "pipeline_jwt_parse": q_jwt_parse,
+        "rel_ulid_roundtrip": q_ulid_roundtrip,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7331,3 +7335,110 @@ def _impossible_travel_oracle() -> str:
     from hatchery_spark.operators.netenrich import impossible_travel_oracle_sql
 
     return impossible_travel_oracle_sql(LOGINS_SQL.format(events="events"))
+
+
+JWT_SECRET = "hs-demo-secret"  # test fixture secret, not a credential
+JWT_AS_OF = "2024-01-15 00:00:00"  # mid-corpus: both expiry branches populate
+
+# claims JSON assembled with a FIXED key order so render and oracle agree
+JWT_CLAIMS_SQL = """
+SELECT event_id,
+       concat('{{"sub":"user', cast(user_id AS string), '","iat":',
+              cast({epoch} AS string), ',"exp":', cast({epoch} + 3600 AS string),
+              ',"scope":"', event_type, '"}}') AS cj
+FROM {events}
+"""
+
+
+def q_jwt_parse(spark, sf_dir):
+    """JWT render→tamper→parse/verify e2e (operators/jwtauth.py): HS256
+    tokens minted over per-event claims, every 13th token's signature
+    corrupted in flight, then ONLY the token string goes through the
+    cracker — base64url/split/from_json all JVM codegen, HMAC-SHA256 in
+    one Arrow-batched pandas_udf. The oracle recomputes claims, expiry
+    vs the as-of epoch, and the tamper rule straight from events, so the
+    mint, the decode, AND the verify round-trip are value-pinned (a bug
+    in either HMAC path would flip sig_valid on the 12/13 clean rows)."""
+    from hatchery_spark.operators.jwtauth import parse_jwt, render_jwt
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_jwt_ev")
+    claims = spark.sql(
+        JWT_CLAIMS_SQL.format(
+            events="hs_jwt_ev", epoch="unix_timestamp(ts)"
+        )
+    )
+    minted = render_jwt(claims, F.col("cj"), JWT_SECRET)
+    tampered = minted.withColumn(
+        "token",
+        F.when(
+            F.col("event_id") % 13 == 0, F.concat(F.col("token"), F.lit("A"))
+        ).otherwise(F.col("token")),
+    )
+    return parse_jwt(tampered, JWT_SECRET, JWT_AS_OF)
+
+
+def _jwt_parse_oracle() -> str:
+    return f"""
+        SELECT 'HS256' AS alg, 'JWT' AS typ,
+               concat('user', cast(user_id AS string)) AS sub,
+               event_type AS scope,
+               cast(floor(epoch(ts)) AS bigint) AS iat,
+               cast(floor(epoch(ts)) AS bigint) + 3600 AS exp,
+               cast(floor(epoch(ts)) AS bigint) + 3600
+                 < cast(floor(epoch(timestamp '{JWT_AS_OF}')) AS bigint)
+                 AS expired,
+               NOT (event_id % 13 = 0) AS sig_valid
+        FROM events"""
+
+
+# ULID inputs — 40-bit random halves from integer hashes (no md5 needed;
+# products stay far inside BIGINT at every SF)
+ULID_SRC_SQL = """
+SELECT event_id,
+       ({epoch}) * 1000 + event_id % 1000 AS ts_ms,
+       (user_id * 2654435761 + event_id * 97) % {m40} AS r_hi,
+       (event_id * 2654435761 + 12345) % {m40} AS r_lo
+FROM {events}
+"""
+
+
+def q_ulid_roundtrip(spark, sf_dir):
+    """ULID mint + decode as ONE dual-engine SQL surface
+    (functions/encoding.py): 26 Crockford-base32 substr terms encode a
+    48-bit ms timestamp + 80-bit randomness, instr terms decode the
+    timestamp back; `ok` pins the roundtrip per row. Pure codegen'd
+    Project — the sortable-object-key generator for sink names at scale
+    (lexicographic ULID order == timestamp order by construction)."""
+    from hatchery_spark.functions.encoding import (
+        ulid_decode_ms_sql,
+        ulid_encode_sql,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_ulid_ev")
+    src = ULID_SRC_SQL.format(
+        events="hs_ulid_ev", m40=1 << 40, epoch="unix_timestamp(ts)"
+    )
+    enc = ulid_encode_sql("ts_ms", "r_hi", "r_lo")
+    dec = ulid_decode_ms_sql("ulid")
+    return spark.sql(
+        f"""SELECT event_id, ulid, {dec} AS ts_ms_back,
+                   {dec} = ts_ms AS ok
+            FROM (SELECT event_id, ts_ms, {enc} AS ulid FROM ({src}))"""
+    )
+
+
+def _ulid_roundtrip_oracle() -> str:
+    from hatchery_spark.functions.encoding import (
+        ulid_decode_ms_sql,
+        ulid_encode_sql,
+    )
+
+    src = ULID_SRC_SQL.format(
+        events="events", m40=1 << 40,
+        epoch="cast(floor(epoch(ts)) AS bigint)",
+    )
+    enc = ulid_encode_sql("ts_ms", "r_hi", "r_lo")
+    dec = ulid_decode_ms_sql("ulid")
+    return f"""SELECT event_id, ulid, {dec} AS ts_ms_back,
+                      {dec} = ts_ms AS ok
+               FROM (SELECT event_id, ts_ms, {enc} AS ulid FROM ({src}))"""
