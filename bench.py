@@ -422,6 +422,8 @@ def main() -> None:
             ("pipeline_impossible_travel", dq.q_impossible_travel),
             ("pipeline_jwt_parse", dq.q_jwt_parse),
             ("rel_ulid_roundtrip", dq.q_ulid_roundtrip),
+            ("rel_cbor_roundtrip", dq.q_cbor_roundtrip),
+            ("doc_idn_decode", dq.q_idn_decode),
         ]:
             measure(
                 name,

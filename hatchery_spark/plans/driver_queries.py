@@ -5050,6 +5050,8 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_impossible_travel": _impossible_travel_oracle(),
         "pipeline_jwt_parse": _jwt_parse_oracle(),
         "rel_ulid_roundtrip": _ulid_roundtrip_oracle(),
+        "rel_cbor_roundtrip": _cbor_roundtrip_oracle(),
+        "doc_idn_decode": _idn_decode_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6821,6 +6823,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_impossible_travel": q_impossible_travel,
         "pipeline_jwt_parse": q_jwt_parse,
         "rel_ulid_roundtrip": q_ulid_roundtrip,
+        "rel_cbor_roundtrip": q_cbor_roundtrip,
+        "doc_idn_decode": q_idn_decode,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7442,3 +7446,144 @@ def _ulid_roundtrip_oracle() -> str:
     return f"""SELECT event_id, ulid, {dec} AS ts_ms_back,
                       {dec} = ts_ms AS ok
                FROM (SELECT event_id, ts_ms, {enc} AS ulid FROM ({src}))"""
+
+
+def _cbor_usz(e: str) -> str:
+    """SQL for the RFC 8949 shortest-form head size of uint(e)."""
+    return (
+        f"(CASE WHEN {e} < 24 THEN 1 WHEN {e} < 256 THEN 2"
+        f" WHEN {e} < 65536 THEN 3 WHEN {e} < 4294967296 THEN 5"
+        f" ELSE 9 END)"
+    )
+
+
+def q_cbor_roundtrip(spark, sf_dir):
+    """CBOR (RFC 8949) encode→decode roundtrip over per-event records
+    (functions/cbor.py — Appendix-A-pinned codec): a 7-pair map with
+    uint/negint/text/bool/tag(1 epoch)/array members is serialized and
+    re-parsed per row in ONE Arrow-batched mapInPandas pass. The oracle
+    recomputes every decoded field from `events` AND — the wire pin —
+    the exact serialized byte length via the shortest-form head-size
+    arithmetic, so a head-width bug shifts `byte_len` on exactly the
+    rows whose values straddle a 24/256/65536 boundary."""
+    import pandas as pd
+
+    from hatchery_spark.functions.cbor import Tag, decode, encode
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+    def rt(batches):
+        for b in batches:
+            out = []
+            for eid, uid, etype, cents, ep in zip(
+                b["event_id"], b["user_id"], b["event_type"],
+                b["cents"], b["epoch_s"],
+            ):
+                rec = {
+                    "i": int(eid),
+                    "t": str(etype),
+                    "c": int(cents),
+                    "n": -1 - int(eid) % 50,
+                    "o": bool(int(eid) % 2 == 0),
+                    "s": Tag(1, int(ep)),
+                    "a": [int(uid), int(eid) % 7],
+                }
+                wire = encode(rec)
+                d = decode(wire)
+                out.append((
+                    d["i"], len(wire), d["t"], d["c"], d["n"], d["o"],
+                    d["s"].value, ",".join(str(x) for x in d["a"]),
+                ))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "event_id", "byte_len", "t", "c", "n", "o",
+                    "s_epoch", "a_str",
+                ],
+            )
+
+    return ev.mapInPandas(
+        rt,
+        "event_id long, byte_len int, t string, c long, n long, "
+        "o boolean, s_epoch long, a_str string",
+    )
+
+
+def _cbor_roundtrip_oracle() -> str:
+    ep = "cast(floor(epoch(ts)) AS bigint)"
+    c = "cast(floor(value * 100) AS bigint)"
+    blen = " + ".join([
+        "1",                       # map head (7 pairs)
+        "14",                      # seven 1-char text keys
+        _cbor_usz("event_id"),
+        f"(1 + length(event_type))",
+        _cbor_usz(c),
+        _cbor_usz("event_id % 50"),  # negint −1−m stores uint(m)
+        "1",                       # bool
+        f"(1 + {_cbor_usz(ep)})",  # tag 1 + epoch uint
+        f"(1 + {_cbor_usz('user_id')} + {_cbor_usz('event_id % 7')})",
+    ])
+    return f"""
+        SELECT event_id,
+               cast({blen} AS int) AS byte_len,
+               event_type AS t,
+               {c} AS c,
+               -1 - event_id % 50 AS n,
+               event_id % 2 = 0 AS o,
+               {ep} AS s_epoch,
+               concat(cast(user_id AS string), ',',
+                      cast(event_id % 7 AS string)) AS a_str
+        FROM events"""
+
+
+def _idn_fixture() -> list[tuple[str, str]]:
+    """(ACE label, expected Unicode) pairs. The expectation comes from
+    Python's STDLIB punycode codec — an independent RFC 3492
+    implementation — so the oracle literals independently pin our
+    from-scratch decoder (functions/punycode.py), the robots.txt
+    hand-derived-oracle posture."""
+    planted = [
+        "bücher", "mañana", "café", "βόλος", "правда", "中文", "日本語",
+        "täst", "déjà-vu", "☃unicode", "💩", "ascii-only", "a", "ñ",
+        "ü-ü", "ёлка-2024",
+    ]
+    rows = []
+    for u in planted:
+        if all(ord(c) < 128 for c in u):
+            rows.append((u, u))
+        else:
+            rows.append(("xn--" + u.encode("punycode").decode("ascii"), u))
+    return rows
+
+
+def q_idn_decode(spark, sf_dir):
+    """IDN ACE-label decode (RFC 3492 bootstring, functions/punycode.py):
+    xn-- labels back to Unicode plus a re-encode column proving the
+    round-trip, Arrow-batched. Expectations in the oracle come from the
+    stdlib codec — a genuinely independent implementation."""
+    from hatchery_spark.functions.punycode import (
+        idna_decode_col,
+        idna_encode_col,
+    )
+
+    df = spark.createDataFrame(_idn_fixture(), "label string, expected string")
+    return df.select(
+        "label",
+        idna_decode_col(F.col("label")).alias("decoded"),
+        idna_encode_col(idna_decode_col(F.col("label"))).alias("reenc"),
+    )
+
+
+def _idn_decode_oracle() -> str:
+    vals = ", ".join(
+        f"('{ace}', '{u}')" for ace, u in _idn_fixture()
+    )
+    return f"""
+        SELECT label, u AS decoded, label AS reenc
+        FROM (VALUES {vals}) t(label, u)"""
