@@ -424,6 +424,10 @@ def main() -> None:
             ("rel_ulid_roundtrip", dq.q_ulid_roundtrip),
             ("rel_cbor_roundtrip", dq.q_cbor_roundtrip),
             ("doc_idn_decode", dq.q_idn_decode),
+            ("pipeline_sigma_rules", dq.q_sigma_rules),
+            ("pipeline_span_tree", dq.q_span_tree),
+            ("pipeline_schema_drift", dq.q_schema_drift),
+            ("pipeline_lateness_stats", dq.q_lateness_stats),
         ]:
             measure(
                 name,

@@ -515,3 +515,80 @@ def ewma_oracle_sql(
                (rn > {min_history} AND 255 * n > {threshold} * ewma_scaled)
                  AS spike
         FROM w"""
+
+
+def lateness_stats(
+    df: DataFrame,
+    event_ts_col: str = "ts",
+    proc_ts_col: str = "proc_ts",
+    group_cols: Sequence[str] = ("g",),
+    watermark_s: int = 600,
+) -> DataFrame:
+    """Event-time lateness profile per (group, processing hour): how far
+    behind the processing clock the event clock runs, and what fraction of
+    rows a `watermark_s` watermark would have dropped.
+
+    This is the observability twin of the streaming watermark (stream.py):
+    before picking a delay threshold you measure the actual lag surface.
+    All-integer (second-resolution lags, exact percentile via the ANSI
+    discrete quantile): one groupBy shuffle to the (group, hour) grid.
+
+    p95 uses the index-based discrete percentile (``ceil(0.95·n)``-th
+    smallest) — identical on both engines, no interpolation floats."""
+    lag_s = (
+        F.unix_timestamp(F.col(proc_ts_col)) - F.unix_timestamp(F.col(event_ts_col))
+    ).alias("lag_s")
+    bucket = F.date_trunc("hour", F.col(proc_ts_col)).alias("proc_hour")
+    base = df.select(*group_cols, bucket, lag_s)
+    w = Window.partitionBy(*group_cols, "proc_hour").orderBy("lag_s")
+    ranked = base.select(
+        *group_cols, "proc_hour", "lag_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*group_cols, "proc_hour")
+        ).alias("n"),
+    )
+    return (
+        ranked.groupBy(*group_cols, "proc_hour")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("lag_s").alias("max_lag_s"),
+            F.min("lag_s").alias("min_lag_s"),
+            F.max(
+                F.when(F.col("rn") == F.ceil(F.col("n") * 0.95), F.col("lag_s"))
+            ).alias("p95_lag_s"),
+            F.sum(
+                F.when(F.col("lag_s") > watermark_s, 1).otherwise(0)
+            ).cast("long").alias("n_late"),
+        )
+    )
+
+
+def lateness_oracle_sql(
+    src_sql: str,
+    group_expr: str = "g",
+    event_ts: str = "ts",
+    proc_ts: str = "proc_ts",
+    watermark_s: int = 600,
+) -> str:
+    ep = "cast(floor(epoch({x})) AS bigint)"
+    lag = f"{ep.format(x=proc_ts)} - {ep.format(x=event_ts)}"
+    return f"""
+        WITH base AS (
+          SELECT {group_expr} AS g, date_trunc('hour', {proc_ts}) AS proc_hour,
+                 {lag} AS lag_s
+          FROM ({src_sql})),
+        ranked AS (
+          SELECT g, proc_hour, lag_s,
+                 row_number() OVER (PARTITION BY g, proc_hour ORDER BY lag_s)
+                   AS rn,
+                 count(*) OVER (PARTITION BY g, proc_hour) AS n
+          FROM base)
+        SELECT g, proc_hour,
+               cast(max(n) AS bigint) AS n,
+               max(lag_s) AS max_lag_s,
+               min(lag_s) AS min_lag_s,
+               max(CASE WHEN rn = ceil(n * 0.95) THEN lag_s END) AS p95_lag_s,
+               cast(sum(CASE WHEN lag_s > {watermark_s} THEN 1 ELSE 0 END)
+                 AS bigint) AS n_late
+        FROM ranked GROUP BY g, proc_hour"""

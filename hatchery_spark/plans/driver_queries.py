@@ -5052,6 +5052,10 @@ def oracle_catalog() -> dict[str, str]:
         "rel_ulid_roundtrip": _ulid_roundtrip_oracle(),
         "rel_cbor_roundtrip": _cbor_roundtrip_oracle(),
         "doc_idn_decode": _idn_decode_oracle(),
+        "pipeline_sigma_rules": _sigma_rules_oracle(),
+        "pipeline_span_tree": _span_tree_oracle(),
+        "pipeline_schema_drift": _schema_drift_oracle(),
+        "pipeline_lateness_stats": _lateness_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6825,6 +6829,10 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_ulid_roundtrip": q_ulid_roundtrip,
         "rel_cbor_roundtrip": q_cbor_roundtrip,
         "doc_idn_decode": q_idn_decode,
+        "pipeline_sigma_rules": q_sigma_rules,
+        "pipeline_span_tree": q_span_tree,
+        "pipeline_schema_drift": q_schema_drift,
+        "pipeline_lateness_stats": q_lateness_stats,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7587,3 +7595,224 @@ def _idn_decode_oracle() -> str:
     return f"""
         SELECT label, u AS decoded, label AS reenc
         FROM (VALUES {vals}) t(label, u)"""
+
+
+def _sigma_rules():
+    from hatchery_spark.operators.sigma import Rule
+
+    return [
+        Rule(
+            "R1-critical-errors", "error/critical audit turns",
+            {"selection": {"severity": ["error", "critical"],
+                           "action": {"endswith": "_event"}}},
+            "selection", level="high",
+        ),
+        Rule(
+            "R2-upper-net-purchase", "purchases from the upper /17",
+            {"selection": {"ip": {"cidr": "10.0.128.0/17"},
+                           "action": "purchase_event"}},
+            "selection", level="medium",
+        ),
+        Rule(
+            "R3-signup-not-user1x", "signups excluding the user1* cohort",
+            {"selection": {"action": {"startswith": "signup"}},
+             "filter": {"actor": {"contains": "user1"}}},
+            "selection and not filter", level="low",
+        ),
+        Rule(
+            "R4-short-resource", "1-2 digit resource ids",
+            {"selection": {"resource": {"re": "^doc:/r[0-9]{1,2}$"}}},
+            "selection", level="low",
+        ),
+        Rule(
+            "R5-verbose-not-user1x", "warn/debug outside the user1* cohort",
+            {"a": {"severity": "warn"}, "b": {"severity": "debug"},
+             "c": {"actor": {"contains": "user1"}}},
+            "(a or b) and not c", level="low",
+        ),
+        Rule(
+            "R6-deep-turns", "audit turns late in a conversation",
+            {"selection": {"turn_idx": {"gt": 40},
+                           "severity": {"re": "^(warn|error|critical)$"}}},
+            "selection", level="medium",
+        ),
+    ]
+
+
+def q_sigma_rules(spark, sf_dir):
+    """Sigma-style rule-pack evaluation (operators/sigma.py): six
+    declarative detection rules — equals/list-OR/contains/startswith/
+    endswith/regex/CIDR/numeric-gt modifiers, boolean conditions with
+    and/or/not/parens — compiled into ONE codegen'd projection over ONE
+    scan of the parsed stream, alerts fanned out by a single explode
+    (the router shape). The oracle runs the pack's own dual-rendered SQL
+    predicates, value-pinning compiler, NULL-coalescing, and condition
+    parser at once."""
+    from hatchery_spark.operators.netenrich import extract_ipv4
+    from hatchery_spark.operators.sigma import apply_rules
+
+    src = parse_turns(transcripts(spark, sf_dir)).withColumn(
+        "ip", F.nullif(extract_ipv4(F.col("text")), F.lit(""))
+    )
+    return apply_rules(src, _sigma_rules(), ["conv_id", "turn_idx"])
+
+
+def _sigma_rules_oracle() -> str:
+    from hatchery_spark.operators.sigma import rules_oracle_sql
+
+    t = TRANSCRIPTS_SQL.format(events="events")
+    src = f"""
+        WITH t AS ({t})
+        SELECT conv_id, turn_idx,
+          nullif(regexp_extract(text, '{AUDIT_PATTERN}', 2), '') AS actor,
+          nullif(regexp_extract(text, '{AUDIT_PATTERN}', 3), '') AS action,
+          nullif(regexp_extract(text, '{AUDIT_PATTERN}', 4), '') AS resource,
+          nullif(regexp_extract(text, '{AUDIT_PATTERN}', 1), '') AS severity,
+          nullif(regexp_extract(text,
+            '(\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}})', 1), '')
+            AS ip
+        FROM t"""
+    return rules_oracle_sql(src, _sigma_rules(), ["conv_id", "turn_idx"])
+
+
+# span fixture — binary-heap parent pointers per conversation, with every
+# 23rd conversation's turn-5 subtree detached (parent 999 never exists) to
+# exercise the orphan dead-letter path
+SPANS_SQL = """
+SELECT conv_id AS trace_id,
+       cast(turn_idx AS int) AS span_id,
+       CASE WHEN turn_idx = 0 THEN NULL
+            WHEN turn_idx = 5 AND length(conv_id) % 23 = 7 THEN 999
+            ELSE cast(floor((turn_idx - 1) / 2) AS int) END AS parent_id
+FROM {t}
+"""
+
+
+def q_span_tree(spark, sf_dir):
+    """Distributed trace assembly (operators/spans.py): flat parent-pointer
+    spans → depth / root path / leaf flags via BFS level joins (no
+    recursive CTE in Spark — the loop is DEPTH-bounded, each level one
+    trace-keyed hash join over the persisted frontier). Orphaned subtrees
+    (dropped parent span) surface as depth −1 dead letters. Oracle:
+    DuckDB WITH RECURSIVE — an independent fixpoint evaluation."""
+    from hatchery_spark.operators.spans import assemble_span_tree
+
+    transcripts(spark, sf_dir).createOrReplaceTempView("hs_span_t")
+    spans = spark.sql(SPANS_SQL.format(t="hs_span_t"))
+    return assemble_span_tree(spans)
+
+
+def _span_tree_oracle() -> str:
+    from hatchery_spark.operators.spans import span_tree_oracle_sql
+
+    t = TRANSCRIPTS_SQL.format(events="events")
+    spans = SPANS_SQL.format(t=f"({t})")
+    return span_tree_oracle_sql(spans)
+
+
+# payload fixture: a mid-month upstream schema change is PLANTED — on
+# 2024-01-16 the error payload's `code` flips string→number and a new
+# `fatal` bool appears. Neutral SQL (substituted via replace, no .format
+# brace-doubling); Spark re-derives the profile from the WIRE TEXT.
+PAYLOADS_SQL = """
+SELECT ts,
+  CASE WHEN event_type = 'purchase' THEN
+         concat('{"amount":', cast(cast(floor(value * 100) AS bigint) AS string),
+                ',"cur":"USD"}')
+       WHEN event_type = 'error' AND ts >= timestamp '2024-01-16 00:00:00' THEN
+         concat('{"code":', cast(event_id % 500 AS string), ',"fatal":',
+                CASE WHEN value > 150 THEN 'true' ELSE 'false' END, '}')
+       WHEN event_type = 'error' THEN
+         concat('{"code":"E', cast(event_id % 500 AS string), '"}')
+       ELSE concat('{"page":"/r/', cast(event_id % 1000 AS string), '"}')
+  END AS payload
+FROM __EVENTS__
+"""
+
+
+def q_schema_drift(spark, sf_dir):
+    """Schema-drift report (operators/drift.py): per-(day, key) type sets
+    + counts profiled straight off the raw JSON wire text (two aligned
+    regexp_extract_all passes — from_json would erase the very type
+    signal drift needs), then a per-key day-over-day lag flags new keys
+    and type flips. The fixture plants a mid-month upstream change; the
+    oracle derives the expected profile from the GENERATING rule, never
+    re-parsing the JSON — profiler and differ both value-pinned."""
+    from hatchery_spark.operators.drift import schema_drift
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_drift_ev")
+    payloads = spark.sql(PAYLOADS_SQL.replace("__EVENTS__", "hs_drift_ev"))
+    return schema_drift(payloads, "payload")
+
+
+def _schema_drift_oracle() -> str:
+    from hatchery_spark.operators.drift import drift_oracle_sql
+
+    cut = "timestamp '2024-01-16 00:00:00'"
+    prof = f"""
+        SELECT date_trunc('day', ts) AS day, 'amount' AS key,
+               'number' AS vtype, count(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', ts), 'cur', 'string', count(*)
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', ts), 'code', 'number', count(*)
+        FROM events WHERE event_type = 'error' AND ts >= {cut} GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', ts), 'fatal', 'bool', count(*)
+        FROM events WHERE event_type = 'error' AND ts >= {cut} GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', ts), 'code', 'string', count(*)
+        FROM events WHERE event_type = 'error' AND ts < {cut} GROUP BY 1
+        UNION ALL
+        SELECT date_trunc('day', ts), 'page', 'string', count(*)
+        FROM events WHERE event_type NOT IN ('purchase', 'error') GROUP BY 1"""
+    return drift_oracle_sql(prof)
+
+
+# deterministic processing-time jitter: mostly seconds-scale, every 11th
+# event minutes-late, every 97th over the 10-minute watermark line
+PROC_JITTER_SQL = (
+    "5 + event_id % 7"
+    " + CASE WHEN event_id % 11 = 0 THEN 120 ELSE 0 END"
+    " + CASE WHEN event_id % 97 = 0 THEN 1200 ELSE 0 END"
+)
+
+# interval-add spells differently per engine: __ADD__ is
+# timestampadd(SECOND, j, ts) on Spark, ts + to_seconds(j) on DuckDB
+PROC_TS_SQL = """
+SELECT event_type AS g, ts, __ADD__ AS proc_ts
+FROM __EVENTS__
+"""
+
+
+def _proc_ts_sql(events: str, spark_dialect: bool) -> str:
+    add = (
+        f"timestampadd(SECOND, {PROC_JITTER_SQL}, ts)"
+        if spark_dialect
+        else f"ts + to_seconds({PROC_JITTER_SQL})"
+    )
+    return PROC_TS_SQL.replace("__ADD__", add).replace("__EVENTS__", events)
+
+
+def q_lateness_stats(spark, sf_dir):
+    """Event-time lateness profile (operators/telemetry.py): per
+    (event_type, processing hour) integer-exact lag min/max/discrete-p95
+    and the count a 10-minute watermark would have dropped — the
+    measurement that justifies stream.py's withWatermark threshold.
+    Deterministic jitter plants seconds-scale, minutes-late, and
+    over-watermark cohorts."""
+    from hatchery_spark.operators.telemetry import lateness_stats
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_late_ev")
+    df = spark.sql(_proc_ts_sql("hs_late_ev", spark_dialect=True))
+    return lateness_stats(df, group_cols=["g"])
+
+
+def _lateness_oracle() -> str:
+    from hatchery_spark.operators.telemetry import lateness_oracle_sql
+
+    return lateness_oracle_sql(
+        _proc_ts_sql("events", spark_dialect=False), group_expr="g"
+    )
