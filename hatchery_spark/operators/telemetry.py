@@ -592,3 +592,69 @@ def lateness_oracle_sql(
                cast(sum(CASE WHEN lag_s > {watermark_s} THEN 1 ELSE 0 END)
                  AS bigint) AS n_late
         FROM ranked GROUP BY g, proc_hour"""
+
+
+ROLLUP_AGGS = ("n", "v_sum", "v_min", "v_max")
+
+
+def rollup_bucket(
+    df: DataFrame,
+    value_col: Column | str,
+    group_cols: Sequence[str],
+    bucket: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One resolution level of a continuous-aggregate cascade:
+    (group, date_trunc(bucket)) → count / sum / min / max of the value.
+
+    The aggregate set is deliberately CLOSED UNDER MERGE (count→sum,
+    sum→sum, min→min, max→max), so a coarser level is computable from the
+    next finer level without touching raw rows — at 10^12 rows the raw
+    stream is aggregated exactly once into minutes, and hours/days roll
+    up from sketch-sized inputs (the hypertable/continuous-aggregate
+    pattern). Avg is served as v_sum/n at read time; never store avg —
+    it does not merge."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (
+        df.select(*group_cols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"), v.alias("v"))
+        .groupBy(*group_cols, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("v_sum"),
+            F.min("v").cast("long").alias("v_min"),
+            F.max("v").cast("long").alias("v_max"),
+        )
+    )
+
+
+def rollup_cascade(
+    fine: DataFrame, group_cols: Sequence[str], bucket: str
+) -> DataFrame:
+    """Merge a finer rollup into a coarser bucket — raw rows never move."""
+    return (
+        fine.select(
+            *group_cols,
+            F.date_trunc(bucket, F.col("bucket_ts")).alias("bucket_ts"),
+            *ROLLUP_AGGS,
+        )
+        .groupBy(*group_cols, "bucket_ts")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("v_sum").cast("long").alias("v_sum"),
+            F.min("v_min").cast("long").alias("v_min"),
+            F.max("v_max").cast("long").alias("v_max"),
+        )
+    )
+
+
+def rollup_oracle_sql(
+    src_sql: str, value_expr: str, group_expr: str, bucket: str
+) -> str:
+    """Direct single-level aggregation — the cascade must equal it exactly."""
+    return f"""
+        SELECT {group_expr} AS g, date_trunc('{bucket}', ts) AS bucket_ts,
+               cast(count(*) AS bigint) AS n,
+               cast(sum({value_expr}) AS bigint) AS v_sum,
+               cast(min({value_expr}) AS bigint) AS v_min,
+               cast(max({value_expr}) AS bigint) AS v_max
+        FROM ({src_sql}) GROUP BY 1, 2"""

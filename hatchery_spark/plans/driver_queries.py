@@ -5056,6 +5056,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_span_tree": _span_tree_oracle(),
         "pipeline_schema_drift": _schema_drift_oracle(),
         "pipeline_lateness_stats": _lateness_oracle(),
+        "pipeline_rollup_cascade": _rollup_cascade_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6833,6 +6834,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_span_tree": q_span_tree,
         "pipeline_schema_drift": q_schema_drift,
         "pipeline_lateness_stats": q_lateness_stats,
+        "pipeline_rollup_cascade": q_rollup_cascade,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7815,4 +7817,35 @@ def _lateness_oracle() -> str:
 
     return lateness_oracle_sql(
         _proc_ts_sql("events", spark_dialect=False), group_expr="g"
+    )
+
+
+def q_rollup_cascade(spark, sf_dir):
+    """Continuous-aggregate cascade (operators/telemetry.py): raw events
+    aggregate ONCE into minute buckets, then hours roll up from minutes
+    and days from hours — every level closed under merge (count/sum/min/
+    max; avg is derived at read time, never stored). The oracle computes
+    the DAY level directly from raw rows, so the whole two-hop cascade
+    must be exactly lossless."""
+    from hatchery_spark.operators.telemetry import rollup_bucket, rollup_cascade
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    minutes = rollup_bucket(ev, "cents", ["g"], "minute")
+    hours = rollup_cascade(minutes, ["g"], "hour")
+    return rollup_cascade(hours, ["g"], "day")
+
+
+def _rollup_cascade_oracle() -> str:
+    from hatchery_spark.operators.telemetry import rollup_oracle_sql
+
+    return rollup_oracle_sql(
+        "SELECT event_type, ts, cast(floor(value * 100) AS bigint) AS cents"
+        " FROM events",
+        "cents",
+        "event_type",
+        "day",
     )

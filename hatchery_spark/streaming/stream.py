@@ -983,3 +983,50 @@ def run_hll_ingest_stream(
     )
     q.awaitTermination()
     return q
+
+
+def sigma_alert_writer(rules, out_dir: str):
+    """foreachBatch: parse the micro-batch, evaluate the WHOLE Sigma rule
+    pack in one projection (operators/sigma.py — compiled once here on
+    the driver, reused every batch), land alerts exactly-once via the
+    batch_id dynamic-overwrite contract of route_fanout_batch_writer."""
+    from hatchery_spark.operators.sigma import apply_rules
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        alerts = apply_rules(
+            parse_turns(batch_df),
+            rules,
+            ["conv_id", "turn_idx", "ts"],
+        )
+        (
+            alerts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{out_dir}/alerts")
+        )
+
+    return _write
+
+
+def run_sigma_alert_stream(
+    spark: SparkSession,
+    input_path: str,
+    rules,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming detection: the Sigma pack over a transcript file stream.
+    availableNow + checkpoint ⇒ a restart resumes after the last committed
+    batch; a replayed batch overwrites exactly its own partition."""
+    stream = read_transcripts_stream(spark, input_path, max_files_per_trigger)
+    q = (
+        stream.select(*TRANSCRIPT_COLUMNS)
+        .writeStream.foreachBatch(sigma_alert_writer(rules, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
