@@ -658,3 +658,101 @@ def rollup_oracle_sql(
                cast(min({value_expr}) AS bigint) AS v_min,
                cast(max({value_expr}) AS bigint) AS v_max
         FROM ({src_sql}) GROUP BY 1, 2"""
+
+
+ERROR_SEVERITIES = ("error", "critical")
+
+
+def tail_sample_traces(
+    spans: DataFrame,
+    trace_cols: Sequence[str],
+    severity_col: str = "severity",
+    ts_col: str = "ts",
+    slow_s: int = 6 * 3600,
+    rate: float = 0.1,
+) -> DataFrame:
+    """Tail-based trace sampling: the keep/drop decision is made per TRACE,
+    after all its spans are seen — keep every trace containing an error
+    span, every slow trace (wall duration >= slow_s), and a deterministic
+    `rate` fraction of the healthy remainder as the baseline.
+
+    This is the sampling mode head-based (per-span coin flip) pipelines
+    can't express: an error trace is kept WHOLE or not at all. One hash
+    shuffle on the trace key with map-side partial aggregation — a
+    million-span whale trace forwards one partial row per input partition,
+    never its spans. The baseline leg hashes the trace key (md5 prefix vs
+    threshold, functions/sampling.py), so the kept set is a deterministic
+    function of the data — identical on 8 executors or 1000, and nested
+    across rates (raising `rate` only ADDS traces).
+
+    Returns one row per KEPT trace: trace cols, n_spans, n_error_spans,
+    duration_s, keep_reason ('error' > 'slow' > 'sampled'). To materialize
+    the spans themselves, left-semi join the span stream against this frame
+    on the trace key (broadcast when the kept set is small).
+    """
+    from hatchery_spark.functions.sampling import sample_threshold
+
+    err = F.max(
+        F.when(F.col(severity_col).isin(*ERROR_SEVERITIES), 1).otherwise(0)
+    )
+    per = spans.groupBy(*trace_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(
+            F.when(F.col(severity_col).isin(*ERROR_SEVERITIES), 1).otherwise(0)
+        ).cast("long").alias("n_error_spans"),
+        (
+            F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+        ).cast("long").alias("duration_s"),
+        err.alias("_err"),
+    )
+    key = F.concat_ws("/", *[F.col(c).cast("string") for c in trace_cols])
+    reason = (
+        F.when(F.col("_err") == 1, "error")
+        .when(F.col("duration_s") >= slow_s, "slow")
+        .when(
+            F.substring(F.md5(key), 1, 4) < sample_threshold(rate), "sampled"
+        )
+    )
+    return (
+        per.withColumn("keep_reason", reason)
+        .where(F.col("keep_reason").isNotNull())
+        .drop("_err")
+    )
+
+
+def tail_sample_oracle_sql(
+    spans_sql: str,
+    trace_exprs: Sequence[str],
+    severity_expr: str = "severity",
+    slow_s: int = 6 * 3600,
+    rate: float = 0.1,
+) -> str:
+    """DuckDB replay of the per-trace decision (same md5-prefix baseline)."""
+    from hatchery_spark.functions.sampling import sample_threshold
+
+    cols = ", ".join(trace_exprs)
+    key = (
+        "concat_ws('/', "
+        + ", ".join(f"cast({c} AS varchar)" for c in trace_exprs)
+        + ")"
+    )
+    errs = ", ".join(f"'{s}'" for s in ERROR_SEVERITIES)
+    return f"""
+        WITH per AS (
+          SELECT {cols},
+                 cast(count(*) AS bigint) AS n_spans,
+                 cast(sum(CASE WHEN {severity_expr} IN ({errs})
+                               THEN 1 ELSE 0 END) AS bigint) AS n_error_spans,
+                 cast(date_diff('second', min(ts), max(ts)) AS bigint)
+                   AS duration_s
+          FROM ({spans_sql}) GROUP BY {cols}
+        )
+        SELECT *
+        FROM (SELECT {cols}, n_spans, n_error_spans, duration_s,
+                     CASE WHEN n_error_spans > 0 THEN 'error'
+                          WHEN duration_s >= {slow_s} THEN 'slow'
+                          WHEN substr(md5({key}), 1, 4)
+                               < '{sample_threshold(rate)}' THEN 'sampled'
+                     END AS keep_reason
+              FROM per)
+        WHERE keep_reason IS NOT NULL"""

@@ -5057,6 +5057,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_schema_drift": _schema_drift_oracle(),
         "pipeline_lateness_stats": _lateness_oracle(),
         "pipeline_rollup_cascade": _rollup_cascade_oracle(),
+        "pipeline_tail_sample": _tail_sample_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6835,6 +6836,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_schema_drift": q_schema_drift,
         "pipeline_lateness_stats": q_lateness_stats,
         "pipeline_rollup_cascade": q_rollup_cascade,
+        "pipeline_tail_sample": q_tail_sample,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7848,4 +7850,42 @@ def _rollup_cascade_oracle() -> str:
         "cents",
         "event_type",
         "day",
+    )
+
+
+def q_tail_sample(spark, sf_dir):
+    """Tail-based trace sampling (operators/telemetry.py): the keep/drop
+    decision happens per TRACE after all spans are seen — error traces
+    kept whole, slow traces kept whole, a deterministic md5-keyed 10% of
+    the healthy rest. One shuffle, map-side partials; the baseline leg is
+    stable under repartition (same traces on 8 or 1000 executors). Traces
+    here are (conversation, day); severity comes off the parsed wire text.
+    The oracle replays the decision from the generating rule."""
+    from hatchery_spark.operators.telemetry import tail_sample_traces
+
+    spans = parse_turns(transcripts(spark, sf_dir)).select(
+        "conv_id",
+        F.to_date("ts").cast("string").alias("trace_day"),
+        "severity",
+        "ts",
+    )
+    return tail_sample_traces(
+        spans, ["conv_id", "trace_day"], slow_s=6 * 3600, rate=0.1
+    )
+
+
+def _tail_sample_oracle() -> str:
+    from hatchery_spark.operators.telemetry import tail_sample_oracle_sql
+
+    spans = """
+        SELECT concat('conv-', cast(user_id AS varchar)) AS conv_id,
+               cast(cast(ts AS date) AS varchar) AS trace_day,
+               CASE WHEN event_id % 37 = 0 THEN NULL
+                    WHEN value < 10 THEN 'debug' WHEN value < 50 THEN 'info'
+                    WHEN value < 100 THEN 'warn' WHEN value < 200 THEN 'error'
+                    ELSE 'critical' END AS severity,
+               ts
+        FROM events"""
+    return tail_sample_oracle_sql(
+        spans, ["conv_id", "trace_day"], slow_s=6 * 3600, rate=0.1
     )

@@ -124,3 +124,48 @@ def test_funnel_single_scan_matches_k_scan(spark):
     assert a == b
     got = {r.user_id: r for r in funnel_steps_single_scan(df, steps).collect()}
     assert str(got[100].step_2_ts) == "2025-06-01 09:30:00"
+
+
+def test_tail_sample_trace_level_decision_and_precedence(spark):
+    from hatchery_spark.operators.telemetry import tail_sample_traces
+
+    rows = [
+        # trace A: one error span among infos → kept whole as 'error'
+        ("A", "info", "2025-06-01 00:00:00"),
+        ("A", "error", "2025-06-01 00:00:10"),
+        ("A", "info", "2025-06-01 00:00:20"),
+        # trace B: healthy but slow (2h)
+        ("B", "info", "2025-06-01 00:00:00"),
+        ("B", "info", "2025-06-01 02:00:00"),
+        # trace C: healthy + fast → only the md5 baseline can keep it
+        ("C", "info", "2025-06-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "trace string, severity string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r.trace: (r.keep_reason, r.n_spans, r.n_error_spans, r.duration_s)
+        for r in tail_sample_traces(df, ["trace"], slow_s=3600, rate=1.0).collect()
+    }
+    assert got["A"] == ("error", 3, 1, 20)      # error wins over slow
+    assert got["B"] == ("slow", 2, 0, 7200)
+    assert got["C"] == ("sampled", 1, 0, 0)     # rate=1.0 keeps everything
+
+    # rate=0 drops the healthy-fast trace entirely — no per-span leakage
+    kept = tail_sample_traces(df, ["trace"], slow_s=3600, rate=0.0)
+    assert sorted(r.trace for r in kept.collect()) == ["A", "B"]
+
+
+def test_tail_sample_stable_under_repartition(spark):
+    from hatchery_spark.operators.telemetry import tail_sample_traces
+
+    rows = [(f"t{i}", "info", "2025-06-01 00:00:00") for i in range(400)]
+    df = spark.createDataFrame(rows, "trace string, severity string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    a = {r.trace for r in tail_sample_traces(df, ["trace"], rate=0.25).collect()}
+    b = {
+        r.trace
+        for r in tail_sample_traces(df.repartition(17), ["trace"], rate=0.25).collect()
+    }
+    assert a == b and 0 < len(a) < 400
