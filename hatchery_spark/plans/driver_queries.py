@@ -5058,6 +5058,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_lateness_stats": _lateness_oracle(),
         "pipeline_rollup_cascade": _rollup_cascade_oracle(),
         "pipeline_tail_sample": _tail_sample_oracle(),
+        "pipeline_cef_parse": _cef_oracle(),
         "pipeline_access_log": _access_log_oracle(),
         "pipeline_beacon_detect": beacon_oracle_sql(),
         "pipeline_hdr_quantiles": hdr_oracle_sql(
@@ -6837,6 +6838,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lateness_stats": q_lateness_stats,
         "pipeline_rollup_cascade": q_rollup_cascade,
         "pipeline_tail_sample": q_tail_sample,
+        "pipeline_cef_parse": q_cef_parse,
         "pipeline_access_log": q_access_log,
         "pipeline_beacon_detect": q_beacon_detect,
         "pipeline_hdr_quantiles": q_hdr_quantiles,
@@ -7889,3 +7891,24 @@ def _tail_sample_oracle() -> str:
     return tail_sample_oracle_sql(
         spans, ["conv_id", "trace_day"], slow_s=6 * 3600, rate=0.1
     )
+
+
+def q_cef_parse(spark, sf_dir):
+    """ArcSight CEF framing e2e (operators/cef.py): render every turn to
+    a CEF line (header escapes \\| and \\\\ exercised by a pipes-and-
+    backslash Name; extension escapes \\= exercised by the raw audit
+    text riding in msg), then parse ONLY the line back. The oracle
+    computes every field directly from the source turns — both encoder
+    and decoder value-pinned; msg equality carries the per-turn text
+    invariant through the frame. Both directions single codegen'd
+    Projects — no UDF, no shuffle, no explode."""
+    from hatchery_spark.operators.cef import parse_cef, render_cef
+
+    lines = render_cef(transcripts(spark, sf_dir)).select("line")
+    return parse_cef(lines)
+
+
+def _cef_oracle() -> str:
+    from hatchery_spark.operators.cef import cef_oracle_sql
+
+    return cef_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
