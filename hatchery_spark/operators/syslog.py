@@ -189,3 +189,129 @@ def syslog_oracle_sql(transcripts_sql: str) -> str:
                ELSE '' END AS note,
           text AS msg
         FROM x"""
+
+
+# ---------------------------------------------------------------------------
+# RFC 3164 — legacy BSD syslog. The format every pipeline still has to
+# ingest: no year, no timezone, no structured data, and the infamous
+# SPACE-padded day-of-month ("Aug  5", not "Aug 05").
+# ---------------------------------------------------------------------------
+
+#: month abbreviations in RFC 3164 TIMESTAMP order (index = month number - 1)
+BSD_MONTHS = [
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+]
+
+
+def render_rfc3164(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a ``line`` column: the RFC 3164 frame of each turn.
+
+        <PRI>Mmm dd hh:mm:ss HOSTNAME TAG[pid]: MSG
+
+    PRI reuses the 5424 facility/severity config (the PRI octet predates
+    both RFCs and is identical); TIMESTAMP is the §4.1.2 format with the
+    day SPACE-padded for days 1-9 — the classic parser trap, exercised
+    by real rows whenever the source spans a month's first nine days.
+    HOSTNAME = conv_id, TAG = tool, pid = turn_idx; MSG carries the raw
+    turn text untouched (per-turn text-equality invariant). Pure codegen
+    Project — no UDF, no shuffle.
+    """
+    text = F.col(text_col)
+    level = F.regexp_extract(text, r"^\[(\w+)\]", 1)
+    facility = _case(F.col("role"), FACILITY_BY_ROLE, 9)
+    severity = _case(level, SEVERITY_BY_LEVEL, DEFAULT_SEVERITY)
+    pri = facility * 8 + severity
+    # date_format 'MMM' depends on session locale for some JVMs; build the
+    # month token from the config list so render and parse share one table.
+    mon = F.element_at(
+        F.array(*[F.lit(m) for m in BSD_MONTHS]), F.month("ts")
+    )
+    stamp = F.concat(
+        mon,
+        F.lit(" "),
+        F.lpad(F.dayofmonth("ts").cast("string"), 2, " "),
+        F.lit(" "),
+        F.date_format("ts", "HH:mm:ss"),
+    )
+    line = F.concat(
+        F.lit("<"),
+        pri.cast("string"),
+        F.lit(">"),
+        stamp,
+        F.lit(" "),
+        F.col("conv_id"),
+        F.lit(" "),
+        F.col("tool"),
+        F.lit("["),
+        F.col("turn_idx").cast("string"),
+        F.lit("]: "),
+        text,
+    )
+    return df.withColumn("line", line)
+
+
+def parse_rfc3164(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse RFC 3164 lines back into structured fields — ONLY from the
+    line (nothing smuggled from the input). The year is NOT in the frame
+    (3164's defining lossiness), so event time comes back as (mon, day,
+    time_str); callers re-anchor against ingest date, exactly as real
+    collectors do. Returns (host, tag, pid, pri, facility, severity,
+    mon, day, time_str, msg). Single codegen'd Project.
+    """
+    line = F.col(line_col)
+    pri = F.regexp_extract(line, r"^<(\d+)>", 1).cast("int")
+    # TIMESTAMP: month token, space-or-zero-padded day, time
+    pat = r"^<\d+>(\w{3}) ([ \d]\d) (\d\d:\d\d:\d\d) (\S+) (\w+)\[(\d+)\]: "
+    mon_name = F.regexp_extract(line, pat, 1)
+    # month token → number via the shared table (no locale parsing)
+    mon = F.lit(None).cast("int")
+    for i, m in enumerate(BSD_MONTHS, start=1):
+        mon = F.when(mon_name == m, F.lit(i)).otherwise(mon)
+    header = F.regexp_extract(line, pat, 0)
+    msg = F.substring(line, F.length(header) + 1, F.length(line))
+    return df.select(
+        F.regexp_extract(line, pat, 4).alias("host"),
+        F.regexp_extract(line, pat, 5).alias("tag"),
+        F.regexp_extract(line, pat, 6).cast("int").alias("pid"),
+        pri.alias("pri"),
+        (pri / F.lit(8)).cast("int").alias("facility"),
+        F.pmod(pri, F.lit(8)).cast("int").alias("severity"),
+        mon.alias("mon"),
+        F.trim(F.regexp_extract(line, pat, 2)).cast("int").alias("day"),
+        F.regexp_extract(line, pat, 3).alias("time_str"),
+        msg.alias("msg"),
+    )
+
+
+def syslog_bsd_oracle_sql(transcripts_sql: str) -> str:
+    """DuckDB replay: every parsed field computed DIRECTLY from the
+    source turns — a bug in either render (padding, month table, PRI)
+    or parse (space-day regex, header length arithmetic) breaks value
+    equality. Generated from the same facility/severity config."""
+    fac = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in FACILITY_BY_ROLE.items()
+    )
+    sev = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in SEVERITY_BY_LEVEL.items()
+    )
+    return f"""
+        WITH t AS ({transcripts_sql}),
+        x AS (
+          SELECT *,
+            CASE role {fac} ELSE 9 END AS facility,
+            CASE regexp_extract(text, '^\\[(\\w+)\\]', 1)
+                 {sev} ELSE {DEFAULT_SEVERITY} END AS severity
+          FROM t)
+        SELECT
+          conv_id AS host,
+          tool AS tag,
+          cast(turn_idx AS int) AS pid,
+          cast(facility * 8 + severity AS int) AS pri,
+          cast(facility AS int) AS facility,
+          cast(severity AS int) AS severity,
+          cast(month(ts) AS int) AS mon,
+          cast(day(ts) AS int) AS day,
+          strftime(ts, '%H:%M:%S') AS time_str,
+          text AS msg
+        FROM x"""

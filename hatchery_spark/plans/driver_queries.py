@@ -2198,6 +2198,27 @@ def _syslog_oracle() -> str:
     return syslog_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_syslog_bsd(spark, sf_dir):
+    """RFC 3164 legacy BSD syslog e2e (operators/syslog.py): render every
+    turn to the no-year, SPACE-padded-day frame, then parse ONLY the
+    line back. The oracle computes every field directly from the source
+    turns — encoder padding/month-table/PRI and decoder space-day regex
+    both value-pinned; msg equality carries the per-turn text invariant.
+    The year is honestly absent (3164's defining lossiness): event time
+    comes back as (mon, day, time_str). Both directions single codegen'd
+    Projects — no UDF, no shuffle."""
+    from hatchery_spark.operators.syslog import parse_rfc3164, render_rfc3164
+
+    lines = render_rfc3164(transcripts(spark, sf_dir)).select("line")
+    return parse_rfc3164(lines)
+
+
+def _syslog_bsd_oracle() -> str:
+    from hatchery_spark.operators.syslog import syslog_bsd_oracle_sql
+
+    return syslog_bsd_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_logfmt_roundtrip(spark, sf_dir):
     r"""logfmt wire-format e2e: render each document as a key=value line
     (Go-logfmt conditional quoting; the msg field is wrapped in quotes +
@@ -6228,6 +6249,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_log_templates": _log_templates_oracle(),
         "pipeline_cidr_enrich": _cidr_enrich_oracle(),
         "pipeline_syslog_rfc5424": _syslog_oracle(),
+        "pipeline_syslog_bsd": _syslog_bsd_oracle(),
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "pipeline_hll_actors": _hll_actors_oracle(),
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
@@ -6823,6 +6845,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_stack_stitch": q_stack_stitch,
         "pipeline_kmv_actors": q_kmv_actors,
         "pipeline_ewma_spikes": q_ewma_spikes,

@@ -58,3 +58,57 @@ def test_no_exchange(spark):
     out = parse_rfc5424(render_rfc5424(df).select("line"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- RFC 3164 legacy BSD framing ------------------------------------------
+
+from hatchery_spark.operators.syslog import parse_rfc3164, render_rfc3164
+
+
+def _bsd_roundtrip(spark, text, day=5, **kw):
+    ts = datetime.datetime(2024, 8, day, 6, 7, 8)
+    df = spark.createDataFrame(
+        [("conv-9", 3, kw.get("role", "user"), text, kw.get("tool", "click"), ts)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    lines = render_rfc3164(df).select("line")
+    return lines.collect()[0].line, parse_rfc3164(lines).collect()[0]
+
+
+def test_bsd_space_padded_day(spark):
+    # days 1-9 render with a SPACE pad ("Aug  5"), not zero ("Aug 05")
+    line, row = _bsd_roundtrip(spark, "[info] actor=a action=b_event resource=r ip=1.2.3.4")
+    assert "<14>Aug  5 06:07:08 conv-9 click[3]: " in line
+    assert (row.mon, row.day, row.time_str) == (8, 5, "06:07:08")
+    assert row.msg.startswith("[info] actor=a")
+
+
+def test_bsd_two_digit_day_and_pri(spark):
+    line, row = _bsd_roundtrip(
+        spark, "[error] actor=a action=b_event resource=r ip=1.2.3.4",
+        day=25, role="tool", tool="login",
+    )
+    assert "Aug 25 " in line and "Aug  " not in line
+    assert (row.facility, row.severity, row.pri) == (16, 3, 16 * 8 + 3)
+    assert (row.host, row.tag, row.pid) == ("conv-9", "login", 3)
+
+
+def test_bsd_msg_text_equality(spark):
+    # msg carries the raw text even when it contains frame-ish chars
+    nasty = "free [text] with: colons ]: and <brackets> <14>Aug  5"
+    _, row = _bsd_roundtrip(spark, nasty)
+    assert row.msg == nasty
+    assert row.severity == 5  # free-form turn → default severity
+
+
+def test_bsd_no_exchange(spark):
+    ts = datetime.datetime(2024, 8, 5, 6, 7, 8)
+    df = spark.createDataFrame(
+        [("c", 0, "user", "[info] actor=a action=b resource=r ip=1.1.1.1", "t", ts)],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = parse_rfc3164(render_rfc3164(df).select("line"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
