@@ -756,3 +756,135 @@ def tail_sample_oracle_sql(
                      END AS keep_reason
               FROM per)
         WHERE keep_reason IS NOT NULL"""
+
+
+def slo_burnrate(
+    df: DataFrame,
+    service_cols: Sequence[str],
+    is_error_col: str = "is_error",
+    ts_col: str = "ts",
+    page_per_10k: int = 144,
+    ticket_per_10k: int = 60,
+) -> DataFrame:
+    """Multi-window multi-burn-rate SLO alerting (the SRE-workbook page/
+    ticket policy) evaluated over history in ONE corpus pass.
+
+    Burn rate = error_ratio / error_budget. With a 99.9% SLO (budget
+    0.1%), the canonical policy pages when the 1h AND 5m windows both
+    burn >= 14.4x (error ratio >= 1.44% = 144 per 10k) and tickets when
+    the 6h AND 30m windows both burn >= 6x (60 per 10k). The short
+    window is the reset guard: once the burst stops, the 5m/30m leg
+    clears even while the long window is still polluted. Thresholds are
+    passed as INTEGER per-10k ratios and compared by cross-
+    multiplication (10000*err >= thresh*total) — no float division, no
+    engine-dependent rounding anywhere.
+
+    Scale shape: raw rows are aggregated ONCE into per-(service, 5-min)
+    counts (one hash shuffle with map-side partial agg — the
+    continuous-aggregate pattern above); the 30m/1h/6h windows roll up
+    from that reduced frame and join back on bucket-floor keys, so every
+    post-corpus stage is sketch-sized and AQE broadcasts it. Bucket keys
+    are epoch-second BIGINTs (timezone-proof on both engines).
+
+    Returns one row per (service, 5-min bucket): bucket_s, tot/err at
+    5m/30m/1h/6h, page_alert, ticket_alert.
+    """
+    svc = [F.col(c) for c in service_cols]
+    b5 = (F.floor(F.unix_timestamp(F.col(ts_col)) / 300) * 300).cast("long")
+    base = (
+        df.select(
+            *svc,
+            b5.alias("bucket_s"),
+            F.col(is_error_col).cast("int").alias("_e"),
+        )
+        .groupBy(*service_cols, "bucket_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tot_5m"),
+            F.sum("_e").cast("long").alias("err_5m"),
+        )
+        # four plan branches (output + 3 rollups) read this reduced frame;
+        # without the persist each branch re-scans and re-shuffles the RAW
+        # corpus (verified: 4 source scans, zero ReusedExchange)
+        .persist()
+    )
+
+    def roll(width: int, suffix: str) -> DataFrame:
+        # service cols renamed so the join back to `base` (a self-join by
+        # lineage) has unambiguous, explicitly-equated keys
+        return (
+            base.groupBy(
+                *[F.col(c).alias(f"{c}_{suffix}") for c in service_cols],
+                (F.floor(F.col("bucket_s") / width) * width)
+                .cast("long")
+                .alias(f"b_{suffix}"),
+            )
+            .agg(
+                F.sum("tot_5m").cast("long").alias(f"tot_{suffix}"),
+                F.sum("err_5m").cast("long").alias(f"err_{suffix}"),
+            )
+        )
+
+    out = base
+    for width, suffix in ((1800, "30m"), (3600, "1h"), (21600, "6h")):
+        key = (F.floor(F.col("bucket_s") / width) * width).cast("long")
+        cond = key == F.col(f"b_{suffix}")
+        for c in service_cols:
+            cond = cond & (F.col(c) == F.col(f"{c}_{suffix}"))
+        out = out.join(roll(width, suffix), on=cond, how="inner").drop(
+            f"b_{suffix}", *[f"{c}_{suffix}" for c in service_cols]
+        )
+
+    def burns(err: str, tot: str, thresh: int) -> Column:
+        return (F.col(err) * 10000) >= (F.lit(thresh) * F.col(tot))
+
+    return out.select(
+        *service_cols,
+        "bucket_s",
+        "tot_5m", "err_5m", "tot_30m", "err_30m",
+        "tot_1h", "err_1h", "tot_6h", "err_6h",
+        (
+            burns("err_1h", "tot_1h", page_per_10k)
+            & burns("err_5m", "tot_5m", page_per_10k)
+        ).alias("page_alert"),
+        (
+            burns("err_6h", "tot_6h", ticket_per_10k)
+            & burns("err_30m", "tot_30m", ticket_per_10k)
+        ).alias("ticket_alert"),
+    )
+
+
+def slo_burnrate_oracle_sql(
+    src_sql: str,
+    service_expr: str,
+    error_expr: str,
+    page_per_10k: int = 144,
+    ticket_per_10k: int = 60,
+) -> str:
+    """Direct SQL replay: same 5-min base aggregate, same bucket-floor
+    rollups, same integer cross-multiplied thresholds."""
+    return f"""
+        WITH src AS ({src_sql}),
+        b5 AS (
+          SELECT {service_expr} AS svc,
+                 cast(floor(epoch(ts) / 300) * 300 AS bigint) AS bucket_s,
+                 cast(count(*) AS bigint) AS tot_5m,
+                 cast(sum(cast({error_expr} AS int)) AS bigint) AS err_5m
+          FROM src GROUP BY 1, 2),
+        r30 AS (SELECT svc, cast(floor(bucket_s/1800)*1800 AS bigint) AS b,
+                       sum(tot_5m) AS tot, sum(err_5m) AS err FROM b5 GROUP BY 1,2),
+        r1h AS (SELECT svc, cast(floor(bucket_s/3600)*3600 AS bigint) AS b,
+                       sum(tot_5m) AS tot, sum(err_5m) AS err FROM b5 GROUP BY 1,2),
+        r6h AS (SELECT svc, cast(floor(bucket_s/21600)*21600 AS bigint) AS b,
+                       sum(tot_5m) AS tot, sum(err_5m) AS err FROM b5 GROUP BY 1,2)
+        SELECT b5.svc, b5.bucket_s, b5.tot_5m, b5.err_5m,
+               cast(r30.tot AS bigint) AS tot_30m, cast(r30.err AS bigint) AS err_30m,
+               cast(r1h.tot AS bigint) AS tot_1h, cast(r1h.err AS bigint) AS err_1h,
+               cast(r6h.tot AS bigint) AS tot_6h, cast(r6h.err AS bigint) AS err_6h,
+               (r1h.err * 10000 >= {page_per_10k} * r1h.tot
+                AND b5.err_5m * 10000 >= {page_per_10k} * b5.tot_5m) AS page_alert,
+               (r6h.err * 10000 >= {ticket_per_10k} * r6h.tot
+                AND r30.err * 10000 >= {ticket_per_10k} * r30.tot) AS ticket_alert
+        FROM b5
+        JOIN r30 ON r30.svc = b5.svc AND r30.b = cast(floor(b5.bucket_s/1800)*1800 AS bigint)
+        JOIN r1h ON r1h.svc = b5.svc AND r1h.b = cast(floor(b5.bucket_s/3600)*3600 AS bigint)
+        JOIN r6h ON r6h.svc = b5.svc AND r6h.b = cast(floor(b5.bucket_s/21600)*21600 AS bigint)"""

@@ -2219,6 +2219,37 @@ def _syslog_bsd_oracle() -> str:
     return syslog_bsd_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_slo_burnrate(spark, sf_dir):
+    """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
+    slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
+    5-min) error/total counts from ONE corpus pass, 30m/1h/6h windows
+    rolled up from the reduced frame, page = 14.4x burn on 1h AND 5m,
+    ticket = 6x on 6h AND 30m. Thresholds are integer per-10k ratios
+    compared by cross-multiplication — no float division anywhere, so
+    the oracle replay is exact. Bucket keys are epoch-second BIGINTs
+    (timezone-proof on both engines)."""
+    from hatchery_spark.operators.telemetry import slo_burnrate
+
+    t = transcripts(spark, sf_dir)
+    lvl = F.regexp_extract(F.col("text"), r"^\[(\w+)\]", 1)
+    src = t.select(
+        F.col("tool").alias("svc"),
+        F.col("ts"),
+        lvl.isin("error", "critical").alias("is_error"),
+    )
+    return slo_burnrate(src, ["svc"])
+
+
+def _slo_burnrate_oracle() -> str:
+    from hatchery_spark.operators.telemetry import slo_burnrate_oracle_sql
+
+    return slo_burnrate_oracle_sql(
+        TRANSCRIPTS_SQL.format(events="events"),
+        "tool",
+        "regexp_extract(text, '^\\[(\\w+)\\]', 1) IN ('error', 'critical')",
+    )
+
+
 def q_logfmt_roundtrip(spark, sf_dir):
     r"""logfmt wire-format e2e: render each document as a key=value line
     (Go-logfmt conditional quoting; the msg field is wrapped in quotes +
@@ -6250,6 +6281,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_cidr_enrich": _cidr_enrich_oracle(),
         "pipeline_syslog_rfc5424": _syslog_oracle(),
         "pipeline_syslog_bsd": _syslog_bsd_oracle(),
+        "pipeline_slo_burnrate": _slo_burnrate_oracle(),
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "pipeline_hll_actors": _hll_actors_oracle(),
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
@@ -6846,6 +6878,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_syslog_bsd": q_syslog_bsd,
+        "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_stack_stitch": q_stack_stitch,
         "pipeline_kmv_actors": q_kmv_actors,
         "pipeline_ewma_spikes": q_ewma_spikes,

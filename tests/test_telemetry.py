@@ -169,3 +169,72 @@ def test_tail_sample_stable_under_repartition(spark):
         for r in tail_sample_traces(df.repartition(17), ["trace"], rate=0.25).collect()
     }
     assert a == b and 0 < len(a) < 400
+
+
+def _slo_rows(events):
+    """events: list of (svc, minute_offset, n_total, n_errors) → raw rows."""
+    import datetime
+
+    base = datetime.datetime(2025, 6, 1, 0, 0, 0)
+    rows = []
+    for svc, mins, tot, errs in events:
+        ts = base + datetime.timedelta(minutes=mins)
+        for i in range(tot):
+            rows.append((svc, ts, i < errs))
+    return rows
+
+
+def test_slo_burnrate_page_fires_and_resets(spark):
+    from hatchery_spark.operators.telemetry import slo_burnrate
+
+    # svc "api": minute 0-4 a hard burst (50% errors), minutes 10..55 healthy.
+    # page needs 1h AND 5m >= 1.44%: fires ONLY in the burst bucket; in the
+    # healthy buckets the polluted 1h window alone must NOT page (reset guard).
+    events = [("api", 0, 100, 50)] + [
+        ("api", m, 100, 0) for m in range(10, 60, 5)
+    ]
+    df = spark.createDataFrame(
+        _slo_rows(events), "svc string, ts timestamp, is_error boolean"
+    )
+    out = {r.bucket_s: r for r in slo_burnrate(df, ["svc"]).collect()}
+    buckets = sorted(out)
+    burst, healthy = buckets[0], buckets[3]
+    assert out[burst].page_alert and out[burst].ticket_alert
+    assert out[burst].err_5m == 50 and out[burst].tot_5m == 100
+    # long window still polluted (50/1100 = 4.5% > 1.44%) but 5m leg clear
+    assert out[healthy].err_1h == 50 and out[healthy].tot_1h >= 1000
+    assert not out[healthy].page_alert
+    assert out[healthy].err_5m == 0
+
+
+def test_slo_burnrate_integer_threshold_boundary(spark):
+    from hatchery_spark.operators.telemetry import slo_burnrate
+
+    # exactly at the page threshold: 144 errors per 10000 → >= fires
+    df = spark.createDataFrame(
+        _slo_rows([("svc", 0, 10000, 144)]),
+        "svc string, ts timestamp, is_error boolean",
+    )
+    row = slo_burnrate(df, ["svc"]).collect()[0]
+    assert row.page_alert  # 144*10000 >= 144*10000
+    # one error fewer → clears
+    df2 = spark.createDataFrame(
+        _slo_rows([("svc", 0, 10000, 143)]),
+        "svc string, ts timestamp, is_error boolean",
+    )
+    assert not slo_burnrate(df2, ["svc"]).collect()[0].page_alert
+
+
+def test_slo_burnrate_single_corpus_shuffle(spark):
+    from hatchery_spark.operators.telemetry import slo_burnrate
+
+    df = spark.createDataFrame(
+        _slo_rows([("a", 0, 5, 1), ("b", 7, 5, 0)]),
+        "svc string, ts timestamp, is_error boolean",
+    )
+    plan = (
+        slo_burnrate(df, ["svc"])._jdf.queryExecution().executedPlan().toString()
+    )
+    # raw rows are aggregated exactly once: the four plan branches (output +
+    # 3 rollups) all read the persisted 5-min frame, never the raw source
+    assert plan.count("InMemoryTableScan") == 4
