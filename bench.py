@@ -398,6 +398,7 @@ def main() -> None:
             ("pipeline_syslog_rfc5424", dq.q_syslog_rfc5424),
             ("pipeline_syslog_bsd", dq.q_syslog_bsd),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
+            ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),
             ("pipeline_hll_actors", dq.q_hll_actors),
             ("pipeline_cms_resources", dq.q_cms_resources),

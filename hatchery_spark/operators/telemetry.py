@@ -888,3 +888,81 @@ def slo_burnrate_oracle_sql(
         JOIN r30 ON r30.svc = b5.svc AND r30.b = cast(floor(b5.bucket_s/1800)*1800 AS bigint)
         JOIN r1h ON r1h.svc = b5.svc AND r1h.b = cast(floor(b5.bucket_s/3600)*3600 AS bigint)
         JOIN r6h ON r6h.svc = b5.svc AND r6h.b = cast(floor(b5.bucket_s/21600)*21600 AS bigint)"""
+
+
+def rate_envelope_violations(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    sigma: int = 3,
+    rho_num: int = 1,
+    rho_den: int = 600,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Token-bucket / arrival-curve conformance marking: flag every event
+    whose key-stream violates the declared (sigma, rho) envelope — more
+    than sigma + rho*(t_i - t_j) arrivals in some window (j..i].
+
+    This is the network-calculus form of token-bucket policing (GCRA's
+    virtual queue): a queue drains at rho events/sec and each arrival
+    deposits one; event i is flagged when the queue exceeds the burst
+    allowance sigma. The naive test is O(n^2) pairs per key; the closed
+    form is a RUNNING MIN — backlog_i = max_j [count(j..i) - rho*(t_i -
+    t_j)] = cum_i - rho*t_i - min_{j<=i}(cum_{j-1} - rho*t_j) — so one
+    ordered pass per key computes it exactly. (Enforcement with drop
+    FEEDBACK — dropped events not consuming tokens — is inherently
+    sequential per key; this is the marking form every wire-rate policer
+    implements, and the flag set is identical whenever the stream never
+    exceeds the envelope by more than one event at a time.)
+
+    rho is the INTEGER ratio rho_num/rho_den events per second; the
+    whole test is cross-multiplied by rho_den (BIGINT throughout), so
+    backlog_x_den = backlog * rho_den is exact and the violation test
+    `backlog_x_den > sigma * rho_den` has no float rounding on any
+    engine. One hash shuffle on the key, two frame-free window passes
+    over the same sort order (Spark plans a single Sort).
+
+    Adds: backlog_x_den (bigint), violates (boolean).
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    wmin = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.unix_timestamp(F.col(ts_col))  # whole seconds, BIGINT
+    cum = F.row_number().over(w).cast("long")
+    g = (cum - F.lit(1)) * rho_den - F.lit(rho_num) * t
+    backlog = cum * rho_den - F.lit(rho_num) * t - F.min(g).over(wmin)
+    return df.withColumn("backlog_x_den", backlog.cast("long")).withColumn(
+        "violates", F.col("backlog_x_den") > F.lit(sigma * rho_den)
+    )
+
+
+def rate_envelope_oracle_sql(
+    src_sql: str,
+    key_expr: str,
+    order_expr: str,
+    select_cols: str,
+    sigma: int = 3,
+    rho_num: int = 1,
+    rho_den: int = 600,
+) -> str:
+    """Window-for-window SQL replay of the running-min closed form."""
+    return f"""
+        WITH src AS ({src_sql}),
+        x AS (
+          SELECT *,
+            cast(row_number() OVER (PARTITION BY {key_expr}
+                                    ORDER BY {order_expr}) AS bigint) AS cum,
+            cast(floor(epoch(ts)) AS bigint) AS t_s
+          FROM src),
+        y AS (
+          SELECT *,
+            cum * {rho_den} - {rho_num} * t_s
+              - min((cum - 1) * {rho_den} - {rho_num} * t_s)
+                  OVER (PARTITION BY {key_expr} ORDER BY {order_expr}
+                        ROWS UNBOUNDED PRECEDING) AS backlog_x_den
+          FROM x)
+        SELECT {select_cols}, cast(backlog_x_den AS bigint) AS backlog_x_den,
+               backlog_x_den > {sigma} * {rho_den} AS violates
+        FROM y"""

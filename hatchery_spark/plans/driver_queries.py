@@ -2250,6 +2250,39 @@ def _slo_burnrate_oracle() -> str:
     )
 
 
+def q_rate_envelope(spark, sf_dir):
+    """Token-bucket / arrival-curve conformance marking (operators/
+    telemetry.py rate_envelope_violations): flag each turn whose
+    conversation exceeds the declared (sigma=2, rho=1/28800s) envelope —
+    more than 2 + (elapsed/8h) turns in any trailing window. The O(n^2)
+    pair test collapses to a RUNNING-MIN window (network-calculus
+    virtual-queue closed form), one hash shuffle per key; all arithmetic
+    is BIGINT cross-multiplied by rho_den, so the oracle window replay
+    is exact on both engines."""
+    from hatchery_spark.operators.telemetry import rate_envelope_violations
+
+    t = transcripts(spark, sf_dir)
+    out = rate_envelope_violations(
+        t, ["conv_id"], sigma=2, rho_num=1, rho_den=28800,
+        tiebreak_col="turn_idx",
+    )
+    return out.select("conv_id", "turn_idx", "backlog_x_den", "violates")
+
+
+def _rate_envelope_oracle() -> str:
+    from hatchery_spark.operators.telemetry import rate_envelope_oracle_sql
+
+    return rate_envelope_oracle_sql(
+        TRANSCRIPTS_SQL.format(events="events"),
+        "conv_id",
+        "ts, turn_idx",
+        "conv_id, turn_idx",
+        sigma=2,
+        rho_num=1,
+        rho_den=28800,
+    )
+
+
 def q_logfmt_roundtrip(spark, sf_dir):
     r"""logfmt wire-format e2e: render each document as a key=value line
     (Go-logfmt conditional quoting; the msg field is wrapped in quotes +
@@ -6282,6 +6315,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_syslog_rfc5424": _syslog_oracle(),
         "pipeline_syslog_bsd": _syslog_bsd_oracle(),
         "pipeline_slo_burnrate": _slo_burnrate_oracle(),
+        "pipeline_rate_envelope": _rate_envelope_oracle(),
         "pipeline_logfmt_roundtrip": _LOGFMT_ORACLE,
         "pipeline_hll_actors": _hll_actors_oracle(),
         "rel_snappy_roundtrip": _SNAPPY_ORACLE,
@@ -6879,6 +6913,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
+        "pipeline_rate_envelope": q_rate_envelope,
         "pipeline_stack_stitch": q_stack_stitch,
         "pipeline_kmv_actors": q_kmv_actors,
         "pipeline_ewma_spikes": q_ewma_spikes,

@@ -238,3 +238,71 @@ def test_slo_burnrate_single_corpus_shuffle(spark):
     # raw rows are aggregated exactly once: the four plan branches (output +
     # 3 rollups) all read the persisted 5-min frame, never the raw source
     assert plan.count("InMemoryTableScan") == 4
+
+
+def test_rate_envelope_burst_flags_exactly(spark):
+    from hatchery_spark.operators.telemetry import rate_envelope_violations
+    import datetime
+
+    base = datetime.datetime(2025, 6, 1)
+    # sigma=2, rho=1/60: allowance is 2 + elapsed/60 events.
+    # Four events in 10s (idx 0-3): the 3rd event (i=2) has count 3 vs
+    # allowance 2+0.1 → the running-min test must flag idx 2 and 3 but
+    # not the first two, nor a 5th event after a long drain.
+    rows = [
+        ("c", i, base + datetime.timedelta(seconds=s))
+        for i, s in enumerate([0, 5, 8, 10, 600])
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    out = rate_envelope_violations(
+        df, ["conv_id"], sigma=2, rho_num=1, rho_den=60, tiebreak_col="turn_idx"
+    )
+    got = {r.turn_idx: r.violates for r in out.collect()}
+    assert got == {0: False, 1: False, 2: True, 3: True, 4: False}
+
+
+def test_rate_envelope_matches_brute_force(spark):
+    from hatchery_spark.operators.telemetry import rate_envelope_violations
+    import datetime
+
+    base = datetime.datetime(2025, 6, 1)
+    import random
+
+    rnd = random.Random(7)
+    ts, t = [], 0
+    for _ in range(120):
+        t += rnd.choice([1, 2, 3, 30, 120])
+        ts.append(t)
+    rows = [("k", i, base + datetime.timedelta(seconds=s)) for i, s in enumerate(ts)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    sigma, num, den = 3, 1, 10  # 1 event per 10s, burst 3
+    out = {
+        r.turn_idx: r.violates
+        for r in rate_envelope_violations(
+            df, ["conv_id"], sigma=sigma, rho_num=num, rho_den=den,
+            tiebreak_col="turn_idx",
+        ).collect()
+    }
+    # brute force: exists j<=i with (i-j+1)*den > sigma*den + num*(t_i-t_j)
+    for i in range(len(ts)):
+        brute = any(
+            (i - j + 1) * den > sigma * den + num * (ts[i] - ts[j])
+            for j in range(i + 1)
+        )
+        assert out[i] == brute, i
+
+
+def test_rate_envelope_single_sort(spark):
+    from hatchery_spark.operators.telemetry import rate_envelope_violations
+    import datetime
+
+    df = spark.createDataFrame(
+        [("c", 0, datetime.datetime(2025, 6, 1))],
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+    plan = (
+        rate_envelope_violations(df, ["conv_id"], tiebreak_col="turn_idx")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # both windows share one partition/order: exactly one Exchange, one Sort
+    assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
