@@ -795,6 +795,7 @@ def semdedup(
     max_cluster: int = 100_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 2,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
     clustering embeddings with a coarse k-means quantizer and pruning
@@ -825,9 +826,16 @@ def semdedup(
 
     Recall caveat (inherent to SemDeDup, not this implementation): a
     ≥-threshold pair straddling a Voronoi boundary lands in different
-    clusters and is never compared. At the defaults (high threshold ⇒
-    near-parallel vectors) boundary splits are rare; lower `n_centroids`
-    trades candidate-set size for recall.
+    clusters and is never compared. `n_probe` is the standard IVF
+    mitigation: each vector joins its top-`n_probe` nearest cells for
+    CANDIDATE GENERATION (assignment itself is unchanged), so a boundary
+    pair is compared whenever the two vectors share ANY probed cell —
+    the near-miss almost always shares the 2nd-nearest. Extra candidates
+    are exact-cosine verified, so probing can only ADD true edges (it
+    moves the result strictly toward the global brute-force components,
+    observed live: at n_probe=1 a boundary pair split two components the
+    global oracle merges). Cost: n_probe band rows per vector; still
+    never all-pairs.
     """
     from hatchery_spark.functions.dedup import (
         capped_band_pairs,
@@ -838,12 +846,18 @@ def semdedup(
         df, n_centroids=n_centroids, sample_mod=sample_mod,
         kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
     )
-    cells = index.cells
-    band_rows = cells.select(
-        F.col(id_col), F.lit(0).alias("band"), F.col("cell").alias("cluster")
+    c = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    p = max(1, min(n_probe, len(index.centroids)))
+    assign_p = _cell_assign_udf(index.centroids, p)
+    band_rows = c.select(
+        F.col(id_col),
+        F.lit(0).alias("band"),
+        F.explode(assign_p(F.col("_cv"))).alias("cluster"),
     )
     cand = capped_band_pairs(band_rows, id_col, "cluster", max_cluster)
-    v = cells.select(F.col(id_col), F.col("_cv"))
+    v = c.select(F.col(id_col), F.col("_cv"))
     pairs = (
         cand.join(v.select(F.col(id_col).alias("id_a"), F.col("_cv").alias("v_a")), "id_a")
         .join(v.select(F.col(id_col).alias("id_b"), F.col("_cv").alias("v_b")), "id_b")
