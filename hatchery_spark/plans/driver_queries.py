@@ -2219,6 +2219,33 @@ def _syslog_bsd_oracle() -> str:
     return syslog_bsd_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_gelf_roundtrip(spark, sf_dir):
+    """GELF UDP chunked framing e2e (operators/gelf.py): render every turn
+    to its datagram(s) — multi-chunk messages explode into 0x1E0F-framed
+    chunks — drop a deterministic 'lost chunk' subset, then reassemble by
+    message id. The oracle computes every output field (chunk counts via
+    the shared byte-length template, message ids, the loss predicate,
+    reassembled fields) directly from the source turns, so the render
+    byte layout AND the parse reassembly are both value-pinned;
+    short_message equality carries the per-turn text invariant through
+    the frame. Parse has exactly ONE shuffle (groupBy msg_id) that only
+    multi-chunk traffic enters."""
+    from hatchery_spark.operators.gelf import (
+        drop_lost_chunks,
+        parse_gelf,
+        render_gelf,
+    )
+
+    frames = drop_lost_chunks(render_gelf(transcripts(spark, sf_dir)))
+    return parse_gelf(frames)
+
+
+def _gelf_oracle() -> str:
+    from hatchery_spark.operators.gelf import gelf_oracle_sql
+
+    return gelf_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5128,6 +5155,7 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -6911,6 +6939,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
