@@ -2246,6 +2246,36 @@ def _gelf_oracle() -> str:
     return gelf_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_kafka_roundtrip(spark, sf_dir):
+    """Kafka RecordBatch v2 e2e (functions/kafkawire.py): every
+    conversation becomes one magic-2 wire batch (zigzag-varint records,
+    CRC32C, codec rotating none/gzip/snappy/lz4/zstd per user_id — the
+    snappy/LZ4/zstd legs run through the package's OWN from-scratch
+    codecs), a deterministic tamper flips the last byte of every 17th
+    user's batch, and the consumer parses everything back. Corrupt
+    batches dead-letter as a single frame-level row (crc_ok=false,
+    base_offset only — no field of a corrupt batch is trusted). The
+    oracle replays good rows from the source turns and dead-letter rows
+    from the tamper predicate, so framing, varint coding, all four
+    compressors, CRC32C, and the dead-letter contract are all
+    value-pinned; text equality carries the per-turn invariant through
+    the wire. Encode = ONE conv_id shuffle; decode = shuffle-free
+    mapInPandas."""
+    from hatchery_spark.functions.kafkawire import (
+        read_record_batches,
+        write_record_batches,
+    )
+
+    batches = write_record_batches(transcripts(spark, sf_dir))
+    return read_record_batches(batches)
+
+
+def _kafka_oracle() -> str:
+    from hatchery_spark.functions.kafkawire import kafka_oracle_sql
+
+    return kafka_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5156,6 +5186,7 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "pipeline_gelf_roundtrip": _gelf_oracle(),
+        "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -6940,6 +6971,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
+        "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
