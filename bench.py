@@ -399,6 +399,7 @@ def main() -> None:
             ("pipeline_syslog_bsd", dq.q_syslog_bsd),
             ("pipeline_gelf_roundtrip", dq.q_gelf_roundtrip),
             ("pipeline_kafka_roundtrip", dq.q_kafka_roundtrip),
+            ("pipeline_otlp_roundtrip", dq.q_otlp_roundtrip),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
             ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

@@ -2276,6 +2276,28 @@ def _kafka_oracle() -> str:
     return kafka_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_otlp_roundtrip(spark, sf_dir):
+    """OTLP trace-export e2e (functions/otlp.py): every conversation
+    becomes one opentelemetry-proto TracesData blob (nested protobuf:
+    resource attrs, span chain with md5-derived trace/span/parent ids,
+    fixed64 nano timestamps, severity→Status), decoded back by the
+    package's generic protobuf walker. The oracle recomputes every span
+    field from the source turns — md5 id derivation, the parent chain,
+    the kind map, nano arithmetic, and the status branch — so both the
+    writer's tag/wire-type layout and the walker are value-pinned;
+    status_message equality carries the per-turn text invariant.
+    Encode = ONE conv_id shuffle; decode = shuffle-free mapInPandas."""
+    from hatchery_spark.functions.otlp import read_otlp_traces, write_otlp_traces
+
+    return read_otlp_traces(write_otlp_traces(transcripts(spark, sf_dir)))
+
+
+def _otlp_oracle() -> str:
+    from hatchery_spark.functions.otlp import otlp_oracle_sql
+
+    return otlp_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5187,6 +5209,7 @@ def oracle_catalog() -> dict[str, str]:
     oracles = {
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
+        "pipeline_otlp_roundtrip": _otlp_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -6972,6 +6995,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
+        "pipeline_otlp_roundtrip": q_otlp_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
