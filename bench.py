@@ -400,6 +400,7 @@ def main() -> None:
             ("pipeline_gelf_roundtrip", dq.q_gelf_roundtrip),
             ("pipeline_kafka_roundtrip", dq.q_kafka_roundtrip),
             ("pipeline_otlp_roundtrip", dq.q_otlp_roundtrip),
+            ("pipeline_ledger_verify", dq.q_ledger_verify),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
             ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

@@ -2298,6 +2298,31 @@ def _otlp_oracle() -> str:
     return otlp_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_ledger_verify(spark, sf_dir):
+    """Tamper-evident audit ledger (operators/ledger.py): build
+    per-conversation md5 hash chains with the aggregate() HOF (zero
+    UDFs, ONE conv_id shuffle), deterministically edit one turn of
+    every 13th user's conversation AFTER the ledger was built, then
+    verify — the chain localizes the first tampered turn via a
+    zip_with prefix compare. The oracle rebuilds both chains
+    turn-by-turn with a DuckDB recursive CTE, so the fold order, the
+    seed, and the divergence localization are all value-pinned."""
+    from hatchery_spark.operators.ledger import (
+        build_ledger,
+        tamper,
+        verify_ledger,
+    )
+
+    turns = transcripts(spark, sf_dir)
+    return verify_ledger(build_ledger(turns), tamper(turns))
+
+
+def _ledger_oracle() -> str:
+    from hatchery_spark.operators.ledger import ledger_oracle_sql
+
+    return ledger_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5210,6 +5235,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
+        "pipeline_ledger_verify": _ledger_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -6996,6 +7022,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
+        "pipeline_ledger_verify": q_ledger_verify,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
