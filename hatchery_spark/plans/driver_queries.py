@@ -2323,6 +2323,26 @@ def _ledger_oracle() -> str:
     return ledger_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_dns_tunnel(spark, sf_dir):
+    """DNS-tunneling detection (operators/dns.py): qnames derived from
+    the turns (tunnel actors exfiltrate md5(text) as the label), then
+    per-domain mean label length, distinct-label ratio, and Shannon
+    entropy of the label character distribution — entropy folded in a
+    CANONICAL order on both engines (array_sort + aggregate() HOF vs
+    DuckDB ordered list + list_sum) so the doubles are bit-identical
+    before the single round(4). Char explode map-side combines into
+    (domain, char) partials; both exchanges carry reduced keys."""
+    from hatchery_spark.operators.dns import derive_qnames, detect_tunnels
+
+    return detect_tunnels(derive_qnames(transcripts(spark, sf_dir)))
+
+
+def _dns_oracle() -> str:
+    from hatchery_spark.operators.dns import dns_oracle_sql
+
+    return dns_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5236,6 +5256,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
         "pipeline_ledger_verify": _ledger_oracle(),
+        "pipeline_dns_tunnel": _dns_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7023,6 +7044,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
         "pipeline_ledger_verify": q_ledger_verify,
+        "pipeline_dns_tunnel": q_dns_tunnel,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
