@@ -402,6 +402,7 @@ def main() -> None:
             ("pipeline_otlp_roundtrip", dq.q_otlp_roundtrip),
             ("pipeline_ledger_verify", dq.q_ledger_verify),
             ("pipeline_dns_tunnel", dq.q_dns_tunnel),
+            ("pipeline_netflow_roundtrip", dq.q_netflow_roundtrip),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
             ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

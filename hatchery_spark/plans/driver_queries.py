@@ -2343,6 +2343,32 @@ def _dns_oracle() -> str:
     return dns_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_netflow_roundtrip(spark, sf_dir):
+    """NetFlow v5 export e2e (operators/netflow.py): flow records packed
+    into 24+N·48-byte big-endian datagrams (≤30 records each, monotone
+    flow_sequence per exporter, header unix_secs = packet max ts) and
+    parsed back to one row per record. Packetization is row_number
+    arithmetic, so the oracle replays membership, sequence numbers,
+    header fields, the 2^32 uptime wrap, and every record field straight
+    from the events rows — the struct packing and IP int codec are
+    value-pinned end to end."""
+    from hatchery_spark.operators.netflow import (
+        FLOW_FIXTURE_SQL,
+        export_netflow,
+        parse_netflow,
+    )
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_nf_events")
+    flows = spark.sql(FLOW_FIXTURE_SQL.format(events="hs_nf_events"))
+    return parse_netflow(export_netflow(flows))
+
+
+def _netflow_oracle() -> str:
+    from hatchery_spark.operators.netflow import netflow_oracle_sql
+
+    return netflow_oracle_sql("events")
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5257,6 +5283,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_otlp_roundtrip": _otlp_oracle(),
         "pipeline_ledger_verify": _ledger_oracle(),
         "pipeline_dns_tunnel": _dns_oracle(),
+        "pipeline_netflow_roundtrip": _netflow_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7045,6 +7072,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
         "pipeline_ledger_verify": q_ledger_verify,
         "pipeline_dns_tunnel": q_dns_tunnel,
+        "pipeline_netflow_roundtrip": q_netflow_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
