@@ -2369,6 +2369,26 @@ def _netflow_oracle() -> str:
     return netflow_oracle_sql("events")
 
 
+def q_x509_extract(spark, sf_dir):
+    """X.509 metadata extraction e2e (functions/x509.py): one
+    deterministic RFC 5280 v3 certificate per conversation (DER built
+    from scratch — INTEGER/OID/UTCTime/SEQUENCE/SET, [0]/[3] EXPLICIT,
+    SAN dNSNames under tag 0x82), then the ASN.1 walker extracts
+    serial, signature OID, issuer/subject CNs, UTCTime validity
+    (second precision), the SAN list, and a fixed-as-of expiry flag.
+    The oracle recomputes every field from first-turn timestamps and
+    uid arithmetic, pinning both the DER encoder and the walker."""
+    from hatchery_spark.functions.x509 import extract_cert_metadata, issue_certs
+
+    return extract_cert_metadata(issue_certs(transcripts(spark, sf_dir)))
+
+
+def _x509_oracle() -> str:
+    from hatchery_spark.functions.x509 import x509_oracle_sql
+
+    return x509_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5284,6 +5304,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_ledger_verify": _ledger_oracle(),
         "pipeline_dns_tunnel": _dns_oracle(),
         "pipeline_netflow_roundtrip": _netflow_oracle(),
+        "media_x509_extract": _x509_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7073,6 +7094,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ledger_verify": q_ledger_verify,
         "pipeline_dns_tunnel": q_dns_tunnel,
         "pipeline_netflow_roundtrip": q_netflow_roundtrip,
+        "media_x509_extract": q_x509_extract,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
