@@ -2389,6 +2389,34 @@ def _x509_oracle() -> str:
     return x509_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+_PROM_AS_OF_MS = 1_751_328_000_000
+
+
+def q_prometheus_roundtrip(spark, sf_dir):
+    """Prometheus exposition e2e (operators/prometheus.py): per-(tool,
+    role) counters and gauges rendered as /metrics pages (HELP/TYPE
+    headers, label escaping, millisecond sample timestamps), then ONLY
+    the page text parsed back to samples. The oracle recomputes the
+    aggregates directly from the turns, so the render template and the
+    scrape regex are both value-pinned. Pure codegen both directions;
+    the single corpus-sized exchange is the counting groupBy."""
+    from hatchery_spark.operators.prometheus import (
+        parse_metrics_page,
+        render_metrics_page,
+    )
+
+    pages = render_metrics_page(transcripts(spark, sf_dir), _PROM_AS_OF_MS)
+    return parse_metrics_page(pages.select("page"))
+
+
+def _prometheus_oracle() -> str:
+    from hatchery_spark.operators.prometheus import prometheus_oracle_sql
+
+    return prometheus_oracle_sql(
+        TRANSCRIPTS_SQL.format(events="events"), _PROM_AS_OF_MS
+    )
+
+
 def q_slo_burnrate(spark, sf_dir):
     """Multi-window multi-burn-rate SLO alerting (operators/telemetry.py
     slo_burnrate — the SRE-workbook page/ticket policy): per-(service,
@@ -5305,6 +5333,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_dns_tunnel": _dns_oracle(),
         "pipeline_netflow_roundtrip": _netflow_oracle(),
         "media_x509_extract": _x509_oracle(),
+        "pipeline_prometheus_scrape": _prometheus_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7095,6 +7124,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dns_tunnel": q_dns_tunnel,
         "pipeline_netflow_roundtrip": q_netflow_roundtrip,
         "media_x509_extract": q_x509_extract,
+        "pipeline_prometheus_scrape": q_prometheus_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
