@@ -405,6 +405,7 @@ def main() -> None:
             ("pipeline_netflow_roundtrip", dq.q_netflow_roundtrip),
             ("media_x509_extract", dq.q_x509_extract),
             ("pipeline_prometheus_scrape", dq.q_prometheus_roundtrip),
+            ("pipeline_pcap_roundtrip", dq.q_pcap_roundtrip),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
             ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

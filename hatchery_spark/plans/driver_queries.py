@@ -2389,6 +2389,28 @@ def _x509_oracle() -> str:
     return x509_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_pcap_roundtrip(spark, sf_dir):
+    """pcap capture replay e2e (operators/pcap.py): turns written as
+    fully-checksummed Ethernet/IPv4/UDP frames into per-stripe classic
+    pcap files, parsed back with BOTH checksums verified (RFC 1071
+    ones'-complement, UDP pseudo-header, the 0→0xFFFF transmit rule).
+    A deterministic post-checksum payload-byte flip on every
+    turn_idx%59==11 turn dead-letters through the UDP verify — frame
+    5-tuple and timestamps survive (the IP header checksum still
+    passes), payload fields null out. The oracle recomputes everything
+    from the source turns; payload text equality carries the per-turn
+    invariant through the capture."""
+    from hatchery_spark.operators.pcap import capture_turns, parse_captures
+
+    return parse_captures(capture_turns(transcripts(spark, sf_dir)))
+
+
+def _pcap_oracle() -> str:
+    from hatchery_spark.operators.pcap import pcap_oracle_sql
+
+    return pcap_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 _PROM_AS_OF_MS = 1_751_328_000_000
 
 
@@ -5334,6 +5356,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_netflow_roundtrip": _netflow_oracle(),
         "media_x509_extract": _x509_oracle(),
         "pipeline_prometheus_scrape": _prometheus_oracle(),
+        "pipeline_pcap_roundtrip": _pcap_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7125,6 +7148,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_netflow_roundtrip": q_netflow_roundtrip,
         "media_x509_extract": q_x509_extract,
         "pipeline_prometheus_scrape": q_prometheus_roundtrip,
+        "pipeline_pcap_roundtrip": q_pcap_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
