@@ -2389,6 +2389,31 @@ def _x509_oracle() -> str:
     return x509_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_webdataset_roundtrip(spark, sf_dir):
+    """WebDataset tar-shard e2e (functions/tarshard.py): documents
+    packed into POSIX ustar shards as <key>.txt/<key>.json member
+    pairs (zero-padded keys, fixed mtime — byte-deterministic shards),
+    read back by the strict from-spec walker (magic + header-checksum
+    verify, incomplete-sample rejection). The oracle recomputes shard
+    stripe, keys, and every sample field from the documents table, so
+    the ustar byte layout, the checksum-with-spaces rule, and the
+    member pairing are all value-pinned. ONE shard_id exchange to
+    write; shuffle-free read."""
+    from hatchery_spark.functions.tarshard import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return read_webdataset(write_webdataset(docs))
+
+
+def _webdataset_oracle() -> str:
+    from hatchery_spark.functions.tarshard import webdataset_oracle_sql
+
+    return webdataset_oracle_sql("documents")
+
+
 def q_pcap_roundtrip(spark, sf_dir):
     """pcap capture replay e2e (operators/pcap.py): turns written as
     fully-checksummed Ethernet/IPv4/UDP frames into per-stripe classic
@@ -5357,6 +5382,7 @@ def oracle_catalog() -> dict[str, str]:
         "media_x509_extract": _x509_oracle(),
         "pipeline_prometheus_scrape": _prometheus_oracle(),
         "pipeline_pcap_roundtrip": _pcap_oracle(),
+        "doc_webdataset_roundtrip": _webdataset_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7149,6 +7175,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_x509_extract": q_x509_extract,
         "pipeline_prometheus_scrape": q_prometheus_roundtrip,
         "pipeline_pcap_roundtrip": q_pcap_roundtrip,
+        "doc_webdataset_roundtrip": q_webdataset_roundtrip,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
