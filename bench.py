@@ -406,6 +406,8 @@ def main() -> None:
             ("media_x509_extract", dq.q_x509_extract),
             ("pipeline_prometheus_scrape", dq.q_prometheus_roundtrip),
             ("pipeline_pcap_roundtrip", dq.q_pcap_roundtrip),
+            ("doc_webdataset_roundtrip", dq.q_webdataset_roundtrip),
+            ("pipeline_w3c_log", dq.q_w3c_log),
             ("pipeline_slo_burnrate", dq.q_slo_burnrate),
             ("pipeline_rate_envelope", dq.q_rate_envelope),
             ("pipeline_logfmt_roundtrip", dq.q_logfmt_roundtrip),

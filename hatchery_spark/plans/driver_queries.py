@@ -2389,6 +2389,27 @@ def _x509_oracle() -> str:
     return x509_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_w3c_log(spark, sf_dir):
+    """W3C extended-log e2e (operators/weblog.py): per-stripe ELF files
+    with #Version/#Fields/#Date directives and percent-encoded lines,
+    field ORDER alternating per file — the parser binds columns by each
+    file's own #Fields directive (array_position + element_at, a
+    file-count-sized broadcast), so a fixed-column reader would fail.
+    UA-family classification rides on the parsed rows. Both directions
+    pure codegen — ZERO UDFs. The oracle recomputes every field from
+    the source turns."""
+    from hatchery_spark.operators.weblog import parse_w3c_logs, render_w3c_logs
+
+    files = render_w3c_logs(transcripts(spark, sf_dir))
+    return parse_w3c_logs(files.select("content"))
+
+
+def _w3c_oracle() -> str:
+    from hatchery_spark.operators.weblog import w3c_oracle_sql
+
+    return w3c_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_webdataset_roundtrip(spark, sf_dir):
     """WebDataset tar-shard e2e (functions/tarshard.py): documents
     packed into POSIX ustar shards as <key>.txt/<key>.json member
@@ -5383,6 +5404,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_prometheus_scrape": _prometheus_oracle(),
         "pipeline_pcap_roundtrip": _pcap_oracle(),
         "doc_webdataset_roundtrip": _webdataset_oracle(),
+        "pipeline_w3c_log": _w3c_oracle(),
         "pipeline_stack_stitch": _stack_stitch_oracle(),
         "pipeline_kmv_actors": _kmv_actors_oracle(),
         "pipeline_ewma_spikes": _ewma_spikes_oracle(),
@@ -7176,6 +7198,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_prometheus_scrape": q_prometheus_roundtrip,
         "pipeline_pcap_roundtrip": q_pcap_roundtrip,
         "doc_webdataset_roundtrip": q_webdataset_roundtrip,
+        "pipeline_w3c_log": q_w3c_log,
         "pipeline_syslog_bsd": q_syslog_bsd,
         "pipeline_slo_burnrate": q_slo_burnrate,
         "pipeline_rate_envelope": q_rate_envelope,
