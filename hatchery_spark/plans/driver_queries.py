@@ -2410,6 +2410,32 @@ def _w3c_oracle() -> str:
     return w3c_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_fluentd_forward(spark, sf_dir):
+    """Fluentd Forward-protocol roundtrip (operators/fluentd.py +
+    functions/msgpack.py): turns render into per-(tag, stripe) msgpack
+    Forward chunks — [tag, [[EventTime, record], ...], {"size": n}] —
+    then parse back to rows. The oracle recomputes every field from the
+    source turns AND pins each chunk's exact serialized byte length via
+    the spec's shortest-form head arithmetic (fixstr/str8/str16,
+    fixint/uint widths, fixarray/array16, fixext8 EventTime), so a
+    one-byte head bug fails value equality on exactly the straddling
+    chunks. `message` = source text untouched (per-turn text equality
+    through the binary framing)."""
+    from hatchery_spark.operators.fluentd import (
+        parse_forward_chunks,
+        render_forward_chunks,
+    )
+
+    return parse_forward_chunks(render_forward_chunks(
+        transcripts(spark, sf_dir)))
+
+
+def _fluentd_oracle() -> str:
+    from hatchery_spark.operators.fluentd import fluentd_oracle_sql
+
+    return fluentd_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_webdataset_roundtrip(spark, sf_dir):
     """WebDataset tar-shard e2e (functions/tarshard.py): documents
     packed into POSIX ustar shards as <key>.txt/<key>.json member
@@ -5394,6 +5420,7 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7188,6 +7215,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
