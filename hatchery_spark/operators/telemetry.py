@@ -966,3 +966,91 @@ def rate_envelope_oracle_sql(
         SELECT {select_cols}, cast(backlog_x_den AS bigint) AS backlog_x_den,
                backlog_x_den > {sigma} * {rho_den} AS violates
         FROM y"""
+
+
+def cusum_rate_shift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    k_gap_s: int = 600,
+    h_s: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CUSUM changepoint detection on per-key event RATE (Page 1954):
+    flag the point where a key's inter-arrival gaps drift persistently
+    BELOW the reference gap ``k_gap_s`` — the emission-rate-shift onset
+    (compromised credential, runaway agent) that a fixed-threshold
+    rate cap only catches after the burst peaks.
+
+    The lower-CUSUM recurrence S_i = max(0, S_{i-1} + (k - gap_i))
+    accumulates "too fast" mass and self-drains while the stream is on
+    schedule. Sequential as written — but it has the SAME running-min
+    closed form as the token bucket above: with y_i = k - gap_i and
+    C_i = Σ_{j≤i} y_j,  S_i = C_i - min(0, min_{j≤i} C_j), so one
+    ordered pass per key (ONE hash shuffle, two frame-bound window
+    passes over a single Sort) computes it exactly. The first event of
+    a key has no gap and contributes y = 0. Alarm when S_i ≥ h_s:
+    h_s seconds of accumulated schedule-debt — persistent drift, not
+    one tight pair. All arithmetic is BIGINT seconds; no float ties on
+    any engine.
+
+    Adds: gap_s (NULL on each key's first event), cusum_s (bigint),
+    alarm (boolean), first_alarm_ts (per key; NULL when never alarmed).
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t = F.unix_timestamp(F.col(ts_col))
+    gap = t - F.lag(t).over(w)
+    y = F.coalesce(F.lit(k_gap_s) - gap, F.lit(0))
+    cum = F.sum(y).over(wrun)
+    s = cum - F.least(F.lit(0), F.min(cum).over(wrun))
+    out = (
+        df.withColumn("gap_s", gap.cast("long"))
+        .withColumn("cusum_s", s.cast("long"))
+        .withColumn("alarm", F.col("cusum_s") >= F.lit(h_s))
+    )
+    first = F.min(F.when(F.col("alarm"), F.col(ts_col))).over(wall)
+    return out.withColumn("first_alarm_ts", first)
+
+
+def cusum_oracle_sql(
+    src_sql: str,
+    key_expr: str,
+    order_expr: str,
+    select_cols: str,
+    k_gap_s: int = 600,
+    h_s: int = 1800,
+) -> str:
+    """Window-for-window SQL replay of the CUSUM running-min form."""
+    return f"""
+        WITH src AS ({src_sql}),
+        x AS (
+          SELECT *,
+            cast(floor(epoch({{ts}})) AS bigint)
+              - lag(cast(floor(epoch({{ts}})) AS bigint))
+                  OVER (PARTITION BY {key_expr} ORDER BY {order_expr})
+              AS gap_s
+          FROM src),
+        y AS (
+          SELECT *,
+            sum(coalesce({k_gap_s} - gap_s, 0))
+              OVER (PARTITION BY {key_expr} ORDER BY {order_expr}
+                    ROWS UNBOUNDED PRECEDING) AS cum
+          FROM x),
+        z AS (
+          SELECT *,
+            cast(cum - least(0, min(cum)
+              OVER (PARTITION BY {key_expr} ORDER BY {order_expr}
+                    ROWS UNBOUNDED PRECEDING)) AS bigint) AS cusum_s
+          FROM y)
+        SELECT {select_cols},
+               cast(gap_s AS bigint) AS gap_s,
+               cusum_s,
+               cusum_s >= {h_s} AS alarm,
+               min(CASE WHEN cusum_s >= {h_s} THEN {{ts}} END)
+                 OVER (PARTITION BY {key_expr}) AS first_alarm_ts
+        FROM z""".replace("{ts}", "ts")

@@ -5421,6 +5421,7 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "pipeline_fluentd_forward": _fluentd_oracle(),
+        "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7216,6 +7217,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_fluentd_forward": q_fluentd_forward,
+        "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
@@ -7760,6 +7762,50 @@ def _impossible_travel_oracle() -> str:
     from hatchery_spark.operators.netenrich import impossible_travel_oracle_sql
 
     return impossible_travel_oracle_sql(LOGINS_SQL.format(events="events"))
+
+
+CUSUM_K_GAP_S = 28800   # reference inter-arrival: 8 h (data median ≈ 7.3 h)
+CUSUM_H_S = 172800      # alarm at two days of accumulated schedule-debt
+
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM emission-rate changepoint per actor (operators/telemetry.py
+    `cusum_rate_shift`): Page's lower-CUSUM over inter-arrival gaps,
+    computed exactly via the running-min closed form (C_i − min(0,
+    min_{j≤i} C_j)) — ONE actor shuffle, two window passes over a single
+    Sort, BIGINT seconds throughout so no engine float ties. Alarm =
+    ≥ 48 h of accumulated too-fast mass vs the 8 h reference gap (24 of
+    150 actors alarm at sf0.01 — selective, not degenerate); the oracle
+    replays the windows form-for-form."""
+    from hatchery_spark.operators.telemetry import cusum_rate_shift
+
+    p = (
+        parse_turns(transcripts(spark, sf_dir))
+        .where(F.col("actor").isNotNull())
+        .select("actor", "conv_id", "turn_idx", "ts")
+    )
+    out = cusum_rate_shift(
+        p, ["actor"], ts_col="ts", k_gap_s=CUSUM_K_GAP_S, h_s=CUSUM_H_S,
+        tiebreak_col="turn_idx",
+    )
+    return out.select(
+        "actor", "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "ts", "gap_s", "cusum_s", "alarm", "first_alarm_ts",
+    )
+
+
+def _cusum_oracle() -> str:
+    from hatchery_spark.operators.telemetry import cusum_oracle_sql
+
+    src = (ORACLE_PIPELINE_CTE
+           + "SELECT actor, conv_id, turn_idx, ts FROM parsed"
+           + " WHERE actor IS NOT NULL")
+    return cusum_oracle_sql(
+        src, "actor", "ts, turn_idx",
+        "actor, conv_id, cast(turn_idx AS bigint) AS turn_idx, ts",
+        k_gap_s=CUSUM_K_GAP_S, h_s=CUSUM_H_S,
+    )
 
 
 JWT_SECRET = "hs-demo-secret"  # test fixture secret, not a credential
