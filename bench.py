@@ -399,6 +399,7 @@ def main() -> None:
             ("pipeline_syslog_bsd", dq.q_syslog_bsd),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
+            ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),
             ("pipeline_gelf_roundtrip", dq.q_gelf_roundtrip),
             ("pipeline_kafka_roundtrip", dq.q_kafka_roundtrip),
             ("pipeline_otlp_roundtrip", dq.q_otlp_roundtrip),

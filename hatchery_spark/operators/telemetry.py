@@ -1054,3 +1054,118 @@ def cusum_oracle_sql(
                min(CASE WHEN cusum_s >= {h_s} THEN {{ts}} END)
                  OVER (PARTITION BY {key_expr}) AS first_alarm_ts
         FROM z""".replace("{ts}", "ts")
+
+
+def seasonal_baseline_anomaly(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    slot: str = "dow",
+    n_mads: int = 3,
+) -> DataFrame:
+    """Seasonal-profile volume anomaly: a robust per-slot baseline per
+    key. A log stream's volume is strongly periodic (diurnal, weekly),
+    so a global 3σ test (pipeline_template_anomaly's form) either
+    misses off-peak bursts or pages on every Monday peak; the
+    operational fix is a baseline PER seasonal slot, and a ROBUST one
+    (median + MAD) so the anomalies being hunted don't inflate their
+    own threshold.
+
+    ``slot``: "dow" = day-of-week profile over daily counts (0=Sunday,
+    both engines); "hod" = hour-of-day profile over hourly counts.
+
+    Statistic, all-integer so both engines agree bit-for-bit: counts
+    c(key, day[, hour]); per (key, slot) the LOWER MEDIAN via rank
+    arithmetic (the value at row ⌊(n+1)/2⌋ of the ordered slot — no
+    even-count interpolation, no floats); MAD = lower median of
+    |c − med|; flag c > med + n_mads·MAD.
+
+    Scale shape: one (key, grain) aggregate over the raw stream — the
+    only corpus-sized exchange; everything after runs on the grid
+    (O(keys × days [× 24]) regardless of raw rows): two window passes
+    for the medians and two grid-sized joins (broadcast-eligible under
+    AQE).
+
+    Returns one row per (key, day[, hour] → slot): c, med_c, mad_c,
+    anomalous.
+    """
+    ts = F.col(ts_col)
+    if slot == "dow":
+        grain = [F.to_date(ts).alias("day"),
+                 (F.dayofweek(ts) - 1).cast("int").alias("slot")]
+    elif slot == "hod":
+        grain = [F.to_date(ts).alias("day"),
+                 F.hour(ts).cast("int").alias("slot")]
+    else:
+        raise ValueError(f"unknown slot kind: {slot!r}")
+    hourly = df.groupBy(*key_cols, *grain).agg(
+        F.count("*").cast("long").alias("c")
+    )
+
+    def lower_median(frame: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy(*key_cols, "slot").orderBy(val)
+        wall = Window.partitionBy(*key_cols, "slot")
+        return (
+            frame.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wall))
+            .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            .select(*key_cols, "slot", F.col(val).alias(out))
+        )
+
+    med = lower_median(hourly, "c", "med_c")
+    on = [*key_cols, "slot"]
+    dev = hourly.join(med, on).withColumn(
+        "dev", F.abs(F.col("c") - F.col("med_c"))
+    )
+    mad = lower_median(dev, "dev", "mad_c")
+    return (
+        hourly.join(med, on).join(mad, on)
+        .withColumn(
+            "anomalous",
+            F.col("c") > F.col("med_c") + F.lit(n_mads) * F.col("mad_c"),
+        )
+    )
+
+
+def seasonal_oracle_sql(
+    src_sql: str,
+    key_expr: str,
+    ts_expr: str = "ts",
+    slot: str = "dow",
+    n_mads: int = 3,
+) -> str:
+    """SQL replay: same rank-arithmetic lower medians, same grid joins.
+    DuckDB's dayofweek() is already 0=Sunday — Spark's is shifted by 1
+    in the operator so the slots line up."""
+    slot_expr = (f"cast(dayofweek(cast({ts_expr} AS date)) AS int)"
+                 if slot == "dow" else f"cast(hour({ts_expr}) AS int)")
+    return f"""
+        WITH src AS ({src_sql}),
+        hourly AS (
+          SELECT {key_expr} AS k, cast({ts_expr} AS date) AS day,
+                 {slot_expr} AS slot,
+                 cast(count(*) AS bigint) AS c
+          FROM src GROUP BY 1, 2, 3),
+        medr AS (
+          SELECT k, slot, c,
+                 row_number() OVER (PARTITION BY k, slot ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY k, slot) AS n
+          FROM hourly),
+        med AS (
+          SELECT k, slot, c AS med_c FROM medr
+          WHERE rn = (n + 1) // 2),
+        devr AS (
+          SELECT h.k, h.slot, abs(h.c - m.med_c) AS dev,
+                 row_number() OVER (PARTITION BY h.k, h.slot
+                                    ORDER BY abs(h.c - m.med_c)) AS rn,
+                 count(*) OVER (PARTITION BY h.k, h.slot) AS n
+          FROM hourly h JOIN med m ON h.k = m.k AND h.slot = m.slot),
+        mad AS (
+          SELECT k, slot, dev AS mad_c FROM devr
+          WHERE rn = (n + 1) // 2)
+        SELECT h.k, cast(h.day AS varchar) AS day, h.slot, h.c,
+               m.med_c, d.mad_c,
+               h.c > m.med_c + {n_mads} * d.mad_c AS anomalous
+        FROM hourly h
+        JOIN med m ON h.k = m.k AND h.slot = m.slot
+        JOIN mad d ON h.k = d.k AND h.slot = d.slot"""

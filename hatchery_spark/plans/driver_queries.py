@@ -5422,6 +5422,7 @@ def oracle_catalog() -> dict[str, str]:
     oracles = {
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
+        "pipeline_seasonal_anomaly": _seasonal_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7218,6 +7219,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
+        "pipeline_seasonal_anomaly": q_seasonal_anomaly,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
@@ -7806,6 +7808,32 @@ def _cusum_oracle() -> str:
         "actor, conv_id, cast(turn_idx AS bigint) AS turn_idx, ts",
         k_gap_s=CUSUM_K_GAP_S, h_s=CUSUM_H_S,
     )
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Day-of-week robust volume baseline per severity (operators/
+    telemetry.py `seasonal_baseline_anomaly`): daily counts per
+    (severity, day), LOWER-MEDIAN + MAD per (severity, dow) via rank
+    arithmetic — all-integer, so no engine interpolation/float ties —
+    flag days above median + 3·MAD. One corpus-sized aggregate; the
+    median/MAD passes and joins run on the O(severities × days) grid.
+    Spark's dayofweek() is 1=Sunday, DuckDB's 0=Sunday; the operator
+    shifts Spark's so slots align."""
+    from hatchery_spark.operators.telemetry import seasonal_baseline_anomaly
+
+    e = enriched(spark, sf_dir).select(F.col("severity").alias("k"), "ts")
+    out = seasonal_baseline_anomaly(e, ["k"], ts_col="ts", slot="dow")
+    return out.select(
+        "k", F.col("day").cast("string").alias("day"),
+        "slot", "c", "med_c", "mad_c", "anomalous",
+    )
+
+
+def _seasonal_oracle() -> str:
+    from hatchery_spark.operators.telemetry import seasonal_oracle_sql
+
+    src = ORACLE_PIPELINE_CTE + "SELECT severity, ts FROM enriched"
+    return seasonal_oracle_sql(src, "severity", slot="dow")
 
 
 JWT_SECRET = "hs-demo-secret"  # test fixture secret, not a credential
