@@ -1169,3 +1169,72 @@ def seasonal_oracle_sql(
         FROM hourly h
         JOIN med m ON h.k = m.k AND h.slot = m.slot
         JOIN mad d ON h.k = d.k AND h.slot = d.slot"""
+
+
+def gorilla_roundtrip(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """Full Gorilla block codec roundtrip (functions/gorilla.py —
+    VLDB'15 §4.1 timestamps + §4.2 XOR values, real bitstream both
+    directions): encode each stream in ONE applyInPandas group (the
+    per-stream state is strictly sequential — the shape Spark cannot
+    parallelize inside a stream; streams fan out across the cluster),
+    then decode the blobs back in mapInPandas and explode to points.
+
+    Returns (group, rn, t_s, value, n_points, comp_bytes): the decoded
+    points in stream order plus the stream's compressed size. The
+    roundtrip identity (decoded == source, both timestamps and float64
+    values BIT-exact) is the oracle's value gate; the bit-exact sizing
+    is pinned in pytest against functions/gorilla.sizing_bits and the
+    gorilla_ts_bits bucket accounting above.
+    """
+    import pandas as pd
+
+    from hatchery_spark.functions.gorilla import decode_series, encode_series
+
+    src = df.select(
+        F.col(group_col).alias("g"),
+        F.col(ts_col).alias("ts_full"),
+        F.unix_timestamp(F.col(ts_col)).alias("t_s"),
+        F.col(val_col).cast("double").alias("v"),
+        F.col(order_col).alias("o"),
+    )
+
+    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_full", "o"])
+        blob = encode_series(
+            [int(t) for t in pdf["t_s"]], [float(x) for x in pdf["v"]]
+        )
+        return pd.DataFrame(
+            [(pdf["g"].iloc[0], len(pdf), blob)],
+            columns=["g", "n_points", "blob"],
+        )
+
+    blobs = src.groupBy("g").applyInPandas(
+        enc, "g string, n_points long, blob binary"
+    )
+
+    def dec(batches):
+        for b in batches:
+            out = []
+            for g, n, blob in zip(b["g"], b["n_points"], b["blob"]):
+                wire = bytes(blob)
+                ts, vals = decode_series(wire)
+                if len(ts) != n:
+                    raise ValueError("decoded point count mismatch")
+                for i, (t, v) in enumerate(zip(ts, vals)):
+                    out.append((g, i + 1, t, v, int(n), len(wire)))
+            yield pd.DataFrame(
+                out, columns=["g", "rn", "t_s", "value", "n_points",
+                              "comp_bytes"],
+            )
+
+    return blobs.mapInPandas(
+        dec,
+        "g string, rn long, t_s long, value double, n_points long, "
+        "comp_bytes long",
+    )

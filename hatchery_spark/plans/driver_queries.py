@@ -5423,6 +5423,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
+        "pipeline_gorilla_roundtrip": _gorilla_roundtrip_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7220,6 +7221,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
+        "pipeline_gorilla_roundtrip": q_gorilla_roundtrip,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
@@ -7834,6 +7836,43 @@ def _seasonal_oracle() -> str:
 
     src = ORACLE_PIPELINE_CTE + "SELECT severity, ts FROM enriched"
     return seasonal_oracle_sql(src, "severity", slot="dow")
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Full Gorilla block codec roundtrip (functions/gorilla.py, VLDB'15
+    §4.1+§4.2 — real bitstream, both directions): per-conversation
+    (timestamp, value) streams encode in one applyInPandas group each
+    (per-stream state is strictly sequential; streams fan out), decode
+    back via mapInPandas. The oracle pins the DECODED points — second
+    timestamps AND float64 values BIT-exact — against the source rows,
+    so any drift in either direction fails value equality; compressed
+    sizing is pinned in pytest vs an independent per-rule accounting
+    and the gorilla_ts_bits bucket totals."""
+    from hatchery_spark.operators.telemetry import gorilla_roundtrip
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_events")
+    t = spark.sql(TRANSCRIPTS_VALUE_SQL.format(events="hs_events"))
+    out = gorilla_roundtrip(t, "conv_id", "ts", "value", "turn_idx")
+    # comp_bytes is not SQL-replayable (float bit patterns); sizing is
+    # pytest-pinned instead — the oracle gates the decoded points
+    return out.select("g", "rn", "t_s", "value", "n_points")
+
+
+def _gorilla_roundtrip_oracle() -> str:
+    t = TRANSCRIPTS_VALUE_SQL.format(events="events")
+    return f"""
+        WITH t AS ({t}),
+        s AS (
+          SELECT conv_id AS g,
+                 cast(row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY ts, turn_idx) AS bigint)
+                   AS rn,
+                 cast(floor(epoch(ts)) AS bigint) AS t_s,
+                 cast(value AS double) AS value,
+                 cast(count(*) OVER (PARTITION BY conv_id) AS bigint)
+                   AS n_points
+          FROM t)
+        SELECT g, rn, t_s, value, n_points FROM s"""
 
 
 JWT_SECRET = "hs-demo-secret"  # test fixture secret, not a credential
