@@ -2369,6 +2369,30 @@ def _netflow_oracle() -> str:
     return netflow_oracle_sql("events")
 
 
+def q_ipfix_roundtrip(spark, sf_dir):
+    """IPFIX / NetFlow v10 export with IN-BAND templates (operators/
+    ipfix.py): two templates with different field orders (exporter
+    parity), RFC 7011 §6.2 reduced-size counters in one of them, and
+    templates shipped only in each exporter's FIRST message — the
+    collector carries template state across messages per observation
+    domain (one domain-keyed exchange) and binds fields by (ie_id,
+    declared length), never by position. The oracle replays record
+    fields, template ids, sequence numbers, export times, and each
+    message's exact byte length from the events rows."""
+    from hatchery_spark.operators.ipfix import export_ipfix, parse_ipfix
+    from hatchery_spark.operators.netflow import FLOW_FIXTURE_SQL
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_ipfix_events")
+    flows = spark.sql(FLOW_FIXTURE_SQL.format(events="hs_ipfix_events"))
+    return parse_ipfix(export_ipfix(flows))
+
+
+def _ipfix_oracle() -> str:
+    from hatchery_spark.operators.ipfix import ipfix_oracle_sql
+
+    return ipfix_oracle_sql("events")
+
+
 def q_x509_extract(spark, sf_dir):
     """X.509 metadata extraction e2e (functions/x509.py): one
     deterministic RFC 5280 v3 certificate per conversation (DER built
@@ -5424,6 +5448,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
         "pipeline_gorilla_roundtrip": _gorilla_roundtrip_oracle(),
+        "pipeline_ipfix_roundtrip": _ipfix_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7222,6 +7247,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
         "pipeline_gorilla_roundtrip": q_gorilla_roundtrip,
+        "pipeline_ipfix_roundtrip": q_ipfix_roundtrip,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
