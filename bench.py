@@ -402,6 +402,7 @@ def main() -> None:
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),
             ("pipeline_gorilla_roundtrip", dq.q_gorilla_roundtrip),
             ("pipeline_ipfix_roundtrip", dq.q_ipfix_roundtrip),
+            ("pipeline_winevent_xml", dq.q_winevent_xml),
             ("pipeline_gelf_roundtrip", dq.q_gelf_roundtrip),
             ("pipeline_kafka_roundtrip", dq.q_kafka_roundtrip),
             ("pipeline_otlp_roundtrip", dq.q_otlp_roundtrip),

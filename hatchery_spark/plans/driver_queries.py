@@ -2434,6 +2434,30 @@ def _w3c_oracle() -> str:
     return w3c_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_winevent_xml(spark, sf_dir):
+    """Windows Event Log XML e2e (operators/winevent.py): turns render
+    to <Event> documents via one codegen'd concat with full entity
+    escaping, then parse back with Spark's NATIVE from_xml — attribute
+    binding, typed EventID, and the repeated <Data Name=…> array
+    extracted BY NAME via a filter lambda. Zero UDFs either direction.
+    A marker value containing every escapable character rides on each
+    event, so the oracle (all fields recomputed from source; marker
+    expected in UNESCAPED form) proves escape→unescape is an exact
+    inverse on every row."""
+    from hatchery_spark.operators.winevent import (
+        parse_winevent,
+        render_winevent,
+    )
+
+    return parse_winevent(render_winevent(transcripts(spark, sf_dir)))
+
+
+def _winevent_oracle() -> str:
+    from hatchery_spark.operators.winevent import winevent_oracle_sql
+
+    return winevent_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
 def q_fluentd_forward(spark, sf_dir):
     """Fluentd Forward-protocol roundtrip (operators/fluentd.py +
     functions/msgpack.py): turns render into per-(tag, stripe) msgpack
@@ -5449,6 +5473,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
         "pipeline_gorilla_roundtrip": _gorilla_roundtrip_oracle(),
         "pipeline_ipfix_roundtrip": _ipfix_oracle(),
+        "pipeline_winevent_xml": _winevent_oracle(),
         "pipeline_gelf_roundtrip": _gelf_oracle(),
         "pipeline_kafka_roundtrip": _kafka_oracle(),
         "pipeline_otlp_roundtrip": _otlp_oracle(),
@@ -7248,6 +7273,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
         "pipeline_gorilla_roundtrip": q_gorilla_roundtrip,
         "pipeline_ipfix_roundtrip": q_ipfix_roundtrip,
+        "pipeline_winevent_xml": q_winevent_xml,
         "pipeline_gelf_roundtrip": q_gelf_roundtrip,
         "pipeline_kafka_roundtrip": q_kafka_roundtrip,
         "pipeline_otlp_roundtrip": q_otlp_roundtrip,
