@@ -5468,6 +5468,7 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "pipeline_topk_certified": _topk_oracle(),
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
@@ -7268,6 +7269,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
+        "pipeline_topk_certified": q_topk_certified,
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
@@ -7818,6 +7820,61 @@ def _impossible_travel_oracle() -> str:
     from hatchery_spark.operators.netenrich import impossible_travel_oracle_sql
 
     return impossible_travel_oracle_sql(LOGINS_SQL.format(events="events"))
+
+
+TOPK_STRIPES = 8
+TOPK_K = 10
+
+# hot/cold talker key: 5 hot keys carry half the stream (~1000 rows each at
+# sf0.01), ~500 cold keys share the rest (~10 each) — the power-law shape the
+# certificate exists for: hot ranks get PROVEN exact, the cold tail is
+# honestly flagged open (rank_certified=false), and the full keyspace never
+# crosses the wire.
+_TOPK_KEY_CASE = (
+    "CASE WHEN event_id % 1000 < 500"
+    " THEN 'hot-' || cast(event_id % 5 AS varchar)"
+    " ELSE 'cold-' || cast(event_id % 1000 AS varchar) END"
+)
+
+
+def q_topk_certified(spark, sf_dir):
+    """Communication-bounded distributed top-k with per-row rank
+    certificates (operators/topk.py — TPUT / threshold-algorithm
+    family): only each stripe's local top-k crosses the wire; the sum
+    of stripe thresholds upper-bounds every unseen key, so a row with
+    total > ub_absent carries a PROOF its global rank is exact. On the
+    hot/cold fixture the 5 hot keys certify true and the cold tail
+    rows certify false — both branches live in one query. Stripe =
+    md5(event_id) % 8, replayed positionally by the oracle."""
+    from hatchery_spark.functions.graph import _md5_prefix_long
+    from hatchery_spark.operators.topk import topk_certified
+
+    ev = load(spark, sf_dir, "events")
+    key = F.when(
+        F.col("event_id") % 1000 < 500,
+        F.concat(F.lit("hot-"), (F.col("event_id") % 5).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("cold-"), (F.col("event_id") % 1000).cast("string"))
+    )
+    df = ev.select(
+        key.alias("key"),
+        F.pmod(_md5_prefix_long(F.col("event_id")), F.lit(TOPK_STRIPES))
+        .cast("long").alias("stripe"),
+    )
+    return topk_certified(df, ["key"], "stripe", k=TOPK_K)
+
+
+def _topk_oracle() -> str:
+    from hatchery_spark.operators.topk import topk_oracle_sql
+
+    src = (
+        f"SELECT {_TOPK_KEY_CASE} AS key,"
+        " substr(md5(cast(event_id AS varchar)), 1, 8) AS h FROM events"
+    )
+    return topk_oracle_sql(
+        src, "key", f"(({_hex_decode_terms('h')}) % {TOPK_STRIPES})",
+        k=TOPK_K,
+    )
 
 
 CUSUM_K_GAP_S = 28800   # reference inter-arrival: 8 h (data median ≈ 7.3 h)
