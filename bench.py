@@ -398,6 +398,7 @@ def main() -> None:
             ("pipeline_syslog_rfc5424", dq.q_syslog_rfc5424),
             ("pipeline_syslog_bsd", dq.q_syslog_bsd),
             ("pipeline_topk_certified", dq.q_topk_certified),
+            ("pipeline_first_seen", dq.q_first_seen),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),

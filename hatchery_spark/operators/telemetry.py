@@ -1238,3 +1238,71 @@ def gorilla_roundtrip(
         "g string, rn long, t_s long, value double, n_points long, "
         "comp_bytes long",
     )
+
+
+def first_seen_novelty(
+    df: DataFrame,
+    actor_col: str,
+    entity_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-seen (actor, entity) novelty rollup — the SOC primitive
+    behind "first time this service account touched that resource"
+    alerts (reference analog: hatchery routes auth events to dedicated
+    sinks, pipeline/config wiring; the detection itself runs downstream
+    at Spark scale).
+
+    Per (actor, day): ``events`` (row count), ``active_pairs`` (distinct
+    entities touched), ``new_pairs`` (entities whose corpus-wide FIRST
+    occurrence for this actor lands on that day). A lateral-movement or
+    scanning burst shows up as new_pairs spiking against a stable
+    active_pairs baseline.
+
+    Plan shape: ONE (actor, entity, day) aggregate over the raw stream
+    (map-side combinable — the only corpus-sized exchange), a min-window
+    on its (actor, entity) prefix for the first day, then an (actor,
+    day) re-aggregate on the already-reduced frame. No joins, no
+    row-wise Python; all counts BIGINT, days DATE — nothing for two
+    engines to disagree on.
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    daily = df.groupBy(actor_col, entity_col, day).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(actor_col, entity_col)
+    with_first = daily.withColumn("first_day", F.min("day").over(w))
+    return (
+        with_first.groupBy(actor_col, "day")
+        .agg(
+            F.sum("n").cast("long").alias("events"),
+            F.count(F.lit(1)).cast("long").alias("active_pairs"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("new_pairs"),
+        )
+    )
+
+
+def first_seen_oracle_sql(
+    src_sql: str,
+    actor_expr: str,
+    entity_expr: str,
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB replay: identical aggregate → min-window → re-aggregate."""
+    return f"""
+        WITH src AS ({src_sql}),
+        daily AS (
+          SELECT {actor_expr} AS actor, {entity_expr} AS entity,
+                 cast({ts_expr} AS date) AS day,
+                 cast(count(*) AS bigint) AS n
+          FROM src GROUP BY 1, 2, 3),
+        wf AS (
+          SELECT *, min(day) OVER (PARTITION BY actor, entity) AS first_day
+          FROM daily)
+        SELECT actor, day,
+               cast(sum(n) AS bigint) AS events,
+               cast(count(*) AS bigint) AS active_pairs,
+               cast(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    AS bigint) AS new_pairs
+        FROM wf GROUP BY actor, day"""

@@ -5469,6 +5469,7 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "pipeline_topk_certified": _topk_oracle(),
+        "pipeline_first_seen": _first_seen_oracle(),
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
@@ -7270,6 +7271,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_topk_certified": q_topk_certified,
+        "pipeline_first_seen": q_first_seen,
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
@@ -7875,6 +7877,38 @@ def _topk_oracle() -> str:
         src, "key", f"(({_hex_decode_terms('h')}) % {TOPK_STRIPES})",
         k=TOPK_K,
     )
+
+
+def q_first_seen(spark, sf_dir):
+    """First-seen (actor, action) novelty rollup (operators/telemetry.py
+    `first_seen_novelty`): per actor-day event volume, distinct actions,
+    and actions whose corpus-wide first occurrence for that actor lands
+    on that day — new_pairs decays from the onboarding burst to the
+    occasional genuine novelty, which is the alerting signal. ONE
+    corpus-sized aggregate; the min-window and re-aggregate run on the
+    (actor, action, day) frame."""
+    from hatchery_spark.operators.telemetry import first_seen_novelty
+
+    p = (
+        parse_turns(transcripts(spark, sf_dir))
+        .where(F.col("actor").isNotNull() & F.col("action").isNotNull())
+    )
+    out = first_seen_novelty(p, "actor", "action")
+    return out.select(
+        "actor", F.col("day").cast("string").alias("day"),
+        "events", "active_pairs", "new_pairs",
+    )
+
+
+def _first_seen_oracle() -> str:
+    from hatchery_spark.operators.telemetry import first_seen_oracle_sql
+
+    src = (ORACLE_PIPELINE_CTE
+           + "SELECT actor, action, ts FROM parsed"
+           + " WHERE actor IS NOT NULL AND action IS NOT NULL")
+    inner = first_seen_oracle_sql(src, "actor", "action")
+    return (f"SELECT actor, cast(day AS varchar) AS day, events,"
+            f" active_pairs, new_pairs FROM ({inner})")
 
 
 CUSUM_K_GAP_S = 28800   # reference inter-arrival: 8 h (data median ≈ 7.3 h)

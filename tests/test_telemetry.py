@@ -306,3 +306,50 @@ def test_rate_envelope_single_sort(spark):
     )
     # both windows share one partition/order: exactly one Exchange, one Sort
     assert plan.count("Exchange") == 1 and plan.count("Sort") == 1
+
+
+# ---------------------------------------------------------------------------
+# first_seen_novelty
+# ---------------------------------------------------------------------------
+
+
+def test_first_seen_novelty_planted(spark):
+    from hatchery_spark.operators.telemetry import first_seen_novelty
+
+    rows = [
+        # alice: A,B on d1; A again d2 (not new); C on d3 (new)
+        ("alice", "A", "2024-01-01 09:00:00"),
+        ("alice", "B", "2024-01-01 10:00:00"),
+        ("alice", "A", "2024-01-02 09:00:00"),
+        ("alice", "C", "2024-01-03 09:00:00"),
+        ("alice", "A", "2024-01-03 10:00:00"),
+        # bob: A on d2 — independent of alice's A on d1
+        ("bob", "A", "2024-01-02 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "actor string, action string, ts_s string"
+    ).selectExpr("actor", "action", "cast(ts_s AS timestamp) AS ts")
+    out = first_seen_novelty(df, "actor", "action")
+    got = {(r["actor"], str(r["day"])): r for r in out.collect()}
+    a1 = got[("alice", "2024-01-01")]
+    assert (a1["events"], a1["active_pairs"], a1["new_pairs"]) == (2, 2, 2)
+    a2 = got[("alice", "2024-01-02")]
+    assert (a2["events"], a2["active_pairs"], a2["new_pairs"]) == (1, 1, 0)
+    a3 = got[("alice", "2024-01-03")]
+    assert (a3["events"], a3["active_pairs"], a3["new_pairs"]) == (2, 2, 1)
+    b2 = got[("bob", "2024-01-02")]
+    assert (b2["events"], b2["active_pairs"], b2["new_pairs"]) == (1, 1, 1)
+    assert len(got) == 4
+
+
+def test_first_seen_novelty_same_day_repeats_count_once(spark):
+    from hatchery_spark.operators.telemetry import first_seen_novelty
+
+    rows = [("u", "X", f"2024-02-01 0{h}:00:00") for h in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "actor string, action string, ts_s string"
+    ).selectExpr("actor", "action", "cast(ts_s AS timestamp) AS ts")
+    out = first_seen_novelty(df, "actor", "action").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["events"], r["active_pairs"], r["new_pairs"]) == (5, 1, 1)
