@@ -399,6 +399,7 @@ def main() -> None:
             ("pipeline_syslog_bsd", dq.q_syslog_bsd),
             ("pipeline_topk_certified", dq.q_topk_certified),
             ("pipeline_first_seen", dq.q_first_seen),
+            ("pipeline_lttb_downsample", dq.q_lttb_downsample),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),

@@ -5470,6 +5470,7 @@ def oracle_catalog() -> dict[str, str]:
     oracles = {
         "pipeline_topk_certified": _topk_oracle(),
         "pipeline_first_seen": _first_seen_oracle(),
+        "pipeline_lttb_downsample": _lttb_oracle(),
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
@@ -7272,6 +7273,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_topk_certified": q_topk_certified,
         "pipeline_first_seen": q_first_seen,
+        "pipeline_lttb_downsample": q_lttb_downsample,
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
@@ -7909,6 +7911,47 @@ def _first_seen_oracle() -> str:
     inner = first_seen_oracle_sql(src, "actor", "action")
     return (f"SELECT actor, cast(day AS varchar) AS day, events,"
             f" active_pairs, new_pairs FROM ({inner})")
+
+
+LTTB_M = 12
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB visual downsampling per conversation stream (operators/
+    lttb.py — Steinarsson 2013): each (ts, value) series shrinks to 12
+    points keeping first/last and the largest-triangle winner of each
+    interior bucket. The area comparison is multiplied through by the
+    next-bucket count so it's pure BIGINT — the sequential anchor chain
+    replays in DuckDB as one rank-1 CTE per bucket. Values pre-scaled
+    to integer cents (floor(value*100)) BEFORE the operator; ties break
+    to the smallest index on both engines."""
+    from pyspark.sql import Window as W
+
+    from hatchery_spark.operators.lttb import lttb_downsample
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_lttb_ev")
+    t = spark.sql(TRANSCRIPTS_VALUE_SQL.format(events="hs_lttb_ev"))
+    w = W.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    pts = t.select(
+        F.col("conv_id"),
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.unix_timestamp("ts").cast("long").alias("t_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_i"),
+    )
+    return lttb_downsample(pts, "conv_id", "idx", "t_s", "v_i", m=LTTB_M)
+
+
+def _lttb_oracle() -> str:
+    from hatchery_spark.operators.lttb import lttb_oracle_sql
+
+    t = TRANSCRIPTS_VALUE_SQL.format(events="events")
+    return lttb_oracle_sql(
+        t, "conv_id",
+        "cast(floor(epoch(ts)) AS bigint)",
+        "cast(floor(value * 100) AS bigint)",
+        "ts, turn_idx",
+        m=LTTB_M,
+    )
 
 
 CUSUM_K_GAP_S = 28800   # reference inter-arrival: 8 h (data median ≈ 7.3 h)
