@@ -400,6 +400,7 @@ def main() -> None:
             ("pipeline_topk_certified", dq.q_topk_certified),
             ("pipeline_first_seen", dq.q_first_seen),
             ("pipeline_lttb_downsample", dq.q_lttb_downsample),
+            ("pipeline_tcp_reassembly", dq.q_tcp_reassembly),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),

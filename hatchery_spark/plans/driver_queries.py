@@ -5471,6 +5471,7 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_topk_certified": _topk_oracle(),
         "pipeline_first_seen": _first_seen_oracle(),
         "pipeline_lttb_downsample": _lttb_oracle(),
+        "pipeline_tcp_reassembly": _tcp_oracle(),
         "pipeline_fluentd_forward": _fluentd_oracle(),
         "pipeline_cusum_drift": _cusum_oracle(),
         "pipeline_seasonal_anomaly": _seasonal_oracle(),
@@ -7274,6 +7275,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_topk_certified": q_topk_certified,
         "pipeline_first_seen": q_first_seen,
         "pipeline_lttb_downsample": q_lttb_downsample,
+        "pipeline_tcp_reassembly": q_tcp_reassembly,
         "pipeline_fluentd_forward": q_fluentd_forward,
         "pipeline_cusum_drift": q_cusum_drift,
         "pipeline_seasonal_anomaly": q_seasonal_anomaly,
@@ -7952,6 +7954,51 @@ def _lttb_oracle() -> str:
         "ts, turn_idx",
         m=LTTB_M,
     )
+
+
+def q_tcp_reassembly(spark, sf_dir):
+    """TCP stream reassembly e2e (operators/tcpstream.py): each
+    conversation's rebuilt text is cut into 64-char segments with
+    md5-planted exact retransmits, overlapping retransmits (+16 chars
+    into the next segment), and capture holes (gated flows lose their
+    middle segment); reassembly is ONE window pass (running-max
+    high-water mark, piece trimming) + one order-proof aggregate.
+    ``ok`` proves the reassembled stream EQUALS the original text for
+    every complete flow — per-turn text equality through segmentation,
+    duplication, overlap trimming, and shuffle order; holed flows
+    dead-letter as complete=false."""
+    from hatchery_spark.operators.tcpstream import (
+        reassemble_streams,
+        segment_streams,
+    )
+
+    t = transcripts(spark, sf_dir)
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    conv = t.groupBy("conv_id").agg(
+        F.concat_ws("\n", F.transform(ordered, lambda s: s.text))
+        .alias("conv_text")
+    )
+    out = reassemble_streams(segment_streams(conv))
+    return out.join(conv, "conv_id").select(
+        "conv_id", "n_segments", "n_redundant", "complete", "stream_len",
+        (F.col("stream") == F.col("conv_text")).alias("ok"),
+    )
+
+
+def _tcp_oracle() -> str:
+    from hatchery_spark.operators.tcpstream import tcp_oracle_sql
+
+    conv = (ORACLE_PIPELINE_CTE
+            + "SELECT conv_id, string_agg(text, chr(10)"
+            + " ORDER BY turn_idx) AS conv_text"
+            + " FROM transcripts GROUP BY conv_id")
+    inner = tcp_oracle_sql(conv)
+    return f"""
+        WITH r AS ({inner}),
+        c AS ({conv})
+        SELECT r.conv_id, r.n_segments, r.n_redundant, r.complete,
+               r.stream_len, r.stream = c.conv_text AS ok
+        FROM r JOIN c ON r.conv_id = c.conv_id"""
 
 
 CUSUM_K_GAP_S = 28800   # reference inter-arrival: 8 h (data median ≈ 7.3 h)
