@@ -401,6 +401,14 @@ def main() -> None:
             ("pipeline_first_seen", dq.q_first_seen),
             ("pipeline_lttb_downsample", dq.q_lttb_downsample),
             ("pipeline_tcp_reassembly", dq.q_tcp_reassembly),
+            ("pipeline_leef_parse", dq.q_leef_parse),
+            ("pipeline_mg_heavyhitters", dq.q_mg_heavyhitters),
+            ("pipeline_syslog_tcp", dq.q_syslog_tcp),
+            ("pipeline_http_extract", dq.q_http_extract),
+            ("pipeline_holt_trend", dq.q_holt_trend),
+            ("rel_record_linkage", dq.q_record_linkage),
+            ("pipeline_l_diversity", dq.q_l_diversity),
+            ("pipeline_dp_counts", dq.q_dp_counts),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),
@@ -431,6 +439,7 @@ def main() -> None:
             ("rel_roaring_postings", dq.q_roaring_postings),
             ("pipeline_ip_pseudonymize", dq.q_ip_pseudonymize),
             ("rel_inflate_roundtrip", dq.q_inflate_roundtrip),
+            ("rel_deflate_encode", dq.q_deflate_encode),
             ("doc_cdc_chunks", dq.q_cdc_chunks),
             ("rel_avro_evolution", dq.q_avro_evolution),
             ("rel_aes_roundtrip", dq.q_aes_roundtrip),

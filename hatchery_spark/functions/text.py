@@ -423,3 +423,50 @@ def fold_homoglyphs(text: Column) -> Column:
     any hash-based dedup key. Not full Unicode confusables (that table is
     thousands of pairs — same mechanism, longer map)."""
     return F.translate(text, _HOMOGLYPH_SRC, _HOMOGLYPH_DST)
+
+
+def l_diversify(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    l: int = 3,
+    redacted: str = "[SUPPRESSED]",
+) -> DataFrame:
+    """l-diversity suppression (Machanavajjhala et al., ICDE 2006) — the
+    strictly stronger release gate k-anonymity alone cannot provide: a
+    cohort can be huge yet still leak if every row shares ONE sensitive
+    value (the homogeneity attack — "all 500 rows in this quasi cohort
+    are [critical] incidents"). A cohort survives only if it has ≥ k
+    rows AND ≥ l DISTINCT sensitive values; otherwise its quasi columns
+    suppress, exactly as in :func:`k_anonymize` (struct cohort key —
+    NULL-safe, delimiter-proof).
+
+    Adds ``group_n``, ``sensitive_n``, ``suppressed``. Both failure
+    modes are observable: ``group_n < k`` (size) and ``sensitive_n < l``
+    (homogeneity) — a privacy audit can tell which gate fired.
+
+    Scale shape: identical to k_anonymize — ONE map-side-combined
+    aggregate over the struct key carrying (count, approx-free exact
+    distinct), broadcast-when-small rejoin, in-place codegen rewrite.
+    """
+    qk = F.struct(*[F.col(c) for c in quasi_cols])
+    sizes = (
+        df.select(qk.alias("_qk"), F.col(sensitive_col).alias("_sv"))
+        .groupBy("_qk")
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("_sv").alias("sensitive_n"),
+        )
+    )
+    joined = df.withColumn("_qk", qk).join(sizes, "_qk", "inner")
+    suppressed = (F.col("group_n") < k) | (F.col("sensitive_n") < l)
+    out = joined.withColumn("suppressed", suppressed)
+    for c in quasi_cols:
+        out = out.withColumn(
+            c,
+            F.when(suppressed, F.lit(redacted)).otherwise(
+                F.col(c).cast("string")
+            ),
+        )
+    return out.drop("_qk")

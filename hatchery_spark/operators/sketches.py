@@ -417,3 +417,149 @@ def kmv_oracle_sql(src_sql: str, key_expr: str, group_expr: str, k: int = KMV_K)
                cast(CASE WHEN sketch_n < {k} THEN sketch_n
                          ELSE {num} // hk END AS bigint) AS est_distinct
         FROM agg"""
+
+
+MG_K = 16
+MG_SHARDS = 8
+
+
+def mg_sketch(
+    df: DataFrame, key: Column, shard: Column, k: int = MG_K
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary per shard (Misra & Gries 1982,
+    in the mergeable-summaries form of Agarwal et al., PODS'12): exact
+    per-shard counts → keep the k largest counters reduced by the
+    (k+1)-th largest, drop the rest. Each reduction undercounts every
+    key by AT MOST the subtracted value, and the subtraction total is
+    carried as an exact ``deficit`` column — the sketch certifies its
+    own error bound (est ≤ true ≤ est + Σ deficits), unlike count-min's
+    probabilistic one-sided bound.
+
+    Arrival-order-free by construction: classic MG is order-dependent
+    (a streaming counter eviction), but summarizing EXACT shard counts
+    dominates any arrival order — deterministic, hence replayable.
+
+    Plan shape: one partially-aggregated (shard, key) groupBy; the rank
+    cut is a shard-partitioned window (WindowGroupLimit forwards ≤ k+1
+    rows per shard per task). Output ≤ k rows + 1 deficit per shard.
+    """
+    counts = df.groupBy(shard.alias("shard"), key.alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("c").desc(), F.col("key"))
+    r = counts.withColumn("rn", F.row_number().over(w))
+    cut = r.where(F.col("rn") == k + 1).select(
+        "shard", F.col("c").alias("cut")
+    )
+    return (
+        r.where(F.col("rn") <= k)
+        .join(cut, "shard", "left")
+        .select(
+            "shard",
+            "key",
+            (F.col("c") - F.coalesce(F.col("cut"), F.lit(0))).alias("c"),
+            F.coalesce(F.col("cut"), F.lit(0)).alias("deficit"),
+        )
+        .where(F.col("c") > 0)
+    )
+
+
+def mg_merge_all(sketch: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge every shard summary into one MG-k summary: sum counters per
+    key, keep the k largest reduced by the (k+1)-th, accumulate the
+    total deficit (shard deficits + the merge's own subtraction).
+
+    The global window runs on SKETCH-SIZED data (≤ shards·k rows —
+    corpus-independent), so the single-reducer sort is a constant-cost
+    tail, the same shape as the repo's other post-aggregate grids.
+    Returns (key, est, deficit) — ``deficit`` identical on every row:
+    for every key, est ≤ true_count ≤ est + deficit.
+    """
+    from pyspark.sql import Window
+
+    shard_def = (
+        sketch.groupBy("shard")
+        .agg(F.max("deficit").alias("d"))
+        .agg(F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("d0"))
+    )
+    summed = sketch.groupBy("key").agg(F.sum("c").cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("key"))
+    r = summed.withColumn("rn", F.row_number().over(w))
+    cut = r.where(F.col("rn") == k + 1).select(F.col("c").alias("cut"))
+    cut1 = cut.agg(
+        F.coalesce(F.max("cut"), F.lit(0)).cast("long").alias("cut")
+    )
+    return (
+        r.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(shard_def))
+        .crossJoin(F.broadcast(cut1))
+        .select(
+            "key",
+            (F.col("c") - F.col("cut")).alias("est"),
+            (F.col("d0") + F.col("cut")).alias("deficit"),
+        )
+        .where(F.col("est") > 0)
+    )
+
+
+def mg_oracle_sql(
+    src_sql: str,
+    key_expr: str,
+    shard_hex_expr: str,
+    shards: int = MG_SHARDS,
+    k: int = MG_K,
+) -> str:
+    """DuckDB replay of shard → summarize → merge → certify.
+    ``shard_hex_expr`` must yield the 8-hex-char md5 prefix whose
+    positional decode mod ``shards`` is the shard id."""
+    from hatchery_spark.plans.driver_queries import _hex_decode_terms
+
+    return f"""
+        WITH src AS ({src_sql}),
+        rows_in AS (
+          SELECT {key_expr} AS key,
+                 ({_hex_decode_terms(f"({shard_hex_expr})")}) % {shards}
+                   AS shard
+          FROM src),
+        counts AS (
+          SELECT shard, key, cast(count(*) AS bigint) AS c
+          FROM rows_in GROUP BY shard, key),
+        ranked AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY shard ORDER BY c DESC, key) AS rn
+          FROM counts),
+        cuts AS (
+          SELECT shard, c AS cut FROM ranked WHERE rn = {k + 1}),
+        shard_sk AS (
+          SELECT r.shard, r.key, r.c - coalesce(t.cut, 0) AS c,
+                 coalesce(t.cut, 0) AS deficit
+          FROM ranked r LEFT JOIN cuts t ON r.shard = t.shard
+          WHERE r.rn <= {k} AND r.c - coalesce(t.cut, 0) > 0),
+        d0 AS (
+          SELECT coalesce(sum(d), 0) AS d0 FROM (
+            SELECT shard, max(deficit) AS d FROM shard_sk GROUP BY shard)),
+        summed AS (
+          SELECT key, cast(sum(c) AS bigint) AS c
+          FROM shard_sk GROUP BY key),
+        g_ranked AS (
+          SELECT *, row_number() OVER (ORDER BY c DESC, key) AS rn
+          FROM summed),
+        g_cut AS (
+          SELECT coalesce(max(c), 0) AS cut FROM g_ranked
+          WHERE rn = {k + 1}),
+        merged AS (
+          SELECT key, c - g_cut.cut AS est,
+                 d0.d0 + g_cut.cut AS deficit
+          FROM g_ranked, g_cut, d0
+          WHERE rn <= {k} AND c - g_cut.cut > 0),
+        exact AS (
+          SELECT key, cast(count(*) AS bigint) AS true_n
+          FROM rows_in GROUP BY key)
+        SELECT m.key, cast(m.est AS bigint) AS est,
+               cast(m.deficit AS bigint) AS deficit,
+               e.true_n,
+               m.est <= e.true_n AS lower_ok,
+               e.true_n <= m.est + m.deficit AS upper_ok
+        FROM merged m JOIN exact e ON m.key = e.key"""

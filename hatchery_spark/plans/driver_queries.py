@@ -2198,6 +2198,258 @@ def _syslog_oracle() -> str:
     return syslog_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
 
 
+def q_syslog_tcp(spark, sf_dir):
+    """RFC 6587 octet-counted syslog over TCP, end to end
+    (operators/tcpsyslog.py composing syslog.py + tcpstream.py): every
+    turn renders to an RFC 5424 line, each flow's lines frame as
+    ``MSG-LEN SP line`` and concatenate in turn order, the wire cuts
+    into 64-char TCP segments with md5-planted exact and overlapping
+    retransmits (hole-gated flows are excluded by the replayable gate —
+    octet counting cannot resync across a capture gap), segments
+    reassemble via the running-max high-water mark, the splitter walks
+    the length prefixes back out, and the parser recovers every field.
+    The oracle computes all fields directly from the source turns —
+    five composed stages and a value break in ANY of them fails
+    equality; msg carries the per-turn text invariant through the whole
+    transport."""
+    from hatchery_spark.functions.graph import _md5_prefix_long
+    from hatchery_spark.operators.syslog import (
+        parse_rfc5424,
+        render_rfc5424,
+    )
+    from hatchery_spark.operators.tcpstream import (
+        HOLE_MOD,
+        reassemble_streams,
+        segment_streams,
+    )
+    from hatchery_spark.operators.tcpsyslog import (
+        frame_octet_counted,
+        split_octet_counted,
+    )
+
+    t = transcripts(spark, sf_dir).where(
+        F.pmod(_md5_prefix_long(F.col("conv_id")), F.lit(HOLE_MOD)) != 0
+    )
+    lines = render_rfc5424(t).select("conv_id", "turn_idx", "line")
+    conv = frame_octet_counted(lines)
+    streams = reassemble_streams(segment_streams(conv)).select(
+        "conv_id", "stream"
+    )
+    msgs = split_octet_counted(streams).where(F.col("ok"))
+    return parse_rfc5424(msgs)
+
+
+def _syslog_tcp_oracle() -> str:
+    from hatchery_spark.operators.syslog import syslog_oracle_sql
+    from hatchery_spark.operators.tcpstream import HOLE_MOD
+
+    gate = _hex_decode_terms("substr(md5(conv_id), 1, 8)")
+    src = (
+        f"WITH tall AS ({TRANSCRIPTS_SQL.format(events='events')}) "
+        f"SELECT * FROM tall WHERE ({gate}) % {HOLE_MOD} <> 0"
+    )
+    return syslog_oracle_sql(src)
+
+
+def q_http_extract(spark, sf_dir):
+    """HTTP/1.1 transactions from reassembled TCP streams
+    (operators/tcphttp.py + tcpstream.py): every turn renders as one
+    pipelined POST on its flow's connection — body framing rotates by
+    turn parity between Content-Length and chunked transfer encoding
+    (32-octet hex-sized chunks, codegen'd render) — the wire cuts into
+    TCP segments with planted retransmits/overlaps, reassembles, and
+    the extractor walks request-line → headers → body back out. The
+    oracle computes every field directly from the source turns; body
+    equality carries the per-turn text invariant through both framing
+    branches and the whole transport. Hole-gated flows excluded by the
+    replayable gate (no mid-stream resync, as with octet counting)."""
+    from hatchery_spark.functions.graph import _md5_prefix_long
+    from hatchery_spark.operators.tcphttp import (
+        concat_requests,
+        extract_http_requests,
+        render_http_requests,
+    )
+    from hatchery_spark.operators.tcpstream import (
+        HOLE_MOD,
+        reassemble_streams,
+        segment_streams,
+    )
+
+    t = transcripts(spark, sf_dir).where(
+        F.pmod(_md5_prefix_long(F.col("conv_id")), F.lit(HOLE_MOD)) != 0
+    )
+    reqs = render_http_requests(t).select("conv_id", "turn_idx", "req")
+    conv = concat_requests(reqs)
+    streams = reassemble_streams(segment_streams(conv)).select(
+        "conv_id", "stream"
+    )
+    return extract_http_requests(streams).where(F.col("ok")).select(
+        "conv_id", "msg_idx", "method", "target", "host", "te", "body"
+    )
+
+
+def _http_extract_oracle() -> str:
+    from hatchery_spark.operators.tcphttp import HOST
+    from hatchery_spark.operators.tcpstream import HOLE_MOD
+
+    gate = _hex_decode_terms("substr(md5(conv_id), 1, 8)")
+    t = TRANSCRIPTS_SQL.format(events="events")
+    return f"""
+        WITH tall AS ({t})
+        SELECT conv_id, turn_idx AS msg_idx,
+               'POST' AS method,
+               concat('/t/', cast(turn_idx AS varchar)) AS target,
+               '{HOST}' AS host,
+               CASE WHEN turn_idx % 2 = 0 THEN 'cl' ELSE 'chunked' END AS te,
+               text AS body
+        FROM tall WHERE ({gate}) % {HOLE_MOD} <> 0"""
+
+
+def q_holt_trend(spark, sf_dir):
+    """Holt linear-trend forecast anomaly (operators/forecast.py):
+    per-conversation daily activity folded through double exponential
+    smoothing (α=β=1/2) in exact BIGINT fixed point — the detection
+    matrix's trend-aware member (EWMA tracks level, CUSUM shifts,
+    seasonal-MAD weekday shape; none see a ramp). Alerts on the
+    one-step forecast residual via integer cross-multiplication. The
+    fold carries its state path as an array in ONE aggregate HOF per
+    actor; the oracle replays every level/trend/forecast bit-for-bit
+    through a recursive CTE."""
+    from hatchery_spark.operators.forecast import holt_forecast
+
+    t = transcripts(spark, sf_dir)
+    return holt_forecast(t, F.col("conv_id"), F.to_date("ts"))
+
+
+def _holt_oracle() -> str:
+    from hatchery_spark.operators.forecast import holt_oracle_sql
+
+    return holt_oracle_sql(
+        TRANSCRIPTS_SQL.format(events="events"),
+        "conv_id",
+        "cast(date_trunc('day', ts) AS date)",
+    )
+
+
+def q_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage (functions/linkage.py): a person
+    table md5-synthesized from customer (24×24 name lists — collisions
+    intended), a dirty re-entry of every record through perturbation
+    gates (name char-drop / name swap / early vs late phone-digit bumps
+    / nation flips), soundex+phone blocking (never all-pairs), integer
+    deciban weights, two-threshold match/possible/nonmatch decision,
+    and per-record truth flags. The oracle replays synthesis, gates,
+    blocking, scoring, and the rank cut end to end."""
+    from hatchery_spark.functions.linkage import (
+        fs_link,
+        person_records,
+        perturbed_records,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    return fs_link(person_records(cust), perturbed_records(cust))
+
+
+def _linkage_oracle() -> str:
+    from hatchery_spark.functions.linkage import linkage_oracle_sql
+
+    return linkage_oracle_sql()
+
+
+def q_l_diversity(spark, sf_dir):
+    """l-diversity release gate (functions/text.py `l_diversify`): the
+    homogeneity-attack complement to doc_k_anonymize — a cohort of
+    (role, tool, day) survives only with ≥ k rows AND ≥ l distinct
+    severity levels, so large-but-homogeneous cohorts suppress too.
+    Both gates observable per row (group_n, sensitive_n). One struct-key
+    aggregate + broadcast rejoin, no window over whale cohorts."""
+    from hatchery_spark.functions.text import l_diversify
+
+    t = transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool",
+        F.to_date("ts").cast("string").alias("day"),
+        F.regexp_extract("text", r"^\[(\w+)\]", 1).alias("level"),
+    )
+    out = l_diversify(t, ["role", "tool", "day"], "level", k=5, l=3)
+    return out.select(
+        "conv_id", "turn_idx", "role", "tool", "day",
+        F.col("group_n").cast("long").alias("group_n"),
+        F.col("sensitive_n").cast("long").alias("sensitive_n"),
+        "suppressed",
+    )
+
+
+def _l_diversity_oracle() -> str:
+    t = TRANSCRIPTS_SQL.format(events="events")
+    return f"""
+        WITH t AS ({t}),
+        x AS (
+          SELECT conv_id, turn_idx, role, tool,
+                 cast(cast(date_trunc('day', ts) AS date) AS varchar) AS day,
+                 regexp_extract(text, '^\\[(\\w+)\\]', 1) AS level
+          FROM t),
+        sizes AS (
+          SELECT role, tool, day,
+                 cast(count(*) AS bigint) AS group_n,
+                 cast(count(DISTINCT level) AS bigint) AS sensitive_n
+          FROM x GROUP BY role, tool, day),
+        j AS (
+          SELECT x.*, s.group_n, s.sensitive_n,
+                 s.group_n < 5 OR s.sensitive_n < 3 AS suppressed
+          FROM x JOIN sizes s
+            ON x.role = s.role AND x.tool = s.tool AND x.day = s.day)
+        SELECT conv_id, turn_idx,
+               CASE WHEN suppressed THEN '[SUPPRESSED]' ELSE role END AS role,
+               CASE WHEN suppressed THEN '[SUPPRESSED]' ELSE tool END AS tool,
+               CASE WHEN suppressed THEN '[SUPPRESSED]' ELSE day END AS day,
+               group_n, sensitive_n, suppressed
+        FROM j"""
+
+
+def q_dp_counts(spark, sf_dir):
+    """Differentially private per-sink counts (functions/privacy.py):
+    the routed fan-out's (route, day) aggregate released through the
+    eps = ln 2 two-sided geometric mechanism — noise drawn as the
+    difference of two leading-1-bit Geometric(1/2) folds over the
+    cell's md5, all integer, deterministic per cell (repeat publication
+    spends no extra budget; cells are disjoint → parallel composition).
+    true_n appears ONLY so the gate can pin the mechanism; a real
+    release drops it."""
+    from hatchery_spark.functions.privacy import geometric_noise
+
+    routed = routed_union(enriched(spark, sf_dir), EVENT_ROUTES)
+    counts = routed.groupBy(
+        "route_id", F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    noise = geometric_noise(
+        F.concat_ws("|", F.col("route_id"), F.col("day"))
+    )
+    return counts.select(
+        "route_id", "day", "true_n",
+        noise.alias("noise"),
+        (F.col("true_n") + noise).alias("released_n"),
+    )
+
+
+def _dp_counts_oracle() -> str:
+    from hatchery_spark.functions.privacy import geometric_noise_sql
+
+    noise = geometric_noise_sql("concat(route_id, '|', day)")
+    return (
+        ORACLE_PIPELINE_CTE
+        + f"""
+        , c AS (
+          SELECT route_id,
+                 cast(cast(date_trunc('day', ts) AS date) AS varchar) AS day,
+                 cast(count(*) AS bigint) AS true_n
+          FROM routed GROUP BY route_id, day)
+        SELECT route_id, day, true_n,
+               cast({noise} AS bigint) AS noise,
+               cast(true_n + {noise} AS bigint) AS released_n
+        FROM c"""
+    )
+
+
 def q_syslog_bsd(spark, sf_dir):
     """RFC 3164 legacy BSD syslog e2e (operators/syslog.py): render every
     turn to the no-year, SPACE-padded-day frame, then parse ONLY the
@@ -2959,6 +3211,36 @@ def q_inflate_roundtrip(spark, sf_dir):
 
 
 _INFLATE_ORACLE = "SELECT doc_id, lang, text FROM documents"
+
+
+def q_deflate_encode(spark, sf_dir):
+    """From-scratch RFC 1951 DEFLATE *encoder* (functions/deflate_enc.py
+    — greedy hash-chain LZ77, length-limited dynamic-Huffman trees, the
+    16/17/18 code-length meta-coding) whose output is decoded by stdlib
+    zlib — third-party interop in the direction rel_inflate_roundtrip
+    does not cover. Block type rotates stored/fixed/dynamic by doc_id%3
+    so all three paths appear in every run. Identity oracle row-for-row;
+    any encoder bit error breaks the zlib decode and fails value match."""
+    from hatchery_spark.functions.deflate_enc import (
+        deflate_encode_col,
+        zlib_inflate_col,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    packed = docs.select(
+        "doc_id", "lang",
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("long").alias("block_mode"),
+        deflate_encode_col(F.col("doc_id"), F.col("text")).alias("z"),
+    )
+    return packed.select(
+        "doc_id", "lang", "block_mode",
+        zlib_inflate_col(F.col("z")).alias("text"),
+    )
+
+
+_DEFLATE_ENCODE_ORACLE = (
+    "SELECT doc_id, lang, doc_id % 3 AS block_mode, text FROM documents"
+)
 
 
 def q_ip_pseudonymize(spark, sf_dir):
@@ -5468,6 +5750,15 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
+        "pipeline_leef_parse": _leef_oracle(),
+        "pipeline_mg_heavyhitters": _mg_oracle(),
+        "pipeline_syslog_tcp": _syslog_tcp_oracle(),
+        "pipeline_http_extract": _http_extract_oracle(),
+        "pipeline_holt_trend": _holt_oracle(),
+        "rel_record_linkage": _linkage_oracle(),
+        "pipeline_l_diversity": _l_diversity_oracle(),
+        "pipeline_dp_counts": _dp_counts_oracle(),
         "pipeline_topk_certified": _topk_oracle(),
         "pipeline_first_seen": _first_seen_oracle(),
         "pipeline_lttb_downsample": _lttb_oracle(),
@@ -7270,6 +7561,15 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query that has never received a driver CORRECTNESS row, then the
     # long-green remainder.
     return {
+        "rel_deflate_encode": q_deflate_encode,
+        "pipeline_leef_parse": q_leef_parse,
+        "pipeline_mg_heavyhitters": q_mg_heavyhitters,
+        "pipeline_syslog_tcp": q_syslog_tcp,
+        "pipeline_http_extract": q_http_extract,
+        "pipeline_holt_trend": q_holt_trend,
+        "rel_record_linkage": q_record_linkage,
+        "pipeline_l_diversity": q_l_diversity,
+        "pipeline_dp_counts": q_dp_counts,
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_topk_certified": q_topk_certified,
@@ -8665,3 +8965,78 @@ def _cef_oracle() -> str:
     from hatchery_spark.operators.cef import cef_oracle_sql
 
     return cef_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
+def q_mg_heavyhitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.py, the fifth
+    mergeable sketch family): per-shard MG-k summaries from EXACT shard
+    counts (arrival-order-free, hence replayable), merged into one
+    summary carrying its own exact error budget. The output certifies
+    the classic MG sandwich per surviving key: est ≤ true ≤ est +
+    deficit — both bounds checked against exact counts in-row. Plan:
+    one (shard, key) partial agg + WindowGroupLimit rank cuts; the
+    merge runs on ≤ shards·k rows."""
+    from hatchery_spark.functions.graph import _md5_prefix_long
+    from hatchery_spark.operators.sketches import (
+        MG_SHARDS,
+        mg_merge_all,
+        mg_sketch,
+    )
+
+    t = transcripts(spark, sf_dir)
+    rows = t.where(F.col("text").startswith("[")).select(
+        F.regexp_extract("text", r"actor=(\S+)", 1).alias("actor"),
+        F.pmod(
+            _md5_prefix_long(
+                F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+            ),
+            F.lit(MG_SHARDS),
+        ).alias("shard"),
+    )
+    merged = mg_merge_all(mg_sketch(rows, F.col("actor"), F.col("shard")))
+    exact = rows.groupBy(F.col("actor").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    return merged.join(exact, "key").select(
+        "key", "est", "deficit", "true_n",
+        (F.col("est") <= F.col("true_n")).alias("lower_ok"),
+        (F.col("true_n") <= F.col("est") + F.col("deficit")).alias("upper_ok"),
+    )
+
+
+def _mg_oracle() -> str:
+    from hatchery_spark.operators.sketches import mg_oracle_sql
+
+    src = (
+        ORACLE_PIPELINE_CTE
+        + "SELECT conv_id, turn_idx,"
+        + " regexp_extract(text, 'actor=(\\S+)', 1) AS actor"
+        + " FROM transcripts WHERE text LIKE '[%'"
+    )
+    return mg_oracle_sql(
+        src,
+        "actor",
+        "substr(md5(conv_id || '#' || cast(turn_idx AS varchar)), 1, 8)",
+    )
+
+
+def q_leef_parse(spark, sf_dir):
+    """IBM QRadar LEEF 2.0 framing e2e (operators/leef.py): render every
+    turn to a LEEF line — the attribute delimiter rotates between hex
+    (``x09`` tab) and literal (``^``) header spellings by turn parity,
+    exercising the parser's delimiter-resolution branch — then parse
+    ONLY the line back. The oracle computes every field directly from
+    the source turns, so either direction breaking (hex decode, attr
+    split, header split) fails value equality; msg carries the per-turn
+    text invariant through the frame. Both directions single codegen'd
+    Projects — no UDF, no shuffle, no explode."""
+    from hatchery_spark.operators.leef import parse_leef, render_leef
+
+    lines = render_leef(transcripts(spark, sf_dir)).select("line")
+    return parse_leef(lines)
+
+
+def _leef_oracle() -> str:
+    from hatchery_spark.operators.leef import leef_oracle_sql
+
+    return leef_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
