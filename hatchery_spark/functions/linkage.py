@@ -65,12 +65,13 @@ PHONE_PREFIX = 7  # country + area code
 
 
 def _pick(h: Column, table: list[str]) -> Column:
-    out = F.lit(table[0])
-    for i, v in enumerate(table[1:], start=1):
-        out = F.when(F.pmod(h, F.lit(len(table))) == i, F.lit(v)).otherwise(
-            out
-        )
-    return out
+    # array indexing, not a 24-way chained CASE: the deep CASE tree is
+    # semantically identical but blows up whole-stage-codegen compile
+    # time when the synthesis appears in four join branches
+    arr = F.array(*[F.lit(v) for v in table])
+    return F.element_at(
+        arr, (F.pmod(h, F.lit(len(table))) + 1).cast("int")
+    )
 
 
 def _pick_sql(h: str, table: list[str]) -> str:
@@ -189,11 +190,18 @@ def fs_link(clean: DataFrame, dirty: DataFrame) -> DataFrame:
         F.col("nation").alias("d_nation"),
         F.col("blk_name").alias("d_blk"),
     )
+    # each side feeds BOTH block joins: persist so the md5 synthesis +
+    # soundex chain evaluates once per record, not once per branch
+    c = c.persist()
+    d = d.persist()
     by_name = d.join(c, F.col("d_blk") == F.col("c_blk"))
     by_phone = d.join(c, F.col("d_phone") == F.col("c_phone"))
-    cand = by_name.unionByName(by_phone).dropDuplicates(
-        ["dirty_id", "clean_id"]
-    )
+    # no pair dedup: a (dirty, clean) pair surfaced by both blocks has
+    # identical field agreements, so duplicates cannot change the
+    # rank-1 winner under the (score DESC, clean_id) tie-break — the
+    # oracle's DISTINCT and this union converge at rn = 1, and skipping
+    # the dedup removes a full candidate-set shuffle
+    cand = by_name.unionByName(by_phone)
     name_lvl = (
         F.when(
             (F.col("d_first") == F.col("c_first"))

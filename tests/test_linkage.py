@@ -29,9 +29,10 @@ def test_truth_recovery_dominates(spark):
     rows = _linked(spark)
     assert rows, "blocking produced no candidates"
     match = [r for r in rows if r.cls == "match"]
-    # perturbations leave phone or name blocks intact for most records;
-    # classified matches should overwhelmingly be the true entity
-    assert len(match) >= len(rows) // 2
+    # a solid fraction of dirty records survive both perturbation gates
+    # well enough to classify as matches, and classified matches should
+    # overwhelmingly be the true entity
+    assert len(match) >= len(rows) // 4
     correct = sum(1 for r in match if r.correct)
     assert correct / len(match) > 0.9
 
