@@ -1030,3 +1030,81 @@ def run_sigma_alert_stream(
     )
     q.awaitTermination()
     return q
+
+
+def mg_ingest_writer(store_dir: str, key_col: str, k: int = 16):
+    """foreachBatch: continuous Misra-Gries heavy-hitter tracking — the
+    streaming counterpart of `operators.sketches.mg_sketch`, and the
+    executed proof of the sketch's mergeability claim.
+
+    State = ONE MG-k summary (≤ k counter rows + the accumulated
+    deficit), written as complete snapshots to ``store_dir/v=<batch>``.
+    Each batch summarizes ITSELF from exact batch counts, then merges
+    with the previous snapshot through `mg_merge_all` (sum counters,
+    rank-cut at k, deficit accumulates exactly). Unlike the HLL
+    register merge (max — naturally idempotent), the MG merge is
+    ADDITIVE, so replay safety comes entirely from the versioned-store
+    contract: a replayed batch b re-merges against the pre-b snapshot
+    and rewrites v=b byte-identically — never against its own output.
+
+    The streamed summary's merge tree differs from a one-shot batch
+    sketch, so counters may differ — but the Misra-Gries sandwich
+    est ≤ true ≤ est + deficit holds for every key at every version,
+    with the deficit carried EXACTLY (pytest-pinned against full-input
+    ground truth).
+    """
+    from hatchery_spark.operators.sketches import mg_merge_all, mg_sketch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        spark = batch_df.sparkSession
+        batch_sk = mg_sketch(
+            batch_df, F.col(key_col), F.lit(0).cast("int"), k=k
+        )
+        prev = _latest_hll_version(spark, store_dir, before=batch_id)
+        if prev is not None:
+            prev_sk = prev.select(
+                F.lit(1).cast("int").alias("shard"),
+                "key",
+                F.col("est").alias("c"),
+                "deficit",
+            )
+            merged = mg_merge_all(
+                batch_sk.select(
+                    F.lit(0).cast("int").alias("shard"), "key", "c", "deficit"
+                ).unionByName(prev_sk),
+                k=k,
+            )
+        else:
+            merged = mg_merge_all(batch_sk, k=k)
+        out = _os.path.join(store_dir, f"v={batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+
+    return _write
+
+
+def run_mg_ingest_stream(
+    spark: SparkSession,
+    input_path: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    key_col: str,
+    k: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available input through the MG writer (availableNow trigger;
+    same harness as the HLL ingest stream)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(mg_ingest_writer(store_dir, key_col, k=k))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

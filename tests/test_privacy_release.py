@@ -11,15 +11,18 @@ from hatchery_spark.functions.text import l_diversify
 def test_l_diversity_homogeneity_attack_suppressed(spark):
     # cohort A: large but every row shares one sensitive value → must
     # suppress even though k-anonymity would pass it
-    rows = [("A", "x", "s1")] * 10 + [
-        ("B", "y", f"s{i % 4}") for i in range(10)
-    ] + [("C", "z", "s1")] * 2
-    df = spark.createDataFrame(rows, "q1 string, q2 string, sens string")
+    # `tag` is NOT a quasi column, so it survives the suppression rewrite
+    rows = [("a", "A", "x", "s1")] * 10 + [
+        ("b", "B", "y", f"s{i % 4}") for i in range(10)
+    ] + [("c", "C", "z", "s1")] * 2
+    df = spark.createDataFrame(
+        rows, "tag string, q1 string, q2 string, sens string"
+    )
     out = l_diversify(df, ["q1", "q2"], "sens", k=5, l=3).collect()
-    by_q2 = {}
+    by_tag = {}
     for r in out:
-        by_q2.setdefault(r["q2"], r)
-    a, b, c = by_q2["x"], by_q2["y"], by_q2["z"]
+        by_tag.setdefault(r["tag"], r)
+    a, b, c = by_tag["a"], by_tag["b"], by_tag["c"]
     assert a["suppressed"] and a["group_n"] == 10 and a["sensitive_n"] == 1
     assert not b["suppressed"] and b["sensitive_n"] == 4
     assert c["suppressed"] and c["group_n"] == 2  # size gate
