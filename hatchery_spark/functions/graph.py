@@ -199,8 +199,11 @@ def hits(
 
     Same plan shape as ``pagerank``: the edge list is the only
     corpus-sized frame, touched twice per iteration with shuffle
-    hash-joins + one agg each; score frames are node-sized and persisted
-    lazily; the norm scalars are 1-row aggregates broadcast back.
+    hash-joins + one agg each; score frames are node-sized and
+    ``localCheckpoint``'ed each round — eager materialization plus plan
+    truncation (see the in-loop comment for the two failure modes the
+    lazy-persist form had); each norm scalar is a 1-row aggregate
+    fetched to the driver and inlined (O(1) longs per round).
 
     Returns ``(node, hub double, authority double)`` for every node in
     src ∪ dst, scores divided back by ``scale``.
@@ -227,16 +230,22 @@ def hits(
         a_full = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce(F.col("a_raw"), F.lit(0)).alias("a_raw")
         )
+        # the norm is ONE row — fetch it as a driver scalar and inline it
+        # as a literal; the next level is then localCheckpoint'ed, which
+        # MATERIALIZES the node-sized frame and TRUNCATES its logical
+        # plan to a leaf. Both halves matter: lazy persist made every
+        # per-round norm job recompute the whole unmaterialized chain
+        # (58 s at sf0.1), and nested per-round cached-AQE plans sent the
+        # driver into minutes of generateTreeString plan rendering
+        # (jstack-diagnosed: 100+ s RUNNABLE in TreeNode.generateTreeString).
         s_a = a_full.agg(
             F.greatest(F.expr(f"sum(a_raw) div {scale}"), F.lit(1))
             .cast("long")
             .alias("s")
-        )
-        auth = (
-            a_full.crossJoin(F.broadcast(s_a))
-            .select("node", F.expr("a_raw div s").cast("long").alias("a"))
-            .persist()
-        )
+        ).first()["s"]
+        auth = a_full.select(
+            "node", F.expr(f"a_raw div {s_a}").cast("long").alias("a")
+        ).localCheckpoint()
         h_raw = (
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -249,16 +258,10 @@ def hits(
             F.greatest(F.expr(f"sum(h_raw) div {scale}"), F.lit(1))
             .cast("long")
             .alias("s")
-        )
-        new_hub = (
-            h_full.crossJoin(F.broadcast(s_h))
-            .select("node", F.expr("h_raw div s").cast("long").alias("h"))
-            .persist()
-        )
-        if (it + 1) % 5 == 0:
-            new_hub.count()
-            hub.unpersist()
-        hub = new_hub
+        ).first()["s"]
+        hub = h_full.select(
+            "node", F.expr(f"h_raw div {s_h}").cast("long").alias("h")
+        ).localCheckpoint()
 
     return hub.join(auth, "node").select(
         "node",
