@@ -409,6 +409,8 @@ def main() -> None:
             ("rel_record_linkage", dq.q_record_linkage),
             ("pipeline_l_diversity", dq.q_l_diversity),
             ("pipeline_dp_counts", dq.q_dp_counts),
+            ("pipeline_route_digest", dq.q_route_digest),
+            ("doc_collocations", dq.q_collocations),
             ("pipeline_fluentd_forward", dq.q_fluentd_forward),
             ("pipeline_cusum_drift", dq.q_cusum_drift),
             ("pipeline_seasonal_anomaly", dq.q_seasonal_anomaly),

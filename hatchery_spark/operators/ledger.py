@@ -152,3 +152,77 @@ def ledger_oracle_sql(transcripts_sql: str) -> str:
                END AS first_bad_turn
         FROM chain
         GROUP BY conv_id, n_turns"""
+
+
+#: 60-bit row hash (15 md5 hex chars) — positive in a BIGINT on both
+#: engines; the modular sum term uses the low 20 bits so a 10^12-row
+#: sum stays ≤ 2^60 without overflow on either engine (Spark sums in a
+#: wrapping long; DuckDB promotes to HUGEINT — different overflow
+#: semantics, so the envelope must avoid overflow entirely)
+DIGEST_SUM_BITS = 20
+
+
+def table_digest(
+    df: DataFrame, cols: list[str], group_cols: list[str] | None = None
+) -> DataFrame:
+    """Order-invariant table fingerprint — routed-row equality at 100 TB
+    without sorting anything.
+
+    The north rule gates on routed-row equality with the reference; at
+    10^12 rows the naive proof (sort both sides, compare) costs a global
+    sort each. This digest is ONE aggregate pass: each row canonicalizes
+    to ``md5(field1 \\x1f field2 …)`` (unit-separator joined, NULLs as a
+    sentinel) and the table reduces to
+
+        (n_rows, xor of the 60-bit row hashes, sum of their low 20 bits)
+
+    XOR and + are commutative/associative ⇒ partition order, shuffle
+    order, and parallelism cannot change the digest; map-side partial
+    aggregation means O(groups) rows ever cross the wire. XOR alone is
+    blind to duplicate-row pairs (x ⊕ x = 0); the count and the modular
+    sum close that hole (a duplicated row changes both), giving a
+    practical ~80-bit integrity check — for byte equality of two routed
+    outputs, compare their digest rows instead of their rows.
+
+    Reference analog: hatchery verifies destination writes by object
+    count/ack (destination/gcs); this is the content-strength version.
+    """
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.bit_xor(h).alias("xor_digest"),
+        F.sum(F.pmod(h, F.lit(1 << DIGEST_SUM_BITS))).cast("long")
+        .alias("sum_digest"),
+    )
+
+
+def table_digest_sql(
+    src_sql: str, col_exprs: list[str], group_expr: str | None = None
+) -> str:
+    """DuckDB replay of :func:`table_digest` (positional hex decode —
+    no conv() there)."""
+    digits = "0123456789abcdef"
+    canon = (
+        "concat_ws(chr(31), "
+        + ", ".join(
+            f"coalesce(cast({c} AS varchar), chr(0))" for c in col_exprs
+        )
+        + ")"
+    )
+    h = " + ".join(
+        f"(strpos('{digits}', substr(md5({canon}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    g_sel = f"{group_expr}, " if group_expr else ""
+    g_by = f"GROUP BY {group_expr}" if group_expr else ""
+    return f"""
+        SELECT {g_sel}cast(count(*) AS bigint) AS n_rows,
+               cast(bit_xor(cast({h} AS bigint)) AS bigint) AS xor_digest,
+               cast(sum(({h}) % {1 << DIGEST_SUM_BITS}) AS bigint)
+                 AS sum_digest
+        FROM ({src_sql}) {g_by}"""

@@ -2450,6 +2450,122 @@ def _dp_counts_oracle() -> str:
     )
 
 
+def q_route_digest(spark, sf_dir):
+    """Order-invariant per-route table fingerprint (operators/ledger.py
+    `table_digest`): routed-row equality evidence at 10^12 rows without
+    a global sort — each route reduces to (n_rows, xor of 60-bit row
+    hashes, modular sum) in ONE map-side-combined aggregate; shuffle
+    order and parallelism cannot move the digest. The row hash covers
+    (conv_id, turn_idx, text), so it carries the per-turn byte-equality
+    invariant in aggregate form."""
+    from hatchery_spark.operators.ledger import table_digest
+
+    routed = routed_union(enriched(spark, sf_dir), EVENT_ROUTES)
+    return table_digest(
+        routed, ["conv_id", "turn_idx", "text"], group_cols=["route_id"]
+    )
+
+
+def _route_digest_oracle() -> str:
+    from hatchery_spark.operators.ledger import table_digest_sql
+
+    return (
+        ORACLE_PIPELINE_CTE
+        + table_digest_sql(
+            "SELECT * FROM routed",
+            ["conv_id", "turn_idx", "text"],
+            group_expr="route_id",
+        )
+    )
+
+
+def q_collocations(spark, sf_dir):
+    """PMI-ranked bigram collocations over the document corpus, INTEGER
+    exact: PMI is monotone in p(xy)/(p(x)p(y)), so ranking uses the
+    scaled integer ratio (n_xy · N · 10^6) div (n_x · n_y) — no log, no
+    float ties, fully oracle-replayable. One token explode with
+    map-side-combined counts; unigram frames are vocabulary-sized and
+    broadcast back onto the bigram frame; TakeOrderedAndProject cuts
+    the top 50 (min pair count 5)."""
+    docs = load(spark, sf_dir, "documents").select("text")
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), r"[^a-z0-9]+"),
+        lambda w: w != F.lit(""),
+    )
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias("w1"),
+                F.element_at(arr, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    # ONE corpus pass: everything downstream (unigram slot counts, the
+    # grand total, the PMI join) derives from the vocab²-bounded n_xy
+    # frame, never from the corpus again
+    n_xy = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    ).persist()
+    n_w = (
+        n_xy.select(F.col("w1").alias("w"), "n_xy")
+        .unionAll(n_xy.select(F.col("w2").alias("w"), "n_xy"))
+        .groupBy("w")
+        .agg(F.sum("n_xy").cast("long").alias("n"))
+    )
+    total = n_xy.agg(F.sum("n_xy")).first()[0]  # 1-row driver scalar
+    scored = (
+        n_xy.join(
+            F.broadcast(n_w.withColumnRenamed("w", "w1")
+                        .withColumnRenamed("n", "n_x")), "w1"
+        )
+        .join(
+            F.broadcast(n_w.withColumnRenamed("w", "w2")
+                        .withColumnRenamed("n", "n_y")), "w2"
+        )
+        .where(F.col("n_xy") >= 5)
+        .select(
+            "w1", "w2", "n_xy", "n_x", "n_y",
+            F.expr(f"(n_xy * {total} * 1000000) div (n_x * n_y)")
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), "w1", "w2"
+    ).limit(50)
+
+
+def _collocations_oracle() -> str:
+    return """
+        WITH arrs AS (
+          SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        big AS (
+          SELECT ws[u.i + 1] AS w1, ws[u.i + 2] AS w2
+          FROM arrs,
+               unnest(range(0, greatest(len(ws) - 1, 0))) AS u(i)),
+        nxy AS (
+          SELECT w1, w2, cast(count(*) AS bigint) AS n_xy
+          FROM big GROUP BY w1, w2),
+        uni AS (
+          SELECT w, cast(sum(n_xy) AS bigint) AS n FROM (
+            SELECT w1 AS w, n_xy FROM nxy
+            UNION ALL SELECT w2, n_xy FROM nxy)
+          GROUP BY w),
+        tot AS (SELECT cast(sum(n_xy) AS bigint) AS total FROM nxy)
+        SELECT w1, w2, n_xy, x.n AS n_x, y.n AS n_y,
+               cast((n_xy * tot.total * 1000000) // (x.n * y.n) AS bigint)
+                 AS pmi_scaled
+        FROM nxy JOIN uni x ON nxy.w1 = x.w
+                 JOIN uni y ON nxy.w2 = y.w, tot
+        WHERE n_xy >= 5
+        ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50"""
+
+
 def q_syslog_bsd(spark, sf_dir):
     """RFC 3164 legacy BSD syslog e2e (operators/syslog.py): render every
     turn to the no-year, SPACE-padded-day frame, then parse ONLY the
@@ -5759,6 +5875,8 @@ def oracle_catalog() -> dict[str, str]:
         "rel_record_linkage": _linkage_oracle(),
         "pipeline_l_diversity": _l_diversity_oracle(),
         "pipeline_dp_counts": _dp_counts_oracle(),
+        "pipeline_route_digest": _route_digest_oracle(),
+        "doc_collocations": _collocations_oracle(),
         "pipeline_topk_certified": _topk_oracle(),
         "pipeline_first_seen": _first_seen_oracle(),
         "pipeline_lttb_downsample": _lttb_oracle(),
@@ -7570,6 +7688,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_record_linkage": q_record_linkage,
         "pipeline_l_diversity": q_l_diversity,
         "pipeline_dp_counts": q_dp_counts,
+        "pipeline_route_digest": q_route_digest,
+        "doc_collocations": q_collocations,
         # round-5 additions first, then round-4 queries with exactly one
         # green driver row; multi-round-green queries rotate to the tail
         "pipeline_topk_certified": q_topk_certified,
