@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["derive_event_edges", "hits", "pagerank"]
+__all__ = [
+    "connected_components",
+    "derive_component_edges",
+    "derive_event_edges",
+    "hits",
+    "pagerank",
+]
 
 
 def _md5_prefix_long(col):
@@ -400,3 +406,119 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             labels.unpersist()
         labels = new_labels
     return labels.select("node", F.col("lab").cast("long").alias("label"))
+
+
+def derive_component_edges(events: DataFrame) -> DataFrame:
+    """Deterministic SPARSE synthetic graph over the events table: one edge
+    per event between two md5-hashed endpoints drawn from a node space of
+    size 4×|events| (data-derived via one scalar agg, broadcast). With
+    |E| = n edges over 4n candidate nodes the random graph is subcritical
+    (mean degree 0.5), so the structure is many small components — the
+    regime where a components operator is actually informative (the dense
+    ``derive_event_edges`` graph collapses to one giant component).
+    """
+    m = events.agg((F.count(F.lit(1)) * 4).cast("long").alias("m"))
+    return events.crossJoin(F.broadcast(m)).select(
+        F.pmod(
+            _md5_prefix_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))),
+            F.col("m"),
+        ).cast("long").alias("src"),
+        F.pmod(
+            _md5_prefix_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))),
+            F.col("m"),
+        ).cast("long").alias("dst"),
+    )
+
+
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonical undirected form (a < b), self-loops dropped, dedup'd."""
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., SoCC'14 "Connected Components in
+    MapReduce and Beyond"): every node u connects each STRICTLY LARGER
+    neighbor to m(u) = min(Γ(u) ∪ {u})."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.least("mn", "u").alias("a"), F.col("v").alias("b"))
+    )
+    return _canon_edges(out)
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: each edge is routed to its LARGER endpoint u, which
+    connects its strictly smaller neighbors (and itself) to their minimum."""
+    sym = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    rewired = (
+        sym.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("mn").alias("a"), F.col("v").alias("b"))
+    )
+    centers = mins.select(F.col("mn").alias("a"), F.col("u").alias("b"))
+    return _canon_edges(rewired.union(centers))
+
+
+def connected_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
+    """Connected components of the undirected graph behind a directed edge
+    list ``(src, dst)`` via the alternating large-star / small-star
+    algorithm (Kiveris et al., SoCC'14) — the at-scale CC method: O(log²
+    n) rounds to a forest of stars whose root is the component MINIMUM,
+    with per-round cost two key-partitioned shuffles over the (shrinking)
+    edge frame. Nothing corpus-sized is ever collected or broadcast.
+
+    Determinism / oracle replay: the fixpoint is unique — every node
+    labelled with min(component) — so a DuckDB recursive-CTE reachability
+    replay value-matches regardless of how many rounds Spark needed.
+
+    Implementation notes for the iteration (the HITS lesson applied from
+    the start): each round's edge frame is ``localCheckpoint``'d — eager,
+    plan-truncating — so round k never re-derives rounds 1..k-1 and the
+    convergence-check agg never triggers lineage replay. Convergence is
+    detected with an O(1)-row digest (count + bit_xor of edge hashes),
+    one extra aggregate per round.
+
+    Returns ``(node, comp, comp_size)`` for every node appearing in the
+    input (self-loop-only nodes become singleton components).
+    """
+    nodes = (
+        edges.select(F.col("src").cast("long").alias("node"))
+        .union(edges.select(F.col("dst").cast("long").alias("node")))
+        .distinct()
+        .persist()
+    )
+    e = _canon_edges(
+        edges.select(
+            F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b")
+        )
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iters):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        digest = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
+        ).first()
+        if (digest["n"], digest["x"]) == prev:
+            break
+        prev = (digest["n"], digest["x"])
+    else:  # pragma: no cover - convergence is O(log^2 n) rounds
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iters} rounds")
+    # converged stars: (a=root=component min, b=member); min() is belt and
+    # braces (the fixpoint leaves exactly one edge per member)
+    stars = e.groupBy(F.col("b").alias("node")).agg(F.min("a").alias("root"))
+    labels = nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("root", "node").alias("comp")
+    )
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).cast("int").alias("comp_size"))
+    return labels.join(sizes, "comp").select("node", "comp", "comp_size")

@@ -5866,6 +5866,7 @@ def oracle_catalog() -> dict[str, str]:
     from hatchery_spark.operators.telemetry import beacon_oracle_sql
 
     oracles = {
+        "graph_components": _graph_components_oracle(),
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7679,6 +7680,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # every query that has never received a driver CORRECTNESS row, then the
     # long-green remainder.
     return {
+        "graph_components": q_graph_components,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9160,3 +9162,49 @@ def _leef_oracle() -> str:
     from hatchery_spark.operators.leef import leef_oracle_sql
 
     return leef_oracle_sql(TRANSCRIPTS_SQL.format(events="events"))
+
+
+# ----------------------------------------------------------------------------
+# connected components (large-star/small-star)
+# ----------------------------------------------------------------------------
+
+
+def q_graph_components(spark, sf_dir):
+    """Connected components over the sparse event-derived graph via the
+    alternating large-star/small-star iteration (Kiveris et al. SoCC'14).
+    The fixpoint labels every node with its component MINIMUM — a quantity
+    the oracle replays exactly with a recursive-CTE reachability closure,
+    independent of how many rounds Spark needed to converge."""
+    from hatchery_spark.functions.graph import (
+        connected_components,
+        derive_component_edges,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return connected_components(derive_component_edges(ev))
+
+
+def _graph_components_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+mm AS (SELECT cast(4 * count(*) AS bigint) AS m FROM events),
+eh AS (SELECT substr(md5(concat('s', cast(event_id AS varchar))), 1, 8) AS hs,
+              substr(md5(concat('d', cast(event_id AS varchar))), 1, 8) AS hd,
+              mm.m AS m
+       FROM events, mm),
+cedges AS (SELECT cast(({_hex_decode_terms("hs")}) % m AS bigint) AS src,
+                  cast(({_hex_decode_terms("hd")}) % m AS bigint) AS dst
+           FROM eh),
+cnodes AS (SELECT DISTINCT src AS node FROM cedges
+           UNION SELECT dst FROM cedges),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM cedges WHERE src <> dst),
+sym AS (SELECT a AS u, b AS v FROM und UNION SELECT b, a FROM und),
+reach(node, r) AS (
+  SELECT node, node FROM cnodes
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.node
+),
+lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
+SELECT node, comp, cast(count(*) OVER (PARTITION BY comp) AS int) AS comp_size
+FROM lab"""

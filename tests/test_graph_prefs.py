@@ -406,3 +406,68 @@ def test_lpa_undirected_and_simple(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     out = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
     assert out[5] == 1
+
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for n in nodes:
+        members.setdefault(find(n), []).append(n)
+    out = {}
+    for ms in members.values():
+        m = min(ms)
+        for n in ms:
+            out[n] = (m, len(ms))
+    return out
+
+
+def test_connected_components_random_vs_union_find(spark):
+    import random
+
+    from hatchery_spark.functions.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(25)]
+    nodes = sorted({x for e in edges for x in e})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["comp"], r["comp_size"])
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_components(edges, nodes)
+
+
+def test_connected_components_chain_needs_multiple_rounds(spark):
+    # a 30-node path has diameter 29: one hash-min round cannot finish it,
+    # so this pins the alternating star iteration actually iterating
+    from hatchery_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(29)], "src long, dst long")
+    rows = connected_components(df).collect()
+    assert len(rows) == 30
+    assert {r["comp"] for r in rows} == {0}
+    assert all(r["comp_size"] == 30 for r in rows)
+
+
+def test_connected_components_self_loop_singleton(spark):
+    from hatchery_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame([(7, 7), (1, 2)], "src long, dst long")
+    got = {r["node"]: (r["comp"], r["comp_size"]) for r in connected_components(df).collect()}
+    assert got == {7: (7, 1), 1: (1, 2), 2: (1, 2)}
