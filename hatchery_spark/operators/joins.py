@@ -155,3 +155,100 @@ def range_join_binned(
         .filter(F.col(event_ts).between(F.col(start_col), F.col(end_col)))
         .drop("_bin")
     )
+
+
+# ------------------------------------------------------------- bloom join
+
+
+def build_key_bloom(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+    build_partitions: int = 8,
+) -> "np.ndarray":
+    """Distributed Bloom-bitmap build over a JOIN-KEY column (the key-level
+    sibling of dedup.build_bloom_bitmap's n-gram build): each task ORs its
+    distinct keys' bits into a local m-bit bitmap and emits ONE binary row;
+    the driver ORs O(build_partitions) bitmaps — driver traffic is
+    partitions × m/8 bytes regardless of key count. Hashing is the repo's
+    md5-slice scheme (dedup._bloom_positions), so k ≤ 4.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hatchery_spark.functions.dedup import _bloom_positions
+
+    nbytes = (m_bits + 7) // 8
+
+    def _partial(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen: set[str] = set()
+        for b in batches:
+            seen.update(b[key_col].dropna().astype(str))
+        if seen:
+            pos = _bloom_positions(sorted(seen), m_bits, k_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = (
+        keys.select(F.col(key_col).cast("string").alias(key_col))
+        .coalesce(build_partitions)
+        .mapInPandas(_partial, "bm binary")
+        .toPandas()
+    )
+    if len(parts) == 0:
+        return np.zeros(nbytes, dtype=np.uint8)
+    return np.bitwise_or.reduce(
+        np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts["bm"]]), axis=0
+    )
+
+
+def bloom_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered inner equi-join — the runtime-row-filter pattern
+    (Spark's own InjectRuntimeFilter / Bloom-join optimization, rebuilt
+    explicitly because the expression is not in the public registry): the
+    small side's join keys are folded into an m-bit Bloom bitmap
+    (distributed OR build, O(partitions) driver rows), broadcast once, and
+    the big side is pre-filtered in ONE zero-shuffle Arrow scan BEFORE its
+    exchange — at 100 TB the win is that only may-match rows (true matches
+    + the (1−e^{−kn/m})^k false-positive sliver) pay the shuffle, not the
+    whole fact table. Bloom filters have NO false negatives and the exact
+    join removes every false positive, so the result EQUALS the plain join
+    row-for-row at any m — which is exactly what the oracle checks.
+
+    Reference analog: hatchery's enrich joins each stream against small
+    side state (pkg/usecase/enrich.go:24); this is that join armed for the
+    case where the big side must shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hatchery_spark.functions.dedup import _bloom_positions
+
+    spark = big.sparkSession
+    bitmap = build_key_bloom(small.select(small_key), small_key, m_bits, k_hashes)
+    bc = spark.sparkContext.broadcast(bitmap)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in big.schema.fields
+    )
+
+    def _probe(batches):
+        bm = bc.value
+        for b in batches:
+            ks = b[big_key].astype(str)
+            uniq = ks.drop_duplicates()
+            pos = _bloom_positions(list(uniq), m_bits, k_hashes)
+            ok = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+            hit = pd.Series(ok, index=uniq)
+            yield b[ks.map(hit).to_numpy(dtype=bool) & b[big_key].notna().to_numpy()]
+
+    filtered = big.mapInPandas(_probe, fields)
+    return filtered.join(small, filtered[big_key] == small[small_key])

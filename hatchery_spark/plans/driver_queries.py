@@ -5867,6 +5867,7 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "graph_components": _graph_components_oracle(),
+        "rel_bloom_join": _BLOOM_JOIN_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7681,6 +7682,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green remainder.
     return {
         "graph_components": q_graph_components,
+        "rel_bloom_join": q_bloom_join,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9208,3 +9210,31 @@ reach(node, r) AS (
 lab AS (SELECT node, min(r) AS comp FROM reach GROUP BY node)
 SELECT node, comp, cast(count(*) OVER (PARTITION BY comp) AS int) AS comp_size
 FROM lab"""
+
+
+def q_bloom_join(spark, sf_dir):
+    """Bloom-prefiltered fact⋈dim join: the dim subset's keys are folded
+    into a broadcast Bloom bitmap and the orders table is pre-filtered in
+    one zero-shuffle Arrow scan before the exact join. A deliberately tiny
+    m (2^8 bits for ~60 keys → double-digit FP%) proves the exact join
+    scrubs every false positive: the aggregate below value-matches the
+    plain-join oracle at any m."""
+    from hatchery_spark.operators.joins import bloom_join
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").where(
+        "c_mktsegment = 'BUILDING' AND c_nationkey < 5"
+    )
+    j = bloom_join(orders, cust, "o_custkey", "c_custkey", m_bits=1 << 8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+GROUP BY c_nationkey"""

@@ -73,3 +73,59 @@ def test_corpus_side_plan_has_no_exchange(spark):
     out = bloom_decontaminate(train, bench, n=5, m_bits=1 << 12, k_hashes=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # ONE scan + mapInPandas + project, no shuffle
+
+
+# ------------------------------------------------------------- bloom join
+
+
+def test_bloom_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.operators.joins import bloom_join
+
+    big = spark.range(2000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 3).alias("v")
+    )
+    small = spark.range(40).select(
+        (F.col("id") * 7).alias("sk"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    got = (
+        bloom_join(big, small, "k", "sk", m_bits=1 << 7)
+        .select("k", "v", "name")
+        .collect()
+    )
+    exp = (
+        big.join(small, big["k"] == small["sk"]).select("k", "v", "name").collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    assert len(exp) > 0
+
+
+def test_bloom_prefilter_drops_nonmatches_keeps_matches(spark):
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.operators.joins import build_key_bloom
+    import numpy as np
+
+    from hatchery_spark.functions.dedup import _bloom_positions
+
+    small = spark.range(50).select(F.col("id").alias("sk"))
+    bm = build_key_bloom(small, "sk", m_bits=1 << 10, k_hashes=3)
+    # every true key must pass (no false negatives)
+    pos = _bloom_positions([str(i) for i in range(50)], 1 << 10, 3)
+    assert ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all()
+    # most of a disjoint key range must be rejected
+    pos2 = _bloom_positions([str(i) for i in range(10_000, 11_000)], 1 << 10, 3)
+    hit = ((bm[pos2 >> 3] >> (pos2 & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert hit.mean() < 0.10
+
+
+def test_bloom_join_null_keys_dropped(spark):
+    from hatchery_spark.operators.joins import bloom_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k long, v string"
+    )
+    small = spark.createDataFrame([(1, "x"), (None, "y")], "sk long, w string")
+    got = bloom_join(big, small, "k", "sk").select("k", "v", "w").collect()
+    assert sorted(map(tuple, got)) == [(1, "a", "x")]
