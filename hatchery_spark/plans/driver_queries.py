@@ -5868,6 +5868,7 @@ def oracle_catalog() -> dict[str, str]:
     oracles = {
         "graph_components": _graph_components_oracle(),
         "rel_bloom_join": _BLOOM_JOIN_ORACLE,
+        "pipeline_itemsets": _frequent_itemsets_oracle(),
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7683,6 +7684,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "graph_components": q_graph_components,
         "rel_bloom_join": q_bloom_join,
+        "pipeline_itemsets": q_frequent_itemsets,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9238,3 +9240,57 @@ SELECT c_nationkey, count(*) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
 GROUP BY c_nationkey"""
+
+
+def q_frequent_itemsets(spark, sf_dir):
+    """Apriori frequent (tool:severity) itemsets of size 1..3 over
+    per-conversation baskets, support floor 60% of conversations; candidate
+    pruning is broadcast-semi at every level and result-neutral by support
+    monotonicity, so the oracle's plain lattice replay agrees exactly."""
+    from hatchery_spark.operators.itemsets import frequent_itemsets
+
+    load(spark, sf_dir, "events").createOrReplaceTempView("hs_events")
+    t = spark.sql(TRANSCRIPTS_VALUE_SQL.format(events="hs_events"))
+    item = F.concat(
+        F.col("tool"),
+        F.lit(":"),
+        F.when(F.col("value") < 10, "debug")
+        .when(F.col("value") < 50, "info")
+        .when(F.col("value") < 100, "warn")
+        .when(F.col("value") < 200, "error")
+        .otherwise("critical"),
+    )
+    return frequent_itemsets(t, item, min_support_pct=60, max_size=3)
+
+
+def _frequent_itemsets_oracle() -> str:
+    t = TRANSCRIPTS_VALUE_SQL.format(events="events")
+    return f"""
+WITH t AS ({t}),
+items AS (SELECT DISTINCT conv_id AS bk,
+            concat(tool, ':',
+              CASE WHEN value < 10 THEN 'debug' WHEN value < 50 THEN 'info'
+                   WHEN value < 100 THEN 'warn' WHEN value < 200 THEN 'error'
+                   ELSE 'critical' END) AS item
+          FROM t),
+thr AS (SELECT cast(ceil(count(DISTINCT bk) * 60 / 100.0) AS bigint) AS s
+        FROM items),
+l1 AS (SELECT item, count(*) AS support FROM items GROUP BY item
+       HAVING count(*) >= (SELECT s FROM thr)),
+bf AS (SELECT i.bk, i.item FROM items i JOIN l1 USING (item)),
+p AS (SELECT x.bk, x.item AS i1, y.item AS i2
+      FROM bf x JOIN bf y ON x.bk = y.bk AND x.item < y.item),
+l2 AS (SELECT i1, i2, count(*) AS support FROM p GROUP BY i1, i2
+       HAVING count(*) >= (SELECT s FROM thr)),
+pb AS (SELECT p.bk, p.i1, p.i2 FROM p JOIN l2 USING (i1, i2)),
+tr AS (SELECT pb.bk, pb.i1, pb.i2, z.item AS i3
+       FROM pb JOIN bf z ON z.bk = pb.bk AND z.item > pb.i2),
+tr2 AS (SELECT tr.bk, tr.i1, tr.i2, tr.i3 FROM tr
+        JOIN l2 a ON a.i1 = tr.i1 AND a.i2 = tr.i3
+        JOIN l2 b ON b.i1 = tr.i2 AND b.i2 = tr.i3),
+l3 AS (SELECT i1, i2, i3, count(*) AS support FROM tr2 GROUP BY i1, i2, i3
+       HAVING count(*) >= (SELECT s FROM thr))
+SELECT cast(1 AS int) AS sz, item AS i1, cast(NULL AS varchar) AS i2,
+       cast(NULL AS varchar) AS i3, support FROM l1
+UNION ALL SELECT 2, i1, i2, NULL, support FROM l2
+UNION ALL SELECT 3, i1, i2, i3, support FROM l3"""

@@ -1,0 +1,70 @@
+"""Frequent-itemset mining (operators/itemsets.py)."""
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _brute(baskets, thr, max_size):
+    """All itemsets with support >= thr via direct enumeration."""
+    from collections import Counter
+
+    sets = [frozenset(b) for b in baskets]
+    items = sorted({i for b in sets for i in b})
+    out = {}
+    for sz in range(1, max_size + 1):
+        for combo in combinations(items, sz):
+            s = sum(1 for b in sets if set(combo) <= b)
+            if s >= thr:
+                out[combo] = s
+    return out
+
+
+def _collect(df):
+    got = {}
+    for r in df.collect():
+        combo = tuple(x for x in (r["i1"], r["i2"], r["i3"]) if x is not None)
+        assert len(combo) == r["sz"]
+        got[combo] = r["support"]
+    return got
+
+
+def test_itemsets_vs_bruteforce(spark):
+    from hatchery_spark.operators.itemsets import frequent_itemsets
+
+    baskets = [
+        ("b1", ["a", "b", "c"]),
+        ("b2", ["a", "b"]),
+        ("b3", ["a", "c", "d"]),
+        ("b4", ["b", "c"]),
+        ("b5", ["a", "b", "c", "e"]),
+    ]
+    rows = [(bk, i) for bk, items in baskets for i in items]
+    df = spark.createDataFrame(rows, "conv_id string, it string")
+    # 40% of 5 baskets -> thr = 2
+    got = _collect(frequent_itemsets(df, F.col("it"), min_support_pct=40))
+    exp = _brute([i for _, i in baskets], 2, 3)
+    assert got == exp
+    # a 60% floor (thr=3) must prune ("a","c","d")-style singleton-support sets
+    got60 = _collect(frequent_itemsets(df, F.col("it"), min_support_pct=60))
+    assert got60 == _brute([i for _, i in baskets], 3, 3)
+    assert ("a", "b", "c") in got and got[("a", "b", "c")] == 2
+
+
+def test_itemsets_duplicate_rows_count_once_per_basket(spark):
+    from hatchery_spark.operators.itemsets import frequent_itemsets
+
+    rows = [("b1", "x")] * 5 + [("b2", "x")]
+    df = spark.createDataFrame(rows, "conv_id string, it string")
+    got = _collect(frequent_itemsets(df, F.col("it"), min_support_pct=50, max_size=1))
+    assert got == {("x",): 2}
+
+
+def test_itemsets_max_size_validation(spark):
+    from hatchery_spark.operators.itemsets import frequent_itemsets
+
+    df = spark.createDataFrame([("b", "x")], "conv_id string, it string")
+    with pytest.raises(ValueError):
+        frequent_itemsets(df, F.col("it"), max_size=4)
