@@ -105,3 +105,52 @@ def tool_call_loops(turns: DataFrame, min_run: int = 3) -> DataFrame:
         .where(F.col("run_len") >= min_run)
         .drop("island")
     )
+
+
+def sequence_match(
+    turns: DataFrame,
+    pattern: str,
+    code: Column | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence-pattern detection: each turn is mapped
+    to a ONE-CHARACTER code (default: first letter of ``role``), the codes
+    are concatenated in (conv_id, turn_idx) order, and ``pattern`` — a
+    regex over the code alphabet — is matched non-overlapping, left to
+    right. This is the row-pattern-recognition idiom (SQL:2016
+    MATCH_RECOGNIZE, Flink CEP) reduced to its scalable core: ONE conv_id
+    exchange builds the per-conversation code string (conversations are
+    bounded — thousands of turns, never billions), then matching is a
+    zero-shuffle codegen projection.
+
+    Keep the pattern inside the shared regex subset (no lookaround, no
+    backreferences): Spark matches with Java regex and engines replaying
+    the result (RE2-based) must agree.
+
+    Returns one row per conversation with ≥1 match:
+    ``(conv_id, n_turns, n_matches, matches array<string>)``.
+    """
+    c = code if code is not None else F.substring(F.col("role"), 1, 1)
+    seq = (
+        turns.select(F.col("conv_id"), F.col("turn_idx"), c.alias("code"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("turn_idx"), F.col("code")))
+                    ),
+                    lambda x: x["code"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    out = seq.select(
+        "conv_id",
+        "n_turns",
+        F.regexp_extract_all(F.col("seq"), F.lit(pattern), 0).alias("matches"),
+    ).withColumn("n_matches", F.size("matches").cast("int"))
+    return out.where(F.col("n_matches") > 0).select(
+        "conv_id", "n_turns", "n_matches", "matches"
+    )

@@ -5869,6 +5869,7 @@ def oracle_catalog() -> dict[str, str]:
         "graph_components": _graph_components_oracle(),
         "rel_bloom_join": _BLOOM_JOIN_ORACLE,
         "pipeline_itemsets": _frequent_itemsets_oracle(),
+        "pipeline_sequence_match": _sequence_match_oracle(),
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7685,6 +7686,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "rel_bloom_join": q_bloom_join,
         "pipeline_itemsets": q_frequent_itemsets,
+        "pipeline_sequence_match": q_sequence_match,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9294,3 +9296,25 @@ SELECT cast(1 AS int) AS sz, item AS i1, cast(NULL AS varchar) AS i2,
        cast(NULL AS varchar) AS i3, support FROM l1
 UNION ALL SELECT 2, i1, i2, NULL, support FROM l2
 UNION ALL SELECT 3, i1, i2, i3, support FROM l3"""
+
+
+def q_sequence_match(spark, sf_dir):
+    """Row-pattern detection over role-code sequences: >=2 consecutive tool
+    turns resolved by an assistant turn (`t{2,}a`), matched non-overlapping
+    per conversation."""
+    from hatchery_spark.operators.transcripts import sequence_match
+
+    return sequence_match(transcripts(spark, sf_dir), r"t{2,}a")
+
+
+def _sequence_match_oracle() -> str:
+    t = TRANSCRIPTS_SQL.format(events="events")
+    return f"""
+WITH t AS ({t}),
+seq AS (SELECT conv_id, cast(count(*) AS int) AS n_turns,
+               string_agg(substr(role, 1, 1), '' ORDER BY turn_idx) AS s
+        FROM t GROUP BY conv_id)
+SELECT conv_id, n_turns,
+       cast(len(regexp_extract_all(s, 't{{2,}}a')) AS int) AS n_matches,
+       regexp_extract_all(s, 't{{2,}}a') AS matches
+FROM seq WHERE len(regexp_extract_all(s, 't{{2,}}a')) > 0"""

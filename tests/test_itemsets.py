@@ -68,3 +68,34 @@ def test_itemsets_max_size_validation(spark):
     df = spark.createDataFrame([("b", "x")], "conv_id string, it string")
     with pytest.raises(ValueError):
         frequent_itemsets(df, F.col("it"), max_size=4)
+
+
+# ------------------------------------------------------- sequence matching
+
+
+def test_sequence_match_order_and_overlap(spark):
+    from hatchery_spark.operators.transcripts import sequence_match
+
+    # turn order is shuffled in the input; codes in turn_idx order: "ttattta"
+    rows = [
+        ("c1", 3, "tool"), ("c1", 0, "tool"), ("c1", 1, "tool"),
+        ("c1", 2, "assistant"), ("c1", 4, "tool"), ("c1", 5, "tool"),
+        ("c1", 6, "assistant"),
+        ("c2", 0, "user"), ("c2", 1, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {r["conv_id"]: (r["n_matches"], r["matches"]) for r in
+           sequence_match(df, r"t{2,}a").collect()}
+    # non-overlapping, greedy, left to right: "tta" then "ttta"
+    assert got == {"c1": (2, ["tta", "ttta"])}
+
+
+def test_sequence_match_custom_code(spark):
+    from pyspark.sql import functions as F
+
+    from hatchery_spark.operators.transcripts import sequence_match
+
+    rows = [("c1", 0, "x"), ("c1", 1, "y"), ("c1", 2, "x")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    got = sequence_match(df, "xyx", code=F.col("tool")).collect()
+    assert len(got) == 1 and got[0]["matches"] == ["xyx"]
