@@ -5870,6 +5870,8 @@ def oracle_catalog() -> dict[str, str]:
         "rel_bloom_join": _BLOOM_JOIN_ORACLE,
         "pipeline_itemsets": _frequent_itemsets_oracle(),
         "pipeline_sequence_match": _sequence_match_oracle(),
+        "rel_zip_roundtrip": _ZIP_ROUNDTRIP_ORACLE,
+        "doc_docx_extract": _DOCX_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7687,6 +7689,8 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_bloom_join": q_bloom_join,
         "pipeline_itemsets": q_frequent_itemsets,
         "pipeline_sequence_match": q_sequence_match,
+        "rel_zip_roundtrip": q_zip_roundtrip,
+        "doc_docx_extract": q_docx_extract,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9318,3 +9322,34 @@ SELECT conv_id, n_turns,
        cast(len(regexp_extract_all(s, 't{{2,}}a')) AS int) AS n_matches,
        regexp_extract_all(s, 't{{2,}}a') AS matches
 FROM seq WHERE len(regexp_extract_all(s, 't{{2,}}a')) > 0"""
+
+
+def q_zip_roundtrip(spark, sf_dir):
+    """documents → 20 ZIP archives (store/deflate alternating by doc_id
+    parity, in-repo DEFLATE both directions) → strict central-directory
+    walk back out; text, method, CRC and size flags all oracle-pinned."""
+    from hatchery_spark.functions.ziparc import zip_roundtrip_members
+
+    return zip_roundtrip_members(load(spark, sf_dir, "documents"))
+
+
+_ZIP_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'store' ELSE 'deflate' END AS method,
+       true AS crc_ok, true AS size_ok, text
+FROM documents"""
+
+
+def q_docx_extract(spark, sf_dir):
+    """Per-document DOCX build → ZIP walk → WordprocessingML text
+    extraction (runs joined within paragraphs, paragraphs by newline);
+    the two-run body split pins run rejoining byte-exact."""
+    from hatchery_spark.functions.ziparc import docx_roundtrip
+
+    return docx_roundtrip(load(spark, sf_dir, "documents"))
+
+
+_DOCX_ORACLE = """
+SELECT doc_id, cast(2 AS int) AS n_paragraphs,
+       concat('doc-', cast(doc_id AS varchar), chr(10), text) AS text
+FROM documents"""
