@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "connected_components",
+    "derive_dense_edges",
+    "kcore",
     "derive_component_edges",
     "derive_event_edges",
     "hits",
@@ -522,3 +524,70 @@ def connected_components(edges: DataFrame, max_iters: int = 40) -> DataFrame:
     )
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).cast("int").alias("comp_size"))
     return labels.join(sizes, "comp").select("node", "comp", "comp_size")
+
+
+def derive_dense_edges(events: DataFrame) -> DataFrame:
+    """Denser sibling of ``derive_component_edges``: node space |events|÷2
+    (mean degree ≈ 4 — supercritical), so cycles and non-trivial k-cores
+    exist. Same md5 endpoint scheme, same oracle replayability."""
+    m = events.agg(F.expr("cast(count(1) div 2 as bigint)").alias("m"))
+    return events.crossJoin(F.broadcast(m)).select(
+        F.pmod(
+            _md5_prefix_long(F.concat(F.lit("s"), F.col("event_id").cast("string"))),
+            F.col("m"),
+        ).cast("long").alias("src"),
+        F.pmod(
+            _md5_prefix_long(F.concat(F.lit("d"), F.col("event_id").cast("string"))),
+            F.col("m"),
+        ).cast("long").alias("dst"),
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_iters: int = 60) -> DataFrame:
+    """k-core of the undirected simple graph behind ``(src, dst)``: the
+    maximal subgraph where every node has degree ≥ k, computed by
+    SIMULTANEOUS peeling — each round recomputes degrees and drops every
+    node below k at once (the Batagelj–Zaveršnik bulk variant; the
+    sequential-peel fixpoint is identical because the k-core is unique).
+
+    Per round: one degree aggregate + two left-semi joins on the shrinking
+    edge frame; ``localCheckpoint`` truncates lineage (the HITS lesson) and
+    the convergence digest is O(1) rows. Peel-round count is O(graph
+    diameter)-ish in the worst case (a path peels one layer per round for
+    k=2) — at web scale, degeneracy-ordered peeling inside partitions
+    would cut rounds, but round count here is data-, not scale-, bound.
+
+    Returns ``(node, degree)`` over the surviving subgraph (degree ≥ k by
+    the fixpoint property). Empty when no k-core exists.
+    """
+    e = _canon_edges(
+        edges.select(
+            F.col("src").cast("long").alias("a"), F.col("dst").cast("long").alias("b")
+        )
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iters):
+        sym = e.select(F.col("a").alias("u")).union(e.select(F.col("b")))
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= k)
+            .select("u")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        digest = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
+        ).first()
+        if (digest["n"], digest["x"]) == prev:
+            break
+        prev = (digest["n"], digest["x"])
+    else:  # pragma: no cover
+        raise RuntimeError(f"kcore: no fixpoint in {max_iters} rounds")
+    sym = e.select(F.col("a").alias("node")).union(e.select(F.col("b")))
+    return sym.groupBy("node").agg(F.count(F.lit(1)).cast("int").alias("degree"))

@@ -1,0 +1,256 @@
+"""XLSX (SpreadsheetML, ECMA-376 / ISO 29500) build + extract on the repo's
+ZIP container codec (functions/ziparc.py) — spreadsheet ingestion for a
+corpus engine: real-world dataset drops and business corpora arrive as
+workbooks, and a pipeline that cannot open them loses tabular training data.
+
+Implements the minimum-but-real subset: workbook/worksheet/sharedStrings
+parts wired by relationships, A1 cell references (bijective base-26 column
+letters), shared-string cells (t="s"), inline-string cells (t="inlineStr"),
+and numeric cells (no t). Formulas, styles, dates-as-serials, and multiple
+sheets per workbook are out of scope and raise/surface honestly rather than
+guessing.
+
+Scale shape: workbooks are rows (binary blobs); build is an applyInPandas
+over the workbook key (bounded groups), extraction a zero-shuffle
+mapInPandas — per-row Python over Arrow batches, nothing corpus-sized on
+the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hatchery_spark.functions.ziparc import build_zip, walk_zip, _xml_escape
+
+__all__ = ["col_letters", "letters_col", "build_xlsx", "parse_xlsx", "xlsx_roundtrip"]
+
+_SS_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+    'package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
+    'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/></Types>'
+)
+_XLSX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="xl/workbook.xml"/></Relationships>'
+)
+_WB_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://'
+    'schemas.openxmlformats.org/officeDocument/2006/relationships/'
+    'sharedStrings" Target="sharedStrings.xml"/></Relationships>'
+)
+_WB_XML = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    f'<workbook xmlns="{_SS_NS}" xmlns:r="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships"><sheets>'
+    '<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+)
+
+
+def col_letters(idx: int) -> str:
+    """0-based column index → A1 letters (0→A, 25→Z, 26→AA … bijective
+    base 26)."""
+    if idx < 0:
+        raise ValueError("column index must be >= 0")
+    out = ""
+    n = idx + 1
+    while n:
+        n, r = divmod(n - 1, 26)
+        out = chr(ord("A") + r) + out
+    return out
+
+
+def letters_col(ref: str) -> int:
+    """A1 letters → 0-based column index (inverse of col_letters)."""
+    n = 0
+    for ch in ref:
+        if not "A" <= ch <= "Z":
+            raise ValueError(f"bad column letters {ref!r}")
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def build_xlsx(rows: list[list], kinds) -> bytes:
+    """One-sheet workbook from ``rows`` (list of cell lists). ``kinds``: per
+    column — 'n' numeric, 's' shared string, 'i' inline string — either ONE
+    list applied to every row or a list of per-row lists (e.g. an
+    inline-string header row over typed data rows). Numbers are serialized
+    with repr (shortest round-trip form) so float() recovers the identical
+    IEEE double."""
+    per_row = bool(kinds) and isinstance(kinds[0], (list, tuple))
+    shared: dict[str, int] = {}
+    body = []
+    for ri, row in enumerate(rows, start=1):
+        cells = []
+        rk = kinds[ri - 1] if per_row else kinds
+        for ci, (v, k) in enumerate(zip(row, rk)):
+            ref = f"{col_letters(ci)}{ri}"
+            if k == "n":
+                cells.append(f'<c r="{ref}"><v>{repr(v)}</v></c>')
+            elif k == "s":
+                s = str(v)
+                if s not in shared:
+                    shared[s] = len(shared)
+                cells.append(f'<c r="{ref}" t="s"><v>{shared[s]}</v></c>')
+            elif k == "i":
+                cells.append(
+                    f'<c r="{ref}" t="inlineStr"><is>'
+                    f'<t xml:space="preserve">{_xml_escape(str(v))}</t></is></c>'
+                )
+            else:
+                raise ValueError(f"unknown cell kind {k!r}")
+        body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{_SS_NS}"><sheetData>{"".join(body)}</sheetData>'
+        "</worksheet>"
+    )
+    ss_items = "".join(
+        f'<si><t xml:space="preserve">{_xml_escape(s)}</t></si>'
+        for s in shared  # dict preserves insertion order = index order
+    )
+    ss = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_SS_NS}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        f"{ss_items}</sst>"
+    )
+    return build_zip(
+        [
+            ("[Content_Types].xml", _XLSX_CT.encode(), "deflate"),
+            ("_rels/.rels", _XLSX_RELS.encode(), "deflate"),
+            ("xl/workbook.xml", _WB_XML.encode(), "deflate"),
+            ("xl/_rels/workbook.xml.rels", _WB_RELS.encode(), "deflate"),
+            ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"), "deflate"),
+            ("xl/sharedStrings.xml", ss.encode("utf-8"), "deflate"),
+        ]
+    )
+
+
+def parse_xlsx(blob: bytes) -> list[dict]:
+    """Extract sheet1 cells: list of {row (1-based), col (0-based), kind,
+    s_val, n_val} — strings in s_val (shared or inline), numbers in n_val.
+    Strict: members must pass CRC/size checks; unknown cell types raise."""
+    import xml.etree.ElementTree as ET
+
+    parts: dict[str, bytes] = {}
+    for m in walk_zip(blob):
+        if not (m["crc_ok"] and m["size_ok"]):
+            raise ValueError(f"xlsx: corrupt member {m['name']}")
+        parts[m["name"]] = m["content"]
+    if "xl/worksheets/sheet1.xml" not in parts:
+        raise ValueError("xlsx: no sheet1")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in parts:
+        sst = ET.fromstring(parts["xl/sharedStrings.xml"])
+        for si in sst.iter(f"{{{_SS_NS}}}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{{{_SS_NS}}}t")))
+    out: list[dict] = []
+    sheet = ET.fromstring(parts["xl/worksheets/sheet1.xml"])
+    for row in sheet.iter(f"{{{_SS_NS}}}row"):
+        ri = int(row.get("r"))
+        for c in row.iter(f"{{{_SS_NS}}}c"):
+            ref = c.get("r")
+            letters = ref.rstrip("0123456789")
+            if int(ref[len(letters):]) != ri:
+                raise ValueError(f"xlsx: cell {ref} outside row {ri}")
+            ci = letters_col(letters)
+            t = c.get("t")
+            if t == "s":
+                idx = int(c.find(f"{{{_SS_NS}}}v").text)
+                out.append(
+                    {"row": ri, "col": ci, "kind": "s",
+                     "s_val": shared[idx], "n_val": None}
+                )
+            elif t == "inlineStr":
+                is_el = c.find(f"{{{_SS_NS}}}is")
+                txt = "".join(t2.text or "" for t2 in is_el.iter(f"{{{_SS_NS}}}t"))
+                out.append(
+                    {"row": ri, "col": ci, "kind": "i", "s_val": txt, "n_val": None}
+                )
+            elif t is None:
+                v = c.find(f"{{{_SS_NS}}}v")
+                out.append(
+                    {"row": ri, "col": ci, "kind": "n",
+                     "s_val": None, "n_val": float(v.text)}
+                )
+            else:
+                raise ValueError(f"xlsx: unsupported cell type {t!r}")
+    return out
+
+
+def xlsx_roundtrip(orders: DataFrame, workbooks: int = 10) -> DataFrame:
+    """orders → ``workbooks`` one-sheet XLSX blobs (header row + one data
+    row per order: key/custkey numeric, status shared-string, priority
+    inline-string, totalprice numeric) → parse back to typed rows. The
+    blob never leaves its executor task. Returns (o_orderkey, o_custkey,
+    o_orderstatus, o_orderpriority, o_totalprice) reconstructed purely
+    from cell references — a lost or misplaced cell breaks the rebuild."""
+
+    def _rt(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        rows = [["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_totalprice"]]
+        header_kinds = ["i", "i", "i", "i", "i"]
+        data_kinds = ["n", "n", "s", "i", "n"]
+        blob_rows = [
+            [int(r.o_orderkey), int(r.o_custkey), r.o_orderstatus,
+             r.o_orderpriority, float(r.o_totalprice)]
+            for r in pdf.itertuples()
+        ]
+        blob = build_xlsx(
+            [rows[0]] + blob_rows,
+            [header_kinds] + [data_kinds] * len(blob_rows),
+        )
+        cells = parse_xlsx(blob)
+        grid: dict[int, dict[int, dict]] = {}
+        for c in cells:
+            grid.setdefault(c["row"], {})[c["col"]] = c
+        recs = []
+        for ri in sorted(grid):
+            if ri == 1:
+                continue  # header
+            g = grid[ri]
+            recs.append(
+                {
+                    "o_orderkey": int(g[0]["n_val"]),
+                    "o_custkey": int(g[1]["n_val"]),
+                    "o_orderstatus": g[2]["s_val"],
+                    "o_orderpriority": g[3]["s_val"],
+                    "o_totalprice": g[4]["n_val"],
+                }
+            )
+        return pd.DataFrame(recs)
+
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice",
+        )
+        .withColumn("wb", (F.col("o_orderkey") % workbooks).cast("long"))
+        .groupBy("wb")
+        .applyInPandas(
+            _rt,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_orderpriority string, o_totalprice double",
+        )
+    )

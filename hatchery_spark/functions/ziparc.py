@@ -38,6 +38,9 @@ __all__ = [
     "build_docx_bytes",
     "docx_extract",
     "docx_roundtrip",
+    "build_epub_bytes",
+    "epub_extract",
+    "epub_roundtrip",
 ]
 
 _LOCAL_SIG = 0x04034B50
@@ -287,4 +290,117 @@ def docx_roundtrip(
 
     return docs.select(id_col, text_col).mapInPandas(
         _rt, f"{id_col} long, n_paragraphs int, text string"
+    )
+
+
+# ------------------------------------------------------------------- EPUB
+
+_EPUB_CONTAINER = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:'
+    'container"><rootfiles><rootfile full-path="OEBPS/content.opf" '
+    'media-type="application/oebps-package+xml"/></rootfiles></container>'
+)
+_CNT_NS = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF_NS = "http://www.idpf.org/2007/opf"
+_XHTML_NS = "http://www.w3.org/1999/xhtml"
+
+
+def build_epub_bytes(title: str, chapters: list[str]) -> bytes:
+    """Minimal valid EPUB 3: the ``mimetype`` member FIRST and STORED (the
+    OCF requirement that makes EPUBs sniffable at byte offset 38), a
+    META-INF/container.xml pointing at the OPF package, and one XHTML
+    spine item per chapter."""
+    manifest = "".join(
+        f'<item id="c{i}" href="c{i}.xhtml" media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="3.0" unique-identifier="uid">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f'<dc:identifier id="uid">{_xml_escape(title)}</dc:identifier>'
+        f"<dc:title>{_xml_escape(title)}</dc:title></metadata>"
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    members = [
+        ("mimetype", b"application/epub+zip", "store"),
+        ("META-INF/container.xml", _EPUB_CONTAINER.encode(), "deflate"),
+        ("OEBPS/content.opf", opf.encode("utf-8"), "deflate"),
+    ]
+    for i, ch in enumerate(chapters):
+        x = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f'<html xmlns="{_XHTML_NS}"><head><title>{_xml_escape(title)}'
+            f"</title></head><body><p>{_xml_escape(ch)}</p></body></html>"
+        )
+        members.append((f"OEBPS/c{i}.xhtml", x.encode("utf-8"), "deflate"))
+    return build_zip(members)
+
+
+def epub_extract(blob: bytes) -> tuple[str, int, str]:
+    """(title, n_chapters, text) — container.xml → OPF → spine-ordered
+    XHTML chapters, body text joined with newlines. Strict: the mimetype
+    member must be present, stored, and first; CRC/size must verify."""
+    import xml.etree.ElementTree as ET
+
+    members = walk_zip(blob)
+    if not members or members[0]["name"] != "mimetype":
+        raise ValueError("epub: mimetype member missing or not first")
+    m0 = members[0]
+    if m0["method"] != "store" or m0["content"] != b"application/epub+zip":
+        raise ValueError("epub: mimetype must be stored application/epub+zip")
+    parts = {}
+    for m in members:
+        if not (m["crc_ok"] and m["size_ok"]):
+            raise ValueError(f"epub: corrupt member {m['name']}")
+        parts[m["name"]] = m["content"]
+    cont = ET.fromstring(parts["META-INF/container.xml"])
+    root = cont.find(
+        f"{{{_CNT_NS}}}rootfiles/{{{_CNT_NS}}}rootfile"
+    ).get("full-path")
+    base = root.rsplit("/", 1)[0] + "/" if "/" in root else ""
+    opf = ET.fromstring(parts[root])
+    title = opf.find(
+        f"{{{_OPF_NS}}}metadata/{{http://purl.org/dc/elements/1.1/}}title"
+    ).text
+    hrefs = {
+        it.get("id"): it.get("href")
+        for it in opf.iter(f"{{{_OPF_NS}}}item")
+    }
+    texts = []
+    for ref in opf.iter(f"{{{_OPF_NS}}}itemref"):
+        x = ET.fromstring(parts[base + hrefs[ref.get("idref")]])
+        body = x.find(f"{{{_XHTML_NS}}}body")
+        texts.append("".join(body.itertext()))
+    return title, len(texts), "\n".join(texts)
+
+
+def epub_roundtrip(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document EPUB build → extract: (doc_id, title, n_chapters,
+    text). Two chapters — first 40 chars, then the remainder — pin spine
+    ordering and chapter joining; zero-shuffle Arrow pass."""
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            titles, ns, texts = [], [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                t = str(t)
+                blob = build_epub_bytes(
+                    f"book-{int(did)}", [t[:40], t[40:]]
+                )
+                title, n, txt = epub_extract(blob)
+                titles.append(title)
+                ns.append(n)
+                texts.append(txt)
+            yield pd.DataFrame(
+                {id_col: b[id_col], "title": titles, "n_chapters": ns,
+                 "text": texts}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _rt, f"{id_col} long, title string, n_chapters int, text string"
     )

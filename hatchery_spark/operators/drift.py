@@ -25,7 +25,7 @@ once, pre-combined per partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _KEY_RE = r'"(\w+)"\s*:'
@@ -102,3 +102,61 @@ def drift_oracle_sql(profile_sql: str) -> str:
                prev IS NULL AS is_new,
                (prev IS NOT NULL AND prev <> types) AS type_changed
         FROM lagged"""
+
+
+# ---------------------------------------------------------------- Benford
+
+# first-digit probabilities log10(1+1/d), fixed-point at 1e9 — module-level
+# constants so the Spark expression and any SQL replay share THE SAME
+# integers (no cross-engine log10 in the data path)
+BENFORD_P_SCALED = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d) * 1_000_000_000)
+    for d in range(1, 10)
+}
+
+
+def benford_deviation(df: DataFrame, value: Column, group_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law, per group —
+    the classic fabricated-numbers screen (Benford 1938; Nigrini's audit
+    use), INTEGER-EXACT end to end: observed counts are integers, expected
+    mass is ``n · p_d`` with p_d a shared fixed-point constant, and the
+    reported deviation is ``|observed·10^9 − n·p_d|`` — no float op
+    anywhere, so any engine replays every row bit-for-bit.
+
+    ``value`` must be a positive integral column; its first digit is taken
+    from the decimal string (int→string is engine-identical, unlike float
+    formatting or log10-based digit extraction, whose libm edge cases at
+    powers of ten differ across engines).
+
+    Cost: two map-side-combined aggregates (per-(group, digit) counts and
+    per-group totals) + a groups×9 grid join — nothing corpus-sized past
+    the first aggregate. Returns (group, digit, observed, expected_scaled,
+    dev_scaled); Σ dev_scaled per group is 10^9·n·(2·total-variation
+    distance) for callers that want one score."""
+    d_col = F.substring(value.cast("string"), 1, 1).cast("int")
+    src = df.select(F.col(group_col).alias("g"), d_col.alias("digit"))
+    counts = src.groupBy("g", "digit").agg(F.count(F.lit(1)).alias("observed"))
+    totals = src.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    digits = F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("digit")
+    grid = totals.select("g", "n", digits)
+    p_expr = F.element_at(
+        F.array(*[F.lit(BENFORD_P_SCALED[d]) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    out = (
+        grid.join(counts, ["g", "digit"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            "digit",
+            F.coalesce("observed", F.lit(0)).alias("observed"),
+            (F.col("n") * p_expr).cast("long").alias("expected_scaled"),
+        )
+        .withColumn(
+            "dev_scaled",
+            F.abs(
+                F.col("observed") * F.lit(1_000_000_000)
+                - F.col("expected_scaled")
+            ).cast("long"),
+        )
+    )
+    return out

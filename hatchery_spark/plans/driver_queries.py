@@ -5867,11 +5867,17 @@ def oracle_catalog() -> dict[str, str]:
 
     oracles = {
         "graph_components": _graph_components_oracle(),
+        "graph_kcore": _kcore_oracle(),
         "rel_bloom_join": _BLOOM_JOIN_ORACLE,
         "pipeline_itemsets": _frequent_itemsets_oracle(),
         "pipeline_sequence_match": _sequence_match_oracle(),
+        "pipeline_rendezvous_shards": _rendezvous_oracle(),
+        "pipeline_benford": _benford_oracle(),
         "rel_zip_roundtrip": _ZIP_ROUNDTRIP_ORACLE,
+        "rel_xlsx_roundtrip": _XLSX_ORACLE,
+        "rel_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
         "doc_docx_extract": _DOCX_ORACLE,
+        "doc_epub_extract": _EPUB_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7686,11 +7692,17 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green remainder.
     return {
         "graph_components": q_graph_components,
+        "graph_kcore": q_kcore,
         "rel_bloom_join": q_bloom_join,
         "pipeline_itemsets": q_frequent_itemsets,
         "pipeline_sequence_match": q_sequence_match,
+        "pipeline_rendezvous_shards": q_rendezvous_shards,
+        "pipeline_benford": q_benford,
         "rel_zip_roundtrip": q_zip_roundtrip,
+        "rel_xlsx_roundtrip": q_xlsx_roundtrip,
+        "rel_csv_roundtrip": q_csv_roundtrip,
         "doc_docx_extract": q_docx_extract,
+        "doc_epub_extract": q_epub_extract,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9353,3 +9365,162 @@ _DOCX_ORACLE = """
 SELECT doc_id, cast(2 AS int) AS n_paragraphs,
        concat('doc-', cast(doc_id AS varchar), chr(10), text) AS text
 FROM documents"""
+
+
+def q_xlsx_roundtrip(spark, sf_dir):
+    """orders → 10 one-sheet XLSX workbooks (shared-string, inline-string
+    and numeric cells; repr-serialized doubles) → cell-reference rebuild.
+    Every reconstructed value must equal the source column exactly."""
+    from hatchery_spark.functions.xlsx import xlsx_roundtrip
+
+    return xlsx_roundtrip(load(spark, sf_dir, "orders"))
+
+
+_XLSX_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders"""
+
+
+def q_rendezvous_shards(spark, sf_dir):
+    """HRW shard map for every conversation at 8 and 9 shards with the
+    moved flag — rendezvous hashing's minimal-movement rebalance, winner
+    computed as a pure codegen struct-array argmax (no explode/shuffle)."""
+    from hatchery_spark.operators.shards import rendezvous_reshard
+
+    return rendezvous_reshard(transcripts(spark, sf_dir), "conv_id", 8, 9)
+
+
+def _rendezvous_oracle() -> str:
+    t = TRANSCRIPTS_SQL.format(events="events")
+    return f"""
+WITH t AS ({t}),
+keys AS (SELECT DISTINCT conv_id AS key FROM t),
+ex AS (SELECT key, r.s,
+              md5(concat(key, ':', cast(r.s AS varchar))) AS h
+       FROM keys, (SELECT unnest(range(9)) AS s) r),
+a8 AS (SELECT key, cast(arg_max(s, h) AS int) AS shard_before
+       FROM ex WHERE s < 8 GROUP BY key),
+a9 AS (SELECT key, cast(arg_max(s, h) AS int) AS shard_after
+       FROM ex GROUP BY key)
+SELECT key, shard_before, shard_after, shard_before <> shard_after AS moved
+FROM a8 JOIN a9 USING (key)"""
+
+
+def q_csv_roundtrip(spark, sf_dir):
+    """RFC 4180 CSV render (codegen quoting) → 10 file blobs → strict
+    state-machine parse. The tricky field embeds commas, doubled quotes
+    and a bare newline, so naive line-splitting or quote handling breaks
+    the value match; the oracle replays the ORIGINAL field expression."""
+    from hatchery_spark.functions.csvio import csv_roundtrip
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.concat(
+            F.lit("x,"), F.substring(F.col("props"), 1, 10), F.lit('"q"'),
+            F.lit("\n"), F.col("event_type"),
+        ).alias("tricky"),
+        "event_type",
+        F.col("event_id").alias("ord"),
+    )
+    rt = csv_roundtrip(
+        ev, ["event_id", "tricky", "event_type"],
+        F.pmod(F.col("ord"), F.lit(10)), "ord",
+    )
+    return rt.select(
+        F.col("event_id_out").cast("long").alias("event_id"),
+        F.col("tricky_out").alias("tricky"),
+        F.col("event_type_out").alias("event_type"),
+    )
+
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT event_id,
+       concat('x,', substr(props, 1, 10), '"q"', chr(10), event_type) AS tricky,
+       event_type
+FROM events"""
+
+
+def q_kcore(spark, sf_dir):
+    """3-core of the dense event-derived graph via simultaneous peeling to
+    fixpoint; the oracle unrolls 18 peel rounds (> the rounds either SF
+    needs) so both engines land on the same unique k-core."""
+    from hatchery_spark.functions.graph import derive_dense_edges, kcore
+
+    return kcore(derive_dense_edges(load(spark, sf_dir, "events")), k=3)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 18) -> str:
+    parts = [
+        f"""
+WITH mm AS (SELECT cast(count(*) // 2 AS bigint) AS m FROM events),
+keh AS (SELECT substr(md5(concat('s', cast(event_id AS varchar))), 1, 8) AS hs,
+               substr(md5(concat('d', cast(event_id AS varchar))), 1, 8) AS hd,
+               mm.m AS m
+        FROM events, mm),
+kedges AS (SELECT cast(({_hex_decode_terms("hs")}) % m AS bigint) AS src,
+                  cast(({_hex_decode_terms("hd")}) % m AS bigint) AS dst
+           FROM keh),
+e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM kedges WHERE src <> dst)"""
+    ]
+    # every e{t} is referenced three times by round t+1 — without
+    # MATERIALIZED, CTE inlining makes the plan 3^rounds large (observed as
+    # a file-handle explosion re-scanning the base parquet)
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+d{t} AS MATERIALIZED (SELECT u, count(*) AS d FROM (
+           SELECT a AS u FROM e{t - 1} UNION ALL SELECT b FROM e{t - 1})
+         GROUP BY u HAVING count(*) >= {k}),
+e{t} AS MATERIALIZED (SELECT a, b FROM e{t - 1}
+         WHERE a IN (SELECT u FROM d{t}) AND b IN (SELECT u FROM d{t}))""")
+    parts.append(f"""
+SELECT u AS node, cast(count(*) AS int) AS degree FROM (
+  SELECT a AS u FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY u""")
+    return "".join(parts)
+
+
+def q_epub_extract(spark, sf_dir):
+    """Per-document EPUB 3 build (stored-first mimetype, container→OPF→
+    spine) → chapter text extraction; two-chapter split pins spine order."""
+    from hatchery_spark.functions.ziparc import epub_roundtrip
+
+    return epub_roundtrip(load(spark, sf_dir, "documents"))
+
+
+_EPUB_ORACLE = """
+SELECT doc_id, concat('book-', cast(doc_id AS varchar)) AS title,
+       cast(2 AS int) AS n_chapters,
+       concat(substr(text, 1, 40), chr(10), substr(text, 41)) AS text
+FROM documents"""
+
+
+def q_benford(spark, sf_dir):
+    """Per-event-type Benford first-digit deviation over event_id+1 —
+    integer-exact: shared fixed-point p_d constants, |O·10^9 − n·p_d|."""
+    from hatchery_spark.operators.drift import benford_deviation
+
+    ev = load(spark, sf_dir, "events")
+    return benford_deviation(ev, F.col("event_id") + 1, "event_type")
+
+
+def _benford_oracle() -> str:
+    from hatchery_spark.operators.drift import BENFORD_P_SCALED
+
+    p_case = " ".join(
+        f"WHEN {d} THEN {BENFORD_P_SCALED[d]}" for d in range(1, 10)
+    )
+    return f"""
+WITH src AS (SELECT event_type AS g,
+                    cast(substr(cast(event_id + 1 AS varchar), 1, 1) AS int) AS digit
+             FROM events),
+cnt AS (SELECT g, digit, count(*) AS o FROM src GROUP BY g, digit),
+tot AS (SELECT g, count(*) AS n FROM src GROUP BY g),
+grid AS (SELECT tot.g, tot.n, dd.digit
+         FROM tot, (SELECT unnest(range(1, 10)) AS digit) dd)
+SELECT grid.g AS event_type, cast(grid.digit AS int) AS digit,
+       coalesce(o, 0) AS observed,
+       grid.n * (CASE grid.digit {p_case} END) AS expected_scaled,
+       abs(coalesce(o, 0) * 1000000000
+           - grid.n * (CASE grid.digit {p_case} END)) AS dev_scaled
+FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.digit = grid.digit"""
