@@ -254,3 +254,141 @@ def xlsx_roundtrip(orders: DataFrame, workbooks: int = 10) -> DataFrame:
             "o_orderpriority string, o_totalprice double",
         )
     )
+
+
+# ------------------------------------------------------------------- PPTX
+
+_P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+_PPTX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-'
+    'package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+    "{slides}</Types>"
+)
+_PPTX_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships"><Relationship Id="rId1" Type="http://schemas.'
+    'openxmlformats.org/officeDocument/2006/relationships/officeDocument" '
+    'Target="ppt/presentation.xml"/></Relationships>'
+)
+
+
+def build_pptx_bytes(slides: list[list[str]]) -> bytes:
+    """Minimal PPTX: one slide part per entry, each a list of text
+    paragraphs rendered as DrawingML runs inside one shape. Slide order is
+    carried by the presentation part's sldIdLst (the spine analog)."""
+    from hatchery_spark.functions.ziparc import build_zip, _xml_escape
+
+    ct_slides = "".join(
+        f'<Override PartName="/ppt/slides/slide{i + 1}.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.'
+        'slide+xml"/>'
+        for i in range(len(slides))
+    )
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rId{i + 1}"/>' for i in range(len(slides))
+    )
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P_NS}" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/slide" '
+            f'Target="slides/slide{i + 1}.xml"/>'
+            for i in range(len(slides))
+        )
+        + "</Relationships>"
+    )
+    members = [
+        ("[Content_Types].xml", _PPTX_CT.format(slides=ct_slides).encode(), "deflate"),
+        ("_rels/.rels", _PPTX_RELS.encode(), "deflate"),
+        ("ppt/presentation.xml", pres.encode("utf-8"), "deflate"),
+        ("ppt/_rels/presentation.xml.rels", pres_rels.encode("utf-8"), "deflate"),
+    ]
+    for i, paras in enumerate(slides):
+        body = "".join(
+            f'<a:p><a:r><a:t>{_xml_escape(p)}</a:t></a:r></a:p>' for p in paras
+        )
+        sld = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{_P_NS}" xmlns:a="{_A_NS}"><p:cSld><p:spTree>'
+            f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
+            "</p:spTree></p:cSld></p:sld>"
+        )
+        members.append((f"ppt/slides/slide{i + 1}.xml", sld.encode("utf-8"), "deflate"))
+    return build_zip(members)
+
+
+def pptx_extract(blob: bytes) -> tuple[int, str]:
+    """(n_slides, text): slides in sldIdLst order via the presentation
+    rels, paragraphs joined with newlines, slides with double newlines."""
+    import xml.etree.ElementTree as ET
+
+    from hatchery_spark.functions.ziparc import walk_zip
+
+    parts = {}
+    for m in walk_zip(blob):
+        if not (m["crc_ok"] and m["size_ok"]):
+            raise ValueError(f"pptx: corrupt member {m['name']}")
+        parts[m["name"]] = m["content"]
+    if "ppt/presentation.xml" not in parts:
+        raise ValueError("pptx: no presentation part")
+    r_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pres = ET.fromstring(parts["ppt/presentation.xml"])
+    rels = ET.fromstring(parts["ppt/_rels/presentation.xml.rels"])
+    pkg_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    targets = {
+        r.get("Id"): r.get("Target") for r in rels.iter(f"{{{pkg_ns}}}Relationship")
+    }
+    slide_texts = []
+    for sid in pres.iter(f"{{{_P_NS}}}sldId"):
+        target = targets[sid.get(f"{{{r_ns}}}id")]
+        sld = ET.fromstring(parts["ppt/" + target])
+        paras = [
+            "".join(t.text or "" for t in p.iter(f"{{{_A_NS}}}t"))
+            for p in sld.iter(f"{{{_A_NS}}}p")
+        ]
+        slide_texts.append("\n".join(paras))
+    return len(slide_texts), "\n\n".join(slide_texts)
+
+
+def pptx_roundtrip(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PPTX build → extract: two slides (title slide with
+    'deck-<id>', content slide with the text split into two paragraphs at
+    the char midpoint) pin slide ordering and paragraph joining."""
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ns, texts = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                t = str(t)
+                half = len(t) // 2
+                blob = build_pptx_bytes(
+                    [[f"deck-{int(did)}"], [t[:half], t[half:]]]
+                )
+                n, txt = pptx_extract(blob)
+                ns.append(n)
+                texts.append(txt)
+            yield pd.DataFrame(
+                {id_col: b[id_col], "n_slides": ns, "text": texts}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _rt, f"{id_col} long, n_slides int, text string"
+    )

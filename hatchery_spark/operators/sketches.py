@@ -563,3 +563,108 @@ def mg_oracle_sql(
                m.est <= e.true_n AS lower_ok,
                e.true_n <= m.est + m.deficit AS upper_ok
         FROM merged m JOIN exact e ON m.key = e.key"""
+
+
+# ----------------------------------------------------- KMV set operations
+
+
+def kmv_theta_setops(
+    a: DataFrame, b: DataFrame, key_a: Column, key_b: Column, k: int = 64
+) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on two KMV sketches (the
+    DataSketches union/intersection/difference idiom, Dasgupta et al.):
+    build the k-minimum-values sketch of each side, take
+    θ = min(θ_A, θ_B) where θ_X = h_k when the sketch filled its k slots
+    (else 2^48 — the sketch IS the set), keep each side's hashes below θ,
+    and estimate every region as ``count · 2^48 div θ`` — which degrades
+    to the EXACT count when θ = 2^48, so small sets need no special case.
+
+    All arithmetic is BIGINT (48-bit hashes keep count·2^48 inside int64),
+    md5-based — any engine replays the estimates bit-for-bit.
+
+    Returns ONE row: (est_a, est_b, est_union, est_inter, est_a_only,
+    est_b_only). Scale shape: two sketch builds (distinct + windowed top-k
+    per partition — WindowGroupLimit forwards ≤k rows per task), then all
+    set logic runs on ≤2k rows."""
+    # global (ungrouped) k-min: orderBy().limit(k) plans as
+    # TakeOrderedAndProject — each partition forwards only its local k
+    # minima; the windowed kmv_sketch form would single-partition a global
+    # window here
+    sa = (
+        a.select(_md5_hash48(key_a.cast("string")).alias("ha"))
+        .distinct().orderBy("ha").limit(k)
+    )
+    sb = (
+        b.select(_md5_hash48(key_b.cast("string")).alias("hb"))
+        .distinct().orderBy("hb").limit(k)
+    )
+    full = 1 << 48
+    ta = sa.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(full)).otherwise(F.max("ha"))
+        .alias("theta_a")
+    )
+    tb = sb.agg(
+        F.when(F.count(F.lit(1)) < k, F.lit(full)).otherwise(F.max("hb"))
+        .alias("theta_b")
+    )
+    both = (
+        sa.join(sb, sa["ha"] == sb["hb"], "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("theta", F.least("theta_a", "theta_b"))
+        .withColumn("h", F.coalesce("ha", "hb"))
+        .where(F.col("h") < F.col("theta"))
+    )
+    counts = both.groupBy("theta").agg(
+        F.sum(F.col("ha").isNotNull().cast("long")).alias("c_a"),
+        F.sum(F.col("hb").isNotNull().cast("long")).alias("c_b"),
+        F.count(F.lit(1)).alias("c_union"),
+        F.sum((F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long"))
+        .alias("c_inter"),
+        F.sum((F.col("ha").isNotNull() & F.col("hb").isNull()).cast("long"))
+        .alias("c_a_only"),
+        F.sum((F.col("hb").isNotNull() & F.col("ha").isNull()).cast("long"))
+        .alias("c_b_only"),
+    )
+    # BIGINT div keeps the count·2^48 numerator exact (double floor-division
+    # would round at 2^53)
+    return counts.select(
+        *[
+            F.expr(f"cast((c_{r} * {full}) div theta as bigint)").alias(f"est_{r}")
+            for r in ("a", "b", "union", "inter", "a_only", "b_only")
+        ]
+    )
+
+
+def theta_setops_oracle_sql(
+    a_sql: str, b_sql: str, key_a: str, key_b: str, k: int = 64
+) -> str:
+    """DuckDB replay of kmv_theta_setops for sources given as SQL text."""
+    full = 1 << 48
+    return f"""
+WITH sa AS (SELECT h FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT {_hash48_sql(key_a)} AS h FROM ({a_sql}))) WHERE rn <= {k}),
+sb AS (SELECT h FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+    SELECT DISTINCT {_hash48_sql(key_b)} AS h FROM ({b_sql}))) WHERE rn <= {k}),
+ta AS (SELECT CASE WHEN count(*) < {k} THEN {full} ELSE max(h) END AS theta_a
+       FROM sa),
+tb AS (SELECT CASE WHEN count(*) < {k} THEN {full} ELSE max(h) END AS theta_b
+       FROM sb),
+j AS (SELECT sa.h AS ha, sb.h AS hb FROM sa FULL OUTER JOIN sb ON sa.h = sb.h),
+f AS (SELECT ha, hb, least(theta_a, theta_b) AS theta,
+             coalesce(ha, hb) AS h
+      FROM j, ta, tb)
+SELECT cast(sum(CASE WHEN ha IS NOT NULL THEN 1 ELSE 0 END) * {full}
+            // any_value(theta) AS bigint) AS est_a,
+       cast(sum(CASE WHEN hb IS NOT NULL THEN 1 ELSE 0 END) * {full}
+            // any_value(theta) AS bigint) AS est_b,
+       cast(count(*) * {full} // any_value(theta) AS bigint) AS est_union,
+       cast(sum(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN 1 ELSE 0 END)
+            * {full} // any_value(theta) AS bigint) AS est_inter,
+       cast(sum(CASE WHEN ha IS NOT NULL AND hb IS NULL THEN 1 ELSE 0 END)
+            * {full} // any_value(theta) AS bigint) AS est_a_only,
+       cast(sum(CASE WHEN hb IS NOT NULL AND ha IS NULL THEN 1 ELSE 0 END)
+            * {full} // any_value(theta) AS bigint) AS est_b_only
+FROM f WHERE h < theta"""

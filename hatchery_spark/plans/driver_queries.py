@@ -5873,11 +5873,16 @@ def oracle_catalog() -> dict[str, str]:
         "pipeline_sequence_match": _sequence_match_oracle(),
         "pipeline_rendezvous_shards": _rendezvous_oracle(),
         "pipeline_benford": _benford_oracle(),
+        "pipeline_theta_setops": _theta_setops_oracle(),
         "rel_zip_roundtrip": _ZIP_ROUNDTRIP_ORACLE,
         "rel_xlsx_roundtrip": _XLSX_ORACLE,
         "rel_csv_roundtrip": _CSV_ROUNDTRIP_ORACLE,
+        "rel_quality_checks": _QUALITY_CHECKS_ORACLE,
         "doc_docx_extract": _DOCX_ORACLE,
         "doc_epub_extract": _EPUB_ORACLE,
+        "doc_pptx_extract": _PPTX_ORACLE,
+        "doc_tfrecord_roundtrip": _TFRECORD_ORACLE,
+        "rel_arrow_ipc_roundtrip": _ARROW_IPC_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7698,11 +7703,16 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_sequence_match": q_sequence_match,
         "pipeline_rendezvous_shards": q_rendezvous_shards,
         "pipeline_benford": q_benford,
+        "pipeline_theta_setops": q_theta_setops,
         "rel_zip_roundtrip": q_zip_roundtrip,
         "rel_xlsx_roundtrip": q_xlsx_roundtrip,
         "rel_csv_roundtrip": q_csv_roundtrip,
+        "rel_quality_checks": q_quality_checks,
         "doc_docx_extract": q_docx_extract,
         "doc_epub_extract": q_epub_extract,
+        "doc_pptx_extract": q_pptx_extract,
+        "doc_tfrecord_roundtrip": q_tfrecord_roundtrip,
+        "rel_arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9524,3 +9534,164 @@ SELECT grid.g AS event_type, cast(grid.digit AS int) AS digit,
        abs(coalesce(o, 0) * 1000000000
            - grid.n * (CASE grid.digit {p_case} END)) AS dev_scaled
 FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.digit = grid.digit"""
+
+
+def q_pptx_extract(spark, sf_dir):
+    """Per-document PPTX build → sldIdLst-ordered DrawingML text
+    extraction; title + two-paragraph content slide pin ordering/joining.
+    Completes the OOXML matrix (DOCX, XLSX, PPTX) on the in-repo ZIP."""
+    from hatchery_spark.functions.xlsx import pptx_roundtrip
+
+    return pptx_roundtrip(load(spark, sf_dir, "documents"))
+
+
+_PPTX_ORACLE = """
+SELECT doc_id, cast(2 AS int) AS n_slides,
+       concat('deck-', cast(doc_id AS varchar), chr(10), chr(10),
+              substr(text, 1, cast(length(text) // 2 AS int)), chr(10),
+              substr(text, cast(length(text) // 2 AS int) + 1)) AS text
+FROM documents"""
+
+
+def q_quality_checks(spark, sf_dir):
+    """Deequ-style suite over orders: completeness, key uniqueness, price
+    range (one deliberately failing tight bound), priority regex, status
+    membership (one deliberately excluding 'P'), FK integrity vs customer
+    — row-level checks share ONE aggregate pass; exact violation counts."""
+    from hatchery_spark.operators.quality import quality_checks
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    checks = [
+        {"name": "custkey_complete", "type": "not_null", "col": "o_custkey"},
+        {"name": "price_range_wide", "type": "range", "col": "o_totalprice",
+         "min": 0.0, "max": 600000.0},
+        {"name": "price_range_tight", "type": "range", "col": "o_totalprice",
+         "min": 0.0, "max": 100000.0},
+        {"name": "priority_shape", "type": "pattern", "col": "o_orderpriority",
+         "regex": "^[1-5]-[A-Z ]+$"},
+        {"name": "status_known", "type": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"name": "status_closed_only", "type": "in_set", "col": "o_orderstatus",
+         "values": ["O", "F"]},
+        {"name": "orderkey_unique", "type": "unique", "cols": ["o_orderkey"]},
+        {"name": "custkey_fk", "type": "ref_integrity", "col": "o_custkey",
+         "ref": "customer", "ref_col": "c_custkey"},
+    ]
+    return quality_checks(orders, checks, refs={"customer": cust})
+
+
+_QUALITY_CHECKS_ORACLE = """
+WITH n AS (SELECT count(*) AS n_rows FROM orders)
+SELECT 'custkey_complete' AS check_name, 'not_null' AS check_type,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations,
+       n.n_rows, (SELECT count(*) FROM orders WHERE o_custkey IS NULL) <= 0
+         AS passed FROM n
+UNION ALL SELECT 'price_range_wide', 'range',
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 600000)),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 600000)) <= 0 FROM n
+UNION ALL SELECT 'price_range_tight', 'range',
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 100000)),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 100000)) <= 0 FROM n
+UNION ALL SELECT 'priority_shape', 'pattern',
+       (SELECT count(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')) <= 0
+       FROM n
+UNION ALL SELECT 'status_known', 'in_set',
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F', 'P')),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F', 'P')) <= 0 FROM n
+UNION ALL SELECT 'status_closed_only', 'in_set',
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')),
+       n.n_rows,
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')) <= 0 FROM n
+UNION ALL SELECT 'orderkey_unique', 'unique',
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+       n.n_rows,
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) <= 0 FROM n
+UNION ALL SELECT 'custkey_fk', 'ref_integrity',
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       n.n_rows,
+       (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) <= 0 FROM n"""
+
+
+def q_theta_setops(spark, sf_dir):
+    """Theta-sketch set operations over two actor-resource sets (browsing
+    vs converting events): union/intersection/difference estimated from
+    two k=64 KMV sketches with θ = min(θ_A, θ_B) — all-BIGINT arithmetic,
+    exact-degenerate when a side fits its sketch."""
+    from hatchery_spark.operators.sketches import kmv_theta_setops
+
+    ev = load(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"), F.lit(":"),
+        (F.col("event_id") % 97).cast("string"),
+    )
+    a = ev.where(F.col("event_type").isin("click", "view"))
+    b = ev.where(F.col("event_type").isin("purchase", "error"))
+    return kmv_theta_setops(a, b, key, key, k=64)
+
+
+def _theta_setops_oracle() -> str:
+    from hatchery_spark.operators.sketches import theta_setops_oracle_sql
+
+    key = "concat(cast(user_id AS varchar), ':', cast(event_id % 97 AS varchar))"
+    return theta_setops_oracle_sql(
+        "SELECT * FROM events WHERE event_type IN ('click', 'view')",
+        "SELECT * FROM events WHERE event_type IN ('purchase', 'error')",
+        key, key, k=64,
+    )
+
+
+def q_tfrecord_roundtrip(spark, sf_dir):
+    """documents → TFRecord shards of tf.train.Example (masked-CRC32C
+    framing, packed Int64List + BytesList features) → parse back with
+    per-record CRC verification."""
+    from hatchery_spark.functions.tfrecord import tfrecord_roundtrip
+
+    return tfrecord_roundtrip(load(spark, sf_dir, "documents"))
+
+
+_TFRECORD_ORACLE = r"""
+SELECT doc_id,
+       cast(len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r\x0b]+'),
+                            x -> x <> '')) AS int) AS n_tokens,
+       true AS crc_ok, text
+FROM documents"""
+
+
+def q_arrow_ipc_roundtrip(spark, sf_dir):
+    """Per-shard Arrow IPC stream serialize → parse: the zero-copy
+    interchange wire format for non-JVM consumers, content-pinned."""
+    from hatchery_spark.functions.tfrecord import arrow_ipc_roundtrip
+
+    return arrow_ipc_roundtrip(load(spark, sf_dir, "documents"))
+
+
+_ARROW_IPC_ORACLE = """
+SELECT doc_id, cast(1 AS int) AS n_batches, text FROM documents"""
