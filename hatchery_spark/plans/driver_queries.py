@@ -5883,6 +5883,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_pptx_extract": _PPTX_ORACLE,
         "doc_tfrecord_roundtrip": _TFRECORD_ORACLE,
         "rel_arrow_ipc_roundtrip": _ARROW_IPC_ORACLE,
+        "rel_bzip2_decode": _BZIP2_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7713,6 +7714,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pptx_extract": q_pptx_extract,
         "doc_tfrecord_roundtrip": q_tfrecord_roundtrip,
         "rel_arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
+        "rel_bzip2_decode": q_bzip2_decode,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9695,3 +9697,38 @@ def q_arrow_ipc_roundtrip(spark, sf_dir):
 
 _ARROW_IPC_ORACLE = """
 SELECT doc_id, cast(1 AS int) AS n_batches, text FROM documents"""
+
+
+def q_bzip2_decode(spark, sf_dir):
+    """documents → real bzip2 archives (stdlib bz2 encoder, levels 1/9 by
+    doc parity) → from-scratch decoder (functions/bzip2.py): Huffman
+    selectors, MTF, inverse BWT, RLE1, both CRCs. Text equality pins it."""
+    import bz2 as _bz2
+
+    from hatchery_spark.functions.bzip2 import bzip2_decode_col
+
+    docs = load(spark, sf_dir, "documents")
+
+    def _enc(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "blob": [
+                        _bz2.compress(t.encode("utf-8"), 1 if i % 2 == 0 else 9)
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                }
+            )
+
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        _enc, "doc_id long, blob binary"
+    )
+    return bzip2_decode_col(blobs).select("doc_id", "text", "n_bytes", "ok")
+
+
+_BZIP2_ORACLE = """
+SELECT doc_id, text, cast(strlen(text) AS bigint) AS n_bytes, true AS ok
+FROM documents"""
