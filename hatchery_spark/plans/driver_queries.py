@@ -5884,6 +5884,7 @@ def oracle_catalog() -> dict[str, str]:
         "doc_tfrecord_roundtrip": _TFRECORD_ORACLE,
         "rel_arrow_ipc_roundtrip": _ARROW_IPC_ORACLE,
         "rel_bzip2_decode": _BZIP2_ORACLE,
+        "rel_xz_decode": _XZ_ORACLE,
         "rel_deflate_encode": _DEFLATE_ENCODE_ORACLE,
         "pipeline_leef_parse": _leef_oracle(),
         "pipeline_mg_heavyhitters": _mg_oracle(),
@@ -7715,6 +7716,7 @@ def query_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfrecord_roundtrip": q_tfrecord_roundtrip,
         "rel_arrow_ipc_roundtrip": q_arrow_ipc_roundtrip,
         "rel_bzip2_decode": q_bzip2_decode,
+        "rel_xz_decode": q_xz_decode,
         "rel_deflate_encode": q_deflate_encode,
         "pipeline_leef_parse": q_leef_parse,
         "pipeline_mg_heavyhitters": q_mg_heavyhitters,
@@ -9730,5 +9732,46 @@ def q_bzip2_decode(spark, sf_dir):
 
 
 _BZIP2_ORACLE = """
+SELECT doc_id, text, cast(strlen(text) AS bigint) AS n_bytes, true AS ok
+FROM documents"""
+
+
+def q_xz_decode(spark, sf_dir):
+    """documents → real .xz archives (stdlib liblzma encoder, preset 1/9
+    and CRC32/CRC64 checks rotating by doc parity) → from-scratch LZMA2
+    range decoder + container walk (functions/xz.py)."""
+    import lzma as _lzma
+
+    from hatchery_spark.functions.xz import xz_decode_col
+
+    docs = load(spark, sf_dir, "documents")
+
+    def _enc(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "blob": [
+                        _lzma.compress(
+                            t.encode("utf-8"),
+                            format=_lzma.FORMAT_XZ,
+                            check=_lzma.CHECK_CRC32 if i % 2 == 0
+                            else _lzma.CHECK_CRC64,
+                            preset=1 if i % 4 < 2 else 9,
+                        )
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                }
+            )
+
+    blobs = docs.select("doc_id", "text").mapInPandas(
+        _enc, "doc_id long, blob binary"
+    )
+    return xz_decode_col(blobs).select("doc_id", "text", "n_bytes", "ok")
+
+
+_XZ_ORACLE = """
 SELECT doc_id, text, cast(strlen(text) AS bigint) AS n_bytes, true AS ok
 FROM documents"""
