@@ -463,6 +463,26 @@ def main() -> None:
             ("pipeline_span_tree", dq.q_span_tree),
             ("pipeline_schema_drift", dq.q_schema_drift),
             ("pipeline_lateness_stats", dq.q_lateness_stats),
+            # round-5 session-13
+            ("graph_components", dq.q_graph_components),
+            ("graph_kcore", dq.q_kcore),
+            ("rel_bloom_join", dq.q_bloom_join),
+            ("pipeline_itemsets", dq.q_frequent_itemsets),
+            ("pipeline_sequence_match", dq.q_sequence_match),
+            ("pipeline_rendezvous_shards", dq.q_rendezvous_shards),
+            ("pipeline_benford", dq.q_benford),
+            ("pipeline_theta_setops", dq.q_theta_setops),
+            ("rel_quality_checks", dq.q_quality_checks),
+            ("rel_zip_roundtrip", dq.q_zip_roundtrip),
+            ("doc_docx_extract", dq.q_docx_extract),
+            ("doc_epub_extract", dq.q_epub_extract),
+            ("doc_pptx_extract", dq.q_pptx_extract),
+            ("rel_xlsx_roundtrip", dq.q_xlsx_roundtrip),
+            ("rel_csv_roundtrip", dq.q_csv_roundtrip),
+            ("doc_tfrecord_roundtrip", dq.q_tfrecord_roundtrip),
+            ("rel_arrow_ipc_roundtrip", dq.q_arrow_ipc_roundtrip),
+            ("rel_bzip2_decode", dq.q_bzip2_decode),
+            ("rel_xz_decode", dq.q_xz_decode),
         ]:
             measure(
                 name,
