@@ -134,14 +134,16 @@ def build_xlsx(rows: list[list], kinds) -> bytes:
         f'<sst xmlns="{_SS_NS}" count="{len(shared)}" uniqueCount="{len(shared)}">'
         f"{ss_items}</sst>"
     )
+    # stored members: the SpreadsheetML walk is the point here; DEFLATE cost
+    # is exercised by the dedicated codec queries, not 6× per workbook
     return build_zip(
         [
-            ("[Content_Types].xml", _XLSX_CT.encode(), "deflate"),
-            ("_rels/.rels", _XLSX_RELS.encode(), "deflate"),
-            ("xl/workbook.xml", _WB_XML.encode(), "deflate"),
-            ("xl/_rels/workbook.xml.rels", _WB_RELS.encode(), "deflate"),
-            ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"), "deflate"),
-            ("xl/sharedStrings.xml", ss.encode("utf-8"), "deflate"),
+            ("[Content_Types].xml", _XLSX_CT.encode(), "store"),
+            ("_rels/.rels", _XLSX_RELS.encode(), "store"),
+            ("xl/workbook.xml", _WB_XML.encode(), "store"),
+            ("xl/_rels/workbook.xml.rels", _WB_RELS.encode(), "store"),
+            ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"), "store"),
+            ("xl/sharedStrings.xml", ss.encode("utf-8"), "store"),
         ]
     )
 
@@ -314,10 +316,10 @@ def build_pptx_bytes(slides: list[list[str]]) -> bytes:
         + "</Relationships>"
     )
     members = [
-        ("[Content_Types].xml", _PPTX_CT.format(slides=ct_slides).encode(), "deflate"),
-        ("_rels/.rels", _PPTX_RELS.encode(), "deflate"),
-        ("ppt/presentation.xml", pres.encode("utf-8"), "deflate"),
-        ("ppt/_rels/presentation.xml.rels", pres_rels.encode("utf-8"), "deflate"),
+        ("[Content_Types].xml", _PPTX_CT.format(slides=ct_slides).encode(), "store"),
+        ("_rels/.rels", _PPTX_RELS.encode(), "store"),
+        ("ppt/presentation.xml", pres.encode("utf-8"), "store"),
+        ("ppt/_rels/presentation.xml.rels", pres_rels.encode("utf-8"), "store"),
     ]
     for i, paras in enumerate(slides):
         body = "".join(
@@ -329,7 +331,7 @@ def build_pptx_bytes(slides: list[list[str]]) -> bytes:
             f"<p:sp><p:txBody>{body}</p:txBody></p:sp>"
             "</p:spTree></p:cSld></p:sld>"
         )
-        members.append((f"ppt/slides/slide{i + 1}.xml", sld.encode("utf-8"), "deflate"))
+        members.append((f"ppt/slides/slide{i + 1}.xml", sld.encode("utf-8"), "store"))
     return build_zip(members)
 
 

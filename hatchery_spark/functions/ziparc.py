@@ -238,11 +238,14 @@ def build_docx_bytes(title: str, body: str) -> bytes:
         f"<w:p>{runs}</w:p>"
         "</w:body></w:document>"
     )
+    # members are STORED: the OOXML walk is what this builder exercises;
+    # DEFLATE compression cost is paid (and pinned) by zip_roundtrip_members
+    # and rel_deflate_encode, not 3× per document here
     return build_zip(
         [
-            ("[Content_Types].xml", _DOCX_CT.encode(), "deflate"),
-            ("_rels/.rels", _DOCX_RELS.encode(), "deflate"),
-            ("word/document.xml", doc.encode("utf-8"), "deflate"),
+            ("[Content_Types].xml", _DOCX_CT.encode(), "store"),
+            ("_rels/.rels", _DOCX_RELS.encode(), "store"),
+            ("word/document.xml", doc.encode("utf-8"), "store"),
         ]
     )
 
@@ -326,8 +329,8 @@ def build_epub_bytes(title: str, chapters: list[str]) -> bytes:
     )
     members = [
         ("mimetype", b"application/epub+zip", "store"),
-        ("META-INF/container.xml", _EPUB_CONTAINER.encode(), "deflate"),
-        ("OEBPS/content.opf", opf.encode("utf-8"), "deflate"),
+        ("META-INF/container.xml", _EPUB_CONTAINER.encode(), "store"),
+        ("OEBPS/content.opf", opf.encode("utf-8"), "store"),
     ]
     for i, ch in enumerate(chapters):
         x = (
@@ -335,7 +338,7 @@ def build_epub_bytes(title: str, chapters: list[str]) -> bytes:
             f'<html xmlns="{_XHTML_NS}"><head><title>{_xml_escape(title)}'
             f"</title></head><body><p>{_xml_escape(ch)}</p></body></html>"
         )
-        members.append((f"OEBPS/c{i}.xhtml", x.encode("utf-8"), "deflate"))
+        members.append((f"OEBPS/c{i}.xhtml", x.encode("utf-8"), "store"))
     return build_zip(members)
 
 

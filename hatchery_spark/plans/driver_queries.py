@@ -9737,14 +9737,17 @@ FROM documents"""
 
 
 def q_xz_decode(spark, sf_dir):
-    """documents → real .xz archives (stdlib liblzma encoder, preset 1/9
-    and CRC32/CRC64 checks rotating by doc parity) → from-scratch LZMA2
-    range decoder + container walk (functions/xz.py)."""
+    """Every 4th document → real .xz archives (stdlib liblzma encoder,
+    preset 1/6 and CRC32/CRC64 checks rotating by doc parity) →
+    from-scratch LZMA2 range decoder + container walk (functions/xz.py).
+    The doc_id%4 subset and preset cap keep the pure-Python range decoder
+    (inherently ~100 KB/s) a bounded bench row — the decoder itself is
+    pinned on the FULL preset/check matrix incl. 9|EXTREME in pytest."""
     import lzma as _lzma
 
     from hatchery_spark.functions.xz import xz_decode_col
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").where("doc_id % 4 = 0")
 
     def _enc(batches):
         import pandas as pd
@@ -9759,7 +9762,7 @@ def q_xz_decode(spark, sf_dir):
                             format=_lzma.FORMAT_XZ,
                             check=_lzma.CHECK_CRC32 if i % 2 == 0
                             else _lzma.CHECK_CRC64,
-                            preset=1 if i % 4 < 2 else 9,
+                            preset=1 if i % 8 < 4 else 6,
                         )
                         for i, t in zip(b["doc_id"], b["text"])
                     ],
@@ -9774,4 +9777,4 @@ def q_xz_decode(spark, sf_dir):
 
 _XZ_ORACLE = """
 SELECT doc_id, text, cast(strlen(text) AS bigint) AS n_bytes, true AS ok
-FROM documents"""
+FROM documents WHERE doc_id % 4 = 0"""
