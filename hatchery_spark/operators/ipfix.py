@@ -51,11 +51,17 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hatchery_spark.operators.netflow import _int2ip, _ip2int
+from hatchery_spark.operators.netflow import (
+    _int2ip,
+    _ip2int,
+    _ips_to_u32,
+    _u32_to_ips,
+)
 
 VERSION = 10
 MAX_RECORDS = 20
@@ -203,22 +209,69 @@ def export_ipfix(flows: DataFrame) -> DataFrame:
         F.row_number().over(w).alias("_rn"),
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn")
-        rows = [
-            {"src_ip": r.src_ip, "dst_ip": r.dst_ip,
-             "src_port": int(r.src_port), "dst_port": int(r.dst_port),
-             "prot": int(r.prot), "pkts": int(r.pkts),
-             "octets": int(r.octets), "start_ms": int(r.start_ms),
-             "unix_secs": int(r.unix_secs)}
-            for r in pdf.itertuples()
-        ]
-        msg = encode_message(int(pdf["exporter_id"].iloc[0]),
-                             int(pdf["pkt_idx"].iloc[0]), rows)
-        return pd.DataFrame({"message": [msg]})
+    # one vectorized pass per PARTITION instead of one Python call per
+    # message (the netflow.py lesson, guide §4.2): repartition on the full
+    # (exporter, pkt_idx) key so the encode spreads beyond the window's
+    # exporter-only partitioning, then whole-batch numpy packing per
+    # template (the per-template field order/width IS the numpy dtype).
+    def _encode_parts(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["exporter_id", "_rn"], kind="mergesort")
+        exp_all = pdf["exporter_id"].to_numpy(np.int64)
+        msgs: list[bytes] = []
+        for template_id, fields in TEMPLATES.items():
+            sub = pdf[exp_all % 2 == template_id - 256]
+            if not len(sub):
+                continue
+            vals = {
+                IE_SRC_IP: _ips_to_u32(sub["src_ip"]).astype(np.uint64),
+                IE_DST_IP: _ips_to_u32(sub["dst_ip"]).astype(np.uint64),
+                IE_SRC_PORT: sub["src_port"].to_numpy(np.uint64),
+                IE_DST_PORT: sub["dst_port"].to_numpy(np.uint64),
+                IE_PROTO: sub["prot"].to_numpy(np.uint64),
+                IE_PKTS: sub["pkts"].to_numpy(np.uint64),
+                IE_OCTETS: sub["octets"].to_numpy(np.uint64),
+                IE_START_MS: sub["start_ms"].to_numpy(np.uint64),
+            }
+            dt = np.dtype([(f"f{i}", f">u{ln}")
+                           for i, (_, ln) in enumerate(fields)])
+            rec = np.zeros(len(sub), dtype=dt)
+            for i, (ie, ln) in enumerate(fields):
+                v = vals[ie]
+                if ln < 8 and v.size and int(v.max()) >= 1 << (8 * ln):
+                    raise ValueError(
+                        f"IE {ie} value {int(v.max())} overflows {ln} bytes"
+                    )
+                rec[f"f{i}"] = v
+            rec_bytes = rec.view(np.uint8).reshape(len(sub), dt.itemsize)
+            exp = sub["exporter_id"].to_numpy(np.int64)
+            pki = sub["pkt_idx"].to_numpy(np.int64)
+            starts = np.flatnonzero(
+                np.r_[True, (exp[1:] != exp[:-1]) | (pki[1:] != pki[:-1])]
+            )
+            ends = np.r_[starts[1:], len(sub)]
+            export_time = np.maximum.reduceat(
+                sub["unix_secs"].to_numpy(np.int64), starts
+            )
+            tmpl = _template_set(template_id)
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                recs = rec_bytes[s:e].tobytes()
+                sets = (tmpl if pki[s] == 0 else b"") + struct.pack(
+                    ">HH", template_id, 4 + len(recs)
+                ) + recs
+                msgs.append(struct.pack(
+                    ">HHIII", VERSION, 16 + len(sets), int(export_time[i]),
+                    MAX_RECORDS * int(pki[s]), int(exp[s]),
+                ) + sets)
+        yield pd.DataFrame({"message": msgs})
 
-    return prepared.groupBy("exporter_id", "pkt_idx").applyInPandas(
-        _encode, "message binary"
+    return prepared.repartition("exporter_id", "pkt_idx").mapInPandas(
+        _encode_parts, "message binary"
     )
 
 
@@ -242,8 +295,89 @@ def parse_ipfix(df: DataFrame, message_col: str = "message") -> DataFrame:
             "prot", "pkts", "octets", "start_ms"]
 
     def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
-        recs = decode_stream([bytes(b) for b in pdf["message"]])
-        return pd.DataFrame(recs, columns=cols)
+        # the in-band template walk stays per message (it IS the protocol
+        # state machine), but record fields parse as ONE numpy pass per
+        # (template, field layout) over the concatenated data-set bodies
+        # instead of a per-record Python loop (guide §4.2).
+        peeled = []
+        for b in pdf["message"]:
+            buf = bytes(b)
+            if len(buf) < 16:
+                raise ValueError("short IPFIX message")
+            version, length, export_time, seq, domain = struct.unpack(
+                ">HHIII", buf[:16]
+            )
+            if version != VERSION or length != len(buf):
+                raise ValueError("bad IPFIX header")
+            peeled.append((seq, export_time, domain, buf))
+        peeled.sort(key=lambda x: x[0])
+        templates: dict[int, list[tuple[int, int]]] = {}
+        # per template id: concatenated record bytes + per-set metadata
+        bodies: dict[int, list[bytes]] = {}
+        metas: dict[int, list[tuple[int, int, int, int, int]]] = {}
+        for seq, export_time, domain, buf in peeled:
+            off = 16
+            while off < len(buf):
+                set_id, set_len = struct.unpack_from(">HH", buf, off)
+                if set_len < 4 or off + set_len > len(buf):
+                    raise ValueError("bad set length")
+                body = buf[off + 4:off + set_len]
+                if set_id == TEMPLATE_SET_ID:
+                    p = 0
+                    while p + 4 <= len(body):
+                        tid, fc = struct.unpack_from(">HH", body, p)
+                        p += 4
+                        fields = []
+                        for _ in range(fc):
+                            ie, ln = struct.unpack_from(">HH", body, p)
+                            p += 4
+                            fields.append((ie, ln))
+                        templates[tid] = fields
+                elif set_id >= 256:
+                    if set_id not in templates:
+                        raise ValueError(f"data set {set_id} before template")
+                    rlen = sum(ln for _, ln in templates[set_id])
+                    n = len(body) // rlen
+                    bodies.setdefault(set_id, []).append(body[:n * rlen])
+                    metas.setdefault(set_id, []).append(
+                        (domain, seq, export_time, len(buf), n)
+                    )
+                else:
+                    raise ValueError(f"reserved set id {set_id}")
+                off += set_len
+        frames = []
+        for tid, blist in bodies.items():
+            fields = templates[tid]
+            dt = np.dtype([(f"f{i}", f">u{ln}")
+                           for i, (_, ln) in enumerate(fields)])
+            rec = np.frombuffer(b"".join(blist), dtype=dt)
+            by_ie = {ie: rec[f"f{i}"].astype(np.uint64)
+                     for i, (ie, _) in enumerate(fields)}
+            meta = np.asarray(metas[tid], dtype=np.int64)
+            counts = meta[:, 4]
+            rep = np.repeat(np.arange(len(meta)), counts)
+            rec_idx = np.arange(len(rec)) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            frames.append(pd.DataFrame({
+                "exporter_id": meta[rep, 0].astype(np.int32),
+                "template_id": np.full(len(rec), tid, dtype=np.int32),
+                "seq": meta[rep, 1],
+                "export_time": meta[rep, 2],
+                "rec_idx": rec_idx.astype(np.int32),
+                "msg_bytes": meta[rep, 3].astype(np.int32),
+                "src_ip": _u32_to_ips(by_ie[IE_SRC_IP].astype(np.uint32)),
+                "dst_ip": _u32_to_ips(by_ie[IE_DST_IP].astype(np.uint32)),
+                "src_port": by_ie[IE_SRC_PORT].astype(np.int32),
+                "dst_port": by_ie[IE_DST_PORT].astype(np.int32),
+                "prot": by_ie[IE_PROTO].astype(np.int32),
+                "pkts": by_ie[IE_PKTS].astype(np.int64),
+                "octets": by_ie[IE_OCTETS].astype(np.int64),
+                "start_ms": by_ie[IE_START_MS].astype(np.int64),
+            }))
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        return pd.concat(frames, ignore_index=True)[cols]
 
     return routed.groupBy("domain").applyInPandas(
         _decode,

@@ -34,6 +34,7 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -44,6 +45,43 @@ ENGINE_TYPE, ENGINE_ID = 1, 7
 
 _HDR = struct.Struct(">HHIIIIBBH")
 _REC = struct.Struct(">IIIHHIIIIHHBBBBHHBBH")
+
+# numpy mirrors of _HDR/_REC for whole-batch vectorized pack/unpack
+# (no align → exactly the packed struct layout: 24 and 48 bytes)
+_HDR_DT = np.dtype([
+    ("version", ">u2"), ("count", ">u2"), ("uptime", ">u4"),
+    ("unix_secs", ">u4"), ("nsecs", ">u4"), ("flow_seq", ">u4"),
+    ("etype", "u1"), ("eid", "u1"), ("sampling", ">u2"),
+])
+_REC_DT = np.dtype([
+    ("src", ">u4"), ("dst", ">u4"), ("nexthop", ">u4"),
+    ("input", ">u2"), ("output", ">u2"), ("pkts", ">u4"),
+    ("octets", ">u4"), ("first", ">u4"), ("last", ">u4"),
+    ("sp", ">u2"), ("dp", ">u2"), ("pad1", "u1"), ("flags", "u1"),
+    ("prot", "u1"), ("tos", "u1"), ("sas", ">u2"), ("das", ">u2"),
+    ("sm", "u1"), ("dm", "u1"), ("pad2", ">u2"),
+])
+assert _HDR_DT.itemsize == _HDR.size and _REC_DT.itemsize == _REC.size
+_HDR_SIZE, _REC_SIZE = _HDR.size, _REC.size
+
+
+def _ips_to_u32(col: pd.Series) -> np.ndarray:
+    """Vectorized dotted-quad → uint32 over a string Series."""
+    parts = col.str.split(".", expand=True).astype(np.uint32)
+    return (
+        (parts[0].to_numpy() << 24) | (parts[1].to_numpy() << 16)
+        | (parts[2].to_numpy() << 8) | parts[3].to_numpy()
+    )
+
+
+def _u32_to_ips(a: np.ndarray) -> np.ndarray:
+    """Vectorized uint32 → dotted-quad strings."""
+    return (
+        (a >> 24).astype("U3").astype(object) + "."
+        + ((a >> 16) & 255).astype("U3").astype(object) + "."
+        + ((a >> 8) & 255).astype("U3").astype(object) + "."
+        + (a & 255).astype("U3").astype(object)
+    )
 
 
 def _ip2int(ip: str) -> int:
@@ -81,7 +119,7 @@ def decode_packet(buf: bytes) -> dict:
      sampling) = _HDR.unpack_from(buf, 0)
     if version != VERSION:
         raise ValueError(f"netflow: version {version}")
-    if len(buf) != _HDR.size + count * _REC.size:
+    if len(buf) != _HDR_SIZE + count * _REC_SIZE:
         raise ValueError("netflow: length mismatch")
     records = []
     for i in range(count):
@@ -136,22 +174,61 @@ def export_netflow(flows: DataFrame) -> DataFrame:
         (F.col("_ms") / 1000).cast("long").alias("unix_secs"),
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn")
-        rows = [
-            {"src_ip": r.src_ip, "dst_ip": r.dst_ip,
-             "src_port": int(r.src_port), "dst_port": int(r.dst_port),
-             "prot": int(r.prot), "pkts": int(r.pkts),
-             "octets": int(r.octets), "first_ms": int(r.first_ms),
-             "unix_secs": int(r.unix_secs)}
-            for r in pdf.itertuples()
-        ]
-        pkt = encode_packet(int(pdf["exporter_id"].iloc[0]),
-                            int(pdf["pkt_idx"].iloc[0]), rows)
-        return pd.DataFrame({"packet": [pkt]})
+    # one vectorized pass per PARTITION, not one Python call per packet:
+    # applyInPandas costs a pandas frame per group (3k+ tiny groups at
+    # sf0.1) and inherits the window's exporter-only partitioning (4
+    # tasks). Repartitioning on the full (exporter, pkt_idx) key spreads
+    # packets over the cluster, and the whole-batch numpy pack replaces
+    # the per-row dict/struct loop (guide §4.2).
+    def _encode_parts(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["exporter_id", "_rn"], kind="mergesort")
+        n = len(pdf)
+        rec = np.zeros(n, dtype=_REC_DT)
+        rec["src"] = _ips_to_u32(pdf["src_ip"])
+        rec["dst"] = _ips_to_u32(pdf["dst_ip"])
+        rec["pkts"] = pdf["pkts"].to_numpy(np.uint32)
+        rec["octets"] = pdf["octets"].to_numpy(np.uint32)
+        first = pdf["first_ms"].to_numpy(np.int64).astype(np.uint32)
+        rec["first"] = first
+        rec["last"] = first
+        rec["sp"] = pdf["src_port"].to_numpy(np.uint16)
+        rec["dp"] = pdf["dst_port"].to_numpy(np.uint16)
+        prot = pdf["prot"].to_numpy(np.uint8)
+        rec["flags"] = np.where(prot == 6, 0x1B, 0)
+        rec["prot"] = prot
+        rec_bytes = rec.view(np.uint8).reshape(n, _REC_SIZE)
 
-    return prepared.groupBy("exporter_id", "pkt_idx").applyInPandas(
-        _encode, "packet binary"
+        # packet boundaries on the (exporter, pkt_idx) sorted key
+        exp = pdf["exporter_id"].to_numpy(np.int64)
+        pki = pdf["pkt_idx"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.r_[True, (exp[1:] != exp[:-1]) | (pki[1:] != pki[:-1])]
+        )
+        ends = np.r_[starts[1:], n]
+        secs = pdf["unix_secs"].to_numpy(np.int64)
+        hdr = np.zeros(len(starts), dtype=_HDR_DT)
+        hdr["version"] = VERSION
+        hdr["count"] = ends - starts
+        hdr["unix_secs"] = np.maximum.reduceat(secs, starts)
+        hdr["flow_seq"] = (MAX_RECORDS * pki[starts]).astype(np.uint32)
+        hdr["etype"] = ENGINE_TYPE
+        hdr["eid"] = ENGINE_ID
+        hdr["sampling"] = exp[starts].astype(np.uint16)
+        hdr_bytes = hdr.view(np.uint8).reshape(len(starts), _HDR_SIZE)
+        pkts = [
+            hdr_bytes[i].tobytes() + rec_bytes[s:e].tobytes()
+            for i, (s, e) in enumerate(zip(starts, ends))
+        ]
+        yield pd.DataFrame({"packet": pkts})
+
+    return prepared.repartition("exporter_id", "pkt_idx").mapInPandas(
+        _encode_parts, "packet binary"
     )
 
 
@@ -160,24 +237,49 @@ def parse_netflow(df: DataFrame, packet_col: str = "packet") -> DataFrame:
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            # header checks + per-packet record counts, then ONE numpy
+            # parse over the concatenated record blocks (guide §4.2)
+            bufs, hdrs = [], []
             for raw in pdf[packet_col]:
-                p = decode_packet(bytes(raw))
-                for r in p["records"]:
-                    rows.append({
-                        "exporter_id": p["exporter_id"],
-                        "flow_sequence": p["flow_sequence"],
-                        "hdr_count": p["count"],
-                        "hdr_unix_secs": p["unix_secs"],
-                        **r,
-                    })
-            yield pd.DataFrame(
-                rows,
-                columns=["exporter_id", "flow_sequence", "hdr_count",
-                         "hdr_unix_secs", "rec_idx", "src_ip", "dst_ip",
-                         "src_port", "dst_port", "prot", "tcp_flags",
-                         "pkts", "octets", "first_ms"],
+                buf = bytes(raw)
+                version, count = struct.unpack_from(">HH", buf, 0)
+                if version != VERSION:
+                    raise ValueError(f"netflow: version {version}")
+                if len(buf) != _HDR_SIZE + count * _REC_SIZE:
+                    raise ValueError("netflow: length mismatch")
+                hdrs.append(buf[:_HDR_SIZE])
+                bufs.append(buf[_HDR_SIZE:])
+            if not bufs:
+                yield pd.DataFrame(
+                    columns=["exporter_id", "flow_sequence", "hdr_count",
+                             "hdr_unix_secs", "rec_idx", "src_ip",
+                             "dst_ip", "src_port", "dst_port", "prot",
+                             "tcp_flags", "pkts", "octets", "first_ms"],
+                )
+                continue
+            hdr = np.frombuffer(b"".join(hdrs), dtype=_HDR_DT)
+            counts = hdr["count"].astype(np.int64)
+            rec = np.frombuffer(b"".join(bufs), dtype=_REC_DT)
+            rep = np.repeat(np.arange(len(hdr)), counts)
+            rec_idx = np.arange(len(rec)) - np.repeat(
+                np.cumsum(counts) - counts, counts
             )
+            yield pd.DataFrame({
+                "exporter_id": hdr["sampling"][rep].astype(np.int32),
+                "flow_sequence": hdr["flow_seq"][rep].astype(np.int64),
+                "hdr_count": counts[rep].astype(np.int32),
+                "hdr_unix_secs": hdr["unix_secs"][rep].astype(np.int64),
+                "rec_idx": rec_idx.astype(np.int32),
+                "src_ip": _u32_to_ips(rec["src"]),
+                "dst_ip": _u32_to_ips(rec["dst"]),
+                "src_port": rec["sp"].astype(np.int32),
+                "dst_port": rec["dp"].astype(np.int32),
+                "prot": rec["prot"].astype(np.int32),
+                "tcp_flags": rec["flags"].astype(np.int32),
+                "pkts": rec["pkts"].astype(np.int32),
+                "octets": rec["octets"].astype(np.int32),
+                "first_ms": rec["first"].astype(np.int64),
+            })
 
     return df.mapInPandas(
         _decode,
