@@ -51,12 +51,21 @@ _RHDR = struct.Struct("<IIII")
 
 
 def inet_checksum(data: bytes) -> int:
-    """RFC 1071 16-bit ones'-complement sum (odd byte zero-padded)."""
+    """RFC 1071 16-bit ones'-complement sum (odd byte zero-padded).
+
+    Computed as one big-integer mod 2^16-1: the ones'-complement sum of
+    the 16-bit words is exactly the base-2^16 digit sum with end-around
+    carry, i.e. the value of the whole buffer mod 0xFFFF — with the one
+    representative subtlety that a nonzero buffer whose sum folds to 0
+    is represented as 0xFFFF by the word-at-a-time loop. One C-level
+    int.from_bytes + mod replaces the per-word Python loop (~40x on an
+    MTU-sized frame; this runs 4x per captured packet)."""
     if len(data) % 2:
         data += b"\x00"
-    s = sum(int.from_bytes(data[i:i + 2], "big") for i in range(0, len(data), 2))
-    while s >> 16:
-        s = (s & 0xFFFF) + (s >> 16)
+    v = int.from_bytes(data, "big")
+    s = v % 0xFFFF
+    if s == 0 and v != 0:
+        s = 0xFFFF
     return ~s & 0xFFFF
 
 
@@ -151,17 +160,21 @@ def capture_turns(turns: DataFrame, tamper_mod: int = 59) -> DataFrame:
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
         records = []
-        for r in pdf.itertuples():
-            u = int(pdf.loc[r.Index, "_uid"])
-            ms = int(pdf.loc[r.Index, "_ms"])
-            payload = f"{r.conv_id}|{r.turn_idx}|{r.text}".encode()
-            frame = bytearray(build_frame(
+        # plain-array zip: a .loc scalar lookup per row costs more than the
+        # whole frame build (itertuples mangles the _uid/_ms names, so pull
+        # the columns out once instead)
+        for conv, ti, text, u, ms in zip(
+            pdf["conv_id"], pdf["turn_idx"], pdf["text"],
+            pdf["_uid"].astype(int), pdf["_ms"].astype(int),
+        ):
+            payload = f"{conv}|{ti}|{text}".encode()
+            frame = build_frame(
                 f"10.0.{u % 256}.{u % 100}", f"203.0.113.{u % 20}",
                 40000 + u % 20000, DPORT, u, payload,
-            ))
-            if r.turn_idx % tamper_mod == 11:
-                frame[-1] ^= 0x01                  # payload tail byte
-            records.append((ms // 1000, ms % 1000 * 1000, bytes(frame)))
+            )
+            if ti % tamper_mod == 11:
+                frame = frame[:-1] + bytes([frame[-1] ^ 0x01])  # payload tail
+            records.append((ms // 1000, ms % 1000 * 1000, frame))
         return pd.DataFrame({
             "file_id": [int(pdf["file_id"].iloc[0])],
             "capture": [write_pcap(records)],

@@ -1204,17 +1204,27 @@ def gorilla_roundtrip(
         F.col(order_col).alias("o"),
     )
 
-    def enc(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_full", "o"])
-        blob = encode_series(
-            [int(t) for t in pdf["t_s"]], [float(x) for x in pdf["v"]]
-        )
-        return pd.DataFrame(
-            [(pdf["g"].iloc[0], len(pdf), blob)],
-            columns=["g", "n_points", "blob"],
-        )
+    def enc(batches) -> "pd.DataFrame":
+        # one vectorized pandas groupby per partition instead of one
+        # applyInPandas call per stream: the per-group pandas-frame setup
+        # dominated encode wall time at thousands of tiny streams; the
+        # bitstream itself stays strictly sequential per stream.
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["g", "ts_full", "o"], kind="mergesort")
+        gs, ns, blobs_out = [], [], []
+        for g, grp in pdf.groupby("g", sort=False):
+            blob = encode_series(
+                [int(t) for t in grp["t_s"]], [float(x) for x in grp["v"]]
+            )
+            gs.append(g)
+            ns.append(len(grp))
+            blobs_out.append(blob)
+        yield pd.DataFrame({"g": gs, "n_points": ns, "blob": blobs_out})
 
-    blobs = src.groupBy("g").applyInPandas(
+    blobs = src.repartition("g").mapInPandas(
         enc, "g string, n_points long, blob binary"
     )
 
