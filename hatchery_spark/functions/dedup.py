@@ -1032,25 +1032,62 @@ def remove_duplicate_substrings(
     if scope not in ("corpus", "doc"):
         raise ValueError(f"remove_duplicate_substrings: unknown scope {scope!r}")
     npos = F.greatest(F.length(text) - F.lit(k - 1), F.lit(0))
+    # gram hashes are computed as ONE array per doc inside the transform
+    # and only (p, h) is exploded — exploding the position first and
+    # hashing per row would carry the full document text through the
+    # Generate into every position row (O(len²) bytes through the plan).
+    hash_fn = F.md5 if gram_hash == "md5" else F.xxhash64
+    harr = F.transform(
+        F.sequence(F.lit(1), npos),
+        lambda p: hash_fn(F.substring(text, p, F.lit(k))),
+    )
     pos = df.select(
         did.alias("_id"),
-        F.col(text_col).alias("_t"),
-        F.explode(
-            F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-                F.array().cast("array<int>")
+        F.posexplode(
+            F.when(npos >= 1, harr).otherwise(
+                F.array().cast(
+                    "array<string>" if gram_hash == "md5"
+                    else "array<bigint>"
+                )
             )
-        ).alias("p"),
-    ).select("_id", "p", _gram_hash_col(gram_hash, k).alias("h"))
+        ).alias("i", "h"),
+    ).select("_id", (F.col("i") + 1).alias("p"), "h")
     # scope="doc" keys the gram count by (doc, gram) — WITHIN-document
     # repetition (the Gopher §A1.1 dup-ngram signals' removal form: a gram
     # must repeat inside the SAME doc to be excised); "corpus" is the
-    # cross-document ExactSubstr default. Same explode volume either way;
-    # doc scope joins on the composite key.
+    # cross-document ExactSubstr default.
+    #
+    # ONE gram-keyed exchange, not two: hash-partitioning co-locates every
+    # position of a gram, so a partition-local count IS the corpus-wide
+    # count — the former groupBy+join form shuffled the position frame
+    # twice (partial-agg exchange + join exchange) for the same answer.
+    # Skew profile is unchanged: a whale gram's positions all met in one
+    # join partition before too. Counting is one factorize+bincount pass.
     gk = ["h"] if scope == "corpus" else ["_id", "h"]
-    counts = pos.groupBy(*gk).agg(F.count(F.lit(1)).alias("n"))
-    dup = pos.join(
-        counts.filter(F.col("n") >= min_count).select(*gk), gk
-    ).select("_id", "p")
+    id_ddl = dict(df.dtypes)[id_col]
+    doc_scope = scope == "doc"
+
+    def _dup_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        codes, _ = pd.factorize(pdf["h"], sort=False)
+        if doc_scope:
+            idc, _ = pd.factorize(pdf["_id"], sort=False)
+            _, codes, cnt = np.unique(
+                idc.astype(np.int64) * (codes.max() + 1) + codes,
+                return_inverse=True, return_counts=True,
+            )
+        else:
+            cnt = np.bincount(codes)
+        out = pdf.loc[cnt[codes] >= min_count, ["_id", "p"]]
+        yield out
+
+    dup = pos.repartition(*gk).mapInPandas(_dup_rows, f"_id {id_ddl}, p int")
     return _excise_dup_positions(df, dup, k, text_col, id_col)
 
 

@@ -29,7 +29,7 @@ div/sum is replayable on any engine with 64-bit integers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -448,11 +448,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    out = (
-        sym.join(mins, "u")
-        .where(F.col("v") > F.col("u"))
-        .select(F.least("mn", "u").alias("a"), F.col("v").alias("b"))
+    # min(Γ(u)) via a window over the SAME u-keyed exchange the rows need
+    # anyway — the groupBy+join form paid a second full shuffle of sym
+    # (agg exchange + join exchange) for the identical neighborhood min
+    marked = sym.withColumn(
+        "mn", F.min("v").over(Window.partitionBy("u"))
+    )
+    out = marked.where(F.col("v") > F.col("u")).select(
+        F.least("mn", "u").alias("a"), F.col("v").alias("b")
     )
     return _canon_edges(out)
 
@@ -461,13 +464,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star step: each edge is routed to its LARGER endpoint u, which
     connects its strictly smaller neighbors (and itself) to their minimum."""
     sym = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
-    rewired = (
-        sym.join(mins, "u")
-        .where(F.col("v") != F.col("mn"))
-        .select(F.col("mn").alias("a"), F.col("v").alias("b"))
+    # same one-exchange window form as _large_star; (u, v) pairs are
+    # unique (canonical edges), so exactly one row per u has v == mn and
+    # doubles as that star's center edge (mn, u)
+    marked = sym.withColumn(
+        "mn", F.min("v").over(Window.partitionBy("u"))
     )
-    centers = mins.select(F.col("mn").alias("a"), F.col("u").alias("b"))
+    rewired = marked.where(F.col("v") != F.col("mn")).select(
+        F.col("mn").alias("a"), F.col("v").alias("b")
+    )
+    centers = marked.where(F.col("v") == F.col("mn")).select(
+        F.col("mn").alias("a"), F.col("u").alias("b")
+    )
     return _canon_edges(rewired.union(centers))
 
 
