@@ -415,17 +415,22 @@ def char_bigram_pairs(
     Python, no HOF. Docs shorter than 2 chars yield no rows.
     """
     t = F.col(text_col)
+    # one linear split per doc, pairs zipped from two array slices —
+    # exploding a position sequence and substr-ing per row would carry
+    # the full text through the Generate into every char row (O(len²)
+    # bytes) and pay UTF8String's O(position) char-offset scan per slice
+    chars = F.split(t, "")
+    pairs = F.arrays_zip(
+        F.slice(chars, 1, F.length(t) - 1),
+        F.slice(chars, 2, F.length(t) - 1),
+    )
     return (
         df.filter(t.isNotNull() & (F.length(t) >= 2))
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(
             F.col(id_col),
-            t.alias("_t"),
-            F.explode(F.sequence(F.lit(1), F.length(t) - 1)).alias("_i"),
-        )
-        .select(
-            F.col(id_col),
-            F.col("_t").substr(F.col("_i"), F.lit(1)).alias("ctx"),
-            F.col("_t").substr(F.col("_i") + 1, F.lit(1)).alias("nxt"),
+            F.col("_p")["0"].alias("ctx"),
+            F.col("_p")["1"].alias("nxt"),
         )
     )
 
@@ -516,18 +521,25 @@ def word_bigram_pairs(
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), _WS), lambda x: x != ""
     )
+    # pairs zipped from two slices of the token array — exploding an index
+    # and element_at-ing per row would carry the whole token array through
+    # the Generate into every pair row (array-width × n_tokens bytes)
     return (
         df.select(F.col(id_col), toks.alias("_t"))
         .filter(F.size("_t") >= 2)
         .select(
             F.col(id_col),
-            F.col("_t"),
-            F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                    F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                )
+            ).alias("_p"),
         )
         .select(
             F.col(id_col),
-            F.element_at("_t", F.col("_i")).alias("w1"),
-            F.element_at("_t", F.col("_i") + 1).alias("w2"),
+            F.col("_p")["0"].alias("w1"),
+            F.col("_p")["1"].alias("w2"),
         )
     )
 

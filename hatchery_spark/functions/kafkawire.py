@@ -265,7 +265,12 @@ def write_record_batches(turns: DataFrame, tamper_every: int = 17) -> DataFrame:
             buf[-1] ^= 0xFF
         return pd.DataFrame({"batch": [bytes(buf)]})
 
-    return prepared.groupBy("conv_id").applyInPandas(_encode, "batch binary")
+    from hatchery_spark.functions.udx import grouped_apply
+
+    # one Python call per partition, not per conversation (grouped_apply):
+    # at thousands of 1-row output groups the applyInPandas per-group
+    # frame setup dominated the encode stage
+    return grouped_apply(prepared, ["conv_id"], _encode, "batch binary")
 
 
 def read_record_batches(df: DataFrame, batch_col: str = "batch") -> DataFrame:

@@ -199,7 +199,10 @@ def write_otlp_traces(turns: DataFrame) -> DataFrame:
             {"blob": [encode_trace(pdf["conv_id"].iloc[0], rows)]}
         )
 
-    return prepared.groupBy("conv_id").applyInPandas(_encode, "blob binary")
+    from hatchery_spark.functions.udx import grouped_apply
+
+    # one Python call per partition, not per conversation (see udx)
+    return grouped_apply(prepared, ["conv_id"], _encode, "blob binary")
 
 
 def read_otlp_traces(df: DataFrame, blob_col: str = "blob") -> DataFrame:

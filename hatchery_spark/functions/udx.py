@@ -73,3 +73,36 @@ def conv_error_burst(df) -> "DataFrame":  # noqa: F821
     return df.groupBy("conv_id").agg(
         error_burst_score(F.col("turn_idx"), F.col("severity")).alias("burst")
     )
+
+
+def grouped_apply(df, keys, fn, schema):
+    """``applyInPandas``-equivalent with O(1) Python invocations per
+    PARTITION instead of one per group: repartition on the group keys
+    (hash co-location guarantees group wholeness), concatenate the
+    partition's Arrow batches once, and run a pandas ``groupby`` calling
+    ``fn(group_pdf)`` per group.
+
+    For operators with MANY SMALL groups (one wire batch per
+    conversation, one packet per flow window) the per-group pandas-frame
+    setup inside applyInPandas dominates the stage; this form pays it
+    once per partition and also spreads work over the full key space
+    rather than inheriting a coarser upstream partitioning.
+    ``fn`` must return a pandas DataFrame matching ``schema`` (or None).
+    """
+    keys = list(keys)
+
+    def _apply(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        outs = []
+        for _, grp in pdf.groupby(keys[0] if len(keys) == 1 else keys,
+                                  sort=False):
+            r = fn(grp)
+            if r is not None and len(r):
+                outs.append(r)
+        if outs:
+            yield pd.concat(outs, ignore_index=True)
+
+    return df.repartition(*keys).mapInPandas(_apply, schema)

@@ -28,11 +28,48 @@ def test_hit_and_miss_semantics(spark):
     assert out[3].severity == "unknown" and out[3].category == "unknown"
 
 
-def test_broadcast_join_in_plan(spark):
+def test_small_catalog_compiles_to_plan_literal(spark):
+    # a normal-size catalog is compiled into the plan: no join operator,
+    # no broadcast exchange — the lookup rides the fact side's codegen
     cat = service_catalog_df(spark)
     df = transcripts_df(spark, 100)
     plan = enrich_turns(parse_turns(df), cat)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "Join" not in plan
+    assert "map_from" in plan or "keys:" in plan or "Project" in plan
+
+
+def test_oversized_catalog_falls_back_to_broadcast_join(spark):
+    from hatchery_spark import enrich as enrich_mod
+
+    cat = service_catalog_df(spark)
+    df = transcripts_df(spark, 100)
+    old = enrich_mod.MAP_COMPILE_LIMIT
+    enrich_mod.MAP_COMPILE_LIMIT = 0
+    try:
+        plan = enrich_turns(parse_turns(df), cat)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        enrich_mod.MAP_COMPILE_LIMIT = old
     assert "BroadcastHashJoin" in plan
+
+
+def test_compiled_and_join_paths_agree(spark):
+    from hatchery_spark import enrich as enrich_mod
+
+    cat = service_catalog_df(spark)
+    parsed = parse_turns(transcripts_df(spark, 500))
+    compiled = enrich_turns(parsed, cat)
+    old = enrich_mod.MAP_COMPILE_LIMIT
+    enrich_mod.MAP_COMPILE_LIMIT = 0
+    try:
+        joined = enrich_turns(parsed, cat)
+    finally:
+        enrich_mod.MAP_COMPILE_LIMIT = old
+    assert compiled.columns == joined.columns
+    key = lambda r: tuple(("", v) if v is None else ("v", str(v)) for v in r)  # noqa: E731
+    a = sorted(map(tuple, compiled.collect()), key=key)
+    b = sorted(map(tuple, joined.collect()), key=key)
+    assert a == b
 
 
 def test_no_row_loss_or_dup(spark):
