@@ -229,6 +229,36 @@ def hits(
 
     hub = nodes.select("node", F.lit(scale // n_nodes).alias("h")).persist()
     auth = None
+
+    def _renorm(full: DataFrame, raw: str, out: str) -> DataFrame:
+        """x div greatest(Σx div scale, 1), with the norm as a BROADCAST
+        1-row aggregate of the SAME frame — not a driver-fetched scalar.
+
+        The old driver-scalar form (.first() per half-round) paid the edge
+        join + agg TWICE per half-round: once for the norm job and once
+        again for the localCheckpoint, since the un-persisted chain
+        recomputes. The broadcast form evaluates the chain once inside the
+        checkpoint job (the broadcast side populates `full`'s cache, the
+        main side reads it). localCheckpoint per half-round stays: a fully
+        lazy persist chain nests cached-AQE plans and drives the driver
+        into EXPONENTIAL TreeNode.generateTreeString rendering (re-confirmed
+        by jstack this round — 800+ s RUNNABLE in generateTreeString on a
+        3-iteration graph), so plan truncation is load-bearing, not
+        optional."""
+        full = full.persist()
+        s = full.agg(
+            F.greatest(F.expr(f"sum({raw}) div {scale}"), F.lit(1))
+            .cast("long")
+            .alias("_s")
+        )
+        leveled = (
+            full.crossJoin(F.broadcast(s))
+            .select("node", F.expr(f"{raw} div _s").cast("long").alias(out))
+            .localCheckpoint()
+        )
+        full.unpersist()
+        return leveled
+
     for it in range(iters):
         a_raw = (
             edges.join(hub.withColumnRenamed("node", "src"), "src")
@@ -238,22 +268,7 @@ def hits(
         a_full = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce(F.col("a_raw"), F.lit(0)).alias("a_raw")
         )
-        # the norm is ONE row — fetch it as a driver scalar and inline it
-        # as a literal; the next level is then localCheckpoint'ed, which
-        # MATERIALIZES the node-sized frame and TRUNCATES its logical
-        # plan to a leaf. Both halves matter: lazy persist made every
-        # per-round norm job recompute the whole unmaterialized chain
-        # (58 s at sf0.1), and nested per-round cached-AQE plans sent the
-        # driver into minutes of generateTreeString plan rendering
-        # (jstack-diagnosed: 100+ s RUNNABLE in TreeNode.generateTreeString).
-        s_a = a_full.agg(
-            F.greatest(F.expr(f"sum(a_raw) div {scale}"), F.lit(1))
-            .cast("long")
-            .alias("s")
-        ).first()["s"]
-        auth = a_full.select(
-            "node", F.expr(f"a_raw div {s_a}").cast("long").alias("a")
-        ).localCheckpoint()
+        auth = _renorm(a_full, "a_raw", "a")
         h_raw = (
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
@@ -262,14 +277,7 @@ def hits(
         h_full = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce(F.col("h_raw"), F.lit(0)).alias("h_raw")
         )
-        s_h = h_full.agg(
-            F.greatest(F.expr(f"sum(h_raw) div {scale}"), F.lit(1))
-            .cast("long")
-            .alias("s")
-        ).first()["s"]
-        hub = h_full.select(
-            "node", F.expr(f"h_raw div {s_h}").cast("long").alias("h")
-        ).localCheckpoint()
+        hub = _renorm(h_full, "h_raw", "h")
 
     return hub.join(auth, "node").select(
         "node",
@@ -444,7 +452,13 @@ def _canon_edges(e: DataFrame) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star step (Kiveris et al., SoCC'14 "Connected Components in
     MapReduce and Beyond"): every node u connects each STRICTLY LARGER
-    neighbor to m(u) = min(Γ(u) ∪ {u})."""
+    neighbor to m(u) = min(Γ(u) ∪ {u}).
+
+    Emits the RAW (possibly duplicated, but already a<b oriented) edge
+    multiset — the round's single dedup happens once, after the small-star
+    step. Window-min over duplicates equals window-min over the set, and
+    both star steps are defined on edge SETS, so deferring the distinct
+    changes nothing except removing one full exchange per round."""
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -454,19 +468,22 @@ def _large_star(e: DataFrame) -> DataFrame:
     marked = sym.withColumn(
         "mn", F.min("v").over(Window.partitionBy("u"))
     )
-    out = marked.where(F.col("v") > F.col("u")).select(
+    # least(mn, u) ≤ u < v always, so the output is a<b oriented already;
+    # only self-loop-free rows can occur (v > u ≥ least(mn, u))
+    return marked.where(F.col("v") > F.col("u")).select(
         F.least("mn", "u").alias("a"), F.col("v").alias("b")
     )
-    return _canon_edges(out)
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star step: each edge is routed to its LARGER endpoint u, which
-    connects its strictly smaller neighbors (and itself) to their minimum."""
+    connects its strictly smaller neighbors (and itself) to their minimum.
+
+    Accepts a raw (duplicated) a<b edge multiset from ``_large_star``;
+    duplicate (u, v) rows only duplicate output rows, which the trailing
+    ``_canon_edges`` (the round's one distinct) removes."""
     sym = e.select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
-    # same one-exchange window form as _large_star; (u, v) pairs are
-    # unique (canonical edges), so exactly one row per u has v == mn and
-    # doubles as that star's center edge (mn, u)
+    # same one-exchange window form as _large_star
     marked = sym.withColumn(
         "mn", F.min("v").over(Window.partitionBy("u"))
     )
@@ -588,13 +605,12 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 60) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        digest = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("x"),
-        ).first()
-        if (digest["n"], digest["x"]) == prev:
+        # peeling only DROPS edges (two semi-joins of e against keep), so an
+        # unchanged count proves an unchanged set — no content hash needed
+        n_edges = e.count()
+        if n_edges == prev:
             break
-        prev = (digest["n"], digest["x"])
+        prev = n_edges
     else:  # pragma: no cover
         raise RuntimeError(f"kcore: no fixpoint in {max_iters} rounds")
     sym = e.select(F.col("a").alias("node")).union(e.select(F.col("b")))
