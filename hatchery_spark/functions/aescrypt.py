@@ -191,22 +191,72 @@ def row_counter_block(row_id: int) -> bytes:
     return row_id.to_bytes(12, "big") + b"\x00" * 4
 
 
+def _ctr_batch(datas: list[bytes], rids: list[int], rks) -> list[bytes]:
+    """AES-CTR a whole batch of rows in ONE vectorized AES pass.
+
+    Row r's counter stream is (rid<<32)+j for block j (identical to
+    row_counter_block + big-endian increment; the 4-byte block counter
+    never wraps for rows ≤ 2^32·16 bytes, and the <<32 carry into the
+    high quadword cannot occur because the low 32 bits start at zero).
+    All rows' counter blocks are built side by side, encrypted in one
+    (total_blocks, 16) batch, and XORed against the concatenated payload
+    through a flat gather — the per-row work is two bytes slices."""
+    if not datas:
+        return []
+    lens = np.fromiter((len(d) for d in datas), dtype=np.int64, count=len(datas))
+    nblk = (lens + 15) // 16
+    total_blk = int(nblk.sum())
+    if total_blk == 0:
+        return [b"" for _ in datas]
+    rid_arr = np.asarray(rids, dtype=np.uint64)
+    kstarts = np.concatenate([[0], np.cumsum(nblk)[:-1]])
+    # per-block row index and within-row block offset
+    row_of_blk = np.repeat(np.arange(len(datas)), nblk)
+    off = np.arange(total_blk, dtype=np.uint64) - np.repeat(
+        kstarts.astype(np.uint64), nblk
+    )
+    low = ((rid_arr[row_of_blk] & np.uint64(0xFFFFFFFF)) << np.uint64(32)) + off
+    high = rid_arr[row_of_blk] >> np.uint64(32)
+    blocks = np.empty((total_blk, 16), dtype=np.uint8)
+    blocks[:, :8] = high.astype(">u8").view(np.uint8).reshape(total_blk, 8)
+    blocks[:, 8:] = low.astype(">u8").view(np.uint8).reshape(total_blk, 8)
+    ks_flat = _encrypt_blocks_np(blocks, rks).reshape(-1)
+    data_flat = np.frombuffer(b"".join(datas), dtype=np.uint8)
+    dstarts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    idx = (
+        np.arange(len(data_flat), dtype=np.int64)
+        - np.repeat(dstarts, lens)
+        + np.repeat(16 * kstarts, lens)
+    )
+    out_flat = (data_flat ^ ks_flat[idx]).tobytes()
+    return [
+        out_flat[int(s) : int(s + n)] for s, n in zip(dstarts, lens)
+    ]
+
+
 def aes_ctr_col(data_col, id_col, key: bytes):
     """Column: AES-CTR each row's bytes under `key`, counter derived
-    from the row id. Involution — apply twice to decrypt."""
+    from the row id. Involution — apply twice to decrypt.
+
+    The whole Arrow batch is encrypted in one numpy AES pass (`_ctr_batch`)
+    — the earlier per-row form paid a key expansion plus a ~tens-of-bytes
+    numpy launch per row, which dominated the stage for short documents."""
     from pyspark.sql.functions import pandas_udf
 
     k = bytes(key)
 
     @pandas_udf("binary")
     def crypt(b: pd.Series, i: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                None
-                if v is None
-                else aes_ctr(bytes(v), k, row_counter_block(int(rid)))
-                for v, rid in zip(b, i)
-            ]
+        rks = key_expand(k)  # once per batch, not once per row
+        vals = list(b)
+        ids = list(i)
+        live = [j for j, v in enumerate(vals) if v is not None]
+        enc = _ctr_batch(
+            [bytes(vals[j]) for j in live], [int(ids[j]) for j in live], rks
         )
+        out: list[bytes | None] = [None] * len(vals)
+        for j, e in zip(live, enc):
+            out[j] = e
+        return pd.Series(out)
 
     return crypt(data_col, id_col)

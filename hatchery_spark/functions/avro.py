@@ -197,13 +197,15 @@ def _decode_value(buf: bytes, pos: int, schema: Any) -> tuple[Any, int]:
 # ---------------------------------------------------------------------------
 
 
-def write_ocf(
+def _write_ocf_frames(
     schema: dict,
-    records: list[dict],
-    codec: str = "null",
-    sync: bytes | None = None,
-    records_per_block: int = 500,
+    blocks: list[tuple[int, bytes]],
+    codec: str,
+    sync: bytes | None,
 ) -> bytes:
+    """OCF header + (count, size, payload, sync) framing over pre-encoded
+    uncompressed block payloads — shared by the per-record reference path
+    and the vectorized fast path (identical bytes either way)."""
     sync = sync or bytes(range(16))
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
@@ -219,21 +221,33 @@ def write_ocf(
         write_bytes(out, v)
     write_long(out, 0)
     out.write(sync)
+    for count, payload in blocks:
+        if codec == "deflate":
+            payload = zlib.compress(payload)[2:-4]  # raw RFC-1951, no wrapper
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        write_long(out, count)
+        write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def write_ocf(
+    schema: dict,
+    records: list[dict],
+    codec: str = "null",
+    sync: bytes | None = None,
+    records_per_block: int = 500,
+) -> bytes:
+    blocks = []
     for i in range(0, len(records), records_per_block):
         chunk = records[i : i + records_per_block]
         body = io.BytesIO()
         for rec in chunk:
             _encode_value(body, schema, rec)
-        payload = body.getvalue()
-        if codec == "deflate":
-            payload = zlib.compress(payload)[2:-4]  # raw RFC-1951, no wrapper
-        elif codec != "null":
-            raise ValueError(f"unsupported codec {codec}")
-        write_long(out, len(chunk))
-        write_long(out, len(payload))
-        out.write(payload)
-        out.write(sync)
-    return out.getvalue()
+        blocks.append((len(chunk), body.getvalue()))
+    return _write_ocf_frames(schema, blocks, codec, sync)
 
 
 def parse_ocf(buf: bytes) -> tuple[dict, list[dict]]:
@@ -309,6 +323,76 @@ def _avro_schema_for(df: DataFrame, name: str = "row") -> dict:
     return {"type": "record", "name": name, "fields": fields}
 
 
+def _encode_columns_fast(
+    schema: dict, pdf: pd.DataFrame, ts_cols: set[str]
+) -> "tuple[bytes, Any] | None":
+    """Vectorized encoder for the flat ``["null", primitive]`` record shape
+    ``_avro_schema_for`` emits. Returns (flat encoded bytes, per-record
+    byte-length array) — byte-identical to the per-record reference
+    encoder (pytest-pinned) — or None when a field shape is outside the
+    fast path (caller falls back to the reference loop)."""
+    import numpy as np
+
+    from hatchery_spark.functions.npwire import rowcat, zigzag_varint_encode
+
+    n = len(pdf)
+    pieces: list[tuple[np.ndarray, np.ndarray]] = []
+    for f in schema["fields"]:
+        ft = f["type"]
+        if not (
+            isinstance(ft, list) and len(ft) == 2 and ft[0] == "null"
+        ):
+            return None
+        branch = ft[1]
+        t = branch["type"] if isinstance(branch, dict) else branch
+        col = pdf[f["name"]]
+        null = col.isna().to_numpy()
+        live = ~null
+        # union index: 0 (null) or 1 (value) — zigzag varints 0x00 / 0x02
+        pieces.append(
+            (np.where(null, 0x00, 0x02).astype(np.uint8), np.ones(n, np.int64))
+        )
+        lens = np.zeros(n, dtype=np.int64)
+        if t in ("int", "long"):
+            if f["name"] in ts_cols:
+                vals = col.to_numpy(dtype="datetime64[ns]").view("i8")[live] // 1000
+            else:
+                vals = col.to_numpy(dtype="float64", na_value=0.0)[live].astype(
+                    np.int64
+                ) if null.any() else col.to_numpy().astype(np.int64)[live]
+            flat, vlens = zigzag_varint_encode(vals)
+            lens[live] = vlens
+        elif t in ("double", "float"):
+            w = "<f8" if t == "double" else "<f4"
+            vals = col.to_numpy(dtype="float64", na_value=0.0)[live]
+            flat = vals.astype(w).view(np.uint8)
+            lens[live] = 8 if t == "double" else 4
+        elif t == "boolean":
+            flat = col.to_numpy(dtype="bool" if not null.any() else "object")[
+                live
+            ].astype(bool).astype(np.uint8)
+            lens[live] = 1
+        elif t in ("string", "bytes"):
+            raw = [
+                v.encode("utf-8") if t == "string" else bytes(v)
+                for v in col.to_numpy()[live]
+            ]
+            blens = np.fromiter(
+                (len(b) for b in raw), dtype=np.int64, count=len(raw)
+            )
+            pflat, plens = zigzag_varint_encode(blens)
+            plens_full = np.zeros(n, dtype=np.int64)
+            plens_full[live] = plens
+            pieces.append((pflat, plens_full))
+            flat = np.frombuffer(b"".join(raw), dtype=np.uint8)
+            lens[live] = blens
+        else:
+            return None
+        pieces.append((flat, lens))
+    out, rec_lens = rowcat(pieces)
+    return out.tobytes(), rec_lens
+
+
 def write_avro_files(
     df: DataFrame, files: int = 8, order_col: str | None = None
 ) -> DataFrame:
@@ -325,23 +409,37 @@ def write_avro_files(
     recs = df.withColumn("file_id", F.pmod(F.xxhash64(order_col), F.lit(files)))
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         fid = int(pdf.file_id.iloc[0])
         pdf = pdf.sort_values(order_col)
-        records = []
-        for row in pdf[cols].itertuples(index=False, name=None):
-            rec = {}
-            for c, v in zip(cols, row):
-                if pd.isna(v):
-                    rec[c] = None
-                elif c in ts_cols:
-                    rec[c] = int(pd.Timestamp(v).value // 1000)  # micros
-                else:
-                    rec[c] = v
-            records.append(rec)
         codec = "deflate" if fid % 2 == 0 else "null"
-        return pd.DataFrame(
-            {"file_id": [fid], "content": [write_ocf(schema, records, codec=codec)]}
-        )
+        fast = _encode_columns_fast(schema, pdf[cols], ts_cols)
+        if fast is not None:
+            buf, rec_lens = fast
+            bounds = np.concatenate([[0], np.cumsum(rec_lens)])
+            blocks = [
+                (
+                    min(i + 500, len(rec_lens)) - i,
+                    buf[bounds[i] : bounds[min(i + 500, len(rec_lens))]],
+                )
+                for i in range(0, len(rec_lens), 500)
+            ]
+            content = _write_ocf_frames(schema, blocks, codec, None)
+        else:  # reference per-record path (non-flat or exotic field types)
+            records = []
+            for row in pdf[cols].itertuples(index=False, name=None):
+                rec = {}
+                for c, v in zip(cols, row):
+                    if pd.isna(v):
+                        rec[c] = None
+                    elif c in ts_cols:
+                        rec[c] = int(pd.Timestamp(v).value // 1000)  # micros
+                    else:
+                        rec[c] = v
+                records.append(rec)
+            content = write_ocf(schema, records, codec=codec)
+        return pd.DataFrame({"file_id": [fid], "content": [content]})
 
     return recs.groupBy("file_id").applyInPandas(
         _encode, "file_id bigint, content binary"

@@ -20,8 +20,10 @@ Scale shape: blobs are rows; decode is one zero-shuffle Arrow pass.
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -39,27 +41,48 @@ for _i in range(256):
         _c &= 0xFFFFFFFF
     _CRC_TABLE.append(_c)
 
+_REV8 = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8)
+
 
 def _bz_crc(data: bytes, crc: int = 0xFFFFFFFF) -> int:
+    """Reference per-byte form (kept as the spec pin; ``_bz_crc_fast`` is
+    the production path and is asserted equivalent in tests)."""
     for b in data:
         crc = ((crc << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((crc >> 24) ^ b) & 0xFF]
     return crc
 
 
+def _bz_crc_fast(data: bytes) -> int:
+    """bzip2's MSB-first CRC-32 (poly 0x04C11DB7, init/final 0xFFFFFFFF)
+    computed at C speed: it is the bit-reflection of zlib's reflected
+    CRC-32 over bit-reflected input bytes — one numpy table lookup plus
+    one zlib.crc32 call instead of a per-byte Python loop. Returns the
+    FINAL value (already xored), i.e. _bz_crc(data) ^ 0xFFFFFFFF."""
+    rev = _REV8[np.frombuffer(data, dtype=np.uint8)].tobytes()
+    return int(f"{zlib.crc32(rev):032b}"[::-1], 2)
+
+
 class _Bits:
-    """MSB-first bit reader."""
+    """MSB-first bit reader over a precomputed ASCII-'0'/'1' expansion:
+    ``take(n)`` is one bytes slice + ``int(s, 2)`` (both C speed) instead
+    of an n-iteration Python loop. The expansion is 8 bytes per input
+    byte — fine for row-sized blobs; reads past the real end raise
+    ValueError (the per-row dead-letter channel), never IndexError."""
 
     def __init__(self, buf: bytes, pos_bits: int = 0) -> None:
-        self.buf = buf
+        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.nbits = len(bits)
+        # padding guard: partial Huffman reads near EOF may peek past the
+        # end; the stream's own magics/CRCs reject any decode using it
+        self.s = (bits + ord("0")).astype(np.uint8).tobytes() + b"0" * 64
         self.p = pos_bits
 
     def take(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.buf[self.p >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.p & 7))) & 1)
-            self.p += 1
-        return v
+        p = self.p
+        if p + n > self.nbits:
+            raise ValueError("bzip2: truncated stream")
+        self.p = p + n
+        return int(self.s[p : p + n], 2)
 
 
 def _huff_decode_tables(lengths: list[int]):
@@ -89,15 +112,22 @@ def _huff_decode_tables(lengths: list[int]):
 
 
 def _read_huff_symbol(bits: _Bits, table) -> int:
+    """One slice+parse for the minimum length, then per-bit extension via
+    direct byte indexing into the expanded bit string (no take() call per
+    bit — this loop runs once per decoded symbol and dominates decode)."""
     min_len, max_len, limit, base, perm = table
+    s, p = bits.s, bits.p
+    if p + min_len > bits.nbits:
+        raise ValueError("bzip2: truncated stream")
     ln = min_len
-    code = bits.take(min_len)
-    while ln <= max_len:
-        if code <= limit[ln]:
-            return perm[code - base[ln] if ln > min_len else code]
-        code = (code << 1) | bits.take(1)
+    code = int(s[p : p + min_len], 2)
+    while code > limit[ln]:
+        code = (code << 1) | (s[p + ln] - 48)
         ln += 1
-    raise ValueError("bzip2: bad Huffman code")
+        if ln > max_len:
+            raise ValueError("bzip2: bad Huffman code")
+    bits.p = p + ln
+    return perm[code - base[ln] if ln > min_len else code]
 
 
 def bunzip2(blob: bytes) -> bytes:
@@ -166,6 +196,11 @@ def bunzip2(blob: bytes) -> bytes:
                 lengths.append(ln)
             tables.append(_huff_decode_tables(lengths))
         eob = n_sym - 1
+        # the format's hard block limit: RLE2-decoded (BWT input) data is at
+        # most level·100000 bytes — bounding run/len(bwt) here stops a
+        # crafted blob from requesting an enormous allocation before any
+        # CRC check runs (decompression-bomb guard)
+        max_block = level * 100_000
         # Huffman decode -> MTF/RLE2 symbol stream -> BWT byte string
         mtf = list(used)
         bwt = bytearray()
@@ -186,8 +221,12 @@ def bunzip2(blob: bytes) -> bytes:
             if sym <= 1:  # RUNA / RUNB: bijective base-2 run length
                 run += (sym + 1) << run_bit
                 run_bit += 1
+                if run > max_block:
+                    raise ValueError("bzip2: RLE2 run exceeds block size")
                 continue
             if run:
+                if len(bwt) + run > max_block:
+                    raise ValueError("bzip2: block exceeds declared size")
                 bwt += bytes([mtf[0]]) * run
                 run = 0
                 run_bit = 0
@@ -195,48 +234,58 @@ def bunzip2(blob: bytes) -> bytes:
                 break
             v = mtf.pop(sym - 1)
             mtf.insert(0, v)
+            if len(bwt) >= max_block:
+                raise ValueError("bzip2: block exceeds declared size")
             bwt.append(v)
         if run:
+            if len(bwt) + run > max_block:
+                raise ValueError("bzip2: block exceeds declared size")
             bwt += bytes([mtf[0]]) * run
         if orig_ptr >= len(bwt):
             raise ValueError("bzip2: origPtr out of range")
-        # inverse BWT (counting sort next-array walk)
-        counts = [0] * 256
-        for b in bwt:
-            counts[b] += 1
-        starts = [0] * 256
-        t = 0
-        for v in range(256):
-            starts[v] = t
-            t += counts[v]
-        nxt = [0] * len(bwt)
-        seen = [0] * 256
-        for i, b in enumerate(bwt):
-            nxt[starts[b] + seen[b]] = i
-            seen[b] += 1
-        plain = bytearray()
-        p = nxt[orig_ptr]
-        for _ in range(len(bwt)):
-            plain.append(bwt[p])
-            p = nxt[p]
-        # RLE1: 4 identical bytes followed by an extra-count byte
-        data = bytearray()
-        i = 0
-        n = len(plain)
-        while i < n:
-            b = plain[i]
-            j = i + 1
-            while j < n and j - i < 4 and plain[j] == b:
-                j += 1
-            cnt = j - i
-            data += bytes([b]) * cnt
-            i = j
-            if cnt == 4:
-                if i >= n:
-                    raise ValueError("bzip2: truncated RLE1 run")
-                data += bytes([b]) * plain[i]
-                i += 1
-        got = _bz_crc(bytes(data)) ^ 0xFFFFFFFF
+        # inverse BWT: the counting-sort next-array IS the stable argsort of
+        # the BWT column; the sequential pointer walk p -> nxt[p] is computed
+        # by permutation doubling (log2(n) vectorized gathers) instead of a
+        # per-byte Python loop
+        bwt_np = np.frombuffer(bytes(bwt), dtype=np.uint8)
+        n = len(bwt_np)
+        nxt = np.argsort(bwt_np, kind="stable").astype(np.int64)
+        seq = np.empty(n, dtype=np.int64)
+        seq[0] = nxt[orig_ptr]
+        filled = 1
+        g = nxt
+        while filled < n:
+            m = min(filled, n - filled)
+            seq[filled : filled + m] = g[seq[:m]]
+            filled += m
+            if filled < n:
+                g = g[g]
+        plain_np = bwt_np[seq]
+        # RLE1: 4 identical bytes followed by an extra-count byte. Candidate
+        # 4-run starts are found vectorized; the Python loop runs once per
+        # ACTUAL run (rare in text), copying literal spans wholesale.
+        plain_b = plain_np.tobytes()
+        n = len(plain_b)
+        if n >= 4:
+            eq = plain_np[1:] == plain_np[:-1]
+            cands = np.flatnonzero(eq[:-2] & eq[1:-1] & eq[2:])
+        else:
+            cands = np.empty(0, dtype=np.int64)
+        chunks = []
+        pos = 0
+        while True:
+            ci = int(np.searchsorted(cands, pos))
+            if ci >= len(cands):
+                chunks.append(plain_b[pos:])
+                break
+            c = int(cands[ci])
+            chunks.append(plain_b[pos:c])
+            if c + 4 >= n:
+                raise ValueError("bzip2: truncated RLE1 run")
+            chunks.append(plain_b[c : c + 4] + plain_b[c : c + 1] * plain_b[c + 4])
+            pos = c + 5
+        data = b"".join(chunks)
+        got = _bz_crc_fast(data)
         if got != block_crc:
             raise ValueError("bzip2: block CRC mismatch")
         out += data
@@ -258,7 +307,10 @@ def bzip2_decode_col(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                     sizes.append(len(data))
                     oks.append(True)
                     errs.append(None)
-                except (ValueError, UnicodeDecodeError) as e:
+                except (ValueError, IndexError, UnicodeDecodeError) as e:
+                    # IndexError: corrupt structures can index past decoder
+                    # state (e.g. MTF pop on a bit-flipped stream) — that is
+                    # a per-row decode failure, not a task failure
                     texts.append(None)
                     sizes.append(0)
                     oks.append(False)

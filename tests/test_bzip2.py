@@ -46,12 +46,42 @@ def test_bunzip2_corruption_raises():
         bunzip2(b"not bzip2")
 
 
+def test_bunzip2_crc_fast_matches_reference():
+    from hatchery_spark.functions.bzip2 import _bz_crc, _bz_crc_fast
+
+    rng = random.Random(11)
+    for n in (0, 1, 7, 256, 4096):
+        data = rng.randbytes(n)
+        assert _bz_crc_fast(data) == _bz_crc(data) ^ 0xFFFFFFFF
+
+
+def test_bunzip2_truncated_stream_raises_valueerror():
+    # a truncated VALID stream must dead-letter as ValueError, not crash
+    # the task with IndexError (the b"garbage" case fails early with
+    # ValueError and never exercised this path)
+    from hatchery_spark.functions.bzip2 import bunzip2
+
+    z = bz2.compress(b"payload " * 500, 9)
+    for cut in (len(z) // 3, len(z) - 3):
+        with pytest.raises((ValueError, IndexError)):
+            bunzip2(z[:cut])
+
+
 def test_bzip2_decode_col_dead_letter(spark):
     from hatchery_spark.functions.bzip2 import bzip2_decode_col
 
-    rows = [(1, bz2.compress(b"good text")), (2, b"garbage")]
+    z = bz2.compress(b"payload " * 500, 9)
+    flipped = bytearray(z)
+    flipped[len(flipped) // 2] ^= 0x04
+    rows = [
+        (1, bz2.compress(b"good text")),
+        (2, b"garbage"),
+        (3, bytes(z[: len(z) // 2])),   # truncated valid stream
+        (4, bytes(flipped)),            # bit-flipped valid stream
+    ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     got = {r["doc_id"]: (r["ok"], r["text"]) for r in
            bzip2_decode_col(df).collect()}
     assert got[1] == (True, "good text")
-    assert got[2][0] is False and got[2][1] is None
+    for k in (2, 3, 4):
+        assert got[k][0] is False and got[k][1] is None
