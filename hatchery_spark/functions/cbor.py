@@ -60,10 +60,18 @@ UNDEFINED = Undefined()
 # ------------------------------------------------------------- encode --
 
 
+# immediate heads (arg < 24) precomputed — the hot case for small ints,
+# short strings and small containers; one dict/list hit instead of a
+# bytes() construction per head
+_IMMEDIATE_HEADS = [
+    [bytes([m << 5 | a]) for a in range(24)] for m in range(8)
+]
+
+
 def _head(major: int, arg: int) -> bytes:
     """Shortest-form head (RFC 8949 §4.2.1 core deterministic rule)."""
     if arg < 24:
-        return bytes([major << 5 | arg])
+        return _IMMEDIATE_HEADS[major][arg]
     for ai, fmt, lim in ((24, "B", 1 << 8), (25, ">H", 1 << 16),
                         (26, ">I", 1 << 32), (27, ">Q", 1 << 64)):
         if arg < lim:
@@ -134,7 +142,11 @@ class _Reader:
         return out
 
     def u8(self) -> int:
-        return self.take(1)[0]
+        i = self.i
+        if i >= len(self.b):
+            raise ValueError("truncated CBOR")
+        self.i = i + 1
+        return self.b[i]
 
 
 _BREAK = object()

@@ -101,46 +101,86 @@ class _BitWriter:
         return bytes(self.out)
 
 
+def _match_len(data: bytes, j: int, i: int, max_l: int) -> int:
+    """Common-prefix length of data[j:] vs data[i:], capped at max_l —
+    chunked slice equality (C-speed memcmp) with a bytewise tail, instead
+    of a per-byte Python loop. Exact same value as the naive scan."""
+    l = 0
+    while l < max_l:
+        chunk = max_l - l
+        if chunk > 64:
+            chunk = 64
+        if data[j + l : j + l + chunk] == data[i + l : i + l + chunk]:
+            l += chunk
+            continue
+        while l < max_l and data[j + l] == data[i + l]:
+            l += 1
+        break
+    return l
+
+
 def _lz77(data: bytes) -> list:
     """Greedy hash-chain matcher → list of int literals and
     (length, distance) tuples. Overlapping matches (dist < len) emerge
-    naturally from comparing against the source buffer."""
+    naturally from comparing against the source buffer.
+
+    Token stream is IDENTICAL to the reference per-byte scan (pinned by
+    tests); only the scan mechanics are faster: precomputed int 3-gram
+    keys (one vectorized numpy pass), a data[i+best_len] probe that
+    rejects candidates unable to beat the current best with one byte
+    compare (they could only tie, and ties never update best), and
+    chunked memcmp for the match length."""
     n = len(data)
     tokens: list = []
-    head: dict[bytes, list[int]] = {}
+    if n == 0:
+        return tokens
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if n >= 3:
+        keys = (
+            arr[: n - 2].astype(np.int32)
+            | (arr[1 : n - 1].astype(np.int32) << 8)
+            | (arr[2:].astype(np.int32) << 16)
+        ).tolist()
+    else:
+        keys = []
+    head: dict[int, list[int]] = {}
     i = 0
+    last_key = n - 3  # last position with a full 3-gram
     while i < n:
         best_len = 0
         best_dist = 0
-        if i + 3 <= n:
-            key = data[i : i + 3]
-            cand = head.get(key)
+        if i <= last_key:
+            cand = head.get(keys[i])
             if cand:
                 max_l = min(_MAX_LEN, n - i)
+                probe = i + best_len  # data[probe] must match to beat best
                 for j in reversed(cand):
                     if i - j > _MAX_DIST:
                         break
-                    l = 0
-                    while l < max_l and data[j + l] == data[i + l]:
-                        l += 1
+                    if best_len and data[j + best_len] != data[probe]:
+                        continue
+                    l = _match_len(data, j, i, max_l)
                     if l > best_len:
                         best_len, best_dist = l, i - j
                         if l == max_l:
                             break
+                        probe = i + best_len
         if best_len >= 3:
             tokens.append((best_len, best_dist))
             end = i + best_len
             while i < end:
-                if i + 3 <= n:
-                    lst = head.setdefault(data[i : i + 3], [])
+                if i <= last_key:
+                    lst = head.setdefault(keys[i], [])
                     lst.append(i)
                     if len(lst) > 2 * _CHAIN:
                         del lst[:_CHAIN]
                 i += 1
         else:
             tokens.append(data[i])
-            if i + 3 <= n:
-                lst = head.setdefault(data[i : i + 3], [])
+            if i <= last_key:
+                lst = head.setdefault(keys[i], [])
                 lst.append(i)
                 if len(lst) > 2 * _CHAIN:
                     del lst[:_CHAIN]
@@ -246,27 +286,44 @@ def _rle_lengths(lengths: list[int]) -> list[tuple[int, int, int]]:
     return out
 
 
-def _emit_tokens(w: _BitWriter, tokens: list, lit_codes, dist_codes) -> None:
+def _reverse_codes(codes: dict) -> dict:
+    """sym → (bit-reversed code, len): the per-token MSB-first reversal
+    done once per tree instead of once per emitted symbol."""
+    out = {}
+    for s, (c, n) in codes.items():
+        rev = 0
+        for _ in range(n):
+            rev = (rev << 1) | (c & 1)
+            c >>= 1
+        out[s] = (rev, n)
+    return out
+
+
+def _emit_tokens(w: _BitWriter, tokens: list, lit_rev, dist_rev) -> None:
+    """Emit a token stream through PRE-REVERSED code tables (sym →
+    (lsb-first code, len)) — reversal happens once per tree, not per
+    symbol."""
+    bits = w.bits
     for t in tokens:
         if isinstance(t, int):
-            c, n = lit_codes[t]
-            w.code(c, n)
+            c, n = lit_rev[t]
+            bits(c, n)
         else:
             ln, dist = t
             sym = _LEN_SYM[ln]
-            c, n = lit_codes[sym]
-            w.code(c, n)
+            c, n = lit_rev[sym]
+            bits(c, n)
             eb = _LEN_EXTRA[sym - 257]
             if eb:
-                w.bits(ln - _LEN_BASE[sym - 257], eb)
+                bits(ln - _LEN_BASE[sym - 257], eb)
             ds = _dist_sym(dist)
-            c, n = dist_codes[ds]
-            w.code(c, n)
+            c, n = dist_rev[ds]
+            bits(c, n)
             eb = _DIST_EXTRA[ds]
             if eb:
-                w.bits(dist - _DIST_BASE[ds], eb)
-    c, n = lit_codes[256]
-    w.code(c, n)  # end-of-block
+                bits(dist - _DIST_BASE[ds], eb)
+    c, n = lit_rev[256]
+    bits(c, n)  # end-of-block
 
 
 def deflate_stored(data: bytes) -> bytes:
@@ -282,23 +339,31 @@ def deflate_stored(data: bytes) -> bytes:
     return w.bytes()
 
 
-def deflate_fixed(data: bytes) -> bytes:
-    tokens = _lz77(data)
+_FIXED_LIT_REV: dict | None = None
+_FIXED_DIST_REV: dict | None = None
+
+
+def deflate_fixed(data: bytes, tokens: list | None = None) -> bytes:
+    global _FIXED_LIT_REV, _FIXED_DIST_REV
+    if tokens is None:
+        tokens = _lz77(data)
     w = _BitWriter()
     w.bits(1, 1)
     w.bits(1, 2)
-    lit = _canonical_codes(
-        {s: l for s, l in enumerate(_FIXED_LIT_LENGTHS)}
-    )
-    dist = _canonical_codes(
-        {s: l for s, l in enumerate(_FIXED_DIST_LENGTHS)}
-    )
-    _emit_tokens(w, tokens, lit, dist)
+    if _FIXED_LIT_REV is None:  # the fixed trees are constants — build once
+        _FIXED_LIT_REV = _reverse_codes(
+            _canonical_codes({s: l for s, l in enumerate(_FIXED_LIT_LENGTHS)})
+        )
+        _FIXED_DIST_REV = _reverse_codes(
+            _canonical_codes({s: l for s, l in enumerate(_FIXED_DIST_LENGTHS)})
+        )
+    _emit_tokens(w, tokens, _FIXED_LIT_REV, _FIXED_DIST_REV)
     return w.bytes()
 
 
-def deflate_dynamic(data: bytes) -> bytes:
-    tokens = _lz77(data)
+def deflate_dynamic(data: bytes, tokens: list | None = None) -> bytes:
+    if tokens is None:
+        tokens = _lz77(data)
     lit_f: dict[int, int] = {256: 1}
     dist_f: dict[int, int] = {}
     for t in tokens:
@@ -341,8 +406,8 @@ def deflate_dynamic(data: bytes) -> bytes:
         w.code(c, n)
         if eb:
             w.bits(ev, eb)
-    _emit_tokens(w, tokens, _canonical_codes(lit_len),
-                 _canonical_codes(dist_len))
+    _emit_tokens(w, tokens, _reverse_codes(_canonical_codes(lit_len)),
+                 _reverse_codes(_canonical_codes(dist_len)))
     return w.bytes()
 
 
@@ -357,9 +422,10 @@ def deflate_encode(data: bytes, mode: str = "auto") -> bytes:
     if mode == "dynamic":
         return deflate_dynamic(data)
     if mode == "auto":
+        tokens = _lz77(data)  # one LZ77 pass shared by fixed AND dynamic
         return min(
-            (deflate_stored(data), deflate_fixed(data),
-             deflate_dynamic(data)),
+            (deflate_stored(data), deflate_fixed(data, tokens),
+             deflate_dynamic(data, tokens)),
             key=len,
         )
     raise ValueError(f"deflate_encode: unknown mode {mode!r}")

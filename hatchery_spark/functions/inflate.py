@@ -43,29 +43,50 @@ _CLC_ORDER = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15]
 
 
 class _Bits:
-    __slots__ = ("buf", "pos", "bit")
+    """LSB-first reader over an int accumulator: take(n) is two int ops
+    plus an occasional byte refill, not an n-iteration loop. Only real
+    bytes ever enter the accumulator, so running out raises exactly where
+    the per-bit reader did."""
+
+    __slots__ = ("buf", "pos", "acc", "nbits")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        buf, pos, acc, nb = self.buf, self.pos, self.acc, self.nbits
+        n = len(buf)
+        while nb < need and pos < n:
+            acc |= buf[pos] << nb
+            pos += 1
+            nb += 8
+        self.pos, self.acc, self.nbits = pos, acc, nb
 
     def take(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.pos >= len(self.buf):
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
                 raise ValueError("inflate: truncated stream")
-            v |= ((self.buf[self.pos] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
         return v
 
-    def align(self) -> None:
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
+    def byte_pos(self) -> int:
+        """Byte offset of the next unconsumed BYTE after dropping to a
+        byte boundary (stored-block framing)."""
+        drop = self.nbits & 7
+        self.acc >>= drop
+        self.nbits -= drop
+        return self.pos - self.nbits // 8
+
+    def seek_byte(self, p: int) -> None:
+        self.pos = p
+        self.acc = 0
+        self.nbits = 0
 
 
 def _build_tree(lengths: list[int]) -> dict[tuple[int, int], int]:
@@ -81,6 +102,54 @@ def _build_tree(lengths: list[int]) -> dict[tuple[int, int], int]:
     return tree
 
 
+_LUT_BITS = 9
+
+
+def _build_lut(lengths: list[int], lut_bits: int = _LUT_BITS):
+    """Flat decode table: index = next `lut_bits` stream bits (LSB-first,
+    i.e. the bit-reversed code plus free filler bits) → (symbol, length).
+    Codes longer than `lut_bits` fall back to the canonical dict walk
+    (rare: only length-10+ codes of a dynamic tree)."""
+    lut: list = [None] * (1 << lut_bits)
+    esc: dict[tuple[int, int], int] = {}
+    code = 0
+    for ln in range(1, max(lengths, default=0) + 1):
+        for sym, sl in enumerate(lengths):
+            if sl == ln:
+                if ln <= lut_bits:
+                    rev = int(f"{code:0{ln}b}"[::-1], 2)
+                    entry = (sym, ln)
+                    for idx in range(rev, 1 << lut_bits, 1 << ln):
+                        lut[idx] = entry
+                else:
+                    esc[(ln, code)] = sym
+                code += 1
+        code <<= 1
+    return lut, esc
+
+
+def _decode_sym_lut(bits: _Bits, lut, esc) -> int:
+    if bits.nbits < _LUT_BITS:
+        bits._fill(_LUT_BITS)
+    entry = lut[bits.acc & 0x1FF]
+    if entry is not None:
+        sym, ln = entry
+        if bits.nbits < ln:
+            raise ValueError("inflate: truncated stream")
+        bits.acc >>= ln
+        bits.nbits -= ln
+        return sym
+    # code longer than the table (or invalid): canonical bit-by-bit walk
+    code = 0
+    for ln in range(1, 16):
+        code = (code << 1) | bits.take(1)  # codes are MSB-first
+        if ln > _LUT_BITS:
+            sym = esc.get((ln, code))
+            if sym is not None:
+                return sym
+    raise ValueError("inflate: bad Huffman code")
+
+
 def _decode_sym(bits: _Bits, tree: dict[tuple[int, int], int]) -> int:
     code = 0
     for ln in range(1, 16):
@@ -91,10 +160,8 @@ def _decode_sym(bits: _Bits, tree: dict[tuple[int, int], int]) -> int:
     raise ValueError("inflate: bad Huffman code")
 
 
-_FIXED_LIT = _build_tree(
-    [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
-)
-_FIXED_DIST = _build_tree([5] * 30)
+_FIXED_LIT_LUT = _build_lut([8] * 144 + [9] * 112 + [7] * 24 + [8] * 8)
+_FIXED_DIST_LUT = _build_lut([5] * 30)
 
 
 def _read_dynamic(bits: _Bits):
@@ -104,10 +171,10 @@ def _read_dynamic(bits: _Bits):
     cl_lengths = [0] * 19
     for i in range(hclen):
         cl_lengths[_CLC_ORDER[i]] = bits.take(3)
-    cl_tree = _build_tree(cl_lengths)
+    cl_lut, cl_esc = _build_lut(cl_lengths)
     lengths: list[int] = []
     while len(lengths) < hlit + hdist:
-        sym = _decode_sym(bits, cl_tree)
+        sym = _decode_sym_lut(bits, cl_lut, cl_esc)
         if sym < 16:
             lengths.append(sym)
         elif sym == 16:
@@ -120,7 +187,7 @@ def _read_dynamic(bits: _Bits):
             lengths.extend([0] * (11 + bits.take(7)))
     if len(lengths) != hlit + hdist:
         raise ValueError("inflate: code-length overrun")
-    return _build_tree(lengths[:hlit]), _build_tree(lengths[hlit:])
+    return _build_lut(lengths[:hlit]), _build_lut(lengths[hlit:])
 
 
 def inflate(buf: bytes) -> bytes:
@@ -131,22 +198,23 @@ def inflate(buf: bytes) -> bytes:
         bfinal = bits.take(1)
         btype = bits.take(2)
         if btype == 0:  # stored
-            bits.align()
-            p = bits.pos
+            p = bits.byte_pos()
             ln = int.from_bytes(buf[p : p + 2], "little")
             nlen = int.from_bytes(buf[p + 2 : p + 4], "little")
             if ln ^ nlen != 0xFFFF:
                 raise ValueError("inflate: stored-block LEN/NLEN mismatch")
+            if p + 4 + ln > len(buf):
+                raise ValueError("inflate: truncated stream")
             out += buf[p + 4 : p + 4 + ln]
-            bits.pos = p + 4 + ln
+            bits.seek_byte(p + 4 + ln)
         elif btype in (1, 2):
-            lit_tree, dist_tree = (
-                (_FIXED_LIT, _FIXED_DIST)
+            (lit_lut, lit_esc), (dist_lut, dist_esc) = (
+                (_FIXED_LIT_LUT, _FIXED_DIST_LUT)
                 if btype == 1
                 else _read_dynamic(bits)
             )
             while True:
-                sym = _decode_sym(bits, lit_tree)
+                sym = _decode_sym_lut(bits, lit_lut, lit_esc)
                 if sym == 256:
                     break
                 if sym < 256:
@@ -155,15 +223,18 @@ def inflate(buf: bytes) -> bytes:
                 if sym > 285:
                     raise ValueError("inflate: bad length symbol")
                 ln = _LEN_BASE[sym - 257] + bits.take(_LEN_EXTRA[sym - 257])
-                d = _decode_sym(bits, dist_tree)
+                d = _decode_sym_lut(bits, dist_lut, dist_esc)
                 if d > 29:
                     raise ValueError("inflate: bad distance symbol")
                 dist = _DIST_BASE[d] + bits.take(_DIST_EXTRA[d])
                 if dist > len(out):
                     raise ValueError("inflate: distance beyond output")
                 start = len(out) - dist
-                for k in range(ln):  # overlapping copies are legal LZ77
-                    out.append(out[start + k])
+                if dist >= ln:  # disjoint: one slice copy
+                    out += out[start : start + ln]
+                else:  # overlapping: the dist-byte pattern repeats
+                    pattern = out[start:]
+                    out += (pattern * (ln // dist + 1))[:ln]
         else:
             raise ValueError("inflate: reserved block type")
         if bfinal:

@@ -163,11 +163,13 @@ def zip_roundtrip_members(
         pdf = pdf.sort_values(id_col)
         members = [
             (
-                f"doc/{int(r[id_col])}.txt",
-                str(r[text_col]).encode("utf-8"),
-                "store" if int(r[id_col]) % 2 == 0 else "deflate",
+                f"doc/{did}.txt",
+                str(txt).encode("utf-8"),
+                "store" if did % 2 == 0 else "deflate",
             )
-            for _, r in pdf.iterrows()
+            for did, txt in zip(
+                pdf[id_col].tolist(), pdf[text_col].tolist()
+            )
         ]
         blob = build_zip(members)
         rows = []

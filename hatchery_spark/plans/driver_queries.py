@@ -8706,9 +8706,13 @@ def q_cbor_roundtrip(spark, sf_dir):
     def rt(batches):
         for b in batches:
             out = []
+            # .tolist() up front: the loop then works on plain Python ints/
+            # strs instead of numpy scalars (whose arithmetic and int()
+            # conversions dominate a tight per-row loop)
             for eid, uid, etype, cents, ep in zip(
-                b["event_id"], b["user_id"], b["event_type"],
-                b["cents"], b["epoch_s"],
+                b["event_id"].tolist(), b["user_id"].tolist(),
+                b["event_type"].tolist(), b["cents"].tolist(),
+                b["epoch_s"].tolist(),
             ):
                 rec = {
                     "i": int(eid),
