@@ -145,6 +145,13 @@ def run_pipeline(
     enriched.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         if max_parallel_routes > 1 and len(pending) > 1:
+            # materialize the shared cache BEFORE fanning out: concurrent
+            # route jobs otherwise stampede the un-populated cache (block
+            # locks serialize the partition computes across the pool, so
+            # the "parallel" phase degrades to sequential compute plus
+            # lock waits). One count() populates every cached block, then
+            # the pool's jobs only pay filter+shuffle+write.
+            enriched.count()
             with ThreadPoolExecutor(max_workers=max_parallel_routes) as pool:
                 outcomes = list(pool.map(run_route, pending))
         else:
