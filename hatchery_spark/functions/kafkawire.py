@@ -79,11 +79,36 @@ for _i in range(256):
     _CRC32C_TABLE.append(_c)
 
 
+# slicing-by-8 tables: _CRC32C_SLICE[k][b] = CRC of byte b followed by k
+# zero bytes (base table = k=0). Lets the hot loop consume 8 bytes per
+# Python iteration instead of one.
+_CRC32C_SLICE = [_CRC32C_TABLE]
+for _k in range(7):
+    _prev = _CRC32C_SLICE[-1]
+    _CRC32C_SLICE.append(
+        [(_v >> 8) ^ _CRC32C_TABLE[_v & 0xFF] for _v in _prev]
+    )
+
+
 def crc32c(data: bytes, crc: int = 0) -> int:
     crc ^= 0xFFFFFFFF
-    tab = _CRC32C_TABLE
-    for b in data:
-        crc = tab[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C_SLICE
+    nw = len(data) >> 3
+    if nw:
+        for w in struct.unpack_from(f"<{nw}Q", data):
+            x = w ^ crc
+            crc = (
+                t7[x & 0xFF]
+                ^ t6[(x >> 8) & 0xFF]
+                ^ t5[(x >> 16) & 0xFF]
+                ^ t4[(x >> 24) & 0xFF]
+                ^ t3[(x >> 32) & 0xFF]
+                ^ t2[(x >> 40) & 0xFF]
+                ^ t1[(x >> 48) & 0xFF]
+                ^ t0[x >> 56]
+            )
+    for b in data[nw << 3 :]:
+        crc = t0[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
 
 
@@ -256,9 +281,13 @@ def write_record_batches(turns: DataFrame, tamper_every: int = 17) -> DataFrame:
         pdf = pdf.sort_values("turn_idx")
         uid = int(pdf["_uid"].iloc[0])
         rows = [
-            (int(r.turn_idx), int(r.ts_ms), r.conv_id.encode(), r.text.encode(),
-             [(b"role", r.role.encode()), (b"tool", r.tool.encode())])
-            for r in pdf.itertuples()
+            (ti, ts, cid.encode(), tx.encode(),
+             [(b"role", ro.encode()), (b"tool", to.encode())])
+            for ti, ts, cid, tx, ro, to in zip(
+                pdf["turn_idx"].tolist(), pdf["ts_ms"].tolist(),
+                pdf["conv_id"].tolist(), pdf["text"].tolist(),
+                pdf["role"].tolist(), pdf["tool"].tolist(),
+            )
         ]
         buf = bytearray(encode_batch(uid * 1_000_000, uid % 5, rows))
         if uid % tamper_every == 3:

@@ -42,29 +42,36 @@ def _rotl(x: int, r: int) -> int:
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
-    """xxHash32 (Collet's reference algorithm)."""
+    """xxHash32 (Collet's reference algorithm). The stripe loop reads all
+    uint32 lanes with ONE bulk struct.unpack and updates the four
+    accumulators with inlined rotates — the per-lane unpack_from /
+    enumerate form paid ~6 Python calls per 4 bytes."""
     n = len(data)
     pos = 0
     if n >= 16:
-        v1 = (seed + _P1 + _P2) & _M
-        v2 = (seed + _P2) & _M
-        v3 = seed
-        v4 = (seed - _P1) & _M
-        while pos + 16 <= n:
-            for i, v in enumerate((v1, v2, v3, v4)):
-                (lane,) = struct.unpack_from("<I", data, pos + 4 * i)
-                v = (v + lane * _P2) & _M
-                v = _rotl(v, 13)
-                v = v * _P1 & _M
-                if i == 0:
-                    v1 = v
-                elif i == 1:
-                    v2 = v
-                elif i == 2:
-                    v3 = v
-                else:
-                    v4 = v
-            pos += 16
+        M, P1, P2 = _M, _P1, _P2
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        nstripes = n >> 4
+        words = struct.unpack_from(f"<{nstripes * 4}I", data)
+        k = 0
+        for _ in range(nstripes):
+            v1 = (v1 + words[k] * P2) & M
+            v1 = ((v1 << 13) | (v1 >> 19)) & M
+            v1 = v1 * P1 & M
+            v2 = (v2 + words[k + 1] * P2) & M
+            v2 = ((v2 << 13) | (v2 >> 19)) & M
+            v2 = v2 * P1 & M
+            v3 = (v3 + words[k + 2] * P2) & M
+            v3 = ((v3 << 13) | (v3 >> 19)) & M
+            v3 = v3 * P1 & M
+            v4 = (v4 + words[k + 3] * P2) & M
+            v4 = ((v4 << 13) | (v4 >> 19)) & M
+            v4 = v4 * P1 & M
+            k += 4
+        pos = nstripes << 4
         h = (
             _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
         ) & _M
@@ -123,8 +130,11 @@ def lz4_block_decompress(buf: bytes, history: bytes = b"") -> bytes:
         mlen, pos = _read_len(buf, pos, token & 0xF)
         mlen += 4
         start = len(out) - offset
-        for k in range(mlen):  # offset < mlen ⇒ overlapping RLE
-            out.append(out[start + k])
+        if offset >= mlen:  # disjoint: one slice copy
+            out += out[start : start + mlen]
+        else:  # overlapping RLE: the offset-byte pattern repeats
+            pattern = out[start:]
+            out += (pattern * (mlen // offset + 1))[:mlen]
     return bytes(out[skip:])
 
 
@@ -156,18 +166,37 @@ def lz4_block_compress(data: bytes) -> bytes:
     if n < 13:  # too short for any legal match
         emit(0, n)
         return bytes(out)
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    grams = (  # little-endian 4-gram ints, precomputed in one pass
+        arr[: n - 3]
+        | (arr[1 : n - 2] << 8)
+        | (arr[2 : n - 1] << 16)
+        | (arr[3:] << 24)
+    ).tolist()
     table: dict[int, int] = {}
     i = lit_start = 0
     limit = n - 12  # matches must not start in the last 12 bytes
+    hard = n - 5  # last 5 bytes stay literals
     while i < limit:
-        key = data[i : i + 4]
+        key = grams[i]
         cand = table.get(key, -1)
         table[key] = i
-        if cand >= 0 and i - cand <= 0xFFFF and data[cand : cand + 4] == key:
+        # gram equality IS the 4-byte equality (exact int of the 4 bytes)
+        if cand >= 0 and i - cand <= 0xFFFF:
             m = 4
-            hard = n - 5  # last 5 bytes stay literals
-            while i + m < hard and data[cand + m] == data[i + m]:
-                m += 1
+            # chunked memcmp extension, then bytewise tail — same m
+            while i + m < hard:
+                chunk = hard - (i + m)
+                if chunk > 64:
+                    chunk = 64
+                if data[cand + m : cand + m + chunk] == data[i + m : i + m + chunk]:
+                    m += chunk
+                    continue
+                while i + m < hard and data[cand + m] == data[i + m]:
+                    m += 1
+                break
             emit(lit_start, i, i - cand, m)
             i += m
             lit_start = i

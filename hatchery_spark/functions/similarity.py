@@ -846,9 +846,13 @@ def semdedup(
         df, n_centroids=n_centroids, sample_mod=sample_mod,
         kmeans_iters=kmeans_iters, seed=seed, id_col=id_col, vec_col=vec_col,
     )
+    # the input frame is consumed FOUR times below (cell assignment, both
+    # sides of the pair verify join, and the final labels join) — persist the
+    # narrow (id, vec) projection once instead of re-deriving the upstream
+    # plan (scans, unions, synthetic-twin UDFs) per consumer
     c = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
+    ).persist()
     p = max(1, min(n_probe, len(index.centroids)))
     assign_p = _cell_assign_udf(index.centroids, p)
     band_rows = c.select(
@@ -868,7 +872,7 @@ def semdedup(
     labels = resolve_duplicate_groups(pairs)
     rep = F.coalesce(F.col("canonical_id"), F.col(id_col))
     return (
-        df.select(F.col(id_col))
+        c.select(F.col(id_col))
         .join(
             labels.select(F.col("doc_id").alias(id_col), "canonical_id"),
             id_col,

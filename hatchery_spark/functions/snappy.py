@@ -98,22 +98,39 @@ def snappy_compress(data: bytes) -> bytes:
     if n < 4:
         _emit_literal(out, data)
         return bytes(out)
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    grams = (  # little-endian 4-gram ints + their hashes, one pass each
+        arr[: n - 3]
+        | (arr[1 : n - 2] << 8)
+        | (arr[2 : n - 1] << 16)
+        | (arr[3:] << 24)
+    )
+    hashes = (
+        (grams * _HASH_MUL & 0xFFFFFFFF) >> (32 - _HASH_BITS)
+    ).tolist()
+    grams = grams.tolist()
     table = [-1] * (1 << _HASH_BITS)
     i = lit_start = 0
     limit = n - 3  # last position with a full 4-byte gram
     while i < limit:
-        gram = int.from_bytes(data[i : i + 4], "little")
-        h = (gram * _HASH_MUL & 0xFFFFFFFF) >> (32 - _HASH_BITS)
+        h = hashes[i]
         cand = table[h]
         table[h] = i
-        if (
-            cand >= 0
-            and i - cand <= 0xFFFF
-            and data[cand : cand + 4] == data[i : i + 4]
-        ):
+        # gram equality is the exact 4-byte equality (hash-collision guard)
+        if cand >= 0 and i - cand <= 0xFFFF and grams[cand] == grams[i]:
             m = 4
-            while i + m < n and data[cand + m] == data[i + m]:
-                m += 1
+            while i + m < n:  # chunked memcmp extension, bytewise tail
+                chunk = n - (i + m)
+                if chunk > 64:
+                    chunk = 64
+                if data[cand + m : cand + m + chunk] == data[i + m : i + m + chunk]:
+                    m += chunk
+                    continue
+                while i + m < n and data[cand + m] == data[i + m]:
+                    m += 1
+                break
             _emit_literal(out, data[lit_start:i])
             _emit_copy(out, i - cand, m)
             i += m
@@ -156,13 +173,12 @@ def snappy_decompress(buf: bytes) -> bytes:
             pos += 4
         if offset == 0 or offset > len(out):
             raise ValueError("snappy: bad copy offset")
+        start = len(out) - offset
         if offset >= ln:
-            start = len(out) - offset
             out += out[start : start + ln]
-        else:  # overlapping copy — RLE semantics, byte by byte
-            start = len(out) - offset
-            for k in range(ln):
-                out.append(out[start + k])
+        else:  # overlapping copy — the offset-byte pattern repeats
+            pattern = out[start:]
+            out += (pattern * (ln // offset + 1))[:ln]
     if len(out) != want:
         raise ValueError(f"snappy: length mismatch {len(out)} != {want}")
     return bytes(out)
