@@ -43,46 +43,61 @@ def cdc_chunk_documents(
     occurrence of the chunk content (min (doc, chunk_idx) order), the
     hook a delta-dedup pass filters on."""
     base = df.select(id_col, F.col(text_col).alias("t"))
-    pos = base.select(
-        id_col,
-        "t",
-        F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"),
-    )
-    gram = F.substring(F.col("t"), F.col("i") - (w - 1), w)
-    is_boundary = (
-        (F.col("i") >= w)
+    n = F.length("t")
+    t = F.col("t")
+    # boundary positions as a PER-DOC array: no per-character explode, no
+    # per-position shuffle. The earlier form exploded one row per char and
+    # ran a window cumsum + groupBy over them — two corpus-character-sized
+    # exchanges whose only purpose was rebuilding contiguous runs the
+    # boundary array already determines. md5-per-position (the oracle-pinned
+    # gear hash) is unchanged; only the chunk REBUILD went relational-array.
+    bpos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i >= F.lit(w))
         & (
             F.pmod(
-                F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+                F.conv(
+                    F.substring(F.md5(F.substring(t, i - (w - 1), w)), 1, 8),
+                    16,
+                    10,
+                ).cast("long"),
                 F.lit(divisor),
             )
             == 0
-        )
-    ).cast("int")
-    # flag BEFORE the shuffle and drop `t`: the windowed frame carries
-    # (id, i, isb) — 12 bytes/position — instead of the whole document
-    # on every position row (a w× exchange-width trap); the text rejoins
-    # once per CHUNK after the rebuild.
-    flags = pos.select(id_col, "i", is_boundary.alias("isb"))
-    win = (
-        Window.partitionBy(id_col)
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        ),
     )
-    marked = flags.select(
+    # each array level lives in its OWN projection (the license-detect
+    # lesson): a later lambda referencing a non-attribute array expression
+    # re-evaluates it PER ELEMENT (no CSE across HOF bodies) — inlining
+    # `starts` into the chunk transform re-ran the md5 boundary scan once
+    # per chunk (measured ~30x slower). CollapseProject keeps the aliases
+    # because each is expensive and referenced more than once downstream.
+    staged = base.select(id_col, "t", bpos.alias("_bp"))
+    # chunk k spans [starts[k], starts[k+1]-1]; a boundary at the last char
+    # opens no new chunk (start n+1 filtered out)
+    starts = F.filter(
+        F.concat(F.array(F.lit(1)), F.transform(F.col("_bp"), lambda b: b + 1)),
+        lambda s: s <= n,
+    )
+    staged2 = staged.select(id_col, "t", starts.alias("_st"))
+    st = F.col("_st")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size(st) - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            F.element_at(st, j + 1).cast("int").alias("start"),
+            (
+                F.coalesce(F.try_element_at(st, j + 2), n + 1)
+                - F.element_at(st, j + 1)
+            ).cast("int").alias("chunk_len"),
+        ),
+    )
+    out = staged2.select(id_col, "t", F.inline(chunks)).select(
         id_col,
-        "i",
-        F.coalesce(F.sum("isb").over(win), F.lit(0)).alias("chunk_idx"),
-    )
-    chunks = marked.groupBy(id_col, "chunk_idx").agg(
-        F.min("i").alias("start"), F.count(F.lit(1)).alias("chunk_len")
-    )
-    out = chunks.join(base, id_col).select(
-        id_col,
-        F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("start").cast("int").alias("start"),
-        F.col("chunk_len").cast("int").alias("chunk_len"),
-        F.md5(F.substring(F.col("t"), F.col("start"), F.col("chunk_len"))).alias(
+        "chunk_idx",
+        "start",
+        "chunk_len",
+        F.md5(F.substring(t, F.col("start"), F.col("chunk_len"))).alias(
             "chunk_md5"
         ),
     )

@@ -193,8 +193,11 @@ def write_otlp_traces(turns: DataFrame) -> DataFrame:
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx")
-        rows = [(int(r.turn_idx), r.role, r.text, r.tool, int(r.ts_ms))
-                for r in pdf.itertuples()]
+        rows = list(zip(  # plain-int/str lists beat numpy-scalar itertuples
+            pdf["turn_idx"].tolist(), pdf["role"].tolist(),
+            pdf["text"].tolist(), pdf["tool"].tolist(),
+            pdf["ts_ms"].tolist(),
+        ))
         return pd.DataFrame(
             {"blob": [encode_trace(pdf["conv_id"].iloc[0], rows)]}
         )

@@ -215,9 +215,13 @@ def xlsx_roundtrip(orders: DataFrame, workbooks: int = 10) -> DataFrame:
         header_kinds = ["i", "i", "i", "i", "i"]
         data_kinds = ["n", "n", "s", "i", "n"]
         blob_rows = [
-            [int(r.o_orderkey), int(r.o_custkey), r.o_orderstatus,
-             r.o_orderpriority, float(r.o_totalprice)]
-            for r in pdf.itertuples()
+            list(t)
+            for t in zip(
+                pdf["o_orderkey"].tolist(), pdf["o_custkey"].tolist(),
+                pdf["o_orderstatus"].tolist(),
+                pdf["o_orderpriority"].tolist(),
+                pdf["o_totalprice"].tolist(),
+            )
         ]
         blob = build_xlsx(
             [rows[0]] + blob_rows,

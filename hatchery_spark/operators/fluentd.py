@@ -64,15 +64,17 @@ def render_forward_chunks(turns: DataFrame) -> DataFrame:
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["conv_id", "turn_idx"])
         entries = []
-        for r in pdf.itertuples(index=False):
-            ts = msgpack.event_time(
-                int(r.epoch_s), int(r.turn_idx) * NSEC_STEP % 1_000_000_000
-            )
+        for conv, turn, role, text, epoch in zip(
+            pdf["conv_id"].tolist(), pdf["turn_idx"].tolist(),
+            pdf["role"].tolist(), pdf["text"].tolist(),
+            pdf["epoch_s"].tolist(),
+        ):
+            ts = msgpack.event_time(epoch, turn * NSEC_STEP % 1_000_000_000)
             rec = {
-                "conv": r.conv_id,
-                "turn": int(r.turn_idx),
-                "role": r.role,
-                "message": r.text,
+                "conv": conv,
+                "turn": turn,
+                "role": role,
+                "message": text,
             }
             entries.append([ts, rec])
         msg = [pdf["tag"].iloc[0], entries, {"size": len(entries)}]

@@ -112,7 +112,11 @@ def lttb_downsample(
         df[t_col].cast("long").alias("t_s"),
         df[v_col].cast("long").alias("v_i"),
     )
-    return src.groupBy("g").applyInPandas(pick, schema=schema)
+    from hatchery_spark.functions.udx import grouped_apply
+
+    # one Python call per partition, not per series (many small groups —
+    # the applyInPandas per-group frame setup dominated the stage)
+    return grouped_apply(src, ["g"], pick, schema)
 
 
 def lttb_oracle_sql(

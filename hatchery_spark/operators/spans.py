@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 def assemble_span_tree(df: DataFrame, max_depth: int = 32) -> DataFrame:
     """``(trace_id, span_id, parent_id)`` → + ``depth``, ``path``,
     ``is_leaf``. ``parent_id`` NULL marks a root."""
-    spans = df.select("trace_id", "span_id", "parent_id")
+    # the span frame is re-joined at EVERY BFS level (plus the orphan
+    # anti-join and the parent flag derivation at the end) — persist it
+    # once so each level probes a cached 3-column frame instead of
+    # re-deriving the upstream plan per level
+    spans = df.select("trace_id", "span_id", "parent_id").persist()
 
     roots = spans.where(F.col("parent_id").isNull()).select(
         "trace_id",
