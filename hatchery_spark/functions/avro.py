@@ -250,6 +250,81 @@ def write_ocf(
     return _write_ocf_frames(schema, blocks, codec, sync)
 
 
+def _compile_flat_decoder(schema: dict):
+    """Specialized decoder for the flat ``["null", primitive]`` record shape
+    (the `_avro_schema_for` output): one closure decoding a whole block
+    payload into per-record dicts with inlined varint/fixed reads — no
+    per-value recursion, no schema dispatch per field. Returns None when the
+    schema is outside the flat shape (caller uses the generic walker)."""
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        return None
+    fields = []
+    for f in schema["fields"]:
+        ft = f["type"]
+        if not (isinstance(ft, list) and len(ft) == 2 and ft[0] == "null"):
+            return None
+        branch = ft[1]
+        t = branch["type"] if isinstance(branch, dict) else branch
+        if t not in ("int", "long", "double", "float", "string", "bytes",
+                     "boolean"):
+            return None
+        fields.append((f["name"], t))
+
+    def decode_block(payload: bytes, count: int) -> list[dict]:
+        records = []
+        pos = 0
+        unpack = struct.unpack_from
+        for _ in range(count):
+            rec = {}
+            for name, t in fields:
+                # union index varint (zigzag 0 / 1 → one byte 0x00 / 0x02)
+                b = payload[pos]
+                pos += 1
+                if b == 0:
+                    rec[name] = None
+                    continue
+                if b != 2:  # zigzag(1); anything else is a corrupt union
+                    raise ValueError(f"bad union index byte {b}")
+                if t == "long" or t == "int":
+                    z, shift = 0, 0
+                    while True:
+                        v = payload[pos]
+                        pos += 1
+                        z |= (v & 0x7F) << shift
+                        if not v & 0x80:
+                            break
+                        shift += 7
+                    rec[name] = (z >> 1) ^ -(z & 1)
+                elif t == "double":
+                    rec[name] = unpack("<d", payload, pos)[0]
+                    pos += 8
+                elif t == "float":
+                    rec[name] = unpack("<f", payload, pos)[0]
+                    pos += 4
+                elif t == "boolean":
+                    rec[name] = payload[pos] == 1
+                    pos += 1
+                else:  # string / bytes: varint length + payload
+                    z, shift = 0, 0
+                    while True:
+                        v = payload[pos]
+                        pos += 1
+                        z |= (v & 0x7F) << shift
+                        if not v & 0x80:
+                            break
+                        shift += 7
+                    ln = (z >> 1) ^ -(z & 1)
+                    raw = payload[pos : pos + ln]
+                    pos += ln
+                    rec[name] = raw.decode("utf-8") if t == "string" else raw
+            records.append(rec)
+        if pos != len(payload):
+            raise ValueError("trailing bytes in block payload")
+        return records
+
+    return decode_block
+
+
 def parse_ocf(buf: bytes) -> tuple[dict, list[dict]]:
     if buf[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
@@ -268,6 +343,7 @@ def parse_ocf(buf: bytes) -> tuple[dict, list[dict]]:
             meta[k.decode("ascii")] = v
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("ascii")
+    fast = _compile_flat_decoder(schema)
     sync = buf[pos : pos + 16]
     pos += 16
     records = []
@@ -283,6 +359,9 @@ def parse_ocf(buf: bytes) -> tuple[dict, list[dict]]:
             payload = zlib.decompress(payload, wbits=-15)
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec}")
+        if fast is not None:
+            records.extend(fast(payload, count))
+            continue
         p = 0
         for _ in range(count):
             rec, p = _decode_value(payload, p, schema)
